@@ -1,0 +1,33 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** A named bundle of driver-contract queries plus their DuckDB oracle SQL.
+  *
+  * Contract (SparkEntry): each query is `(spark, sfDir) => DataFrame`; the
+  * oracle is ANSI SQL DuckDB runs over the same parquet tables. Column names
+  * must match exactly (the driver sorts columns by name before hashing).
+  */
+trait QueryModule {
+  def all: Map[String, (SparkSession, String) => DataFrame]
+  def oracles: Map[String, String]
+}
+
+/** Shared helpers for oracle-exact arithmetic.
+  *
+  * Sums of doubles are order-dependent, so a Spark shuffle-order sum will
+  * not hash-match DuckDB's. We cast to decimal *per row* first (the source
+  * values carry <=2 decimal digits; derived products carry <=4), making the
+  * aggregation exact and engine-order-independent on both sides.
+  */
+object Dsl {
+  /** Exact 2-decimal sum: matches SQL `SUM(CAST(x AS DECIMAL(18,2)))`. */
+  def dsum2(c: Column): Column = sum(c.cast(DecimalType(18, 2)))
+  /** Exact 4-decimal sum for price*(1-disc)-style products. */
+  def dsum4(c: Column): Column = sum(c.cast(DecimalType(18, 4)))
+  /** Deterministic double average: exact decimal sum, then one double
+    * division — bit-identical to `CAST(SUM(dec) AS DOUBLE)/COUNT(*)`. */
+  def davg2(c: Column): Column = dsum2(c).cast("double") / count(lit(1))
+}

@@ -1,0 +1,364 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import Dsl._
+
+/** Star-schema parity demos (SURVEY.md §2.3-§2.6 "absent in reference,
+  * required of our engine": joins, grouped aggregations, windows, sorts,
+  * set ops, date/math functions).
+  *
+  * Scale notes (100 TB design stance):
+  *  - grouped aggs run as partial (map-side) + final — low-cardinality
+  *    group keys make the shuffle tiny regardless of input size;
+  *  - dimension joins (nation/region/part/supplier) are explicitly
+  *    broadcast so the fact table never shuffles for them;
+  *  - fact-fact joins (lineitem⋈orders) shuffle on the join key once and
+  *    AQE handles skew; at cluster scale both sides would be bucketed by
+  *    orderkey to eliminate that shuffle entirely;
+  *  - windows partition by high-cardinality keys (custkey/suppkey) so
+  *    state per partition stays bounded.
+  */
+object StarQueries extends QueryModule {
+
+  /** TPC-H Q1-style pricing summary: scan + filter + partial/final agg. */
+  private def aggPricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum2(col("l_quantity")).as("sum_qty"),
+        dsum2(col("l_extendedprice")).as("sum_base_price"),
+        dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        davg2(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  private val aggPricingSummarySql =
+    """SELECT l_returnflag, l_linestatus,
+      |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+      |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Distinct aggregation (expand + two-phase agg under the hood). */
+  private def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+        count(lit(1)).as("n_rows"))
+
+  private val aggDistinctSql =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** ROLLUP over two keys (grouping-sets expansion). */
+  private def aggRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
+
+  private val aggRollupSql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** CUBE over two keys. */
+  private def aggCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+
+  private val aggCubeSql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Fact-fact equi-join (shuffle on orderkey; bucket-able at scale). */
+  private def joinFactFact(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  private val joinFactFactSql =
+    """SELECT o_orderpriority,
+      |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** Broadcast dimension join: part is small → no shuffle of the fact. */
+  private def joinBroadcastDim(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(dsum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  private val joinBroadcastDimSql =
+    """SELECT p_brand, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand""".stripMargin
+
+  /** Multi-way star join: fact + 4 broadcast dims, revenue per region. */
+  private def joinStarSchema(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+
+  private val joinStarSchemaSql =
+    """SELECT r_name,
+      |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+      |  COUNT(DISTINCT o_custkey) AS n_customers
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  /** Left-semi join (EXISTS): customers having a high-value order. */
+  private def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+    Tables.customer(s, dir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  private val joinSemiSql =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no open order. */
+  private def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    val openOrders = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+    Tables.customer(s, dir)
+      .join(openOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  private val joinAntiSql =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""".stripMargin
+
+  /** Window ranking: top-3 orders per customer (W1-family top-k). */
+  private def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  private val windowRankSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t WHERE rn <= 3""".stripMargin
+
+  /** Running (cumulative) sum per supplier in ship-date order. */
+  private def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, dir)
+      .withColumn("running_qty",
+        sum(col("l_quantity").cast("decimal(18,2)")).over(w))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("running_qty"))
+  }
+
+  private val windowRunningSql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+      |FROM lineitem""".stripMargin
+
+  /** lag/lead: gap in days between consecutive orders of a customer. */
+  private def windowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate").cast("date"), col("prev_date").cast("date")))
+      .select(col("o_custkey"), col("o_orderkey"), col("gap_days"))
+  }
+
+  private val windowLagSql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(DATEDIFF('day',
+      |    CAST(LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS DATE),
+      |    CAST(o_orderdate AS DATE)) AS INT) AS gap_days
+      |FROM orders""".stripMargin
+
+  /** Global deterministic top-k (order + tiebreak + limit). */
+  private def sortTopK(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(25)
+
+  private val sortTopKSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
+
+  /** UNION (distinct) of two key sets. */
+  private def setUnion(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(s, dir).filter(col("o_totalprice") > 350000)
+      .select(col("o_custkey").as("custkey"))
+    val b = Tables.customer(s, dir).filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("custkey"))
+    a.union(b).distinct()
+  }
+
+  private val setUnionSql =
+    """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 350000
+      |UNION
+      |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000""".stripMargin
+
+  /** INTERSECT of two key sets. */
+  private def setIntersect(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    val b = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey"))
+    a.intersect(b)
+  }
+
+  private val setIntersectSql =
+    """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin
+
+  /** EXCEPT of two key sets. */
+  private def setExcept(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.customer(s, dir).select(col("c_custkey").as("custkey"))
+    val b = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey"))
+    a.except(b)
+  }
+
+  private val setExceptSql =
+    """SELECT c_custkey AS custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin
+
+  /** Date bucketing: monthly revenue (date_trunc + exact decimal sum). */
+  private def dateTruncRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(
+        dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+
+  private val dateTruncRevenueSql =
+    """SELECT DATE_TRUNC('month', l_shipdate) AS ship_month,
+      |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** Conditional aggregation: CASE WHEN inside SUM (A2-style weighting). */
+  private def conditionalAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        dsum2(when(col("l_returnflag") === "R", col("l_extendedprice")).otherwise(0))
+          .as("returned_price"),
+        sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("n_discounted"),
+        count(lit(1)).as("n"))
+
+  private val conditionalAggSql =
+    """SELECT l_linestatus,
+      |  SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END
+      |      AS DECIMAL(18,2))) AS returned_price,
+      |  SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_linestatus""".stripMargin
+
+  /** Grouped-top-k via min_by/arg-min style: cheapest part per brand. */
+  private def aggMinBy(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .groupBy(col("p_brand"))
+      .agg(
+        min_by(col("p_name"), col("p_retailprice") * 1000000 + col("p_partkey"))
+          .as("cheapest_part"),
+        min(col("p_retailprice")).as("min_price"))
+
+  private val aggMinBySql =
+    """SELECT p_brand,
+      |  MIN_BY(p_name, p_retailprice * 1000000 + p_partkey) AS cheapest_part,
+      |  MIN(p_retailprice) AS min_price
+      |FROM part GROUP BY p_brand""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pricing_summary" -> aggPricingSummary _,
+    "agg_distinct"        -> aggDistinct _,
+    "agg_rollup"          -> aggRollup _,
+    "agg_cube"            -> aggCube _,
+    "agg_conditional"     -> conditionalAgg _,
+    "agg_min_by"          -> aggMinBy _,
+    "join_fact_fact"      -> joinFactFact _,
+    "join_broadcast_dim"  -> joinBroadcastDim _,
+    "join_star_schema"    -> joinStarSchema _,
+    "join_semi"           -> joinSemi _,
+    "join_anti"           -> joinAnti _,
+    "window_rank"         -> windowRank _,
+    "window_running"      -> windowRunning _,
+    "window_lag"          -> windowLag _,
+    "sort_topk"           -> sortTopK _,
+    "set_union"           -> setUnion _,
+    "set_intersect"       -> setIntersect _,
+    "set_except"          -> setExcept _,
+    "date_trunc_revenue"  -> dateTruncRevenue _)
+
+  def oracles: Map[String, String] = Map(
+    "agg_pricing_summary" -> aggPricingSummarySql,
+    "agg_distinct"        -> aggDistinctSql,
+    "agg_rollup"          -> aggRollupSql,
+    "agg_cube"            -> aggCubeSql,
+    "agg_conditional"     -> conditionalAggSql,
+    "agg_min_by"          -> aggMinBySql,
+    "join_fact_fact"      -> joinFactFactSql,
+    "join_broadcast_dim"  -> joinBroadcastDimSql,
+    "join_star_schema"    -> joinStarSchemaSql,
+    "join_semi"           -> joinSemiSql,
+    "join_anti"           -> joinAntiSql,
+    "window_rank"         -> windowRankSql,
+    "window_running"      -> windowRunningSql,
+    "window_lag"          -> windowLagSql,
+    "sort_topk"           -> sortTopKSql,
+    "set_union"           -> setUnionSql,
+    "set_intersect"       -> setIntersectSql,
+    "set_except"          -> setExceptSql,
+    "date_trunc_revenue"  -> dateTruncRevenueSql)
+}
