@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML signal-extraction column functions (SURVEY.md §2.7 F2-F4, F9, F10,
+  * F13; §2.2 P5/P6).
+  *
+  * Semantics from the reference's extractor helpers
+  * (`apps-scripts/code-LLM-intergration.js:301-332,485-502,569-584,968-975`),
+  * re-expressed as pure Catalyst regex expressions — codegen'd, no UDFs.
+  */
+object HtmlFns {
+
+  private def rquote(s: String): String = java.util.regex.Pattern.quote(s)
+
+  /** F2 `getMeta_`: `<meta attr="key" content="…">` value, trimmed; ''
+    * when absent (`code-LLM-intergration.js:485-489`). `key`/`attr` are
+    * compile-time constants at every call site, so the pattern is static. */
+  def get_meta(html: Column, key: String, attr: String): Column =
+    trim(regexp_extract(html,
+      s"""(?i)<meta[^>]+$attr=["']${rquote(key)}["'][^>]*content=["']([^"']+)["']""", 1))
+
+  /** F3 `getTitle_`: `<title>` text, whitespace collapsed to single spaces
+    * (`code-LLM-intergration.js:492-495`). */
+  def get_title(html: Column): Column =
+    trim(regexp_replace(
+      regexp_extract(html, "(?i)<title[^>]*>([\\s\\S]*?)</title>", 1),
+      "\\s+", " "))
+
+  /** F4 `getH1_`: first `<h1>` inner text, tags stripped, whitespace
+    * collapsed (`code-LLM-intergration.js:498-502`). */
+  def get_h1(html: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_extract(html, "(?i)<h1[^>]*>([\\s\\S]*?)</h1>", 1),
+        "<[^>]+>", " "),
+      "\\s+", " "))
+
+  /** F9 `stripEmojis_`: drop emoji/pictographs + variation selectors
+    * (`code-LLM-intergration.js:569-577`). Java 17 regex has no
+    * `Extended_Pictographic` property, so we use the reference's own
+    * documented fallback ranges plus the astral emoji blocks
+    * (U+1F000–U+1FAFF), which Java reaches via `\x{…}`. */
+  def strip_emojis(s: Column): Column =
+    regexp_replace(s,
+      "[\\u2190-\\u21FF\\u2300-\\u23FF\\u2460-\\u27BF\\u2B00-\\u2BFF" +
+      "\\u2600-\\u26FF\\uFE0F\\x{1F000}-\\x{1FAFF}]", "")
+
+  /** F10 `decodeHtml_`: decode exactly the 5 common entities — NOT a full
+    * entity decoder, by design (`code-LLM-intergration.js:580-584`). */
+  def decode_html(s: Column): Column = {
+    val steps: Seq[(String, String)] = Seq(
+      "(?i)&amp;" -> "&", "(?i)&lt;" -> "<", "(?i)&gt;" -> ">",
+      "(?i)&quot;" -> "\"", "(?i)&#39;|&apos;" -> "'")
+    steps.foldLeft(s) { case (c, (pat, rep)) => regexp_replace(c, pat, rep) }
+  }
+
+  /** F13 `textPreview_`: visible-text preview — drop script/style blocks,
+    * strip tags, collapse whitespace, truncate to `limit` chars
+    * (`code-LLM-intergration.js:968-975`). */
+  def text_preview(html: Column, limit: Int = 1200): Column =
+    substring(
+      trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(html, "(?i)<script[\\s\\S]*?</script>", " "),
+            "(?i)<style[\\s\\S]*?</style>", " "),
+          "<[^>]+>", " "),
+        "\\s+", " ")),
+      1, limit)
+
+  /** P5 `isGenericTitle_`: boilerplate-title predicate — blocklist of 16
+    * phrases (contains-match on lowercase), or length ≤ 2, or empty
+    * (`code-LLM-intergration.js:301-313`). */
+  def is_generic_title(s: Column): Column = {
+    val t = trim(lower(coalesce(s, lit(""))))
+    val blocklist = Seq(
+      "job details", "job detail", "careers", "career portal",
+      "choose your sign in option", "sign in", "signin", "login", "log in",
+      "home", "open positions", "all jobs", "search results", "job search",
+      "apply now", "opportunities", "join our team")
+    val hasBad = blocklist.map(p => t.contains(lit(p))).reduce(_ || _)
+    (t === "") || hasBad || (length(t) <= 2)
+  }
+
+  /** P6 `hasUsefulSignal_`: page likely parseable — JSON-LD script present,
+    * or any of {h1, og:title, title} non-generic
+    * (`code-LLM-intergration.js:321-332`). */
+  def has_useful_signal(html: Column): Column = {
+    val h = coalesce(html, lit(""))
+    val hasJson = h.rlike("(?i)<script[^>]+application/ld\\+json")
+    val h1 = get_h1(h)
+    val ogTitle = get_meta(h, "og:title", "property")
+    val title = get_title(h)
+    def good(c: Column): Column = (c =!= "") && !is_generic_title(c)
+    (h =!= "") && (hasJson || good(h1) || good(ogTitle) || good(title))
+  }
+}

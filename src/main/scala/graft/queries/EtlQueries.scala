@@ -1,0 +1,352 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{HtmlFns, JsonLdFns, RoleFns, UrlFns}
+import graft.ops.{Provenance, Resolution}
+
+/** Driver-contract demos of the reference's own operator families
+  * (SURVEY.md §2.2 predicates, §2.7 scalar functions, §2.8 resolution,
+  * §2.9 provenance), each named by its §2 operator ID.
+  *
+  * Pattern: synthesize the operator's input (URL / HTML / title strings)
+  * deterministically from testdata columns, run the REAL operator, and
+  * let the DuckDB oracle replicate the expected output in plain SQL —
+  * possible because we control the synthesized input shape. Everything
+  * except the JSON-LD recursion runs as pure codegen'd Catalyst
+  * expressions, so these scale like any other projection.
+  */
+object EtlQueries extends QueryModule {
+
+  /** F1: host extraction over synthesized URLs, grouped. */
+  private def f1HostFromUrl(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("url",
+        concat(lit("https://www.Board"), col("o_orderkey") % 20,
+          lit(".Example.com/jobs/"), col("o_orderkey"), lit("?ref=x")))
+      .withColumn("host", UrlFns.host_from_url(col("url")))
+      .groupBy("host").agg(count(lit(1)).as("n"))
+
+  private val f1Sql =
+    """SELECT 'board' || (o_orderkey % 20) || '.example.com' AS host,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** F8+F7: ATS slug → company, cycling 4 ATS URL shapes. */
+  private def f8GuessCompany(s: SparkSession, dir: String): DataFrame = {
+    val slug = regexp_replace(col("p_name"), " ", "-")
+    Tables.part(s, dir)
+      .withColumn("url",
+        when(col("p_partkey") % 4 === 0,
+          concat(lit("https://jobs.lever.co/"), slug, lit("/job/1")))
+        .when(col("p_partkey") % 4 === 1,
+          concat(lit("https://boards.greenhouse.io/"), slug, lit("/jobs/123")))
+        .when(col("p_partkey") % 4 === 2,
+          concat(lit("https://jobs.ashbyhq.com/"), slug, lit("/x")))
+        .otherwise(
+          concat(lit("https://apply.workable.com/"), slug, lit("/j/abc"))))
+      .withColumn("company", UrlFns.guess_company_from_url(col("url")))
+      .groupBy("company").agg(count(lit(1)).as("n"))
+  }
+
+  // p_name is two lowercase words → expected Title Case via list transform.
+  private val f8Sql =
+    """SELECT array_to_string(
+      |    list_transform(string_split(p_name, ' '),
+      |                   x -> upper(substr(x,1,1)) || substr(x,2)), ' ') AS company,
+      |  COUNT(*) AS n
+      |FROM part GROUP BY 1""".stripMargin
+
+  /** F12: canonical URL (custom Catalyst expression) over tracked URLs. */
+  private def f12Canonical(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("url",
+        concat(lit("https://jobs.example.com/post/"), col("o_orderkey"),
+          lit("?utm_source=news&utm_campaign=x&id="), col("o_custkey"),
+          lit("&gh_src=tok&page=2#apply")))
+      .select(col("o_orderkey"),
+        UrlFns.canonical_url(col("url")).as("canonical"))
+
+  private val f12Sql =
+    """SELECT o_orderkey,
+      |  'https://jobs.example.com/post/' || o_orderkey ||
+      |  '?id=' || o_custkey || '&page=2#apply' AS canonical
+      |FROM orders""".stripMargin
+
+  /** F2/F3/F4: meta/title/h1 extraction from synthesized pages. */
+  private def f2SignalExtract(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>  "), col("p_name"), lit("\n jobs  </title>"),
+      lit("<meta property=\"og:title\" content=\""), col("p_name"), lit(" lead\">"),
+      lit("<meta property=\"og:site_name\" content=\""), col("p_brand"), lit("\">"),
+      lit("</head><body><h1><span>"), col("p_name"), lit("</span> III</h1></body></html>"))
+    Tables.part(s, dir)
+      .withColumn("html", html)
+      .select(col("p_partkey"),
+        HtmlFns.get_title(col("html")).as("title"),
+        HtmlFns.get_meta(col("html"), "og:title", "property").as("og_title"),
+        HtmlFns.get_meta(col("html"), "og:site_name", "property").as("og_site"),
+        HtmlFns.get_h1(col("html")).as("h1"))
+  }
+
+  private val f2Sql =
+    """SELECT p_partkey,
+      |  p_name || ' jobs' AS title,
+      |  p_name || ' lead' AS og_title,
+      |  p_brand AS og_site,
+      |  p_name || ' III' AS h1
+      |FROM part""".stripMargin
+
+  /** F5/F6: JSON-LD JobPosting extraction (incl. @graph traversal). */
+  private def f5JsonLd(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("""<html><script type="application/ld+json">{"@context":"https://schema.org","@graph":[{"@type":"WebSite"},{"@type":"JobPosting","title":"Engineer """),
+      col("c_custkey"),
+      lit("""","hiringOrganization":{"name":""""),
+      col("c_name"),
+      lit(""""}}]}</script></html>"""))
+    Tables.customer(s, dir)
+      .withColumn("html", html)
+      .withColumn("jp", JsonLdFns.parse_jsonld_jobposting(col("html")))
+      .select(col("c_custkey"), col("jp.company").as("company"),
+        col("jp.role").as("role"))
+  }
+
+  private val f5Sql =
+    """SELECT c_custkey, c_name AS company,
+      |  'Engineer ' || c_custkey AS role
+      |FROM customer""".stripMargin
+
+  /** F11 (+F10): role cleanup — entity decode, req-ID strip, company echo. */
+  private def f11CleanRole(s: SparkSession, dir: String): DataFrame = {
+    val raw1 = concat(col("p_name"), lit(" &amp; co Req# "), col("p_partkey"))
+    val raw2 = concat(col("p_brand"), lit(": "), col("p_name"))
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        RoleFns.clean_role(raw1, lit("")).as("cleaned"),
+        RoleFns.clean_role(raw2, col("p_brand")).as("no_echo"))
+  }
+
+  private val f11Sql =
+    """SELECT p_partkey,
+      |  p_name || ' & co' AS cleaned,
+      |  p_name AS no_echo
+      |FROM part""".stripMargin
+
+  /** P1: URL validity gate over a mixed link column. */
+  private def p1UrlFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("link",
+        when(col("event_id") % 3 === 0,
+          concat(lit("https://ok.example/"), col("event_id")))
+        .when(col("event_id") % 3 === 1,
+          concat(lit("HTTP://CAPS.example/"), col("event_id")))
+        .otherwise(concat(lit("javascript:alert("), col("event_id"), lit(")"))))
+      .filter(col("link").rlike("(?i)^https?://"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+
+  private val p1Sql =
+    """SELECT event_type, COUNT(*) AS n
+      |FROM events WHERE event_id % 3 IN (0, 1)
+      |GROUP BY event_type""".stripMargin
+
+  /** P5: generic-title classification over synthesized titles. */
+  private def p5GenericTitle(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("title",
+        when(col("doc_id") % 4 === 0, lit("Job Details"))
+        .when(col("doc_id") % 4 === 1, lit("  Sign In  "))
+        .when(col("doc_id") % 4 === 2, concat(lit("Senior Engineer "), col("doc_id")))
+        .otherwise(lit("ab")))
+      .withColumn("is_generic", HtmlFns.is_generic_title(col("title")))
+      .groupBy("is_generic").agg(count(lit(1)).as("n"))
+
+  private val p5Sql =
+    """SELECT (doc_id % 4 <> 2) AS is_generic, COUNT(*) AS n
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** F14/A4: first ATS href in page (extract-all → filter → first). */
+  private def f14FirstAtsLink(s: SparkSession, dir: String): DataFrame = {
+    val slug = regexp_replace(col("p_name"), " ", "-")
+    val html = concat(
+      lit("<a href=\"https://www.linkedin.com/jobs/view/1\">agg</a>"),
+      lit("<a href=\"https://example.com/about\">x</a>"),
+      lit("<a href=\"https://jobs.lever.co/"), slug, lit("/1\">ats</a>"))
+    Tables.part(s, dir)
+      .withColumn("html", html)
+      .withColumn("ats_link", UrlFns.find_first_ats_link(col("html")))
+      .groupBy("ats_link").agg(count(lit(1)).as("n"))
+  }
+
+  private val f14Sql =
+    """SELECT 'https://jobs.lever.co/' || replace(p_name, ' ', '-') || '/1' AS ats_link,
+      |  COUNT(*) AS n
+      |FROM part GROUP BY 1""".stripMargin
+
+  /** R1 flagship: full multi-signal fusion over 5 synthesized page classes
+    * (jsonld / ats+h1 / og-pair / title-split / empty), verifying company,
+    * role, conf weights, and decision trail per class. */
+  private def r1Decide(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val html =
+      when(k % 5 === 0, concat(
+        lit("""<script type="application/ld+json">{"@type":"JobPosting","title":"Staff Engineer","hiringOrganization":{"name":"Acme """),
+        k % 7, lit(""""}}</script>""")))
+      .when(k % 5 === 1, lit("<h1>Platform Engineer</h1>"))
+      .when(k % 5 === 2, lit(
+        """<meta property="og:title" content="Backend Developer"><meta property="og:site_name" content="Gamma Corp">"""))
+      .when(k % 5 === 3, lit("<title>Delta Co – Staff Eng</title>"))
+      .otherwise(lit(""))
+    val url =
+      when(k % 5 === 1, concat(lit("https://jobs.lever.co/beta"), k % 7, lit("/x")))
+      .otherwise(concat(lit("https://site"), k % 5, lit(".example.com/j/"), k))
+    val base = Tables.orders(s, dir).withColumn("html", html).withColumn("final_url", url)
+    Resolution.decideCompanyRole(base, col("html"), col("final_url"))
+      .groupBy("decision", "conf")
+      .agg(count(lit(1)).as("n"),
+        min(col("company")).as("min_company"),
+        min(col("role")).as("min_role"))
+  }
+
+  private val r1Sql =
+    """SELECT
+      |  CASE o_orderkey % 5
+      |    WHEN 0 THEN 'jsonld-org+jsonld-title'
+      |    WHEN 1 THEN 'ats-slug+h1'
+      |    WHEN 2 THEN 'og:title+og:site_name'
+      |    WHEN 3 THEN 'title+title-split'
+      |    ELSE 'heuristic' END AS decision,
+      |  CASE o_orderkey % 5
+      |    WHEN 0 THEN 1.0 WHEN 1 THEN 0.7 WHEN 2 THEN 0.5
+      |    WHEN 3 THEN 0.55 ELSE 0.0 END AS conf,
+      |  COUNT(*) AS n,
+      |  MIN(CASE o_orderkey % 5
+      |    WHEN 0 THEN 'Acme ' || (o_orderkey % 7)
+      |    WHEN 1 THEN 'Beta' || (o_orderkey % 7)
+      |    WHEN 2 THEN 'Gamma Corp'
+      |    WHEN 3 THEN 'Delta Co' ELSE '' END) AS min_company,
+      |  MIN(CASE o_orderkey % 5
+      |    WHEN 0 THEN 'Staff Engineer'
+      |    WHEN 1 THEN 'Platform Engineer'
+      |    WHEN 2 THEN 'Backend Developer'
+      |    WHEN 3 THEN 'Staff Eng' ELSE '' END) AS min_role
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
+  /** V1/V2: provenance token upsert chain — append, then replace-in-place. */
+  private def v1Provenance(s: SparkSession, dir: String): DataFrame = {
+    val provider = when(col("o_orderkey") % 2 === 0, lit("gh-api"))
+      .otherwise(lit("direct"))
+    val t1 = Provenance.parse_token(provider, lit("h1"), lit(0.35))
+    val s1 = Provenance.source_token_upsert(lit(""), "parse", t1)
+    val s2 = Provenance.source_token_upsert(s1, "notes", lit("notes:{mode=template}"))
+    val t2 = Provenance.parse_token(provider, lit("h1"), lit(0.9))
+    val s3 = Provenance.source_token_upsert(s2, "parse", t2)
+    Tables.orders(s, dir)
+      .withColumn("source", s3)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+  }
+
+  private val v1Sql =
+    """SELECT 'parse:{provider=' ||
+      |  (CASE WHEN o_orderkey % 2 = 0 THEN 'gh-api' ELSE 'direct' END) ||
+      |  ', signals=h1, conf=0.90} | notes:{mode=template}' AS source,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** J1/T5: idempotent enqueue — composite-key anti-join of new work
+    * against in-flight queue rows. */
+  private def j1EnqueueAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val incoming = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("sheet_name"),
+        col("o_orderkey").as("row_index"), col("o_orderstatus"))
+    val inFlight = incoming.filter(col("o_orderstatus") === "P")
+      .select("sheet_name", "row_index")
+    incoming.join(inFlight, Seq("sheet_name", "row_index"), "left_anti")
+      .groupBy("sheet_name").agg(count(lit(1)).as("n_enqueued"))
+  }
+
+  private val j1Sql =
+    """SELECT o_orderpriority AS sheet_name, COUNT(*) AS n_enqueued
+      |FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM orders q
+      |  WHERE q.o_orderstatus = 'P'
+      |    AND q.o_orderpriority = o.o_orderpriority
+      |    AND q.o_orderkey = o.o_orderkey)
+      |GROUP BY 1""".stripMargin
+
+  /** J3/S9: keyed-update write-back — join parse results to the tracker and
+    * overwrite derived columns, preserving untouched rows. */
+  private def j3WriteBack(s: SparkSession, dir: String): DataFrame = {
+    val tracker = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        lit("").as("company_auto"))
+    val results = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"),
+        concat(lit("Parsed Co "), col("o_orderkey") % 11).as("company_new"))
+    tracker.join(results, Seq("o_orderkey"), "left_outer")
+      .select(col("o_orderkey"),
+        coalesce(nullif(col("company_new"), lit("")), col("company_auto"))
+          .as("company_auto"),
+        when(col("company_new").isNotNull, lit("ok"))
+          .otherwise(col("o_orderstatus")).as("status"))
+  }
+
+  private val j3Sql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 3 = 0
+      |       THEN 'Parsed Co ' || (o_orderkey % 11) ELSE '' END AS company_auto,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN 'ok' ELSE o_orderstatus END AS status
+      |FROM orders""".stripMargin
+
+  /** W3: latest-wins per key (structured provenance analog) over events. */
+  private def w3LatestWins(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+  }
+
+  private val w3Sql =
+    """SELECT user_id, event_id, event_type FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t WHERE rn = 1""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f1_host_from_url"   -> f1HostFromUrl _,
+    "f8_guess_company"   -> f8GuessCompany _,
+    "f12_canonical_url"  -> f12Canonical _,
+    "f2_signal_extract"  -> f2SignalExtract _,
+    "f5_jsonld_extract"  -> f5JsonLd _,
+    "f11_clean_role"     -> f11CleanRole _,
+    "f14_first_ats_link" -> f14FirstAtsLink _,
+    "p1_url_filter"      -> p1UrlFilter _,
+    "p5_generic_title"   -> p5GenericTitle _,
+    "r1_decide_company_role" -> r1Decide _,
+    "v1_provenance_upsert"   -> v1Provenance _,
+    "j1_enqueue_anti_join"   -> j1EnqueueAntiJoin _,
+    "j3_write_back"          -> j3WriteBack _,
+    "w3_latest_wins"         -> w3LatestWins _)
+
+  def oracles: Map[String, String] = Map(
+    "f1_host_from_url"   -> f1Sql,
+    "f8_guess_company"   -> f8Sql,
+    "f12_canonical_url"  -> f12Sql,
+    "f2_signal_extract"  -> f2Sql,
+    "f5_jsonld_extract"  -> f5Sql,
+    "f11_clean_role"     -> f11Sql,
+    "f14_first_ats_link" -> f14Sql,
+    "p1_url_filter"      -> p1Sql,
+    "p5_generic_title"   -> p5Sql,
+    "r1_decide_company_role" -> r1Sql,
+    "v1_provenance_upsert"   -> v1Sql,
+    "j1_enqueue_anti_join"   -> j1Sql,
+    "j3_write_back"          -> j3Sql,
+    "w3_latest_wins"         -> w3Sql)
+}
