@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    StarQueries, EtlQueries)
+    StarQueries, EtlQueries, TextQueries, DedupQueries, SimilarityQueries,
+    MultimodalQueries, StreamingQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full star join + exact-decimal revenue rollup per region/priority. */

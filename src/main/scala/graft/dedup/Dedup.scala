@@ -1,0 +1,102 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFns, VectorFns}
+
+/** Deduplication operators for training-data pipelines (north-star scope):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - exact dedup is one hash-shuffle on a 16-byte key (not the payload);
+  *  - MinHash/SimHash signatures are computed in a single projection, and
+  *    LSH banding turns the O(n²) candidate search into an equi-join on
+  *    band keys — only docs sharing a band ever meet, and AQE handles the
+  *    skewed "hot bucket" case;
+  *  - verification (true Jaccard / Hamming) runs only on candidate pairs;
+  *  - `id < id2` keeps each pair once and makes output deterministic.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per identical text. The md5 group
+    * key shuffles 16 bytes/row instead of the document payload. */
+  def exactSurvivors(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), md5(text.cast("binary")).as("content_key"))
+      .groupBy("content_key")
+      .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash+LSH near-dup candidate pairs with verified signature overlap.
+    * Returns (id_a, id_b, sig_agreement) for pairs sharing ≥1 band whose
+    * signature agreement ≥ `minAgreement` (agreement estimates Jaccard). */
+  def minhashPairs(docs: DataFrame, id: Column, text: Column,
+                   numHashes: Int = 32, bands: Int = 8,
+                   minAgreement: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = docs.select(id.as("id"),
+      TextFns.minhash_signature(TextFns.word_shingles(text), numHashes).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(TextFns.minhash_bands(col("sig"), bands, rowsPerBand)).as("bk"))
+    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("bk"))
+    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("bk"))
+    a.join(b, a("bk") === b("bk") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, lit(1.0)).otherwise(lit(0.0))),
+          lit(0.0), (acc, v) => acc + v) / numHashes).as("sig_agreement"))
+      .distinct()
+      .filter(col("sig_agreement") >= minAgreement)
+  }
+
+  /** SimHash near-dup pairs: docs whose 64-bit signatures are within
+    * `maxHamming` bits. Candidate blocking on the top `blockBits` bits
+    * avoids the all-pairs compare (near-identical docs share them). */
+  def simhashPairs(docs: DataFrame, id: Column, text: Column,
+                   maxHamming: Int = 8, blockBits: Int = 16): DataFrame = {
+    val sigs = docs.select(id.as("id"),
+      TextFns.simhash64(TextFns.word_shingles(text)).as("sig"))
+      .withColumn("block", shiftright(col("sig"), 64 - blockBits))
+    val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"), col("block"))
+    val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"), col("block"))
+    a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", TextFns.hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard for a pair set, via the explode/join shape that
+    * scales (shuffle on shingle, combine per pair) instead of array
+    * intersection on a cross join. */
+  def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
+                        minJaccard: Double): DataFrame = {
+    val shingled = docs.select(id.as("id"),
+      explode(TextFns.word_shingles(text)).as("shingle")).distinct()
+    val counts = shingled.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = shingled.select(col("id").as("id_a"), col("shingle"))
+    val b = shingled.select(col("id").as("id_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(counts.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "n_common", "jaccard")
+  }
+
+  /** Embedding-cosine near-dup pairs via hyperplane-LSH blocking. */
+  def embeddingPairs(vecs: DataFrame, id: Column, vec: Column,
+                     minCosine: Double = 0.95, planes: Int = 8): DataFrame = {
+    val bucketed = vecs.select(id.as("id"), vec.as("v"),
+      VectorFns.hyperplane_bucket(vec, planes).as("bucket"))
+    val a = bucketed.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
+    val b = bucketed.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFns.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+}

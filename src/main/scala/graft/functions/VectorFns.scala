@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector column functions over `array<float>` (north-star
+  * similarity-search scope, SURVEY.md §7.1 M8).
+  *
+  * Pure higher-order-function expressions: `zip_with` + `aggregate` keep
+  * the math in Tungsten with no UDF/serialization boundary. Accumulation
+  * is in double for stability regardless of input element type.
+  */
+object VectorFns {
+
+  /** Dot product of two equal-length float vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2_norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val na = l2_norm(a)
+    val nb = l2_norm(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+  }
+
+  /** Squared euclidean distance. */
+  def l2_sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Random-hyperplane LSH bucket: sign bits of dot products against
+    * `planes` pseudo-random hyperplanes derived from xxhash64 of the
+    * element index and plane seed (deterministic, data-independent).
+    * Vectors in the same bucket are cosine-similar candidates — the
+    * 100 TB path that replaces the all-pairs cross join. */
+  def hyperplane_bucket(vec: Column, planes: Int = 8): Column = {
+    val bits = (0 until planes).map { p =>
+      // pseudo-random ±1 weights per (plane, dimension), summed via
+      // position-aware transform; sign of the projection is the bit.
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
+          x.cast("double") *
+            when(xxhash64(lit(p), i).bitwiseAND(1) === 1, lit(1.0))
+              .otherwise(lit(-1.0))),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1), p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.similarity.Similarity
+
+/** Similarity-search demos over `embeddings` (north-star M8 scope).
+  *
+  * The brute-force query broadcasts a small query set over the corpus —
+  * rank output is oracle-checked against DuckDB's list_cosine_similarity
+  * (cosine itself is float-order-sensitive, so the *value* is rounded and
+  * the ranking carries the correctness signal). The LSH variant is the
+  * 100 TB path (bucket join instead of cross join); its recall vs brute
+  * force is asserted in unit tests. */
+object SimilarityQueries extends QueryModule {
+
+  private val K = 5
+
+  /** Exact cosine top-5 for query vectors vec_id < 8. */
+  private def topkBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 8), emb, K)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  private val topkBruteSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+       |scored AS (
+       |  -- explicit dot/(|a|*|b|) with sequential double accumulation:
+       |  -- mirrors the engine's aggregate() fold, keeping values bit-close
+       |  SELECT q.query_id, e.vec_id AS cand_id,
+       |    list_inner_product(q.qv, e.v) /
+       |      (sqrt(list_inner_product(q.qv, q.qv)) *
+       |       sqrt(list_inner_product(e.v, e.v))) AS cosine
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, cand_id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= $K""".stripMargin
+
+  /** Hyperplane-LSH approximate top-5 (bucketed join — the scale path). */
+  private def topkLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.lshTopK(emb.filter(col("vec_id") < 8), emb, K, planes = 4)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_sim_topk_bruteforce" -> topkBrute _,
+    "m8_sim_topk_lsh"        -> topkLsh _)
+
+  def oracles: Map[String, String] = Map(
+    "m8_sim_topk_bruteforce" -> topkBruteSql)
+}

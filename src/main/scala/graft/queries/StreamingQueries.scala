@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Dsl._
+
+/** Event-time windowing + stream-semantics demos over `events`
+  * (SURVEY.md §2.10 north-star streaming parity). The driver contract is
+  * batch, so these run the same `window()`/dedup expressions a streaming
+  * query would (graft.streaming.EventStreams runs them with readStream +
+  * watermark; StreamingSpec asserts batch/stream agreement). Oracles
+  * recompute the epoch-aligned buckets with integer microsecond math. */
+object StreamingQueries extends QueryModule {
+
+  /** T-window: 5-minute tumbling windows per event type. */
+  private def tumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  private val tumblingSql =
+    """SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000)
+      |    AS window_start,
+      |  event_type, COUNT(*) AS n,
+      |  SUM(CAST(value AS DECIMAL(18,2))) AS total
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Sliding windows: 10-minute windows sliding every 5. Each event lands
+    * in two windows; the oracle unions the two shifted bucket starts. */
+  private def sliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+
+  private val slidingSql =
+    """WITH starts AS (
+      |  SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000)
+      |    AS window_start FROM events
+      |  UNION ALL
+      |  SELECT make_timestamp(((epoch_us(ts) // 300000000) - 1) * 300000000)
+      |    AS window_start FROM events)
+      |SELECT window_start, COUNT(*) AS n FROM starts GROUP BY 1""".stripMargin
+
+  /** T5 idempotent ingest: duplicate-heavy stream deduped on the event key
+    * (batch analog of dropDuplicatesWithinWatermark). */
+  private def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.union(ev.filter(col("event_id") % 2 === 0)) // replay half the stream
+      .dropDuplicates("event_id")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+  }
+
+  private val streamDedupSql =
+    """SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1""".stripMargin
+
+  /** S4 CDC-style ingest: JSON props extraction + change filter. */
+  private def cdcIngest(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+
+  private val cdcIngestSql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+      |FROM events WHERE event_type IN ('signup', 'purchase')
+      |GROUP BY 1""".stripMargin
+
+  /** Session windows (5-minute inactivity gap) per user: batch analog via
+    * the classic gaps-and-islands window expression. */
+  private def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 300, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    ev.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), dsum2(col("value")).as("session_value"))
+  }
+
+  private val sessionizeSql =
+    """WITH marked AS (
+      |  SELECT user_id, value, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts)//1000000 - epoch_us(lag(ts) OVER w)//1000000 > 300
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, value,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  SUM(CAST(value AS DECIMAL(18,2))) AS session_value
+      |FROM sessions GROUP BY 1, 2""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_window_tumbling" -> tumbling _,
+    "t_window_sliding"  -> sliding _,
+    "t5_stream_dedup"   -> streamDedup _,
+    "s4_cdc_ingest"     -> cdcIngest _,
+    "t_sessionize"      -> sessionize _)
+
+  def oracles: Map[String, String] = Map(
+    "t_window_tumbling" -> tumblingSql,
+    "t_window_sliding"  -> slidingSql,
+    "t5_stream_dedup"   -> streamDedupSql,
+    "s4_cdc_ingest"     -> cdcIngestSql,
+    "t_sessionize"      -> sessionizeSql)
+}

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns
+
+/** Text-analysis operator demos over `documents` (north-star M8 scope):
+  * token counting, language ID, quality scoring, fingerprinting. Every
+  * operator is a pure projection — no shuffle until the demo's final
+  * grouping — so the shape holds unchanged at 100 TB. */
+object TextQueries extends QueryModule {
+
+  /** Token + subword counting per document. */
+  private def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextFns.token_count(col("text")).as("n_tokens"),
+        TextFns.subword_count(col("text")).as("n_subwords"))
+
+  private val tokenCountSql =
+    """SELECT doc_id,
+      |  CASE WHEN trim(text) = '' THEN 0
+      |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords
+      |FROM documents""".stripMargin
+
+  /** Language-ID heuristic vs the labeled lang column (confusion counts). */
+  private def languageId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), TextFns.language_id(col("text")).as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+
+  private val languageIdSql = {
+    def hits(words: Seq[String]) =
+      s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
+    val en = hits(TextFns.EnStop); val es = hits(TextFns.EsStop)
+    val de = hits(TextFns.DeStop); val fr = hits(TextFns.FrStop)
+    s"""SELECT lang,
+       |  CASE WHEN greatest($en,$es,$de,$fr) = 0 THEN 'und'
+       |       WHEN $en = greatest($en,$es,$de,$fr) THEN 'en'
+       |       WHEN $es = greatest($en,$es,$de,$fr) THEN 'es'
+       |       WHEN $de = greatest($en,$es,$de,$fr) THEN 'de'
+       |       ELSE 'fr' END AS predicted,
+       |  COUNT(*) AS n
+       |FROM documents GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Quality-score distribution (indicator-sum score in {0,.25,…,1}). */
+  private def qualityScore(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(TextFns.quality_score(col("text")).as("quality"))
+      .groupBy("quality").agg(count(lit(1)).as("n"))
+
+  private val qualityScoreSql = {
+    val nTok = "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    val nCh = "length(text)"
+    val punct = "len(regexp_extract_all(text, '[[:punct:]]'))"
+    val stop = s"len(regexp_extract_all(lower(text), '\\b(${TextFns.EnStop.mkString("|")})\\b'))"
+    s"""SELECT
+       |  (CASE WHEN $nTok BETWEEN 5 AND 5000 THEN 0.25 ELSE 0.0 END +
+       |   CASE WHEN $nTok > 0 AND CAST($nCh AS DOUBLE)/CAST($nTok AS DOUBLE)
+       |        BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END +
+       |   CASE WHEN $nCh > 0 AND CAST($punct AS DOUBLE)/CAST($nCh AS DOUBLE) < 0.1
+       |        THEN 0.25 ELSE 0.0 END +
+       |   CASE WHEN $nTok > 0 AND CAST($stop AS DOUBLE)/CAST($nTok AS DOUBLE) > 0.01
+       |        THEN 0.25 ELSE 0.0 END) AS quality,
+       |  COUNT(*) AS n
+       |FROM documents GROUP BY 1""".stripMargin
+  }
+
+  /** Rolling-hash (winnowing-min) fingerprint per document. */
+  private def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextFns.doc_fingerprint(col("text"), 8).as("fingerprint"))
+
+  private val fingerprintSql =
+    """WITH norm AS (
+      |  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN length(t) = 0 THEN ''
+      |       WHEN length(t) <= 8 THEN md5(t)
+      |       ELSE list_min([md5(substr(t, i, 8))
+      |                      for i in generate_series(1, length(t) - 7)])
+      |  END AS fingerprint
+      |FROM norm""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_token_count"   -> tokenCount _,
+    "m8_language_id"   -> languageId _,
+    "m8_quality_score" -> qualityScore _,
+    "m8_fingerprint"   -> fingerprint _)
+
+  def oracles: Map[String, String] = Map(
+    "m8_token_count"   -> tokenCountSql,
+    "m8_language_id"   -> languageIdSql,
+    "m8_quality_score" -> qualityScoreSql,
+    "m8_fingerprint"   -> fingerprintSql)
+}

@@ -1,0 +1,53 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFns
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (north-star scope, SURVEY.md §7.1 M8).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: broadcast the (small) query set against all
+  *    candidates — exact, one pass over the corpus, no shuffle of the
+  *    corpus itself. The right baseline whenever |queries| is modest.
+  *  - [[lshTopK]]: hyperplane-LSH bucket join — at 100 TB the corpus is
+  *    bucketed once (8-16 bits → 256-65k buckets) and each query probes
+  *    only its bucket, trading recall for a ~2^bits fan-in reduction.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: every query against every candidate, ranked per
+    * query with a deterministic id tiebreak. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "cosine")
+  }
+
+  /** LSH-bucketed approximate top-k: queries only meet candidates in the
+    * same hyperplane bucket. Recall < 1, cost ~ corpus/2^planes per query. */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              planes: Int = 8): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      VectorFns.hyperplane_bucket(col("embedding"), planes).as("bucket"))
+    val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      VectorFns.hyperplane_bucket(col("embedding"), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "cosine")
+  }
+}
