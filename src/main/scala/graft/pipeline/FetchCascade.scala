@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{HtmlFns, UrlFns}
+
+/** R2 `fetchSmartFree_` — the cost-ordered access-path cascade
+  * (SURVEY.md §2.8; reference `apps-scripts/code-LLM-intergration.js:
+  * 432-480`), re-expressed as *data*: network surfaces become a fixtures
+  * table joined in (SURVEY.md §7.0), and the per-row cascade becomes one
+  * layered coalesce over pre-joined candidate columns — no loops, fully
+  * planner-visible, and at scale a pair of broadcast/shuffle joins instead
+  * of N sequential HTTP calls.
+  *
+  * Fixture schema (FIXTURES.md §B5): one row per fetchable url —
+  * `url, direct_status, direct_html, rendered_html, api_role` where
+  * `api_role` is non-null iff the ATS API would answer for that url.
+  *
+  * Cascade order (reference lines 440-479):
+  *   1. ATS API (Greenhouse/Lever URL shapes + api fixture) → `gh-api` /
+  *      `lever-api`, company from slug, canonical final url, empty html;
+  *   2. direct fetch if status<400 and page has useful signal;
+  *   3. renderer if its html has useful signal;
+  *   4. aggregator-unwrap: first ATS href in (rendered||direct) html,
+  *      re-run 1-3 against it, provider tagged `-unwrapped`;
+  *   5. last resort: rendered, else direct.
+  */
+object FetchCascade {
+
+  val GhUrlRe = "(?i)https?://(?:boards|job-boards)\\.greenhouse\\.io/([^/?#]+)/jobs/(\\d+)"
+  val LeverUrlRe = "(?i)https?://jobs\\.lever\\.co/([^/?#]+)/([^/?#]+)"
+
+  private def fixtureSide(fixtures: DataFrame, prefix: String): DataFrame =
+    fixtures.select(
+      col("url").as(s"${prefix}url"),
+      col("direct_status").as(s"${prefix}direct_status"),
+      col("direct_html").as(s"${prefix}direct_html"),
+      col("rendered_html").as(s"${prefix}rendered_html"),
+      col("api_role").as(s"${prefix}api_role"))
+
+  /** One cascade level over joined fixture columns for `urlCol`; returns
+    * a struct(provider, status, final_url, html, api_company, api_role)
+    * or null-provider when nothing at this level answered. */
+  private def level(urlCol: Column, p: String): Column = {
+    val ghSlug = regexp_extract(urlCol, GhUrlRe, 1)
+    val leverSlug = regexp_extract(urlCol, LeverUrlRe, 1)
+    val apiHit = col(s"${p}api_role").isNotNull
+    val ghApi = apiHit && ghSlug =!= ""
+    val leverApi = apiHit && leverSlug =!= ""
+    val directOk = col(s"${p}direct_status").isNotNull &&
+      col(s"${p}direct_status") < 400 &&
+      HtmlFns.has_useful_signal(col(s"${p}direct_html"))
+    val renderedOk = HtmlFns.has_useful_signal(col(s"${p}rendered_html"))
+    when(ghApi, struct(
+      lit("gh-api").as("provider"), lit(200).as("status"),
+      UrlFns.canonical_url(urlCol).as("final_url"), lit("").as("html"),
+      UrlFns.nice_case(ghSlug).as("api_company"), col(s"${p}api_role").as("api_role")))
+    .when(leverApi, struct(
+      lit("lever-api").as("provider"), lit(200).as("status"),
+      UrlFns.canonical_url(urlCol).as("final_url"), lit("").as("html"),
+      UrlFns.nice_case(leverSlug).as("api_company"), col(s"${p}api_role").as("api_role")))
+    .when(directOk, struct(
+      lit("direct").as("provider"), col(s"${p}direct_status").as("status"),
+      urlCol.as("final_url"), col(s"${p}direct_html").as("html"),
+      lit(null).cast("string").as("api_company"), lit(null).cast("string").as("api_role")))
+    .when(renderedOk, struct(
+      lit("renderer").as("provider"), lit(200).as("status"),
+      urlCol.as("final_url"), col(s"${p}rendered_html").as("html"),
+      lit(null).cast("string").as("api_company"), lit(null).cast("string").as("api_role")))
+    .otherwise(lit(null).cast(
+      "struct<provider:string,status:int,final_url:string,html:string," +
+      "api_company:string,api_role:string>"))
+  }
+
+  /** Run the cascade for `links` (column `url`). Two fixture joins: the
+    * original url and the unwrapped ATS url. Fixture tables are dimension-
+    * sized next to the link stream — broadcast hint keeps the stream
+    * unshuffled. */
+  def apply(links: DataFrame, fixtures: DataFrame): DataFrame = {
+    val j1 = links.join(broadcast(fixtureSide(fixtures, "f_")),
+      links("url") === col("f_url"), "left_outer")
+
+    val lvl1 = level(col("url"), "f_")
+    val isAgg = UrlFns.is_aggregator_host(UrlFns.host_from_url(col("url")))
+    val atsUrl = UrlFns.find_first_ats_link(
+      concat(coalesce(col("f_rendered_html"), lit("")),
+        coalesce(col("f_direct_html"), lit(""))))
+
+    val withAts = j1
+      .withColumn("_lvl1", lvl1)
+      .withColumn("_ats_url",
+        when(col("_lvl1").isNull && isAgg && atsUrl =!= "", atsUrl))
+      .join(broadcast(fixtureSide(fixtures, "u_")),
+        col("_ats_url") === col("u_url"), "left_outer")
+
+    val lvl2 = level(col("_ats_url"), "u_")
+    // last resort: rendered else direct, from the original url's fixtures
+    val lastResort = when(coalesce(col("f_rendered_html"), lit("")) =!= "", struct(
+        lit("renderer").as("provider"), lit(200).as("status"),
+        col("url").as("final_url"), col("f_rendered_html").as("html"),
+        lit(null).cast("string").as("api_company"),
+        lit(null).cast("string").as("api_role")))
+      .when(col("f_direct_status").isNotNull, struct(
+        lit("direct").as("provider"), col("f_direct_status").as("status"),
+        col("url").as("final_url"),
+        coalesce(col("f_direct_html"), lit("")).as("html"),
+        lit(null).cast("string").as("api_company"),
+        lit(null).cast("string").as("api_role")))
+
+    val unwrapped = when(lvl2.isNotNull, lvl2.withField("provider",
+      concat(lvl2.getField("provider"), lit("-unwrapped"))))
+
+    val fetched = coalesce(col("_lvl1"), unwrapped, lastResort)
+
+    withAts
+      .withColumn("fetched", fetched)
+      .select(links.columns.map(col) ++ Seq(
+        col("fetched.provider").as("provider"),
+        col("fetched.status").as("fetch_status"),
+        col("fetched.final_url").as("final_url"),
+        col("fetched.html").as("html"),
+        col("fetched.api_company").as("api_company"),
+        col("fetched.api_role").as("api_role"),
+        col("f_rendered_html").as("rendered_html")): _*)
+  }
+}

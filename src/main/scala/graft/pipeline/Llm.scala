@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.functions.HtmlFns
+import graft.ops.Provenance
+
+/** R4/R5 external-model operators (SURVEY.md §2.8; reference
+  * `apps-scripts/code-LLM-intergration.js:629-676,1009-1052`).
+  *
+  * The model endpoint is injectable transport: a `LlmTransport` closure
+  * shipped to executors (fixture-backed in tests; a real HTTP client in
+  * live mode would batch per partition). Responses go through the same
+  * guardrails as the reference: brace-slice JSON extraction (first '{' to
+  * last '}'), fill-blanks-only merge, conf floor, provenance token.
+  *
+  * At 100 TB the design point is reference-faithful semantics with batch
+  * inference shape: the transport call sits in one projection so an
+  * `ai_query`-style vectorized backend can replace it without changing
+  * the plan around it.
+  */
+object Llm {
+
+  /** Injectable model transport: prompt → raw completion text (or None). */
+  trait LlmTransport extends Serializable {
+    def complete(prompt: String): Option[String]
+  }
+
+  /** Deterministic fixture transport for tests/demos: pure function of
+    * the prompt. */
+  case class FixtureTransport(f: String => Option[String]) extends LlmTransport {
+    def complete(prompt: String): Option[String] = f(prompt)
+  }
+
+  /** Reference guardrail: slice the completion between the first '{' and
+    * the last '}' before parsing (lines 1048-1049, 668-670). */
+  def brace_slice(completion: Column): Column = {
+    val t = trim(completion)
+    val start = instr(t, "{")
+    val end = length(t) - instr(reverse(t), "}") + 1
+    when(start > 0 && end > start, substring(t, start, (end - start + 1).cast("int")))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  private val extractSchema = StructType(Seq(
+    StructField("company", StringType), StructField("role", StringType)))
+
+  private val notesSchema = StructType(Seq(
+    StructField("invite", StringType), StructField("followup", StringType),
+    StructField("meta", StringType)))
+
+  /** R4 `llmExtractCompanyRole_`: rescue rows whose company is empty or
+    * role is generic. Fill blanks only (manual/parsed values win), bump
+    * conf to ≥ 0.6 on success, token `extract:{mode=llm}` (or with
+    * `err=no-output` when the model returned nothing usable). */
+  def extractRescue(df: DataFrame, transport: LlmTransport,
+                    promptCol: Column): DataFrame = {
+    val callUdf = udf((p: String) => transport.complete(p).orNull)
+    val needs = col("company") === "" || HtmlFns.is_generic_title(col("role"))
+    val parsed = from_json(brace_slice(col("_llm_raw")), extractSchema)
+    val gotAny = parsed.isNotNull &&
+      (coalesce(parsed.getField("company"), lit("")) =!= "" ||
+       coalesce(parsed.getField("role"), lit("")) =!= "")
+    df.withColumn("_needs_rescue", needs)
+      .withColumn("_llm_raw", when(needs, callUdf(promptCol)))
+      .withColumn("_llm_ok", needs && gotAny)
+      .withColumn("company",
+        when(col("_llm_ok") && col("company") === "",
+          coalesce(parsed.getField("company"), lit("")))
+        .otherwise(col("company")))
+      .withColumn("role",
+        when(col("_llm_ok") && HtmlFns.is_generic_title(col("role")) &&
+          coalesce(parsed.getField("role"), lit("")) =!= "",
+          graft.functions.RoleFns.clean_role(parsed.getField("role"), col("company")))
+        .otherwise(col("role")))
+      .withColumn("conf",
+        when(col("_llm_ok"), greatest(col("conf"), lit(0.6)))
+          .otherwise(col("conf")))
+      .withColumn("extract_token",
+        when(col("_llm_ok"), lit("extract:{mode=llm}"))
+        .when(col("_needs_rescue"), lit("extract:{mode=llm, err=no-output}")))
+      .drop("_llm_raw", "_llm_ok", "_needs_rescue")
+  }
+
+  /** R5+R7 notes generation with template fallback: LLM first (when
+    * enabled), else deterministic template; invite truncated to 280
+    * (line 1181); provenance `notes:{mode=llm|template}`. */
+  def notesWithFallback(df: DataFrame, transport: LlmTransport,
+                        promptCol: Column, useLlm: Boolean = true): DataFrame = {
+    val callUdf = udf((p: String) => transport.complete(p).orNull)
+    val parsed = from_json(brace_slice(col("_notes_raw")), notesSchema)
+    val ok = parsed.isNotNull &&
+      coalesce(parsed.getField("invite"), lit("")) =!= "" &&
+      coalesce(parsed.getField("followup"), lit("")) =!= ""
+    val base = if (useLlm) df.withColumn("_notes_raw", callUdf(promptCol))
+               else df.withColumn("_notes_raw", lit(null).cast("string"))
+    base
+      .withColumn("_llm_ok", ok)
+      .withColumn("li_invite",
+        substring(when(col("_llm_ok"), parsed.getField("invite"))
+          .otherwise(col("template_invite")), 1, 280))
+      .withColumn("li_followup",
+        when(col("_llm_ok"), parsed.getField("followup"))
+          .otherwise(col("template_followup")))
+      .withColumn("notes_mode",
+        when(col("_llm_ok"), lit("llm")).otherwise(lit("template")))
+      .withColumn("source", Provenance.source_token_upsert(col("source"), "notes",
+        Provenance.render_token("notes", Seq("mode" -> col("notes_mode")))))
+      .drop("_notes_raw", "_llm_ok")
+  }
+}

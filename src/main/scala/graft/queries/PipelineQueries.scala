@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.pipeline.{FetchCascade, Notes}
+
+/** Driver-contract demos of the pipeline stages (SURVEY.md §2.8 R2, §2.8
+  * R6, §3.1): the access-path cascade and the notes template, run over
+  * fixtures synthesized from `orders` so the DuckDB oracle can replicate
+  * the expected routing/rendering per modulo class. */
+object PipelineQueries extends QueryModule {
+
+  private val RichHtml =
+    """<script type="application/ld+json">{"@type":"JobPosting","title":"Fixture Role","hiringOrganization":{"name":"Fixture Co"}}</script>"""
+  private val ThinHtml = "<p>loading</p>"
+
+  /** R2: one fixture row per synthesized URL + unwrap targets; cascade
+    * routes each of 5 page classes to its expected provider. */
+  private def r2Cascade(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val orders = Tables.orders(s, dir)
+    val links = orders.select(
+      lit("t1").as("sheet_name"), k.as("row_index"),
+      when(k % 5 === 0, concat(lit("https://boards.greenhouse.io/co"), k % 7,
+          lit("/jobs/"), k))
+      .when(k % 5 === 1, concat(lit("https://direct.example.com/j/"), k))
+      .when(k % 5 === 2, concat(lit("https://jsheavy.example.com/j/"), k))
+      .when(k % 5 === 3, concat(lit("https://www.linkedin.com/jobs/view/"), k))
+      .otherwise(concat(lit("https://dead.example.com/j/"), k)).as("url"))
+
+    val primary = links.select(col("url"),
+      when(col("url").contains("direct.example") ||
+           col("url").contains("linkedin") ||
+           col("url").contains("jsheavy") ||
+           col("url").contains("dead"),
+        when(col("url").contains("dead"), lit(500)).otherwise(lit(200)))
+        .as("direct_status"),
+      when(col("url").contains("direct.example"), lit(RichHtml))
+        .when(col("url").contains("jsheavy") || col("url").contains("dead"),
+          lit(ThinHtml))
+        .when(col("url").contains("linkedin"),
+          concat(lit("<a href=\"https://jobs.lever.co/wrap"),
+            regexp_extract(col("url"), "view/(\\d+)", 1), lit("/x\">ats</a>")))
+        .as("direct_html"),
+      when(col("url").contains("jsheavy"), lit(RichHtml)).as("rendered_html"),
+      when(col("url").contains("greenhouse"), lit("API Role")).as("api_role"))
+
+    val unwrapTargets = links.filter(col("url").contains("linkedin"))
+      .select(
+        concat(lit("https://jobs.lever.co/wrap"), col("row_index"), lit("/x")).as("url"),
+        lit(200).as("direct_status"),
+        lit("<h1>Unwrapped Role</h1>").as("direct_html"),
+        lit(null).cast("string").as("rendered_html"),
+        lit(null).cast("string").as("api_role"))
+
+    FetchCascade(links, primary.union(unwrapTargets))
+      .groupBy("provider")
+      .agg(count(lit(1)).as("n"), min(col("api_company")).as("min_company"))
+  }
+
+  private val r2Sql =
+    """SELECT
+      |  CASE o_orderkey % 5
+      |    WHEN 0 THEN 'gh-api' WHEN 1 THEN 'direct' WHEN 2 THEN 'renderer'
+      |    WHEN 3 THEN 'direct-unwrapped' ELSE 'direct' END AS provider,
+      |  COUNT(*) AS n,
+      |  MIN(CASE WHEN o_orderkey % 5 = 0 THEN 'Co' || (o_orderkey % 7) END)
+      |    AS min_company
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** R6/J5: profile cross-join + deterministic template rendering. */
+  private def r6TemplateNotes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val profile = Seq(
+      ("one-line hook", "backend engineer who ships"),
+      ("top skills", "Scala, Spark, SQL")).toDF("key", "value")
+    val k = col("o_orderkey")
+    val rows = Tables.orders(s, dir).select(
+      concat(lit("Co "), k % 7).as("company"),
+      when(k % 3 === 0, lit("")).otherwise(concat(lit("Role "), k % 5)).as("role"))
+    Notes.withTemplateNotes(Notes.withProfile(rows, profile))
+      .groupBy("template_invite").agg(count(lit(1)).as("n"))
+  }
+
+  private val r6Sql =
+    """SELECT 'Hi there — I applied for ' ||
+      |  (CASE WHEN o_orderkey % 3 = 0 THEN 'this role'
+      |        ELSE 'Role ' || (o_orderkey % 5) END) ||
+      |  ' at Co ' || (o_orderkey % 7) ||
+      |  '. I''m a backend engineer who ships and would love to connect.'
+      |    AS template_invite,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY 1""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r2_fetch_cascade"   -> r2Cascade _,
+    "r6_template_notes"  -> r6TemplateNotes _)
+
+  def oracles: Map[String, String] = Map(
+    "r2_fetch_cascade"   -> r2Sql,
+    "r6_template_notes"  -> r6Sql)
+}
