@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming layer (SURVEY.md §2.10 / §7.1 M7).
+  *
+  * The reference's drain loop IS a micro-batch executor: "alternate
+  * parse/notes batches until both empty under a time budget"
+  * (`apps-scripts/code-LLM-intergration.js:264-272`) maps to
+  * `Trigger.AvailableNow` (drain-until-empty) with rate limiting via
+  * `maxFilesPerTrigger` — so every batch operator in this engine doubles
+  * as a streaming stage. These builders wire the parity pieces:
+  * event-time tumbling/sliding windows with watermarks, in-stream dedup
+  * (T5), and the two-stage handoff (T4) via foreachBatch → sink.
+  */
+object EventStreams {
+
+  /** File-source stream over an events-shaped directory (parquet). */
+  def eventsStream(spark: SparkSession, dir: String,
+                   maxFilesPerTrigger: Int = 1): DataFrame = {
+    val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger) // T3 rate limiting
+      .parquet(dir)
+  }
+
+  /** Tumbling 5-minute windowed aggregation with a 10-minute watermark —
+    * late events beyond the watermark are dropped, state is bounded. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** T5 in-stream idempotency: per-key dedup bounded by the watermark. */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** T1 drain-until-empty execution of any streaming DataFrame into an
+    * in-memory table; returns after all available data is processed. */
+  def drainToMemory(df: DataFrame, queryName: String,
+                    outputMode: OutputMode = OutputMode.Append): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** T4 two-stage handoff: stage 1 writes its results to a parquet dir
+    * (the "notes queue"), which a second streaming query consumes —
+    * exactly-once between stages via idempotent keyed sink + dedup. */
+  def stageHandoff(parsed: DataFrame, handoffDir: String,
+                   checkpointDir: String): Unit = {
+    val q = parsed.writeStream
+      .format("parquet")
+      .option("path", handoffDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

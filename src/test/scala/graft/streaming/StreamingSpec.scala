@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Structured Streaming semantics tests (SURVEY.md §2.10): watermarked
+  * windows, stream/batch agreement, in-stream dedup, two-stage handoff,
+  * and stateful sessionization via flatMapGroupsWithState territory
+  * covered by the batch analog (t_sessionize oracle query). */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:$sec%02d")
+
+  test("tumbling windows over a MemoryStream match the batch analog") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val events = Seq(
+      Ev(1, ts(1), 1, "click", 1.0, "{}"),
+      Ev(2, ts(4), 1, "click", 2.0, "{}"),
+      Ev(3, ts(7), 2, "view", 3.0, "{}"),
+      Ev(4, ts(12), 2, "click", 4.0, "{}"))
+    input.addData(events: _*)
+    EventStreams.drainToMemory(
+      EventStreams.tumblingCounts(input.toDF()), "tumbling_out",
+      OutputMode.Complete())
+    val streamed = spark.table("tumbling_out")
+      .select("window_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = events.toDF()
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.size == 3) // (00:00 click), (00:05 view), (00:10 click)
+  }
+
+  test("watermark drops events later than the bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // batch 1 advances event time to 00:40 → watermark 00:30
+    input.addData(Ev(1, ts(40), 1, "click", 1.0, "{}"))
+    // batch 2: an event at 00:05, far behind the watermark
+    val q = EventStreams.tumblingCounts(input.toDF()).writeStream
+      .format("memory").queryName("wm_out").outputMode(OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable()
+      input.addData(Ev(2, ts(5), 1, "late", 9.0, "{}"))
+      q.processAllAvailable()
+      input.addData(Ev(3, ts(55), 1, "click", 1.0, "{}")) // advance + close 00:40 window
+      q.processAllAvailable()
+      val types = spark.table("wm_out").select("event_type")
+        .collect().map(_.getString(0)).toSet
+      assert(!types.contains("late"), "late event must be dropped by the watermark")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedupes replayed events") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    input.addData(
+      Ev(1, ts(1), 1, "click", 1.0, "{}"),
+      Ev(1, ts(1), 1, "click", 1.0, "{}"), // exact replay
+      Ev(2, ts(2), 1, "view", 2.0, "{}"))
+    EventStreams.drainToMemory(
+      EventStreams.dedupedStream(input.toDF()), "dedup_out")
+    assert(spark.table("dedup_out").count() == 2)
+  }
+
+  test("file-source stream over testdata drains to the batch result") {
+    val dir = s"$sf/events.parquet"
+    // nanos timestamps aren't streamable either — read via Tables (batch)
+    // and compare a file-source stream over a micro-converted copy
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    Tables.events(spark, sf).write.mode("overwrite").parquet(tmp)
+    val streamed = EventStreams.eventsStream(spark, tmp, maxFilesPerTrigger = 2)
+    // Complete mode: emit ALL windows at drain end, including the ones the
+    // watermark hasn't finalized yet (append mode would hold them in state)
+    EventStreams.drainToMemory(
+      EventStreams.tumblingCounts(streamed), "file_out", OutputMode.Complete())
+    val streamTotal = spark.table("file_out")
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(streamTotal == Tables.events(spark, sf).count())
+  }
+
+  test("two-stage handoff: parse results land in the notes-queue dir") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    input.addData(Ev(1, ts(1), 1, "click", 1.0, "{}"),
+      Ev(2, ts(2), 2, "view", 2.0, "{}"))
+    val base = java.nio.file.Files.createTempDirectory("graft_handoff").toString
+    EventStreams.stageHandoff(
+      input.toDF().withColumn("phase", lit("post-parse")),
+      s"$base/queue", s"$base/ckpt")
+    val stage2 = spark.read.parquet(s"$base/queue")
+    assert(stage2.count() == 2)
+    assert(stage2.select("phase").distinct().collect()(0).getString(0) == "post-parse")
+  }
+}
