@@ -23,17 +23,24 @@ object RoleFns {
   def regex_quote(s: Column): Column =
     regexp_replace(s, "([.*+?^${}()|\\[\\]\\\\])", "\\\\$1")
 
-  /** F11 `cleanRole_(title, company)`. Empty-safe: '' in → '' out. */
+  /** F11 `cleanRole_(title, company)`. Empty-safe: '' in → '' out.
+    *
+    * The company-echo regexes are dynamic (built from the company value),
+    * which means a per-row Pattern.compile; a literal case-insensitive
+    * `contains` pre-check skips the compile for the common case where the
+    * role carries no echo — exactly the rows where the regex couldn't
+    * match anyway (the pattern embeds the company as a quoted literal). */
   def clean_role(title: Column, company: Column): Column = {
     val noTags = regexp_replace(coalesce(title, lit("")), "<[^>]*>", "")
     val decoded = HtmlFns.strip_emojis(HtmlFns.decode_html(noTags))
     val c = regex_quote(coalesce(company, lit("")))
-    // “Company — Role” prefix / “Role — Company” suffix (case-insensitive),
-    // applied only when company is non-empty.
-    val noPrefix = when(coalesce(company, lit("")) === "", decoded)
+    val mayEcho = coalesce(company, lit("")) =!= "" &&
+      lower(decoded).contains(lower(company))
+    // “Company — Role” prefix / “Role — Company” suffix (case-insensitive)
+    val noPrefix = when(!mayEcho, decoded)
       .otherwise(regexp_replace(decoded,
         concat(lit("(?i)^\\s*"), c, lit("\\s*[-\\u2013\\u2014:]*\\s*")), lit("")))
-    val noSuffix = when(coalesce(company, lit("")) === "", noPrefix)
+    val noSuffix = when(!mayEcho, noPrefix)
       .otherwise(regexp_replace(noPrefix,
         concat(lit("(?i)\\s*[-\\u2013\\u2014:]*\\s*"), c, lit("\\s*$")), lit("")))
     // Trailing “- City, ST” location, then trailing req-ID / long digit runs.

@@ -101,7 +101,12 @@ object TextFns {
 
   /** MinHash signature: for each of `numHashes` seeds, the min of
     * xxhash64(seed, shingle) over the shingle set. Two docs' signatures
-    * agree per-position with probability = their Jaccard similarity. */
+    * agree per-position with probability = their Jaccard similarity.
+    *
+    * Per-row scalar variant (interpreted HOFs — one pass per seed); for
+    * dataset-sized inputs use [[graft.dedup.Dedup.minhashSignatures]],
+    * the single-pass explode/groupBy shape, which computes identical
+    * signatures ~30× faster. */
   def minhash_signature(shingles: Column, numHashes: Int = 32): Column =
     array((0 until numHashes).map { seed =>
       array_min(transform(shingles, sh => xxhash64(lit(seed), sh)))
@@ -117,7 +122,11 @@ object TextFns {
     }: _*)
 
   /** 64-bit SimHash over word shingles: per-bit majority vote of shingle
-    * hashes. Near-dup docs differ in few bits (Hamming distance). */
+    * hashes. Near-dup docs differ in few bits (Hamming distance).
+    *
+    * Per-row scalar variant; for dataset-sized inputs use
+    * [[graft.dedup.Dedup.simhashSignatures]] (identical signatures,
+    * single codegen'd aggregation pass). */
   def simhash64(shingles: Column): Column = {
     val bits = (0 until 64).map { b =>
       val vote = aggregate(shingles, lit(0),

@@ -30,13 +30,19 @@ object FetchCascade {
   val GhUrlRe = "(?i)https?://(?:boards|job-boards)\\.greenhouse\\.io/([^/?#]+)/jobs/(\\d+)"
   val LeverUrlRe = "(?i)https?://jobs\\.lever\\.co/([^/?#]+)/([^/?#]+)"
 
+  /** Project the fixture side once, precomputing the useful-signal
+    * predicates (each is ~8 regexes over the page) so the cascade's
+    * when-ladder reads two booleans instead of re-deriving them per
+    * branch — the regex work happens once per fixture row, pre-join. */
   private def fixtureSide(fixtures: DataFrame, prefix: String): DataFrame =
     fixtures.select(
       col("url").as(s"${prefix}url"),
       col("direct_status").as(s"${prefix}direct_status"),
       col("direct_html").as(s"${prefix}direct_html"),
       col("rendered_html").as(s"${prefix}rendered_html"),
-      col("api_role").as(s"${prefix}api_role"))
+      col("api_role").as(s"${prefix}api_role"),
+      HtmlFns.has_useful_signal(col("direct_html")).as(s"${prefix}direct_useful"),
+      HtmlFns.has_useful_signal(col("rendered_html")).as(s"${prefix}rendered_useful"))
 
   /** One cascade level over joined fixture columns for `urlCol`; returns
     * a struct(provider, status, final_url, html, api_company, api_role)
@@ -48,9 +54,8 @@ object FetchCascade {
     val ghApi = apiHit && ghSlug =!= ""
     val leverApi = apiHit && leverSlug =!= ""
     val directOk = col(s"${p}direct_status").isNotNull &&
-      col(s"${p}direct_status") < 400 &&
-      HtmlFns.has_useful_signal(col(s"${p}direct_html"))
-    val renderedOk = HtmlFns.has_useful_signal(col(s"${p}rendered_html"))
+      col(s"${p}direct_status") < 400 && col(s"${p}direct_useful")
+    val renderedOk = col(s"${p}rendered_useful")
     when(ghApi, struct(
       lit("gh-api").as("provider"), lit(200).as("status"),
       UrlFns.canonical_url(urlCol).as("final_url"), lit("").as("html"),
@@ -73,11 +78,12 @@ object FetchCascade {
   }
 
   /** Run the cascade for `links` (column `url`). Two fixture joins: the
-    * original url and the unwrapped ATS url. Fixture tables are dimension-
-    * sized next to the link stream — broadcast hint keeps the stream
-    * unshuffled. */
+    * original url and the unwrapped ATS url. No broadcast hint: fixture
+    * payloads carry page HTML, so AQE should pick broadcast only when the
+    * fixture side is genuinely small (a forced broadcast of a large
+    * fixture table costs more than the shuffle it avoids). */
   def apply(links: DataFrame, fixtures: DataFrame): DataFrame = {
-    val j1 = links.join(broadcast(fixtureSide(fixtures, "f_")),
+    val j1 = links.join(fixtureSide(fixtures, "f_"),
       links("url") === col("f_url"), "left_outer")
 
     val lvl1 = level(col("url"), "f_")
@@ -90,7 +96,7 @@ object FetchCascade {
       .withColumn("_lvl1", lvl1)
       .withColumn("_ats_url",
         when(col("_lvl1").isNull && isAgg && atsUrl =!= "", atsUrl))
-      .join(broadcast(fixtureSide(fixtures, "u_")),
+      .join(fixtureSide(fixtures, "u_"),
         col("_ats_url") === col("u_url"), "left_outer")
 
     val lvl2 = level(col("_ats_url"), "u_")

@@ -301,6 +301,74 @@ object EtlQueries extends QueryModule {
       |  CASE WHEN o_orderkey % 3 = 0 THEN 'ok' ELSE o_orderstatus END AS status
       |FROM orders""".stripMargin
 
+  /** P2: header-row / whitelist filter — restrict to allow-listed
+    * "sheets" and drop the header row index. */
+  private def p2Whitelist(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        col("o_orderkey") > 1)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+
+  private val p2Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderkey > 1
+      |GROUP BY 1""".stripMargin
+
+  /** P6: useful-signal predicate over 4 synthesized page classes. */
+  private def p6UsefulSignal(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val html =
+      when(k % 4 === 0, lit("""<script type="application/ld+json">{}</script>"""))
+      .when(k % 4 === 1, lit("<h1>Senior Engineer</h1>"))
+      .when(k % 4 === 2, lit("<title>Sign In</title>"))
+      .otherwise(lit(""))
+    Tables.orders(s, dir)
+      .withColumn("useful", HtmlFns.has_useful_signal(html))
+      .groupBy("useful").agg(count(lit(1)).as("n"))
+  }
+
+  private val p6Sql =
+    """SELECT (o_orderkey % 4 IN (0, 1)) AS useful, COUNT(*) AS n
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** A1 duplicate guard: COUNTIFS(company, role, canonical) > 1 as a
+    * grouped count (the conditional-formatting rule as a query). */
+  private def a1DuplicateGuard(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    Tables.orders(s, dir)
+      .select(concat(lit("Co "), k % 50).as("company"),
+        concat(lit("Role "), k % 20).as("role"),
+        concat(lit("https://x.example/j/"), k % 400).as("canonical"))
+      .groupBy("company", "role", "canonical")
+      .agg(count(lit(1)).as("n_dupes"))
+      .filter(col("n_dupes") > 1)
+
+  }
+
+  private val a1Sql =
+    """SELECT 'Co ' || (o_orderkey % 50) AS company,
+      |  'Role ' || (o_orderkey % 20) AS role,
+      |  'https://x.example/j/' || (o_orderkey % 400) AS canonical,
+      |  COUNT(*) AS n_dupes
+      |FROM orders GROUP BY 1, 2, 3 HAVING COUNT(*) > 1""".stripMargin
+
+  /** F13: visible-text preview with script/style removal + truncation. */
+  private def f13TextPreview(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><script>var x=1;</script><style>.a{}</style><p>"),
+      col("text"), lit("</p></html>"))
+    Tables.documents(s, dir)
+      .withColumn("html", html)
+      .select(col("doc_id"),
+        HtmlFns.text_preview(col("html"), 100).as("preview"))
+  }
+
+  // documents.text has no tags/entities and is whitespace-normalized, so
+  // the preview is simply the first 100 chars of the trimmed text.
+  private val f13Sql =
+    """SELECT doc_id, substr(trim(text), 1, 100) AS preview
+      |FROM documents""".stripMargin
+
   /** W3: latest-wins per key (structured provenance analog) over events. */
   private def w3LatestWins(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
@@ -327,7 +395,11 @@ object EtlQueries extends QueryModule {
     "f11_clean_role"     -> f11CleanRole _,
     "f14_first_ats_link" -> f14FirstAtsLink _,
     "p1_url_filter"      -> p1UrlFilter _,
+    "p2_whitelist_filter" -> p2Whitelist _,
     "p5_generic_title"   -> p5GenericTitle _,
+    "p6_useful_signal"   -> p6UsefulSignal _,
+    "a1_duplicate_guard" -> a1DuplicateGuard _,
+    "f13_text_preview"   -> f13TextPreview _,
     "r1_decide_company_role" -> r1Decide _,
     "v1_provenance_upsert"   -> v1Provenance _,
     "j1_enqueue_anti_join"   -> j1EnqueueAntiJoin _,
@@ -343,7 +415,11 @@ object EtlQueries extends QueryModule {
     "f11_clean_role"     -> f11Sql,
     "f14_first_ats_link" -> f14Sql,
     "p1_url_filter"      -> p1Sql,
+    "p2_whitelist_filter" -> p2Sql,
     "p5_generic_title"   -> p5Sql,
+    "p6_useful_signal"   -> p6Sql,
+    "a1_duplicate_guard" -> a1Sql,
+    "f13_text_preview"   -> f13Sql,
     "r1_decide_company_role" -> r1Sql,
     "v1_provenance_upsert"   -> v1Sql,
     "j1_enqueue_anti_join"   -> j1Sql,

@@ -93,11 +93,46 @@ object PipelineQueries extends QueryModule {
       |  COUNT(*) AS n
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** R3 renderer escalation: direct pages whose JSON-LD is present but
+    * carries no JobPosting parse at conf 0 (useful-signal ≠ parseable),
+    * triggering the one-shot renderer re-parse; the rendered page parses
+    * at conf 1. Even keys escalate; odd keys parse directly. */
+  private def r3Escalation(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.ParsePipeline
+    val k = col("o_orderkey")
+    val orders = Tables.orders(s, dir)
+    val links = orders.select(lit("t1").as("sheet_name"), k.as("row_index"),
+      concat(lit("https://site.example.com/j/"), k).as("url"))
+    val emptyJsonLd =
+      """<script type="application/ld+json">{"@type":"WebSite"}</script>"""
+    val fixtures = links.select(col("url"),
+      lit(200).as("direct_status"),
+      when(col("row_index") % 2 === 0, lit(emptyJsonLd))
+        .otherwise(lit(RichHtml)).as("direct_html"),
+      when(col("row_index") % 2 === 0, lit(RichHtml)).as("rendered_html"),
+      lit(null).cast("string").as("api_role"))
+    ParsePipeline.parse(links, fixtures)
+      .groupBy("escalated", "conf", "decision")
+      .agg(count(lit(1)).as("n"), min(col("source_new")).as("min_source"))
+  }
+
+  private val r3Sql =
+    """SELECT (o_orderkey % 2 = 0) AS escalated, 1.0 AS conf,
+      |  'jsonld-org+jsonld-title' AS decision, COUNT(*) AS n,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN
+      |    'parse:{provider=direct, signals=jsonld-org+jsonld-title, conf=1.00} | fetch:{escalated=renderer}'
+      |  ELSE
+      |    'parse:{provider=direct, signals=jsonld-org+jsonld-title, conf=1.00}'
+      |  END AS min_source
+      |FROM orders GROUP BY 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r2_fetch_cascade"   -> r2Cascade _,
+    "r3_escalation"      -> r3Escalation _,
     "r6_template_notes"  -> r6TemplateNotes _)
 
   def oracles: Map[String, String] = Map(
     "r2_fetch_cascade"   -> r2Sql,
+    "r3_escalation"      -> r3Sql,
     "r6_template_notes"  -> r6Sql)
 }
