@@ -68,9 +68,11 @@ object GraftRegistry {
   }
 }
 
-/** `SparkSessionExtensions` installer: optimizer rule injection. */
+/** `SparkSessionExtensions` installer: optimizer rule + planner strategy
+  * injection. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => GraftRegistry.CanonicalUrlIdempotence)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

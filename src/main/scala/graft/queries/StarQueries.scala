@@ -320,7 +320,47 @@ object StarQueries extends QueryModule {
       |  MIN(p_retailprice) AS min_price
       |FROM part GROUP BY p_brand""".stripMargin
 
+  /** Custom typed Aggregator (UDAF extension point): one-pass
+    * count/sum/min/max profile with exact scaled-cents sum. */
+  private def aggTypedProfile(s: SparkSession, dir: String): DataFrame = {
+    val profile = udaf(new graft.functions.Aggregators.NumericProfile)
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(profile(col("o_totalprice")).as("p"))
+      .select(col("o_orderstatus"), col("p.n").as("n"),
+        col("p.sum").cast("decimal(18,2)").as("total"),
+        col("p.min").as("min_price"), col("p.max").as("max_price"))
+  }
+
+  private val aggTypedProfileSql =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+      |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** W1 via the custom TopKPerKey physical operator (bounded heap, no
+    * sort) — must agree with the row_number window oracle. */
+  private def windowTopKCustomOp(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{GraftOps, TopKPerKeyStrategy}
+    if (!s.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ TopKPerKeyStrategy
+    GraftOps.topKPerKey(Tables.orders(s, dir),
+      Seq(col("o_custkey")),
+      Seq(col("o_totalprice").desc, col("o_orderkey")), 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  private val windowTopKCustomOpSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t WHERE rn <= 2""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w1_topk_custom_op"   -> windowTopKCustomOp _,
+    "agg_typed_profile"   -> aggTypedProfile _,
     "agg_pricing_summary" -> aggPricingSummary _,
     "agg_distinct"        -> aggDistinct _,
     "agg_rollup"          -> aggRollup _,
@@ -342,6 +382,8 @@ object StarQueries extends QueryModule {
     "date_trunc_revenue"  -> dateTruncRevenue _)
 
   def oracles: Map[String, String] = Map(
+    "w1_topk_custom_op"   -> windowTopKCustomOpSql,
+    "agg_typed_profile"   -> aggTypedProfileSql,
     "agg_pricing_summary" -> aggPricingSummarySql,
     "agg_distinct"        -> aggDistinctSql,
     "agg_rollup"          -> aggRollupSql,
