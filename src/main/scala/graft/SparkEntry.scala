@@ -14,7 +14,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     StarQueries, EtlQueries, TextQueries, DedupQueries, SimilarityQueries,
-    MultimodalQueries, StreamingQueries, PipelineQueries)
+    MultimodalQueries, StreamingQueries, PipelineQueries, FunctionQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full star join + exact-decimal revenue rollup per region/priority. */
