@@ -358,7 +358,22 @@ object StarQueries extends QueryModule {
       |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
       |  FROM orders) t WHERE rn <= 2""".stripMargin
 
+  /** Approximate sketches (HLL++): no DuckDB oracle (different sketch),
+    * error bound vs exact asserted inside the query itself so the rows
+    * check is meaningful. */
+  private def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .withColumn("rel_err",
+        abs(col("approx_orders") - col("exact_orders")).cast("double") /
+          col("exact_orders"))
+      .filter(col("rel_err") < 0.05)
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_approx_distinct" -> aggApproxDistinct _,
     "w1_topk_custom_op"   -> windowTopKCustomOp _,
     "agg_typed_profile"   -> aggTypedProfile _,
     "agg_pricing_summary" -> aggPricingSummary _,
