@@ -11,8 +11,10 @@ class StarQueriesSpec extends SparkSpec {
     }
   }
 
-  test("every star query has an oracle") {
-    assert(StarQueries.oracles.keySet == StarQueries.all.keySet)
+  test("every star query has an oracle (sketches rows-only by design)") {
+    assert(StarQueries.oracles.keySet.subsetOf(StarQueries.all.keySet))
+    assert(StarQueries.all.keySet -- StarQueries.oracles.keySet ==
+      Set("agg_approx_distinct"))
   }
 
   test("pricing summary groups are the 6 flag/status combos") {
