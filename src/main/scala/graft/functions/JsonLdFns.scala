@@ -93,6 +93,13 @@ object JsonLdFns extends Serializable {
 
   private val extractUdf = udf((html: String) => extract(html))
 
-  /** Column API: struct(company, role); both '' when absent. */
-  def parse_jsonld_jobposting(html: Column): Column = extractUdf(html)
+  /** Column API: struct(company, role); both '' when absent. A cheap
+    * codegen'd contains-check gates the UDF so Jackson never runs for
+    * pages without an ld+json script tag (the common case). */
+  def parse_jsonld_jobposting(html: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val empty = struct(lit("").as("company"), lit("").as("role"))
+    when(lower(coalesce(html, lit(""))).contains("ld+json"), extractUdf(html))
+      .otherwise(empty)
+  }
 }

@@ -16,6 +16,11 @@ import org.apache.spark.sql.Row
   * event-time tumbling/sliding windows with watermarks, in-stream dedup
   * (T5), and the two-stage handoff (T4) via foreachBatch → sink.
   */
+case class SessionEvent(user_id: Long, event_id: Long, tsMillis: Long)
+case class SessionState(n: Int, firstMillis: Long, lastMillis: Long)
+case class SessionResult(user_id: Long, n_events: Int,
+                         first_millis: Long, last_millis: Long)
+
 object EventStreams {
 
   /** File-source stream over an events-shaped directory (parquet). */
@@ -56,6 +61,38 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Stateful sessionization via flatMapGroupsWithState: per-user session
+    * state with an event-time-style gap close (emits a session row when
+    * the gap between consecutive events exceeds `gapSeconds`). The
+    * custom-state extension point for semantics windows can't express. */
+  def sessionizeStateful(events: org.apache.spark.sql.Dataset[SessionEvent],
+                         gapSeconds: Long = 300)
+      : org.apache.spark.sql.Dataset[SessionResult] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionResult](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId, rows, state) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tsMillis, e.event_id))
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionResult]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.tsMillis - s.lastMillis > gapSeconds * 1000 =>
+                closed += SessionResult(userId, s.n, s.firstMillis, s.lastMillis)
+                cur = Some(SessionState(1, e.tsMillis, e.tsMillis))
+              case Some(s) =>
+                cur = Some(SessionState(s.n + 1, s.firstMillis, e.tsMillis))
+              case None =>
+                cur = Some(SessionState(1, e.tsMillis, e.tsMillis))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
   }
 
   /** T4 two-stage handoff: stage 1 writes its results to a parquet dir

@@ -93,6 +93,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamTotal == Tables.events(spark, sf).count())
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionizeStateful(input.toDS(), gapSeconds = 300)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 1 min apart (one session), then a 20-min gap
+      input.addData(SessionEvent(1, 1, 0L), SessionEvent(1, 2, 60000L))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0) // still open
+      input.addData(SessionEvent(1, 3, 1260000L)) // 20 min later → closes
+      q.processAllAvailable()
+      val closed = spark.table("sess_out").collect()
+      assert(closed.length == 1)
+      assert(closed(0).getAs[Int]("n_events") == 2)
+      assert(closed(0).getAs[Long]("last_millis") == 60000L)
+    } finally q.stop()
+  }
+
   test("two-stage handoff: parse results land in the notes-queue dir") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
