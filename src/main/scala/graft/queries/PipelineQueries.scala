@@ -17,18 +17,21 @@ object PipelineQueries extends QueryModule {
 
   /** R2: one fixture row per synthesized URL + unwrap targets; cascade
     * routes each of 5 page classes to its expected provider. */
-  private def r2Cascade(s: SparkSession, dir: String): DataFrame = {
+  /** 5 synthesized page classes keyed by o_orderkey % 5 (shared by the
+    * cascade demo and the end-to-end capstone). */
+  private def classLinks(s: SparkSession, dir: String): DataFrame = {
     val k = col("o_orderkey")
-    val orders = Tables.orders(s, dir)
-    val links = orders.select(
-      lit("t1").as("sheet_name"), k.as("row_index"),
+    Tables.orders(s, dir).select(
+      concat(lit("t"), k % 3).as("sheet_name"), k.as("row_index"),
       when(k % 5 === 0, concat(lit("https://boards.greenhouse.io/co"), k % 7,
           lit("/jobs/"), k))
       .when(k % 5 === 1, concat(lit("https://direct.example.com/j/"), k))
       .when(k % 5 === 2, concat(lit("https://jsheavy.example.com/j/"), k))
       .when(k % 5 === 3, concat(lit("https://www.linkedin.com/jobs/view/"), k))
       .otherwise(concat(lit("https://dead.example.com/j/"), k)).as("url"))
+  }
 
+  private def classFixtures(links: DataFrame): DataFrame = {
     val primary = links.select(col("url"),
       when(col("url").contains("direct.example") ||
            col("url").contains("linkedin") ||
@@ -53,8 +56,12 @@ object PipelineQueries extends QueryModule {
         lit("<h1>Unwrapped Role</h1>").as("direct_html"),
         lit(null).cast("string").as("rendered_html"),
         lit(null).cast("string").as("api_role"))
+    primary.union(unwrapTargets)
+  }
 
-    FetchCascade(links, primary.union(unwrapTargets))
+  private def r2Cascade(s: SparkSession, dir: String): DataFrame = {
+    val links = classLinks(s, dir)
+    FetchCascade(links, classFixtures(links))
       .groupBy("provider")
       .agg(count(lit(1)).as("n"), min(col("api_company")).as("min_company"))
   }
@@ -126,13 +133,69 @@ object PipelineQueries extends QueryModule {
       |  END AS min_source
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Capstone: the reference's §3.1 lifecycle end-to-end — validity-gated
+    * idempotent enqueue → cascade fetch → signal fusion → escalation →
+    * keyed write-back with provenance — over the 5 page classes plus an
+    * invalid-link class (o_orderkey % 7 == 6 never enqueues). Output is
+    * the final tracker state grouped by (status, source trail). */
+  private def pipelineEndToEnd(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{ParsePipeline, Queues}
+    val k = col("o_orderkey")
+    val classed = classLinks(s, dir)
+    val tracker = classed
+      .withColumn("link",
+        when(col("row_index") % 7 === 6, lit("not a url")).otherwise(col("url")))
+      .select(col("sheet_name"), col("row_index"), col("link"),
+        lit("").as("canonical_link"), lit("").as("company_auto"),
+        lit("").as("role_auto"), lit("").as("status"), lit("").as("source"))
+    val emptyQueue = tracker
+      .select(col("sheet_name"), col("row_index"), col("link").as("url"))
+      .withColumn("status", lit("queued")).filter(lit(false))
+    val queued = Queues.enqueue(
+      tracker.select(col("sheet_name"), col("row_index"), col("link").as("url")),
+      emptyQueue)
+    val results = ParsePipeline.parse(
+      queued.select("sheet_name", "row_index", "url"),
+      classFixtures(classed))
+    ParsePipeline.writeBack(tracker, results)
+      .groupBy("status", "source")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("company_auto")).as("n_companies"))
+  }
+
+  private val pipelineEndToEndSql =
+    """WITH rows AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 7 = 6 THEN '' ELSE 'ok' END AS status,
+      |    CASE WHEN o_orderkey % 7 = 6 THEN '' ELSE
+      |      CASE o_orderkey % 5
+      |        WHEN 0 THEN 'parse:{provider=gh-api, signals=ats-slug, conf=0.35}'
+      |        WHEN 1 THEN 'parse:{provider=direct, signals=jsonld-org+jsonld-title, conf=1.00}'
+      |        WHEN 2 THEN 'parse:{provider=renderer, signals=jsonld-org+jsonld-title, conf=1.00}'
+      |        WHEN 3 THEN 'parse:{provider=direct-unwrapped, signals=ats-slug+h1, conf=0.70}'
+      |        ELSE 'parse:{provider=direct, signals=heuristic, conf=0.00}'
+      |      END END AS source,
+      |    CASE WHEN o_orderkey % 7 = 6 THEN '' ELSE
+      |      CASE o_orderkey % 5
+      |        WHEN 0 THEN 'Co' || (o_orderkey % 7)
+      |        WHEN 1 THEN 'Fixture Co'
+      |        WHEN 2 THEN 'Fixture Co'
+      |        WHEN 3 THEN 'Wrap' || o_orderkey
+      |        ELSE '' END END AS company
+      |  FROM orders)
+      |SELECT status, source, COUNT(*) AS n,
+      |  COUNT(DISTINCT company) AS n_companies
+      |FROM rows GROUP BY 1, 2""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "r2_fetch_cascade"   -> r2Cascade _,
-    "r3_escalation"      -> r3Escalation _,
-    "r6_template_notes"  -> r6TemplateNotes _)
+    "r2_fetch_cascade"     -> r2Cascade _,
+    "r3_escalation"        -> r3Escalation _,
+    "r6_template_notes"    -> r6TemplateNotes _,
+    "pipeline_end_to_end"  -> pipelineEndToEnd _)
 
   def oracles: Map[String, String] = Map(
-    "r2_fetch_cascade"   -> r2Sql,
-    "r3_escalation"      -> r3Sql,
-    "r6_template_notes"  -> r6Sql)
+    "r2_fetch_cascade"     -> r2Sql,
+    "r3_escalation"        -> r3Sql,
+    "r6_template_notes"    -> r6Sql,
+    "pipeline_end_to_end"  -> pipelineEndToEndSql)
 }
