@@ -56,6 +56,9 @@ def main():
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
             n_bad += 1
             continue
+        dt_mismatch = [c for c in got.columns
+                       if str(got[c].dtype) != str(want[c].dtype)]
+        warn = f" [dtype drift: {dt_mismatch}]" if dt_mismatch else ""
         g = sorted([tuple(norm(v) for v in r) for r in got.itertuples(index=False)],
                    key=lambda t: tuple((x is None, str(x)) for x in t))
         w = sorted([tuple(norm(v) for v in r) for r in want.itertuples(index=False)],
@@ -77,7 +80,7 @@ def main():
             print(f"FAIL {name}: first diff (maxfloatdiff={maxdiff:.3e}):\n  spark={bad[0]}\n  duck ={bad[1]}")
             n_bad += 1
         else:
-            print(f"OK   {name} ({len(got)} rows, maxfloatdiff={maxdiff:.3e})")
+            print(f"OK   {name} ({len(got)} rows, maxfloatdiff={maxdiff:.3e}){warn}")
             n_ok += 1
     print(f"== {n_ok} ok, {n_bad} fail")
     sys.exit(1 if n_bad else 0)

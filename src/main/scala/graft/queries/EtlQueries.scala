@@ -218,9 +218,9 @@ object EtlQueries extends QueryModule {
       |    WHEN 2 THEN 'og:title+og:site_name'
       |    WHEN 3 THEN 'title+title-split'
       |    ELSE 'heuristic' END AS decision,
-      |  CASE o_orderkey % 5
+      |  CAST(CASE o_orderkey % 5
       |    WHEN 0 THEN 1.0 WHEN 1 THEN 0.7 WHEN 2 THEN 0.5
-      |    WHEN 3 THEN 0.55 ELSE 0.0 END AS conf,
+      |    WHEN 3 THEN 0.55 ELSE 0.0 END AS DOUBLE) AS conf,
       |  COUNT(*) AS n,
       |  MIN(CASE o_orderkey % 5
       |    WHEN 0 THEN 'Acme ' || (o_orderkey % 7)

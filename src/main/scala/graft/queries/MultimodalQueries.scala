@@ -21,7 +21,7 @@ object MultimodalQueries extends QueryModule {
 
   private val mediaMetaSql =
     """SELECT doc_id,
-      |  length(text) AS byte_len,
+      |  CAST(length(text) AS INT) AS byte_len,
       |  md5(text) AS checksum,
       |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END
       |    AS format

@@ -124,7 +124,7 @@ object PipelineQueries extends QueryModule {
   }
 
   private val r3Sql =
-    """SELECT (o_orderkey % 2 = 0) AS escalated, 1.0 AS conf,
+    """SELECT (o_orderkey % 2 = 0) AS escalated, CAST(1.0 AS DOUBLE) AS conf,
       |  'jsonld-org+jsonld-title' AS decision, COUNT(*) AS n,
       |  CASE WHEN o_orderkey % 2 = 0 THEN
       |    'parse:{provider=direct, signals=jsonld-org+jsonld-title, conf=1.00} | fetch:{escalated=renderer}'
@@ -187,13 +187,56 @@ object PipelineQueries extends QueryModule {
       |  COUNT(DISTINCT company) AS n_companies
       |FROM rows GROUP BY 1, 2""".stripMargin
 
+  /** R4/R7: LLM extract-rescue over a deterministic fixture transport
+    * (prompt → strict-JSON completion, a pure function, so the oracle can
+    * replay it). Odd keys parse strongly and skip the model; even keys
+    * have no company and a generic role → rescued, conf floor 0.6,
+    * extract token recorded. Keys divisible by 10 get a malformed
+    * completion → fallback path with err token. */
+  private def r4LlmRescue(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Llm
+    val k = col("o_orderkey")
+    val rows = Tables.orders(s, dir).select(
+      k.as("o_orderkey"),
+      concat(lit("prompt-"), k).as("prompt"),
+      when(k % 2 === 0, lit("")).otherwise(concat(lit("Known Co "), k % 5)).as("company"),
+      when(k % 2 === 0, lit("Job Details")).otherwise(lit("Staff Engineer")).as("role"),
+      when(k % 2 === 0, lit(0.15)).otherwise(lit(0.85)).as("conf"))
+    val transport = Llm.FixtureTransport { p =>
+      val key = p.stripPrefix("prompt-").toLong
+      if (key % 10 == 0) Some("no json here")
+      else Some(s"""Sure: {"company":"LLM Co ${key % 3}","role":"LLM Role"} done""")
+    }
+    Llm.extractRescue(rows, transport, col("prompt"))
+      .groupBy("company", "role", "conf", "extract_token")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val r4Sql =
+    """SELECT
+      |  CASE WHEN o_orderkey % 2 = 1 THEN 'Known Co ' || (o_orderkey % 5)
+      |       WHEN o_orderkey % 10 = 0 THEN ''
+      |       ELSE 'LLM Co ' || (o_orderkey % 3) END AS company,
+      |  CASE WHEN o_orderkey % 2 = 1 THEN 'Staff Engineer'
+      |       WHEN o_orderkey % 10 = 0 THEN 'Job Details'
+      |       ELSE 'LLM Role' END AS role,
+      |  CAST(CASE WHEN o_orderkey % 2 = 1 THEN 0.85
+      |       WHEN o_orderkey % 10 = 0 THEN 0.15 ELSE 0.6 END AS DOUBLE) AS conf,
+      |  CASE WHEN o_orderkey % 2 = 1 THEN NULL
+      |       WHEN o_orderkey % 10 = 0 THEN 'extract:{mode=llm, err=no-output}'
+      |       ELSE 'extract:{mode=llm}' END AS extract_token,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY 1, 2, 3, 4""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r4_llm_rescue"        -> r4LlmRescue _,
     "r2_fetch_cascade"     -> r2Cascade _,
     "r3_escalation"        -> r3Escalation _,
     "r6_template_notes"    -> r6TemplateNotes _,
     "pipeline_end_to_end"  -> pipelineEndToEnd _)
 
   def oracles: Map[String, String] = Map(
+    "r4_llm_rescue"        -> r4Sql,
     "r2_fetch_cascade"     -> r2Sql,
     "r3_escalation"        -> r3Sql,
     "r6_template_notes"    -> r6Sql,

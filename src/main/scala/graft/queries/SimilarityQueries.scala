@@ -43,7 +43,7 @@ object SimilarityQueries extends QueryModule {
        |    ROW_NUMBER() OVER (PARTITION BY query_id
        |                       ORDER BY cosine DESC, cand_id) AS rank
        |  FROM scored)
-       |SELECT query_id, rank, cand_id, round(cosine, 6) AS cosine
+       |SELECT query_id, CAST(rank AS INT) AS rank, cand_id, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= $K""".stripMargin
 
   /** Hyperplane-LSH approximate top-5 (bucketed join — the scale path). */

@@ -178,8 +178,8 @@ object StarQueries extends QueryModule {
   private val windowRankSql =
     """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
-      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
-      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
       |  FROM orders) t WHERE rn <= 3""".stripMargin
 
   /** Running (cumulative) sum per supplier in ship-date order. */
@@ -301,7 +301,7 @@ object StarQueries extends QueryModule {
     """SELECT l_linestatus,
       |  SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END
       |      AS DECIMAL(18,2))) AS returned_price,
-      |  SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted,
+      |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_linestatus""".stripMargin
 

@@ -67,7 +67,7 @@ object StreamingQueries extends QueryModule {
 
   private val cdcIngestSql =
     """SELECT event_type, COUNT(*) AS n,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
       |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
       |FROM events WHERE event_type IN ('signup', 'purchase')
       |GROUP BY 1""".stripMargin
@@ -100,8 +100,8 @@ object StreamingQueries extends QueryModule {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessions AS (
       |  SELECT user_id, value,
-      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM marked)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |  SUM(CAST(value AS DECIMAL(18,2))) AS session_value

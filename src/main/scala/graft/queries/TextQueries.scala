@@ -20,9 +20,9 @@ object TextQueries extends QueryModule {
 
   private val tokenCountSql =
     """SELECT doc_id,
-      |  CASE WHEN trim(text) = '' THEN 0
-      |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords
+      |  CAST(CASE WHEN trim(text) = '' THEN 0
+      |       ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_subwords
       |FROM documents""".stripMargin
 
   /** Language-ID heuristic vs the labeled lang column (confusion counts). */
@@ -58,13 +58,13 @@ object TextQueries extends QueryModule {
     val punct = "len(regexp_extract_all(text, '[[:punct:]]'))"
     val stop = s"len(regexp_extract_all(lower(text), '\\b(${TextFns.EnStop.mkString("|")})\\b'))"
     s"""SELECT
-       |  (CASE WHEN $nTok BETWEEN 5 AND 5000 THEN 0.25 ELSE 0.0 END +
+       |  CAST(CASE WHEN $nTok BETWEEN 5 AND 5000 THEN 0.25 ELSE 0.0 END +
        |   CASE WHEN $nTok > 0 AND CAST($nCh AS DOUBLE)/CAST($nTok AS DOUBLE)
        |        BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END +
        |   CASE WHEN $nCh > 0 AND CAST($punct AS DOUBLE)/CAST($nCh AS DOUBLE) < 0.1
        |        THEN 0.25 ELSE 0.0 END +
        |   CASE WHEN $nTok > 0 AND CAST($stop AS DOUBLE)/CAST($nTok AS DOUBLE) > 0.01
-       |        THEN 0.25 ELSE 0.0 END) AS quality,
+       |        THEN 0.25 ELSE 0.0 END AS DOUBLE) AS quality,
        |  COUNT(*) AS n
        |FROM documents GROUP BY 1""".stripMargin
   }
