@@ -69,7 +69,29 @@ object DedupQueries extends QueryModule {
       col("embedding"), minCosine = 0.4)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
 
+  /** Dedup by canonical URL (the reference's own dedup key, F12+A1):
+    * tracking-param variants of the same posting collapse to one survivor. */
+  private def canonicalUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UrlFns
+    val k = col("o_orderkey")
+    Tables.orders(s, dir)
+      .withColumn("url",
+        concat(lit("https://jobs.example.com/post/"), k % 500,
+          lit("?utm_source=src"), k % 3, lit("&ref=page&utm_campaign=c"), k % 2))
+      .withColumn("canonical", UrlFns.canonical_url(col("url")))
+      .groupBy("canonical")
+      .agg(min(k).as("survivor_key"), count(lit(1)).as("n_variants"))
+      .filter(col("n_variants") > 1)
+  }
+
+  private val canonicalUrlDedupSql =
+    """SELECT 'https://jobs.example.com/post/' || (o_orderkey % 500) || '?ref=page'
+      |    AS canonical,
+      |  MIN(o_orderkey) AS survivor_key, COUNT(*) AS n_variants
+      |FROM orders GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_dedup_canonical_url" -> canonicalUrlDedup _,
     "m8_dedup_exact"         -> exact _,
     "m8_dedup_ngram_jaccard" -> ngramJaccard _,
     "m8_dedup_minhash"       -> minhash _,
@@ -77,6 +99,7 @@ object DedupQueries extends QueryModule {
     "m8_dedup_embedding"     -> embedding _)
 
   def oracles: Map[String, String] = Map(
+    "m8_dedup_canonical_url" -> canonicalUrlDedupSql,
     "m8_dedup_exact"         -> exactSql,
     "m8_dedup_ngram_jaccard" -> ngramJaccardSql)
 }
