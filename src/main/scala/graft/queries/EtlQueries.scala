@@ -369,6 +369,31 @@ object EtlQueries extends QueryModule {
     """SELECT doc_id, substr(trim(text), 1, 100) AS preview
       |FROM documents""".stripMargin
 
+  /** SQL surface: the registered function library driven through a SQL
+    * text (same Catalyst trees as the column API — GraftRegistry). */
+  private def sqlRegisteredFns(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftRegistry.registerFunctions(s)
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderkey,
+        |  canonical_url('https://jobs.example.com/p/' || o_orderkey ||
+        |                '?utm_source=x&id=' || o_custkey) AS canonical,
+        |  host_from_url('https://www.Site' || o_orderkey % 9 || '.example.com/x')
+        |    AS host,
+        |  nice_case('brand-' || o_orderkey % 5) AS brand,
+        |  token_count('alpha beta gamma') AS n_tok
+        |FROM orders_v""".stripMargin)
+  }
+
+  private val sqlRegisteredFnsSql =
+    """SELECT o_orderkey,
+      |  'https://jobs.example.com/p/' || o_orderkey || '?id=' || o_custkey
+      |    AS canonical,
+      |  'site' || (o_orderkey % 9) || '.example.com' AS host,
+      |  'Brand ' || (o_orderkey % 5) AS brand,
+      |  3 AS n_tok
+      |FROM orders""".stripMargin
+
   /** W3: latest-wins per key (structured provenance analog) over events. */
   private def w3LatestWins(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
@@ -403,6 +428,7 @@ object EtlQueries extends QueryModule {
     "r1_decide_company_role" -> r1Decide _,
     "v1_provenance_upsert"   -> v1Provenance _,
     "j1_enqueue_anti_join"   -> j1EnqueueAntiJoin _,
+    "sql_registered_fns"     -> sqlRegisteredFns _,
     "j3_write_back"          -> j3WriteBack _,
     "w3_latest_wins"         -> w3LatestWins _)
 
@@ -423,6 +449,7 @@ object EtlQueries extends QueryModule {
     "r1_decide_company_role" -> r1Sql,
     "v1_provenance_upsert"   -> v1Sql,
     "j1_enqueue_anti_join"   -> j1Sql,
+    "sql_registered_fns"     -> sqlRegisteredFnsSql,
     "j3_write_back"          -> j3Sql,
     "w3_latest_wins"         -> w3Sql)
 }
