@@ -54,7 +54,7 @@ object JsonLdFns extends Serializable {
         val r = findJobPosting(graph)
         if (r.isDefined) return r
       }
-      node.fields().asScala.foreach { e =>
+      node.properties().asScala.foreach { e =>
         if (e.getValue.isContainerNode) {
           val r = findJobPosting(e.getValue)
           if (r.isDefined) return r

@@ -120,7 +120,7 @@ object FetchCascade {
 
     withAts
       .withColumn("fetched", fetched)
-      .select(links.columns.map(col) ++ Seq(
+      .select(links.columns.toIndexedSeq.map(col) ++ Seq(
         col("fetched.provider").as("provider"),
         col("fetched.status").as("fetch_status"),
         col("fetched.final_url").as("final_url"),
