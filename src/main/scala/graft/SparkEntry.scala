@@ -17,9 +17,11 @@ object SparkEntry {
     MultimodalQueries, StreamingQueries, PipelineQueries, FunctionQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Full star join + exact-decimal revenue rollup per region/priority. */
+    * The full reference lifecycle end-to-end: validity-gated idempotent
+    * enqueue → access-path cascade → weighted signal fusion → renderer
+    * escalation → keyed write-back with provenance (SURVEY.md §3.1). */
   def entry(spark: SparkSession): DataFrame =
-    StarQueries.all("join_star_schema")(spark, "/root/testdata/sf0.001")
+    PipelineQueries.all("pipeline_end_to_end")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
