@@ -56,7 +56,10 @@ def main():
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
             n_bad += 1
             continue
-        dt_mismatch = [c for c in got.columns
+        # Dtype drift is a hard failure: the driver hashes at a stricter
+        # layer than this value compare, and round-1's nine hash_match:false
+        # rows were exactly the ones where this check only warned.
+        dt_mismatch = [f"{c}:{got[c].dtype}!={want[c].dtype}" for c in got.columns
                        if str(got[c].dtype) != str(want[c].dtype)]
         warn = f" [dtype drift: {dt_mismatch}]" if dt_mismatch else ""
         g = sorted([tuple(norm(v) for v in r) for r in got.itertuples(index=False)],
@@ -79,8 +82,11 @@ def main():
         if bad:
             print(f"FAIL {name}: first diff (maxfloatdiff={maxdiff:.3e}):\n  spark={bad[0]}\n  duck ={bad[1]}")
             n_bad += 1
+        elif dt_mismatch:
+            print(f"FAIL {name}: values equal but dtype drift: {dt_mismatch}")
+            n_bad += 1
         else:
-            print(f"OK   {name} ({len(got)} rows, maxfloatdiff={maxdiff:.3e}){warn}")
+            print(f"OK   {name} ({len(got)} rows, maxfloatdiff={maxdiff:.3e})")
             n_ok += 1
     print(f"== {n_ok} ok, {n_bad} fail")
     sys.exit(1 if n_bad else 0)

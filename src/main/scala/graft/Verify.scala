@@ -1,5 +1,7 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -11,12 +13,27 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Dump µs-typed timestamps: the driver reads these files next to
+      // DuckDB output (timestamp[us]); Spark's default INT96 surfaces as
+      // timestamp[ns] in pyarrow and can defeat the hash compare.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Contract-boundary timestamp canonicalization: session TZ is UTC, so
+    // LTZ→NTZ is an identity on the stored micros, and NTZ parquet reads
+    // back as naive timestamp[us] — exactly the type DuckDB's oracle
+    // produces. (LTZ columns would write isAdjustedToUTC=true and surface
+    // tz-aware at the driver's compare layer.)
+    def ntz(df: DataFrame): DataFrame =
+      df.schema.fields.foldLeft(df) { (d, f) =>
+        if (f.dataType == TimestampType)
+          d.withColumn(f.name, col(f.name).cast(TimestampNTZType))
+        else d
+      }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -30,4 +30,13 @@ object Dsl {
   /** Deterministic double average: exact decimal sum, then one double
     * division — bit-identical to `CAST(SUM(dec) AS DOUBLE)/COUNT(*)`. */
   def davg2(c: Column): Column = dsum2(c).cast("double") / count(lit(1))
+  /** Contract-boundary sums: exact decimal accumulation, final-cast to
+    * DOUBLE so the emitted dtype is unambiguous across engines (Spark
+    * widens SUM(DECIMAL(18,x)) to DECIMAL(28,x), DuckDB to DECIMAL(38,x);
+    * the driver's hash layer must see one canonical type). The cast is
+    * lossless here: sums stay well under 2^53 at any tested SF and the
+    * IEEE round-to-nearest of an exact decimal is identical in both
+    * engines. Matches SQL `CAST(SUM(CAST(x AS DECIMAL(18,n))) AS DOUBLE)`. */
+  def dsum2d(c: Column): Column = dsum2(c).cast("double")
+  def dsum4d(c: Column): Column = dsum4(c).cast("double")
 }

@@ -29,17 +29,17 @@ object StarQueries extends QueryModule {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dsum2(col("l_quantity")).as("sum_qty"),
-        dsum2(col("l_extendedprice")).as("sum_base_price"),
-        dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum2d(col("l_quantity")).as("sum_qty"),
+        dsum2d(col("l_extendedprice")).as("sum_base_price"),
+        dsum4d(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
         davg2(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
   private val aggPricingSummarySql =
     """SELECT l_returnflag, l_linestatus,
-      |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |  COUNT(*) AS count_order
       |FROM lineitem
@@ -66,11 +66,11 @@ object StarQueries extends QueryModule {
   private def aggRollup(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
+      .agg(count(lit(1)).as("n"), dsum2d(col("o_totalprice")).as("total"))
 
   private val aggRollupSql =
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-      |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
 
   /** CUBE over two keys. */
@@ -104,10 +104,10 @@ object StarQueries extends QueryModule {
     Tables.lineitem(s, dir)
       .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(dsum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(dsum2d(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
 
   private val joinBroadcastDimSql =
-    """SELECT p_brand, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+    """SELECT p_brand, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  COUNT(*) AS n
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand""".stripMargin
@@ -121,12 +121,12 @@ object StarQueries extends QueryModule {
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(
-        dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        dsum4d(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         countDistinct(col("o_custkey")).as("n_customers"))
 
   private val joinStarSchemaSql =
     """SELECT r_name,
-      |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
       |  COUNT(DISTINCT o_custkey) AS n_customers
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -189,17 +189,17 @@ object StarQueries extends QueryModule {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(s, dir)
       .withColumn("running_qty",
-        sum(col("l_quantity").cast("decimal(18,2)")).over(w))
+        sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double"))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("running_qty"))
   }
 
   private val windowRunningSql =
     """SELECT l_suppkey, l_orderkey, l_linenumber,
-      |  SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
       |    PARTITION BY l_suppkey
       |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
       |FROM lineitem""".stripMargin
 
   /** lag/lead: gap in days between consecutive orders of a customer. */
@@ -278,12 +278,12 @@ object StarQueries extends QueryModule {
     Tables.lineitem(s, dir)
       .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
       .agg(
-        dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        dsum4d(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n"))
 
   private val dateTruncRevenueSql =
     """SELECT DATE_TRUNC('month', l_shipdate) AS ship_month,
-      |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY 1""".stripMargin
 
@@ -328,13 +328,13 @@ object StarQueries extends QueryModule {
       .groupBy(col("o_orderstatus"))
       .agg(profile(col("o_totalprice")).as("p"))
       .select(col("o_orderstatus"), col("p.n").as("n"),
-        col("p.sum").cast("decimal(18,2)").as("total"),
+        col("p.sum").cast("double").as("total"),
         col("p.min").as("min_price"), col("p.max").as("max_price"))
   }
 
   private val aggTypedProfileSql =
     """SELECT o_orderstatus, COUNT(*) AS n,
-      |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
       |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
       |FROM orders GROUP BY 1""".stripMargin
 

@@ -17,7 +17,7 @@ object StreamingQueries extends QueryModule {
   private def tumbling(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("total"))
+      .agg(count(lit(1)).as("n"), dsum2d(col("value")).as("total"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
@@ -25,7 +25,7 @@ object StreamingQueries extends QueryModule {
     """SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000)
       |    AS window_start,
       |  event_type, COUNT(*) AS n,
-      |  SUM(CAST(value AS DECIMAL(18,2))) AS total
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** Sliding windows: 10-minute windows sliding every 5. Each event lands
@@ -87,7 +87,7 @@ object StreamingQueries extends QueryModule {
       .withColumn("session_id",
         sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
     ev.groupBy("user_id", "session_id")
-      .agg(count(lit(1)).as("n_events"), dsum2(col("value")).as("session_value"))
+      .agg(count(lit(1)).as("n_events"), dsum2d(col("value")).as("session_value"))
   }
 
   private val sessionizeSql =
@@ -104,7 +104,7 @@ object StreamingQueries extends QueryModule {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM marked)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
-      |  SUM(CAST(value AS DECIMAL(18,2))) AS session_value
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       |FROM sessions GROUP BY 1, 2""".stripMargin
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
