@@ -228,11 +228,99 @@ object PipelineQueries extends QueryModule {
       |  COUNT(*) AS n
       |FROM orders GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** Capstone: the reference's §3.2 notes lifecycle end-to-end (reference
+    * `apps-scripts/code-LLM-intergration.js:1119-1198`): needs-notes
+    * idempotency filter (P8/J2) → snippet assembly (F16) → fixture LLM
+    * (R5) with a malformed-completion class and a blank-field class →
+    * template fallback (R7) → 280-char invite truncation → keyed
+    * write-back with `notes:{mode=llm|template}` provenance upsert (V1).
+    * Classes by o_orderkey: %11==3 already has notes (skipped untouched);
+    * %10==0 malformed completion and %10==5 blank invite → template mode;
+    * %3==1 over-long LLM invite → truncated to exactly 280 chars; rest →
+    * LLM mode. */
+  private def notesEndToEnd(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Llm
+    import s.implicits._
+    val profile = Seq(
+      ("one-line hook", "backend engineer who ships"),
+      ("top skills", "Scala, Spark, SQL")).toDF("key", "value")
+    val k = col("o_orderkey")
+    val tracker = Tables.orders(s, dir).select(
+      lit("t1").as("sheet_name"), k.as("row_index"),
+      concat(lit("https://co.example/j/"), k).as("url"),
+      concat(lit("Co "), k % 7).as("company"),
+      when(k % 3 === 0, lit("")).otherwise(concat(lit("Role "), k % 5)).as("role"),
+      when(k % 11 === 3, lit("already sent")).otherwise(lit("")).as("li_invite"),
+      when(k % 11 === 3, lit("sent fu")).otherwise(lit("")).as("li_followup"),
+      lit("parse:{provider=direct}").as("source"))
+    val todo = Notes.needsNotes(tracker)
+      .withColumn("prompt", Notes.snippet_json(col("url"), col("company"),
+        col("role"), lit("H1"), lit("OG Title"), lit("OG Site"), lit("Title"),
+        lit("body preview"), col("sheet_name")))
+    val transport = Llm.FixtureTransport { p =>
+      val key = "/j/(\\d+)".r.findFirstMatchIn(p).map(_.group(1).toLong).getOrElse(-1L)
+      if (key % 10 == 0) Some("the model rambled with no json")
+      else if (key % 10 == 5) Some("""{"invite":"","followup":"present"}""")
+      else if (key % 3 == 1)
+        Some(s"""ok: {"invite":"${"L" * 300}","followup":"FU ${key % 4}","meta":"m"} bye""")
+      else Some(s"""{"invite":"Hi Co ${key % 7}! Keen to connect.","followup":"FU ${key % 4}","meta":"m"}""")
+    }
+    val noted = Llm.notesWithFallback(
+      Notes.withTemplateNotes(Notes.withProfile(todo, profile)),
+      transport, col("prompt"))
+    val updates = noted.select(col("row_index").as("u_key"),
+      col("li_invite").as("u_invite"), col("li_followup").as("u_followup"),
+      col("source").as("u_source"))
+    tracker.join(updates, col("row_index") === col("u_key"), "left")
+      .select(
+        coalesce(col("u_invite"), col("li_invite")).as("li_invite"),
+        coalesce(col("u_followup"), col("li_followup")).as("li_followup"),
+        coalesce(col("u_source"), col("source")).as("source"))
+      .groupBy("li_invite", "li_followup", "source")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val notesEndToEndSql =
+    """WITH classed AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN 'this role'
+      |         ELSE 'Role ' || (o_orderkey % 5) END AS role2,
+      |    'Co ' || (o_orderkey % 7) AS comp
+      |  FROM orders),
+      |final AS (
+      |  SELECT
+      |    CASE
+      |      WHEN k % 11 = 3 THEN 'already sent'
+      |      WHEN k % 10 = 0 OR k % 10 = 5 THEN
+      |        'Hi there — I applied for ' || role2 || ' at ' || comp ||
+      |        '. I''m a backend engineer who ships and would love to connect.'
+      |      WHEN k % 3 = 1 THEN repeat('L', 280)
+      |      ELSE 'Hi ' || comp || '! Keen to connect.'
+      |    END AS li_invite,
+      |    CASE
+      |      WHEN k % 11 = 3 THEN 'sent fu'
+      |      WHEN k % 10 = 0 OR k % 10 = 5 THEN
+      |        'Thanks for connecting! I just applied for ' || role2 || ' at ' ||
+      |        comp || '. My background includes Scala, Spark, SQL.' ||
+      |        ' If there’s a chance to chat, I’d value 10–15 minutes to share how I can contribute.'
+      |      ELSE 'FU ' || (k % 4)
+      |    END AS li_followup,
+      |    CASE
+      |      WHEN k % 11 = 3 THEN 'parse:{provider=direct}'
+      |      WHEN k % 10 = 0 OR k % 10 = 5 THEN
+      |        'parse:{provider=direct} | notes:{mode=template}'
+      |      ELSE 'parse:{provider=direct} | notes:{mode=llm}'
+      |    END AS source
+      |  FROM classed)
+      |SELECT li_invite, li_followup, source, COUNT(*) AS n
+      |FROM final GROUP BY 1, 2, 3""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r4_llm_rescue"        -> r4LlmRescue _,
     "r2_fetch_cascade"     -> r2Cascade _,
     "r3_escalation"        -> r3Escalation _,
     "r6_template_notes"    -> r6TemplateNotes _,
+    "notes_end_to_end"     -> notesEndToEnd _,
     "pipeline_end_to_end"  -> pipelineEndToEnd _)
 
   def oracles: Map[String, String] = Map(
@@ -240,5 +328,6 @@ object PipelineQueries extends QueryModule {
     "r2_fetch_cascade"     -> r2Sql,
     "r3_escalation"        -> r3Sql,
     "r6_template_notes"    -> r6Sql,
+    "notes_end_to_end"     -> notesEndToEndSql,
     "pipeline_end_to_end"  -> pipelineEndToEndSql)
 }
