@@ -121,6 +121,24 @@ object TextFns {
         xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand)).as("key"))
     }: _*)
 
+  /** Engine-portable variant of [[minhash_bands]]: the band key is the
+    * band index + the raw signature slice rendered as a string, so any
+    * engine can rebuild the exact key (the correctness oracle does).
+    * ~10× wider than the hashed key — prefer [[minhash_bands]] at scale. */
+  def minhash_band_strings(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      concat_ws("|", lit(b) +:
+        (0 until rowsPerBand).map(r => element_at(signature, b * rowsPerBand + r + 1)): _*)
+    }: _*)
+
+  /** Engine-portable 60-bit hash: the first 15 hex chars of md5(s) as a
+    * long. Any engine with md5 recomputes it byte-identically (DuckDB:
+    * positional hex-digit arithmetic) — used by the correctness gate to
+    * replicate signature pipelines exactly. The codegen'd xxhash64 family
+    * stays the scale-path default. */
+  def portable_hash60(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
   /** 64-bit SimHash over word shingles: per-bit majority vote of shingle
     * hashes. Near-dup docs differ in few bits (Hamming distance).
     *
