@@ -52,4 +52,24 @@ object VectorFns {
     }
     bits.reduce(_ + _)
   }
+
+  /** Engine-portable variant of [[hyperplane_bucket]]: the ±1 weight for
+    * (plane p, dimension i) comes from the low bit of
+    * [[graft.functions.TextFns.portable_hash60]] over `"p,i"`, so any
+    * engine with md5 rebuilds identical hyperplanes (the correctness
+    * oracle does). Weights are per-(plane,dim) literals folded at plan
+    * time — the md5 cost is O(planes × dim) once, not per row. */
+  def hyperplane_bucket_portable(vec: Column, planes: Int = 8): Column = {
+    import graft.functions.TextFns
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
+          x.cast("double") *
+            when(TextFns.portable_hash60(concat(lit(p), lit(","), i))
+              .bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1), p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
 }

@@ -56,7 +56,11 @@ object Llm {
     * `err=no-output` when the model returned nothing usable). */
   def extractRescue(df: DataFrame, transport: LlmTransport,
                     promptCol: Column): DataFrame = {
+    // nondeterministic pin: stops Catalyst from duplicating the transport
+    // call when downstream projections reference _llm_raw several times —
+    // with a real endpoint a duplicated UDF means duplicate model calls.
     val callUdf = udf((p: String) => transport.complete(p).orNull)
+      .asNondeterministic()
     val needs = col("company") === "" || HtmlFns.is_generic_title(col("role"))
     val parsed = from_json(brace_slice(col("_llm_raw")), extractSchema)
     val gotAny = parsed.isNotNull &&
@@ -88,7 +92,9 @@ object Llm {
     * (line 1181); provenance `notes:{mode=llm|template}`. */
   def notesWithFallback(df: DataFrame, transport: LlmTransport,
                         promptCol: Column, useLlm: Boolean = true): DataFrame = {
+    // nondeterministic pin — same rationale as extractRescue's transport.
     val callUdf = udf((p: String) => transport.complete(p).orNull)
+      .asNondeterministic()
     val parsed = from_json(brace_slice(col("_notes_raw")), notesSchema)
     val ok = parsed.isNotNull &&
       coalesce(parsed.getField("invite"), lit("")) =!= "" &&

@@ -31,15 +31,16 @@ object Queues {
   }
 
   /** W1/P7: FIFO batch take — first `batchSize` queued rows in enqueue
-    * order (deterministic tiebreak on the key). */
-  def takeBatch(queue: DataFrame, batchSize: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("enqueued_at"), col("sheet_name"), col("row_index"))
+    * order (deterministic tiebreak on the key).
+    *
+    * `orderBy(...).limit(n)` plans as TakeOrderedAndProject: each task
+    * keeps its own n best rows and only those reach the final merge — no
+    * global sort, no single-task funnel (a bare `row_number().over(
+    * Window.orderBy(...))` would pull the whole queue through one task). */
+  def takeBatch(queue: DataFrame, batchSize: Int): DataFrame =
     queue.filter(col("status") === "queued")
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= batchSize)
-      .drop("_rn")
-  }
+      .orderBy(col("enqueued_at"), col("sheet_name"), col("row_index"))
+      .limit(batchSize)
 
   /** S10: drop processed rows — anti-join, no index arithmetic. */
   def removeProcessed(queue: DataFrame, processedKeys: DataFrame): DataFrame =

@@ -9,12 +9,24 @@ object GraftOps {
 
   /** Top-k rows per key via the [[TopKPerKey]] operator (bounded heap,
     * no sort). `order` columns use the usual `.desc`/`.asc` forms; plain
-    * columns default to ascending. Requires [[TopKPerKeyStrategy]] on the
-    * session (installed by [[graft.GraftExtensions]] or
-    * `spark.experimental.extraStrategies`). */
+    * columns default to ascending.
+    *
+    * Plans as TWO operators — a partial (map-side) top-k on the child's
+    * existing partitioning, then the final top-k after the exchange — so
+    * the shuffle carries at most k rows per key per upstream task instead
+    * of every candidate row. Per-task memory is bounded by
+    * #distinct-keys-in-task × k rows (no spill); keep k and key
+    * cardinality sized accordingly, as with any hash aggregation.
+    *
+    * Registers [[TopKPerKeyStrategy]] on the session if absent (also
+    * installed globally by [[graft.GraftExtensions]]). */
   def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],
                  k: Int): DataFrame = {
+    require(k > 0, s"topKPerKey: k must be positive, got $k")
     val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
     val keyExprs = keys.map(Bridge.expressionNow(spark, _))
     val orderExprs = order.map { c =>
       Bridge.expressionNow(spark, c) match {
@@ -23,6 +35,8 @@ object GraftOps {
       }
     }
     Bridge.ofRows(spark,
-      TopKPerKey(keyExprs, orderExprs, k, Bridge.logicalPlan(df)))
+      TopKPerKey(keyExprs, orderExprs, k,
+        TopKPerKey(keyExprs, orderExprs, k, Bridge.logicalPlan(df),
+          partial = true)))
   }
 }

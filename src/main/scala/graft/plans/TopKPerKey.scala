@@ -20,18 +20,25 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * so Catalyst plans the exchange (and AQE sizes it) like any aggregation.
   */
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-                      child: LogicalPlan) extends UnaryNode {
+                      child: LogicalPlan, partial: Boolean = false)
+    extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
 }
 
+/** `partial = true` is the map-side combine: no required distribution, so
+  * the heap runs on whatever partitioning the child already has and the
+  * downstream exchange carries at most k rows per key per task — the same
+  * partial/final split an aggregation gets, applied to top-k. */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-                          child: SparkPlan) extends UnaryExecNode {
+                          child: SparkPlan, partial: Boolean = false)
+    extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
@@ -74,8 +81,8 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
   * `spark.experimental.extraStrategies`. */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case TopKPerKey(keys, order, k, child, partial) =>
+      TopKPerKeyExec(keys, order, k, planLater(child), partial) :: Nil
     case _ => Nil
   }
 }

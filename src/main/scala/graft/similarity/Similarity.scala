@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFns
+import graft.plans.GraftOps
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (north-star scope, SURVEY.md §7.1 M8).
@@ -15,8 +16,24 @@ import graft.functions.VectorFns
   *  - [[lshTopK]]: hyperplane-LSH bucket join — at 100 TB the corpus is
   *    bucketed once (8-16 bits → 256-65k buckets) and each query probes
   *    only its bucket, trading recall for a ~2^bits fan-in reduction.
+  *
+  * Both paths cut to k via the [[graft.plans.TopKPerKey]] operator
+  * (bounded heap, partial top-k before the exchange) instead of a
+  * `row_number` window: the window formulation fully sorts every
+  * query's candidate list and shuffles all of it; the heap keeps the
+  * exchange at ≤ k rows per query per task. The residual rank window
+  * below runs over at most k rows per query.
   */
 object Similarity {
+
+  /** Rank the already-cut top-k rows (≤ k per query) deterministically. */
+  private def ranked(cut: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    cut.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "cosine")
+  }
 
   /** Exact cosine top-k: every query against every candidate, ranked per
     * query with a deterministic id tiebreak. */
@@ -26,28 +43,28 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "cand_id", "cosine")
+    ranked(GraftOps.topKPerKey(scored, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("cand_id")), k), k)
   }
 
   /** LSH-bucketed approximate top-k: queries only meet candidates in the
-    * same hyperplane bucket. Recall < 1, cost ~ corpus/2^planes per query. */
+    * same hyperplane bucket. Recall < 1, cost ~ corpus/2^planes per query.
+    * `portable = true` derives the hyperplanes from md5 instead of
+    * xxhash64 so any engine (the correctness oracle) can rebuild the
+    * buckets exactly; xxhash64 stays the scale-path default. */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              planes: Int = 8): DataFrame = {
+              planes: Int = 8, portable: Boolean = false): DataFrame = {
+    def bucket(v: Column) =
+      if (portable) VectorFns.hyperplane_bucket_portable(v, planes)
+      else VectorFns.hyperplane_bucket(v, planes)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-      VectorFns.hyperplane_bucket(col("embedding"), planes).as("bucket"))
+      bucket(col("embedding")).as("bucket"))
     val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-      VectorFns.hyperplane_bucket(col("embedding"), planes).as("bucket"))
+      bucket(col("embedding")).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "cand_id", "cosine")
+    ranked(GraftOps.topKPerKey(scored, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("cand_id")), k), k)
   }
 }

@@ -52,12 +52,26 @@ object SheetSources {
   }
 
   /** S3 create-if-absent queue source: read the queue dir if it exists,
-    * else an empty queue with the canonical schema. */
+    * else an empty queue with the canonical schema.
+    *
+    * The probe goes through Hadoop's `FileSystem` resolved from the
+    * session's configuration — so `hdfs://`, `s3a://`, and nested
+    * partition layouts all detect correctly (a `java.io.File` probe would
+    * silently report an existing remote queue as absent and re-admit all
+    * in-flight work at the next enqueue). */
   def queueSource(spark: SparkSession, path: String): DataFrame = {
     val schema = "sheet_name STRING, row_index INT, url STRING, " +
       "status STRING, tries INT, enqueued_at TIMESTAMP, last_error STRING"
-    val dir = new java.io.File(path)
-    if (dir.exists() && dir.listFiles().exists(_.getName.endsWith(".parquet")))
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasParquet = fs.exists(hPath) && {
+      val files = fs.listFiles(hPath, /* recursive = */ true)
+      var found = false
+      while (!found && files.hasNext)
+        found = files.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    if (hasParquet)
       spark.read.parquet(path)
     else
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
