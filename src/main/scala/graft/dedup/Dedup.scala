@@ -1,7 +1,9 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.{TextFns, VectorFns}
 
 /** Deduplication operators for training-data pipelines (north-star scope):
@@ -9,12 +11,23 @@ import graft.functions.{TextFns, VectorFns}
   *
   * Scale design (the part that matters at 100 TB):
   *  - exact dedup is one hash-shuffle on a 16-byte key (not the payload);
-  *  - MinHash/SimHash signatures are computed in a single projection, and
-  *    LSH banding turns the O(n²) candidate search into an equi-join on
-  *    band keys — only docs sharing a band ever meet, and AQE handles the
-  *    skewed "hot bucket" case;
-  *  - verification (true Jaccard / Hamming) runs only on candidate pairs;
+  *  - MinHash/SimHash signatures are computed in a single aggregation
+  *    pass, and LSH banding turns the O(n²) candidate search into an
+  *    equi-join on band keys — only docs sharing a band ever meet;
+  *  - the band/block self-joins carry ONLY (id, band-key): signatures are
+  *    joined back to the deduplicated pair list afterwards, so the wide
+  *    arrays never ride the candidate shuffle and each pair is scored
+  *    exactly once;
+  *  - n-gram Jaccard uses prefix filtering (AllPairs/PPJoin): candidates
+  *    come from a join on each doc's rarest shingles only — lossless for
+  *    the threshold, and hot-shingle skew no longer produces n² rows;
   *  - `id < id2` keeps each pair once and makes output deterministic.
+  *
+  * The signature families hash with codegen'd xxhash64 by default; each
+  * operator takes `portable = true` to hash via
+  * [[graft.functions.TextFns.portable_hash60]] (md5-derived) instead, so
+  * an independent engine — the DuckDB correctness oracle — can rebuild
+  * byte-identical signatures. Same plan shape, swappable hash.
   */
 object Dedup {
 
@@ -25,17 +38,24 @@ object Dedup {
       .groupBy("content_key")
       .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_copies"))
 
+  /** Per-seed shingle hash: the portable path hashes `"seed|shingle"`
+    * through md5 (engine-reproducible), the default path through
+    * seed-prefixed xxhash64 (codegen'd, the 100 TB choice). */
+  private def seedHash(seed: Int, shingle: Column, portable: Boolean): Column =
+    if (portable) TextFns.portable_hash60(concat(lit(seed), lit("|"), shingle))
+    else xxhash64(lit(seed), shingle)
+
   /** MinHash signatures via the single-pass aggregation shape: explode
     * shingles once, then ONE codegen'd groupBy computing all `numHashes`
     * mins together (vs. `numHashes` interpreted array passes per row —
     * 30× faster at sf0.1 and the right plan at 100 TB: partial min on the
     * map side means the shuffle carries `numHashes` longs per doc). */
   def minhashSignatures(docs: DataFrame, id: Column, text: Column,
-                        numHashes: Int): DataFrame = {
+                        numHashes: Int, portable: Boolean = false): DataFrame = {
     val shingled = docs.select(id.as("id"),
       explode(TextFns.word_shingles(text)).as("shingle"))
     val minCols = (0 until numHashes).map { seed =>
-      min(xxhash64(lit(seed), col("shingle"))).as(s"h$seed")
+      min(seedHash(seed, col("shingle"), portable)).as(s"h$seed")
     }
     shingled.groupBy("id").agg(minCols.head, minCols.tail: _*)
       .select(col("id"),
@@ -44,68 +64,138 @@ object Dedup {
 
   /** MinHash+LSH near-dup candidate pairs with verified signature overlap.
     * Returns (id_a, id_b, sig_agreement) for pairs sharing ≥1 band whose
-    * signature agreement ≥ `minAgreement` (agreement estimates Jaccard). */
+    * signature agreement ≥ `minAgreement` (agreement estimates Jaccard).
+    *
+    * Stage shape: the band self-join carries only (id, band-key) — never
+    * the signatures — then the pair list is deduplicated and signatures
+    * join back once, so each candidate pair is scored exactly once and
+    * the candidate shuffle stays `numHashes`-free. Signatures are
+    * persisted for the three uses (banding + two joins back); at
+    * production scale you'd keep that persist or write them to a table.
+    *
+    * `sig_agreement` is k/numHashes — a dyadic rational, exact in IEEE
+    * doubles on every engine, so it is safe to hash-compare. */
   def minhashPairs(docs: DataFrame, id: Column, text: Column,
                    numHashes: Int = 32, bands: Int = 8,
-                   minAgreement: Double = 0.5): DataFrame = {
+                   minAgreement: Double = 0.5,
+                   portable: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = minhashSignatures(docs, id, text, numHashes)
-    val banded = sigs.select(col("id"), col("sig"),
-      explode(TextFns.minhash_bands(col("sig"), bands, rowsPerBand)).as("bk"))
-    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("bk"))
-    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("bk"))
-    a.join(b, a("bk") === b("bk") && col("id_a") < col("id_b"))
+    val sigs = minhashSignatures(docs, id, text, numHashes, portable)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandKeys =
+      if (portable) TextFns.minhash_band_strings(col("sig"), bands, rowsPerBand)
+      else TextFns.minhash_bands(col("sig"), bands, rowsPerBand)
+    val banded = sigs.select(col("id"), explode(bandKeys).as("bk"))
+    val pairs = banded.select(col("id").as("id_a"), col("bk"))
+      .join(banded.select(col("id").as("id_b"), col("bk")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, lit(1.0)).otherwise(lit(0.0))),
           lit(0.0), (acc, v) => acc + v) / numHashes).as("sig_agreement"))
-      .distinct()
       .filter(col("sig_agreement") >= minAgreement)
   }
 
   /** SimHash signatures, same single-pass shape: hash each shingle once,
-    * take 64 per-bit majority votes in one codegen'd aggregation. */
-  def simhashSignatures(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    * take per-bit majority votes in one codegen'd aggregation. The
+    * portable variant votes over 60 bits (the md5-derived hash width);
+    * the default over xxhash64's full 64. */
+  def simhashSignatures(docs: DataFrame, id: Column, text: Column,
+                        portable: Boolean = false): DataFrame = {
+    val numBits = simhashBits(portable)
     val hashed = docs.select(id.as("id"),
       explode(TextFns.word_shingles(text)).as("shingle"))
-      .select(col("id"), xxhash64(col("shingle")).as("h"))
-    val voteCols = (0 until 64).map { b =>
+      .select(col("id"),
+        (if (portable) TextFns.portable_hash60(col("shingle"))
+         else xxhash64(col("shingle"))).as("h"))
+    val voteCols = (0 until numBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"v$b")
     }
     hashed.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
       .select(col("id"),
-        (0 until 64).map { b =>
+        (0 until numBits).map { b =>
           when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
         }.reduce(_.bitwiseOR(_)).as("sig"))
   }
 
-  /** SimHash near-dup pairs: docs whose 64-bit signatures are within
-    * `maxHamming` bits. Candidate blocking on the top `blockBits` bits
-    * avoids the all-pairs compare (near-identical docs share them). */
+  /** Signature width per hash family. */
+  def simhashBits(portable: Boolean): Int = if (portable) 60 else 64
+
+  /** SimHash near-dup pairs: docs whose signatures are within `maxHamming`
+    * bits.
+    *
+    * Candidate blocking is the pigeonhole scheme: the signature splits
+    * into `maxHamming + 1` disjoint blocks, and a pair within the Hamming
+    * budget must agree on at least one whole block — so an equi-join on
+    * (block-index, block-bits) finds EVERY qualifying pair (recall 1.0,
+    * unlike single-prefix blocking which misses pairs differing inside
+    * the prefix). Cost: blocks × n join rows instead of n². */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
-                   maxHamming: Int = 8, blockBits: Int = 16): DataFrame = {
-    val sigs = simhashSignatures(docs, id, text)
-      .withColumn("block", shiftright(col("sig"), 64 - blockBits))
-    val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"), col("block"))
-    val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"), col("block"))
-    a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
+                   maxHamming: Int = 8, portable: Boolean = false): DataFrame = {
+    val numBits = simhashBits(portable)
+    val blocks = maxHamming + 1
+    val sigs = simhashSignatures(docs, id, text, portable)
+    val blockKeys = array((0 until blocks).map { i =>
+      val start = i * numBits / blocks
+      val width = (i + 1) * numBits / blocks - start
+      val mask = (1L << width) - 1
+      struct(lit(i).as("blk"),
+        shiftright(col("sig"), start).bitwiseAND(lit(mask)).as("key"))
+    }: _*)
+    // sig is one long — cheap enough to ride the block join directly
+    // (the re-join trick buys nothing for an 8-byte payload)
+    val banded = sigs.select(col("id"), col("sig"), explode(blockKeys).as("bk"))
+    banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("bk"))
+      .join(banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("bk")),
+        Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .distinct()
       .withColumn("hamming", TextFns.hamming64(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Exact n-gram Jaccard for a pair set, via the explode/join shape that
-    * scales (shuffle on shingle, combine per pair) instead of array
-    * intersection on a cross join. */
+  /** Exact n-gram Jaccard pairs at threshold `minJaccard`, via prefix
+    * filtering (AllPairs/PPJoin): order each doc's shingles by global
+    * document frequency (rarest first), keep only the first
+    * ⌊(1−t)·n⌋ + 1 as the doc's "prefix", and generate candidates from a
+    * self-join on prefix shingles alone. Any pair with Jaccard ≥ t must
+    * share a prefix shingle (pigeonhole on the df-ordered lists), so the
+    * filter is lossless — and a stop-word-grade hot shingle no longer
+    * explodes into n² join rows, because a shingle that common is in
+    * nobody's rarest-first prefix. Exact Jaccard is then computed only
+    * for candidate pairs. */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
                         minJaccard: Double): DataFrame = {
     val shingled = docs.select(id.as("id"),
       explode(TextFns.word_shingles(text)).as("shingle")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = shingled.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val a = shingled.select(col("id").as("id_a"), col("shingle"))
-    val b = shingled.select(col("id").as("id_b"), col("shingle"))
-    val common = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+    val dfreq = shingled.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id").orderBy(col("df"), col("shingle"))
+    val prefix = shingled
+      .join(dfreq, Seq("shingle"))
+      .join(counts, Seq("id"))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <=
+        floor(lit(1.0 - minJaccard) * col("n_sh")).cast("int") + 1)
+      .select("id", "shingle")
+    val cand = prefix.select(col("id").as("id_a"), col("shingle"))
+      .join(prefix.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val common = cand
+      .join(shingled.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
     common
       .join(counts.withColumnRenamed("id", "id_a")
@@ -119,11 +209,16 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
-  /** Embedding-cosine near-dup pairs via hyperplane-LSH blocking. */
+  /** Embedding-cosine near-dup pairs via hyperplane-LSH blocking.
+    * `portable = true` derives the hyperplanes from md5 (oracle-
+    * replicable); default is xxhash64. */
   def embeddingPairs(vecs: DataFrame, id: Column, vec: Column,
-                     minCosine: Double = 0.95, planes: Int = 8): DataFrame = {
-    val bucketed = vecs.select(id.as("id"), vec.as("v"),
-      VectorFns.hyperplane_bucket(vec, planes).as("bucket"))
+                     minCosine: Double = 0.95, planes: Int = 8,
+                     portable: Boolean = false, dim: Int = 64): DataFrame = {
+    val bucket =
+      if (portable) VectorFns.hyperplane_bucket_portable(vec, planes, dim)
+      else VectorFns.hyperplane_bucket(vec, planes)
+    val bucketed = vecs.select(id.as("id"), vec.as("v"), bucket.as("bucket"))
     val a = bucketed.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
     val b = bucketed.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))

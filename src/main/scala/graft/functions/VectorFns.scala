@@ -53,20 +53,32 @@ object VectorFns {
     bits.reduce(_ + _)
   }
 
-  /** Engine-portable variant of [[hyperplane_bucket]]: the ±1 weight for
-    * (plane p, dimension i) comes from the low bit of
-    * [[graft.functions.TextFns.portable_hash60]] over `"p,i"`, so any
-    * engine with md5 rebuilds identical hyperplanes (the correctness
-    * oracle does). Weights are per-(plane,dim) literals folded at plan
-    * time — the md5 cost is O(planes × dim) once, not per row. */
-  def hyperplane_bucket_portable(vec: Column, planes: Int = 8): Column = {
-    import graft.functions.TextFns
+  /** The ±1 weight for (plane p, dimension i): the low bit of the first
+    * 15 hex chars of md5("p,i") — i.e. the low bit of
+    * [[graft.functions.TextFns.portable_hash60]] over the same string,
+    * which is just the low bit of hex digit 15. Computed driver-side so
+    * the weights become plan literals; the oracle recomputes the same
+    * bit in SQL. */
+  private[graft] def portableWeight(p: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p,$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if ((Integer.parseInt(hex.substring(14, 15), 16) & 1) == 1) 1.0 else -1.0
+  }
+
+  /** Engine-portable variant of [[hyperplane_bucket]]: the ±1 weights
+    * derive from md5 of "plane,dim" (see [[portableWeight]]), so any
+    * engine with md5 — the correctness oracle — rebuilds identical
+    * hyperplanes. Weights are plan-time literal arrays (`dim` must be the
+    * actual vector length); per row this is the same zip_with/aggregate
+    * fold as the xxhash64 path, with the same left-to-right double
+    * accumulation the oracle's list_sum uses. */
+  def hyperplane_bucket_portable(vec: Column, planes: Int = 8,
+                                 dim: Int = 64): Column = {
     val bits = (0 until planes).map { p =>
+      val weights = array((0 until dim).map(i => lit(portableWeight(p, i))): _*)
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-          x.cast("double") *
-            when(TextFns.portable_hash60(concat(lit(p), lit(","), i))
-              .bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))),
+        zip_with(vec, weights, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, shiftleft(lit(1), p)).otherwise(lit(0))
     }

@@ -4,12 +4,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
+import Dsl.{hex60Sql, shinglesCte}
 
 /** Deduplication operator demos over `documents`/`embeddings` (north-star
   * M8 scope): exact, n-gram Jaccard, MinHash+LSH, SimHash,
-  * embedding-cosine. Exact and Jaccard carry full DuckDB oracles; the
-  * xxhash64-based signature families (no DuckDB equivalent) are
-  * rows-checked by the driver and value-checked in unit tests. */
+  * embedding-cosine.
+  *
+  * Every query here carries a full DuckDB oracle. The signature families
+  * run in portable mode — hashes derive from md5
+  * ([[graft.functions.TextFns.portable_hash60]]), which the oracle
+  * replicates digit-by-digit in SQL ([[Dsl.hex60Sql]]) — so LSH banding,
+  * blocking, verification, and thresholds are all hash-compared, not just
+  * rows-counted. The xxhash64 fast path (identical plan shape, swapped
+  * hash) stays the production default and is value-checked in M8Spec. */
 object DedupQueries extends QueryModule {
 
   /** Exact dedup survivors: one row per distinct content hash. */
@@ -21,53 +28,119 @@ object DedupQueries extends QueryModule {
       |  COUNT(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
-  /** Exact word-3-gram Jaccard pairs ≥ 0.5 (the explode/join shape —
-    * shuffle on shingle, combine per pair — not an array cross join). */
+  /** Exact word-3-gram Jaccard pairs ≥ 0.5, prefix-filtered (lossless for
+    * the threshold, so the brute-force oracle below must agree exactly). */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(
       Tables.documents(s, dir),
       col("doc_id"), col("text"), minJaccard = 0.5)
 
   private val ngramJaccardSql =
-    """WITH docs AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks, text
-      |  FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, shingle
-      |  FROM docs, unnest(
-      |    CASE WHEN len(toks) < 3 THEN [trim(text)]
-      |         ELSE [array_to_string(toks[i:i+2], ' ')
-      |               for i in generate_series(1, len(toks) - 2)] END
-      |  ) AS u(shingle)),
-      |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-      |common AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT id_b, id_a, n_common,
-      |  CAST(n_common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE)
-      |    AS jaccard
-      |FROM common
-      |JOIN counts ca ON ca.doc_id = id_a
-      |JOIN counts cb ON cb.doc_id = id_b
-      |WHERE CAST(n_common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE)
-      |      >= 0.5""".stripMargin
+    s"""WITH $shinglesCte,
+       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       |common AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_b, id_a, n_common,
+       |  CAST(n_common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE)
+       |    AS jaccard
+       |FROM common
+       |JOIN counts ca ON ca.doc_id = id_a
+       |JOIN counts cb ON cb.doc_id = id_b
+       |WHERE CAST(n_common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE)
+       |      >= 0.5""".stripMargin
 
-  /** MinHash+LSH near-dup candidates (32 hashes, 8 bands, agreement ≥ .5). */
+  /** MinHash+LSH near-dup candidates (32 hashes, 8 bands, agreement ≥ .5),
+    * portable hashing. `sig_agreement` = k/32 is a dyadic rational —
+    * exact in doubles on both engines, no rounding needed. */
   private def minhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"))
-      .select(col("id_a"), col("id_b"),
-        round(col("sig_agreement"), 4).as("sig_agreement"))
+    Dedup.minhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
+      numHashes = 32, bands = 8, minAgreement = 0.5, portable = true)
 
-  /** SimHash near-dup candidates within 8 Hamming bits (16-bit blocking). */
+  private val minhashSql =
+    s"""WITH $shinglesCte,
+       |seeds AS (SELECT unnest(generate_series(0, 31)) AS seed),
+       |ph AS (
+       |  SELECT doc_id, seed,
+       |    ${hex60Sql("seed::VARCHAR || '|' || shingle")} AS h
+       |  FROM sh CROSS JOIN seeds),
+       |sig AS (SELECT doc_id, seed, MIN(h) AS mh FROM ph GROUP BY 1, 2),
+       |band AS (
+       |  SELECT doc_id,
+       |    (seed // 4)::VARCHAR || '|' ||
+       |      string_agg(mh::VARCHAR, '|' ORDER BY seed) AS bk
+       |  FROM sig GROUP BY doc_id, seed // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM band a JOIN band b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |agree AS (
+       |  SELECT c.id_a, c.id_b,
+       |    SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 AS sig_agreement
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.id_a
+       |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, sig_agreement FROM agree
+       |WHERE sig_agreement >= 0.5""".stripMargin
+
+  /** SimHash near-dup candidates within 8 Hamming bits, portable 60-bit
+    * hashing with recall-complete pigeonhole blocking (9 blocks). */
   private def simhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"))
+    Dedup.simhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
+      maxHamming = 8, portable = true)
 
-  /** Embedding-cosine near-dups via hyperplane-LSH blocking. */
+  private val simhashSql =
+    s"""WITH $shinglesCte,
+       |h AS (SELECT doc_id, ${hex60Sql("shingle")} AS h FROM sh),
+       |bits AS (SELECT unnest(generate_series(0, 59)) AS b),
+       |votes AS (
+       |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM h CROSS JOIN bits GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+       |      AS sig
+       |  FROM votes GROUP BY 1),
+       |blocks AS (SELECT unnest(generate_series(0, 8)) AS i),
+       |banded AS (
+       |  SELECT doc_id, sig, i,
+       |    (sig >> (i * 60 // 9)) &
+       |      ((1::BIGINT << ((i + 1) * 60 // 9 - i * 60 // 9)) - 1) AS key
+       |  FROM sig CROSS JOIN blocks),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.sig AS sig_a, b.sig AS sig_b
+       |  FROM banded a JOIN banded b
+       |    ON a.i = b.i AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8""".stripMargin
+
+  /** Embedding-cosine near-dups via portable hyperplane-LSH blocking
+    * (8 md5-derived ±1 hyperplanes over 64 dims). */
   private def embedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(Tables.embeddings(s, dir), col("vec_id"),
-      col("embedding"), minCosine = 0.4)
+      col("embedding"), minCosine = 0.4, planes = 8, portable = true, dim = 64)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+
+  private val embeddingSql = {
+    val bucket = OracleVectors.bucketSql(planes = 8, dim = 64)
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |cand AS (
+       |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.v AS v_a, b2.v AS v_b
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    list_inner_product(v_a, v_b) /
+       |      (sqrt(list_inner_product(v_a, v_a)) *
+       |       sqrt(list_inner_product(v_b, v_b))) AS cosine
+       |  FROM cand)
+       |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM scored
+       |WHERE cosine >= 0.4""".stripMargin
+  }
 
   /** Dedup by canonical URL (the reference's own dedup key, F12+A1):
     * tracking-param variants of the same posting collapse to one survivor. */
@@ -101,5 +174,28 @@ object DedupQueries extends QueryModule {
   def oracles: Map[String, String] = Map(
     "m8_dedup_canonical_url" -> canonicalUrlDedupSql,
     "m8_dedup_exact"         -> exactSql,
-    "m8_dedup_ngram_jaccard" -> ngramJaccardSql)
+    "m8_dedup_ngram_jaccard" -> ngramJaccardSql,
+    "m8_dedup_minhash"       -> minhashSql,
+    "m8_dedup_simhash"       -> simhashSql,
+    "m8_dedup_embedding"     -> embeddingSql)
+}
+
+/** Oracle-side rendering of the portable hyperplane weights: the same
+  * md5-derived ±1 values [[graft.functions.VectorFns.portableWeight]]
+  * uses, interpolated as literal arrays so DuckDB's `list_inner_product`
+  * reproduces the projection with identical left-to-right accumulation.
+  * (The weights are data-independent algorithm constants, like the
+  * threshold; the hash→weight derivation itself is covered by the
+  * minhash/simhash oracles, which recompute md5 fully in SQL.) */
+private[queries] object OracleVectors {
+  def weightsSql(p: Int, dim: Int): String =
+    (0 until dim).map { i =>
+      if (graft.functions.VectorFns.portableWeight(p, i) > 0) "1.0" else "-1.0"
+    }.mkString("[", ", ", "]")
+
+  def bucketSql(planes: Int, dim: Int): String =
+    (0 until planes).map { p =>
+      s"(CASE WHEN list_inner_product(v, ${weightsSql(p, dim)}) > 0" +
+        s" THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 }

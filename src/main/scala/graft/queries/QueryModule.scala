@@ -39,4 +39,29 @@ object Dsl {
     * engines. Matches SQL `CAST(SUM(CAST(x AS DECIMAL(18,n))) AS DOUBLE)`. */
   def dsum2d(c: Column): Column = dsum2(c).cast("double")
   def dsum4d(c: Column): Column = dsum4(c).cast("double")
+
+  /** DuckDB-side replica of [[graft.functions.TextFns.portable_hash60]]:
+    * the first 15 hex chars of md5(`expr`) as a BIGINT, via positional
+    * hex-digit arithmetic with integer shifts (a `16^k` power would go
+    * through DOUBLE and lose exactness above 2^53). Values < 2^60 fit a
+    * BIGINT with no overflow. */
+  def hex60Sql(expr: String): String =
+    s"CAST(list_sum([(strpos('0123456789abcdef', md5($expr)[i]) - 1)::BIGINT" +
+      " << (4*(15-i)) for i in generate_series(1,15)]) AS BIGINT)"
+
+  /** The documents→distinct word-3-shingles CTE body shared by the dedup
+    * oracles (mirrors `TextFns.word_shingles`: distinct 3-word windows,
+    * whole trimmed text when shorter than 3 tokens). Emits CTEs `docs`
+    * and `sh(doc_id, shingle)`. */
+  val shinglesCte: String =
+    """docs AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks, text
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle
+      |  FROM docs, unnest(
+      |    CASE WHEN len(toks) < 3 THEN [trim(text)]
+      |         ELSE [array_to_string(toks[i:i+2], ' ')
+      |               for i in generate_series(1, len(toks) - 2)] END
+      |  ) AS u(shingle))""".stripMargin
 }

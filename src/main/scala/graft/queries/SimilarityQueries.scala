@@ -8,11 +8,12 @@ import graft.similarity.Similarity
 /** Similarity-search demos over `embeddings` (north-star M8 scope).
   *
   * The brute-force query broadcasts a small query set over the corpus —
-  * rank output is oracle-checked against DuckDB's list_cosine_similarity
-  * (cosine itself is float-order-sensitive, so the *value* is rounded and
-  * the ranking carries the correctness signal). The LSH variant is the
-  * 100 TB path (bucket join instead of cross join); its recall vs brute
-  * force is asserted in unit tests. */
+  * rank output is oracle-checked against DuckDB (cosine itself is
+  * float-order-sensitive, so the *value* is rounded and the ranking
+  * carries the correctness signal). The LSH variant is the 100 TB path
+  * (bucket join instead of cross join); it runs in portable-hyperplane
+  * mode so the oracle rebuilds the buckets and ranking exactly, and its
+  * xxhash64 fast path's recall is asserted in unit tests. */
 object SimilarityQueries extends QueryModule {
 
   private val K = 5
@@ -46,12 +47,36 @@ object SimilarityQueries extends QueryModule {
        |SELECT query_id, CAST(rank AS INT) AS rank, cand_id, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= $K""".stripMargin
 
-  /** Hyperplane-LSH approximate top-5 (bucketed join — the scale path). */
+  /** Hyperplane-LSH approximate top-5 (bucketed join — the scale path),
+    * portable hyperplanes so the oracle rebuilds the buckets exactly. */
   private def topkLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    Similarity.lshTopK(emb.filter(col("vec_id") < 8), emb, K, planes = 4)
+    Similarity.lshTopK(emb.filter(col("vec_id") < 8), emb, K, planes = 4,
+      portable = true)
       .select(col("query_id"), col("rank"), col("cand_id"),
         round(col("cosine"), 6).as("cosine"))
+  }
+
+  private val topkLshSql = {
+    val bucket = OracleVectors.bucketSql(planes = 4, dim = 64)
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS cand_id,
+       |    list_inner_product(q.qv, c.v) /
+       |      (sqrt(list_inner_product(q.qv, q.qv)) *
+       |       sqrt(list_inner_product(c.v, c.v))) AS cosine
+       |  FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, cand_id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= $K""".stripMargin
   }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -59,5 +84,6 @@ object SimilarityQueries extends QueryModule {
     "m8_sim_topk_lsh"        -> topkLsh _)
 
   def oracles: Map[String, String] = Map(
-    "m8_sim_topk_bruteforce" -> topkBruteSql)
+    "m8_sim_topk_bruteforce" -> topkBruteSql,
+    "m8_sim_topk_lsh"        -> topkLshSql)
 }
