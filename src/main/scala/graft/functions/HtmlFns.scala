@@ -38,14 +38,13 @@ object HtmlFns {
       "\\s+", " "))
 
   /** F9 `stripEmojis_`: drop emoji/pictographs + variation selectors
-    * (`code-LLM-intergration.js:569-577`). Java 17 regex has no
-    * `Extended_Pictographic` property, so we use the reference's own
-    * documented fallback ranges plus the astral emoji blocks
-    * (U+1F000–U+1FAFF), which Java reaches via `\x{…}`. */
+    * (`code-LLM-intergration.js:569-577`) with exact
+    * `Extended_Pictographic` parity via the custom codegen'd expression
+    * [[graft.expressions.StripEmojis]] (Java 17 regex lacks the
+    * property; the reference's primary `\p{Extended_Pictographic}` path
+    * is the semantic, not its range fallback). */
   def strip_emojis(s: Column): Column =
-    regexp_replace(s,
-      "[\\u2190-\\u21FF\\u2300-\\u23FF\\u2460-\\u27BF\\u2B00-\\u2BFF" +
-      "\\u2600-\\u26FF\\uFE0F\\x{1F000}-\\x{1FAFF}]", "")
+    graft.expressions.StripEmojis.strip_emojis(s)
 
   /** F10 `decodeHtml_`: decode exactly the 5 common entities — NOT a full
     * entity decoder, by design (`code-LLM-intergration.js:580-584`). */

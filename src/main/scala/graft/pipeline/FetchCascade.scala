@@ -30,6 +30,38 @@ object FetchCascade {
   val GhUrlRe = "(?i)https?://(?:boards|job-boards)\\.greenhouse\\.io/([^/?#]+)/jobs/(\\d+)"
   val LeverUrlRe = "(?i)https?://jobs\\.lever\\.co/([^/?#]+)/([^/?#]+)"
 
+  /** S8 paid-scraper provider selection (reference `fetchRendered_`,
+    * `apps-scripts/code-Extractor-withoutLLM.js:231-266`): strictly
+    * first-CONFIGURED-wins — ScrapingBee if its key is set, else
+    * scrape.do if its token is set, else a direct fetch. A configured
+    * paid provider that answers ≥400 THROWS (`'Bee <status>: <body>'` /
+    * `'Scrape.do <status>: <body>'`, body sliced to 300) rather than
+    * falling through; the catch writes status `error` with the message
+    * sliced to 200 (line 208). Direct never throws. Re-expressed as one
+    * projection over per-row config/fixture columns: adds `provider`,
+    * `fetch_status`, `status`, `last_error`. */
+  def paidProviderFetch(df: DataFrame, beeConfigured: Column,
+                        doConfigured: Column, beeStatus: Column,
+                        doStatus: Column, directStatus: Column,
+                        errorBody: Column): DataFrame = {
+    val provider = when(beeConfigured, lit("scrapingbee"))
+      .when(doConfigured, lit("scrape.do"))
+      .otherwise(lit("direct"))
+    val status = when(beeConfigured, beeStatus)
+      .when(doConfigured, doStatus)
+      .otherwise(directStatus)
+    val ok = provider === "direct" || status < 400
+    val thrown = when(provider === "scrapingbee",
+        concat(lit("Bee "), status, lit(": "), substring(errorBody, 1, 300)))
+      .otherwise(
+        concat(lit("Scrape.do "), status, lit(": "), substring(errorBody, 1, 300)))
+    df.withColumn("provider", provider)
+      .withColumn("fetch_status", status)
+      .withColumn("status", when(ok, lit("ok")).otherwise(lit("error")))
+      .withColumn("last_error",
+        when(ok, lit("")).otherwise(substring(thrown, 1, 200)))
+  }
+
   /** Project the fixture side once, precomputing the useful-signal
     * predicates (each is ~8 regexes over the page) so the cascade's
     * when-ladder reads two booleans instead of re-deriving them per

@@ -411,7 +411,157 @@ object EtlQueries extends QueryModule {
       |                       ORDER BY ts DESC, event_id DESC) AS rn
       |  FROM events) t WHERE rn = 1""".stripMargin
 
+  /** P7: FIFO batch take over a synthesized queue — first 100 queued rows
+    * by (enqueued_at, sheet_name, row_index). Plans as
+    * TakeOrderedAndProject (see [[graft.pipeline.Queues.takeBatch]]). */
+  private def p7TakeBatch(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val queue = Tables.orders(s, dir).select(
+      col("o_orderpriority").as("sheet_name"),
+      k.as("row_index"),
+      when(k % 3 === 0, lit("queued")).when(k % 3 === 1, lit("processing"))
+        .otherwise(lit("ok")).as("status"),
+      timestamp_seconds(k % 100000).as("enqueued_at"))
+    graft.pipeline.Queues.takeBatch(queue, 100)
+  }
+
+  private val p7Sql =
+    """SELECT o_orderpriority AS sheet_name, o_orderkey AS row_index,
+      |  'queued' AS status,
+      |  make_timestamp((o_orderkey % 100000) * 1000000) AS enqueued_at
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |ORDER BY enqueued_at, sheet_name, row_index LIMIT 100""".stripMargin
+
+  /** S10: queue cleanup — drop rows whose key appears in the processed
+    * set, as an anti-join (order-free, unlike the reference's bottom-up
+    * index deletes). */
+  private def s10RemoveProcessed(s: SparkSession, dir: String): DataFrame = {
+    val queue = Tables.orders(s, dir).select(
+      col("o_orderpriority").as("sheet_name"),
+      col("o_orderkey").as("row_index"), col("o_orderstatus"))
+    val processed = queue.filter(col("o_orderstatus") === "F")
+      .select("sheet_name", "row_index")
+    graft.pipeline.Queues.removeProcessed(queue, processed)
+      .groupBy("sheet_name").agg(count(lit(1)).as("n_remaining"))
+  }
+
+  private val s10Sql =
+    """SELECT o_orderpriority AS sheet_name, COUNT(*) AS n_remaining
+      |FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM orders p
+      |  WHERE p.o_orderstatus = 'F'
+      |    AND p.o_orderpriority = o.o_orderpriority
+      |    AND p.o_orderkey = o.o_orderkey)
+      |GROUP BY 1""".stripMargin
+
+  /** V3: per-row error capture — failing rows get status `error` and the
+    * message truncated to 300 chars (reference
+    * `code-LLM-intergration.js:915-917`); the long body exercises the
+    * truncation boundary. */
+  private def v3ErrorCapture(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val fails = k % 7 === 0
+    val err = concat(lit("Error: fetch failed: "),
+      repeat(concat(lit("backend unavailable ("), col("o_orderpriority"),
+        lit("); ")), 12))
+    Tables.orders(s, dir).select(
+      k.as("o_orderkey"),
+      when(fails, lit("error")).otherwise(lit("ok")).as("status"),
+      when(fails, Provenance.error_message(err, 300))
+        .otherwise(lit("")).as("last_error"))
+  }
+
+  private val v3Sql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN 'error' ELSE 'ok' END AS status,
+      |  CASE WHEN o_orderkey % 7 = 0
+      |       THEN substring('Error: fetch failed: ' ||
+      |              repeat('backend unavailable (' || o_orderpriority || '); ', 12),
+      |            1, 300)
+      |       ELSE '' END AS last_error
+      |FROM orders""".stripMargin
+
+  /** S8: paid-scraper provider selection — first-configured-wins with
+    * throw-on-≥400 (no fall-through), per the reference's
+    * `fetchRendered_`. Three per-row config tiers exercise every branch:
+    * both keys set, scrape.do only, none (direct). */
+  private def s8ProviderCascade(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    import graft.pipeline.FetchCascade
+    FetchCascade.paidProviderFetch(
+      Tables.orders(s, dir),
+      beeConfigured = k % 3 === 0,
+      doConfigured = k % 3 === 1,
+      beeStatus = when(k % 5 === 0, lit(500)).otherwise(lit(200)),
+      doStatus = when(k % 4 === 0, lit(429)).otherwise(lit(200)),
+      directStatus = when(k % 2 === 0, lit(200)).otherwise(lit(404)),
+      errorBody = repeat(concat(lit("upstream said no ("),
+        col("o_orderpriority"), lit("); ")), 15))
+      .select("o_orderkey", "provider", "fetch_status", "status", "last_error")
+  }
+
+  private val s8Sql =
+    """WITH cfg AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN 'scrapingbee'
+      |         WHEN o_orderkey % 3 = 1 THEN 'scrape.do'
+      |         ELSE 'direct' END AS provider,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN
+      |           CASE WHEN o_orderkey % 5 = 0 THEN 500 ELSE 200 END
+      |         WHEN o_orderkey % 3 = 1 THEN
+      |           CASE WHEN o_orderkey % 4 = 0 THEN 429 ELSE 200 END
+      |         ELSE CASE WHEN o_orderkey % 2 = 0 THEN 200 ELSE 404 END
+      |    END AS fetch_status,
+      |    repeat('upstream said no (' || o_orderpriority || '); ', 15) AS body
+      |  FROM orders)
+      |SELECT o_orderkey, provider, fetch_status,
+      |  CASE WHEN provider = 'direct' OR fetch_status < 400
+      |       THEN 'ok' ELSE 'error' END AS status,
+      |  CASE WHEN provider = 'direct' OR fetch_status < 400 THEN ''
+      |       WHEN provider = 'scrapingbee'
+      |       THEN substring('Bee ' || fetch_status || ': ' ||
+      |              substring(body, 1, 300), 1, 200)
+      |       ELSE substring('Scrape.do ' || fetch_status || ': ' ||
+      |              substring(body, 1, 300), 1, 200)
+      |  END AS last_error
+      |FROM cfg""".stripMargin
+
+  /** F9: Extended_Pictographic strip via the custom codegen'd expression —
+    * true pictographs and U+FE0F go, while non-pictographic symbols
+    * (②, ☆) and CJK stay, exactly like the reference's
+    * `\p{Extended_Pictographic}` path. Oracle renders the same UCD range
+    * table as an RE2 class. */
+  private def f9StripEmojis(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val title =
+      when(k % 5 === 0, lit("🚀 Launch Engineer ✨"))
+      .when(k % 5 === 1, lit("Data ②nd tier ☆"))
+      .when(k % 5 === 2, lit("Backend ❤️ dev"))
+      .when(k % 5 === 3, lit("日本語 エンジニア"))
+      .otherwise(lit("Plain role"))
+    Tables.orders(s, dir).select(k.as("o_orderkey"),
+      HtmlFns.strip_emojis(title).as("cleaned"))
+  }
+
+  private val f9Sql = {
+    val cls = graft.expressions.StripEmojis.duckdbClass
+    s"""SELECT o_orderkey,
+       |  regexp_replace(
+       |    CASE WHEN o_orderkey % 5 = 0 THEN '🚀 Launch Engineer ✨'
+       |         WHEN o_orderkey % 5 = 1 THEN 'Data ②nd tier ☆'
+       |         WHEN o_orderkey % 5 = 2 THEN 'Backend ❤️ dev'
+       |         WHEN o_orderkey % 5 = 3 THEN '日本語 エンジニア'
+       |         ELSE 'Plain role' END,
+       |    '$cls', '', 'g') AS cleaned
+       |FROM orders""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f9_strip_emojis"    -> f9StripEmojis _,
+    "p7_take_batch"      -> p7TakeBatch _,
+    "s10_remove_processed" -> s10RemoveProcessed _,
+    "v3_error_capture"   -> v3ErrorCapture _,
+    "s8_provider_cascade" -> s8ProviderCascade _,
     "f1_host_from_url"   -> f1HostFromUrl _,
     "f8_guess_company"   -> f8GuessCompany _,
     "f12_canonical_url"  -> f12Canonical _,
@@ -433,6 +583,11 @@ object EtlQueries extends QueryModule {
     "w3_latest_wins"         -> w3LatestWins _)
 
   def oracles: Map[String, String] = Map(
+    "f9_strip_emojis"    -> f9Sql,
+    "p7_take_batch"      -> p7Sql,
+    "s10_remove_processed" -> s10Sql,
+    "v3_error_capture"   -> v3Sql,
+    "s8_provider_cascade" -> s8Sql,
     "f1_host_from_url"   -> f1Sql,
     "f8_guess_company"   -> f8Sql,
     "f12_canonical_url"  -> f12Sql,

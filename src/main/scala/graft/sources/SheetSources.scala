@@ -51,6 +51,23 @@ object SheetSources {
     withAll.select(canonical.map(col): _*)
   }
 
+  /** S2/S3 damaged-header self-repair (reference `getNotesQueueSheet_`,
+    * `apps-scripts/code-LLM-intergration.js:111-119`): if the first
+    * header cell no longer matches the expected first canonical name
+    * (case-insensitive contains), somebody overwrote the header row —
+    * silently restore it by renaming the first N columns positionally to
+    * the canonical names. Columns past the canonical width keep their
+    * names (normalize() tolerates extras). Pure metadata work: no scan,
+    * no shuffle, pushdown-transparent. */
+  def repairHeader(df: DataFrame,
+                   canonical: Seq[String] = TrackerColumns): DataFrame = {
+    val looksIntact = df.columns.headOption.exists(
+      _.toLowerCase.contains(canonical.head.toLowerCase))
+    if (looksIntact) df
+    else df.columns.take(canonical.length).zip(canonical)
+      .foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+  }
+
   /** S3 create-if-absent queue source: read the queue dir if it exists,
     * else an empty queue with the canonical schema.
     *

@@ -83,6 +83,19 @@ class FunctionsSpec extends SparkSpec {
     assert(evalStr("日本語 intact", HtmlFns.strip_emojis) == "日本語 intact")
   }
 
+  test("strip_emojis has exact Extended_Pictographic boundaries") {
+    import graft.expressions.StripEmojis
+    // non-pictographic symbols survive: circled digit, white star, arrows
+    assert(evalStr("Data ②nd tier ☆ ←", HtmlFns.strip_emojis) == "Data ②nd tier ☆ ←")
+    // boundary checks against the UCD table: 2605 in, 2606 out, 2607 in
+    assert(StripEmojis.isPictographic(0x2605) && !StripEmojis.isPictographic(0x2606)
+      && StripEmojis.isPictographic(0x2607))
+    assert(StripEmojis.isPictographic(0x1FAFF) && !StripEmojis.isPictographic(0x1FB00))
+    // astral pictographs removed, surrogate-safe
+    assert(evalStr("a🧠b🪐c", HtmlFns.strip_emojis) == "abc")
+    assert(StripEmojis.strip("🚀") == "")
+  }
+
   test("text_preview drops script/style, strips tags, truncates") {
     val html = "<html><script>var x=1;</script><style>.a{}</style><p>Hello   <b>world</b></p></html>"
     assert(evalStr(html, c => HtmlFns.text_preview(c, 1200)) == "Hello world")

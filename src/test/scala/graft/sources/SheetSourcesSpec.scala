@@ -40,6 +40,21 @@ class SheetSourcesSpec extends SparkSpec {
     assert(normalized.collect()(0).getAs[String]("link") == "a")
   }
 
+  test("damaged headers are repaired positionally, intact ones untouched") {
+    val damaged = Seq(("t1", 2, "init", "queued", "now", ""))
+      .toDF("Column1", "Column2", "Column3", "Column4", "Column5", "Column6")
+    val repaired = SheetSources.repairHeader(damaged,
+      Seq("sheet_name", "row_index", "phase", "status", "enqueued_at", "last_error"))
+    assert(repaired.columns.toSeq ==
+      Seq("sheet_name", "row_index", "phase", "status", "enqueued_at", "last_error"))
+    assert(repaired.collect()(0).getAs[String]("sheet_name") == "t1")
+    // case-insensitive contains → already-good headers pass through unrenamed
+    val intact = Seq(("t1", 2)).toDF("Sheet_Name", "row_index")
+    assert(SheetSources.repairHeader(intact,
+      Seq("sheet_name", "row_index")).columns.toSeq ==
+      Seq("Sheet_Name", "row_index"))
+  }
+
   test("queue source: empty schema when absent, data when present") {
     val dir = Files.createTempDirectory("graft_q").toString + "/queue"
     val empty = SheetSources.queueSource(spark, dir)
