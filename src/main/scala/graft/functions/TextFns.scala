@@ -133,11 +133,14 @@ object TextFns {
 
   /** Engine-portable 60-bit hash: the first 15 hex chars of md5(s) as a
     * long. Any engine with md5 recomputes it byte-identically (DuckDB:
-    * positional hex-digit arithmetic) — used by the correctness gate to
-    * replicate signature pipelines exactly. The codegen'd xxhash64 family
-    * stays the scale-path default. */
+    * positional hex-digit arithmetic, [[graft.queries.Dsl.hex60Sql]]) —
+    * used by the correctness gate to replicate signature pipelines
+    * exactly. Backed by the native codegen'd expression
+    * [[graft.expressions.PortableHash60]] (digest bytes → long directly,
+    * no hex render / string parse). The codegen'd xxhash64 family stays
+    * the scale-path default. */
   def portable_hash60(s: Column): Column =
-    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.expressions.PortableHash60.portable_hash60(s)
 
   /** 64-bit SimHash over word shingles: per-bit majority vote of shingle
     * hashes. Near-dup docs differ in few bits (Hamming distance).

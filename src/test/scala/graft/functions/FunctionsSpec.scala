@@ -83,6 +83,21 @@ class FunctionsSpec extends SparkSpec {
     assert(evalStr("日本語 intact", HtmlFns.strip_emojis) == "日本語 intact")
   }
 
+  test("portable_hash60 equals the hex-prefix-of-md5 reference definition") {
+    import org.apache.spark.sql.functions.{conv, md5, substring, lit}
+    val samples = Seq("", "a", "hello world", "0|the quick brown",
+      "日本語", "x" * 500)
+    samples.foreach { s =>
+      val viaExpr = eval1(graft.functions.TextFns.portable_hash60(lit(s)))
+        .asInstanceOf[Long]
+      val viaSql = eval1(
+        conv(substring(md5(lit(s).cast("binary")), 1, 15), 16, 10).cast("long"))
+        .asInstanceOf[Long]
+      assert(viaExpr == viaSql, s"mismatch for '$s'")
+      assert(viaExpr >= 0L)
+    }
+  }
+
   test("strip_emojis has exact Extended_Pictographic boundaries") {
     import graft.expressions.StripEmojis
     // non-pictographic symbols survive: circled digit, white star, arrows
