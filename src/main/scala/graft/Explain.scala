@@ -15,12 +15,41 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (args.nonEmpty) args.toSeq
-      else Seq("agg_pricing_summary", "join_star_schema", "join_broadcast_dim")
-    names.foreach { n =>
-      println(s"===== $n =====")
-      SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")
+    if (args.headOption.contains("audit")) audit(spark)
+    else {
+      val names = if (args.nonEmpty) args.toSeq
+        else Seq("agg_pricing_summary", "join_star_schema", "join_broadcast_dim")
+      names.foreach { n =>
+        println(s"===== $n =====")
+        SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")
+      }
     }
     spark.stop()
+  }
+
+  /** One-line pass/fail for the plan properties the 100 TB design
+    * depends on (DESIGN.md cites these): TakeOrderedAndProject for the
+    * queue take, the partial+final TopKPerKey split, scan pruning,
+    * broadcast dims, whole-stage codegen over custom expressions,
+    * shuffle-free pure projections, persisted MinHash signatures. */
+  private def audit(spark: SparkSession): Unit = {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+    println("p7_take_batch TakeOrderedAndProject: " +
+      plan("p7_take_batch").contains("TakeOrderedAndProject"))
+    println("sim_topk TopKPerKey operators (expect 2 = partial+final): " +
+      "TopKPerKey \\[".r.findAllIn(plan("m8_sim_topk_bruteforce")).length)
+    println("token_count " +
+      "ReadSchema: [^\n]*".r.findFirstIn(plan("m8_token_count"))
+        .getOrElse("ReadSchema: ?"))
+    println("join_broadcast_dim BroadcastHashJoin: " +
+      plan("join_broadcast_dim").contains("BroadcastHashJoin"))
+    println("f9_strip_emojis whole-stage codegen (*(n) spans): " +
+      plan("f9_strip_emojis").contains("*(1)"))
+    println("v3_error_capture shuffle-free: " +
+      !plan("v3_error_capture").contains("Exchange"))
+    println("minhash InMemoryTableScan (persisted sigs): " +
+      plan("m8_dedup_minhash").contains("InMemoryTableScan"))
   }
 }

@@ -107,7 +107,37 @@ object StreamingQueries extends QueryModule {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       |FROM sessions GROUP BY 1, 2""".stripMargin
 
+  /** T4 two-stage handoff (batch analog of the parse-queue → notes-queue
+    * pipeline, reference §T4; streaming twin in
+    * `graft.streaming.EventStreams.twoStageHandoff`): stage 1 keeps rows
+    * that parsed ok and still need notes, stage 2 hands them to the notes
+    * queue through the idempotent enqueue (validity gate + anti-join
+    * against in-flight rows). */
+  private def t4TwoStageHandoff(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val parsed = Tables.orders(s, dir).select(
+      col("o_orderpriority").as("sheet_name"), k.as("row_index"),
+      concat(lit("https://jobs.example.com/post/"), k).as("url"),
+      when(k % 3 === 0, lit("ok")).otherwise(lit("error")).as("status"),
+      (k % 4 === 1).as("has_notes"))
+    val needNotes = parsed
+      .filter(col("status") === "ok" && !col("has_notes"))
+      .select("sheet_name", "row_index", "url")
+    val notesQueue = Tables.orders(s, dir).filter(k % 9 === 0)
+      .select(col("o_orderpriority").as("sheet_name"), k.as("row_index"),
+        lit("queued").as("status"))
+    graft.pipeline.Queues.enqueue(needNotes, notesQueue)
+      .groupBy("sheet_name").agg(count(lit(1)).as("n_handed_off"))
+  }
+
+  private val t4Sql =
+    """SELECT o_orderpriority AS sheet_name, COUNT(*) AS n_handed_off
+      |FROM orders
+      |WHERE o_orderkey % 3 = 0 AND o_orderkey % 4 <> 1 AND o_orderkey % 9 <> 0
+      |GROUP BY 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t4_two_stage_handoff" -> t4TwoStageHandoff _,
     "t_window_tumbling" -> tumbling _,
     "t_window_sliding"  -> sliding _,
     "t5_stream_dedup"   -> streamDedup _,
@@ -115,6 +145,7 @@ object StreamingQueries extends QueryModule {
     "t_sessionize"      -> sessionize _)
 
   def oracles: Map[String, String] = Map(
+    "t4_two_stage_handoff" -> t4Sql,
     "t_window_tumbling" -> tumblingSql,
     "t_window_sliding"  -> slidingSql,
     "t5_stream_dedup"   -> streamDedupSql,
