@@ -192,4 +192,26 @@ class PipelineSpec extends SparkSpec {
     assert(out("p2").getString(1) == "Kept Co" && out("p2").getDouble(3) == 0.7)
     assert(out("p2").isNullAt(4))
   }
+
+  test("llm transport is invoked at most once per row (plan-level pin)") {
+    // the raw completion feeds several downstream projections; the
+    // nondeterministic pin must stop Catalyst from duplicating the call —
+    // with a real endpoint a duplicated UDF is a duplicated model bill
+    val rows = Seq(("p1", "", "Job Details", 0.15, ""))
+      .toDF("prompt", "company", "role", "conf", "source")
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    // count actual executor-side invocations through an accumulator
+    val acc = spark.sparkContext.longAccumulator("llm_calls")
+    val transport = Llm.FixtureTransport { p =>
+      acc.add(1)
+      Some("""{"company":"C","role":"R"}""")
+    }
+    Llm.extractRescue(rows, transport, col("prompt")).collect()
+    assert(acc.value == 1L, s"transport called ${acc.value}x for 1 row")
+    val plan = Llm.extractRescue(rows, transport, col("prompt"))
+      .queryExecution.executedPlan.toString
+    assert("UDF".r.findAllIn(plan).length <= 1,
+      "plan duplicates the transport UDF")
+    assert(calls.get() == 0) // sanity: local counter untouched (serialized closure)
+  }
 }
