@@ -38,26 +38,32 @@ object Dedup {
       .groupBy("content_key")
       .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-seed shingle hash: the portable path hashes `"seed|shingle"`
-    * through md5 (engine-reproducible), the default path through
-    * seed-prefixed xxhash64 (codegen'd, the 100 TB choice). */
-  private def seedHash(seed: Int, shingle: Column, portable: Boolean): Column =
-    if (portable) TextFns.portable_hash60(concat(lit(seed), lit("|"), shingle))
-    else xxhash64(lit(seed), shingle)
-
   /** MinHash signatures via the single-pass aggregation shape: explode
     * shingles once, then ONE codegen'd groupBy computing all `numHashes`
     * mins together (vs. `numHashes` interpreted array passes per row —
     * 30× faster at sf0.1 and the right plan at 100 TB: partial min on the
-    * map side means the shuffle carries `numHashes` longs per doc). */
+    * map side means the shuffle carries `numHashes` longs per doc).
+    *
+    * The default path seeds xxhash64 per slot (codegen'd, the 100 TB
+    * choice); the portable path digests each shingle ONCE and derives all
+    * slots by double hashing ([[graft.expressions.PortableMinHashes]]),
+    * so the md5 cost is per-shingle, not per-shingle-per-seed. */
   def minhashSignatures(docs: DataFrame, id: Column, text: Column,
                         numHashes: Int, portable: Boolean = false): DataFrame = {
     val shingled = docs.select(id.as("id"),
       explode(TextFns.word_shingles(text)).as("shingle"))
+    val hashed =
+      if (portable) shingled.select(col("id"),
+        graft.expressions.PortableMinHashes
+          .portable_minhashes(col("shingle"), numHashes).as("hs"))
+      else shingled
     val minCols = (0 until numHashes).map { seed =>
-      min(seedHash(seed, col("shingle"), portable)).as(s"h$seed")
+      val slot =
+        if (portable) element_at(col("hs"), seed + 1)
+        else xxhash64(lit(seed), col("shingle"))
+      min(slot).as(s"h$seed")
     }
-    shingled.groupBy("id").agg(minCols.head, minCols.tail: _*)
+    hashed.groupBy("id").agg(minCols.head, minCols.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
@@ -177,16 +183,23 @@ object Dedup {
     val shingled = docs.select(id.as("id"),
       explode(TextFns.word_shingles(text)).as("shingle")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val counts = shingled.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val dfreq = shingled.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("id").orderBy(col("df"), col("shingle"))
+    // One aggregation builds each doc's df-sorted shingle list, its size,
+    // and the prefix slice — replacing a separate count groupBy, a join
+    // on id, and a row_number window (each a shuffle) with a single
+    // shuffle on id. Per-group state is one doc's shingle list — the
+    // same bound the window sort held.
+    val counts = shingled.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val prefix = shingled
       .join(dfreq, Seq("shingle"))
-      .join(counts, Seq("id"))
-      .withColumn("pos", row_number().over(w))
-      .filter(col("pos") <=
-        floor(lit(1.0 - minJaccard) * col("n_sh")).cast("int") + 1)
-      .select("id", "shingle")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_sh"),
+        array_sort(collect_list(struct(col("df"), col("shingle"))))
+          .as("sorted"))
+      .select(col("id"), explode(slice(col("sorted"), lit(1),
+        (floor(lit(1.0 - minJaccard) * col("n_sh")).cast("int") + 1)))
+        .as("e"))
+      .select(col("id"), col("e.shingle").as("shingle"))
     val cand = prefix.select(col("id").as("id_a"), col("shingle"))
       .join(prefix.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))

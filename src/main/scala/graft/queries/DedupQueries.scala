@@ -60,12 +60,17 @@ object DedupQueries extends QueryModule {
 
   private val minhashSql =
     s"""WITH $shinglesCte,
+       |hh AS (SELECT doc_id, md5(shingle) AS hx FROM sh),
+       |hv AS (
+       |  SELECT doc_id,
+       |    ${Dsl.hexValSql("hx", 1, 15)} AS h1,
+       |    ${Dsl.hexValSql("hx", 16, 14)} AS h2
+       |  FROM hh),
        |seeds AS (SELECT unnest(generate_series(0, 31)) AS seed),
-       |ph AS (
+       |sig AS (
        |  SELECT doc_id, seed,
-       |    ${hex60Sql("seed::VARCHAR || '|' || shingle")} AS h
-       |  FROM sh CROSS JOIN seeds),
-       |sig AS (SELECT doc_id, seed, MIN(h) AS mh FROM ph GROUP BY 1, 2),
+       |    MIN((h1 + seed * h2) & ((1::BIGINT << 60) - 1)) AS mh
+       |  FROM hv CROSS JOIN seeds GROUP BY 1, 2),
        |band AS (
        |  SELECT doc_id,
        |    (seed // 4)::VARCHAR || '|' ||

@@ -49,6 +49,14 @@ object Dsl {
     s"CAST(list_sum([(strpos('0123456789abcdef', md5($expr)[i]) - 1)::BIGINT" +
       " << (4*(15-i)) for i in generate_series(1,15)]) AS BIGINT)"
 
+  /** Value of hex chars [start, start+len) of an ALREADY-COMPUTED hex
+    * string column, as a BIGINT — the building block for deriving several
+    * independent hash values from one md5 digest (DuckDB-side replica of
+    * [[graft.expressions.PortableMinHashes]]'s h1/h2 extraction). */
+  def hexValSql(hexCol: String, start: Int, len: Int): String =
+    s"CAST(list_sum([(strpos('0123456789abcdef', $hexCol[i]) - 1)::BIGINT" +
+      s" << (4*(${start + len - 1}-i)) for i in generate_series($start,${start + len - 1})]) AS BIGINT)"
+
   /** The documents→distinct word-3-shingles CTE body shared by the dedup
     * oracles (mirrors `TextFns.word_shingles`: distinct 3-word windows,
     * whole trimmed text when shorter than 3 tokens). Emits CTEs `docs`
