@@ -20,6 +20,12 @@ def norm(v):
     if isinstance(v, float):
         return v
     try:
+        import pandas as pd
+        if pd.isna(v):  # NaT / pd.NA scalars (nullable timestamps etc.)
+            return None
+    except (TypeError, ValueError):
+        pass
+    try:
         import decimal
         if isinstance(v, decimal.Decimal):
             return float(v)

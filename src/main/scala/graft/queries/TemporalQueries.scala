@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.TemporalJoins
+import Dsl.dsum2d
+
+/** Temporal-join operator demos over `events` (W4/W5): as-of join and
+  * point-in-interval range join ([[graft.ops.TemporalJoins]]).
+  *
+  * Both run against DuckDB oracles — the as-of query against DuckDB's
+  * native ASOF JOIN, the range query against a plain inequality join —
+  * so the composed Spark shapes are hash-verified against an independent
+  * implementation of the same semantics.
+  */
+object TemporalQueries extends QueryModule {
+
+  /** W4: each error event picks up the same user's most recent click
+    * at-or-before it (null when the user never clicked before). */
+  private def asof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    // pre-aggregate to one row per (key, ts): the as-of contract
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .agg(max("event_id").as("click_id"))
+    TemporalJoins.asofJoin(errors, clicks,
+        col("user_id"), col("c_user"), col("ts"), col("c_ts"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof.c_ts").as("click_ts"), col("asof.click_id").as("click_id"))
+  }
+
+  private val asofSql =
+    """WITH c AS (
+      |  SELECT user_id AS c_user, ts AS c_ts, MAX(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |e AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+      |SELECT e.event_id, e.user_id, e.ts,
+      |       c.c_ts AS click_ts, c.click_id
+      |FROM e ASOF LEFT JOIN c
+      |  ON e.user_id = c.c_user AND e.ts >= c.c_ts""".stripMargin
+
+  /** W5: per view event, the count/value of the same user's clicks in the
+    * 6 hours before it (views with no such click drop out — inner). */
+  private def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"),
+        (col("ts") - expr("INTERVAL 6 HOURS")).as("w_start"), col("ts"))
+    TemporalJoins.pointInInterval(clicks, views,
+        col("c_user"), col("user_id"),
+        col("c_ts"), col("w_start"), col("ts"),
+        bucketMicros = 6L * 3600 * 1000 * 1000)
+      .groupBy(col("interval.event_id").as("event_id"))
+      .agg(count(lit(1)).as("n_clicks"), dsum2d(col("value")).as("click_value"))
+  }
+
+  private val rangeSql =
+    """SELECT v.event_id, COUNT(*) AS n_clicks,
+      |  CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+      |FROM events v JOIN events c
+      |  ON c.user_id = v.user_id
+      |  AND v.event_type = 'view' AND c.event_type = 'click'
+      |  AND c.ts >= v.ts - INTERVAL 6 HOUR AND c.ts < v.ts
+      |GROUP BY 1""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w4_asof_join"  -> asof _,
+    "w5_range_join" -> rangeJoin _)
+
+  def oracles: Map[String, String] = Map(
+    "w4_asof_join"  -> asofSql,
+    "w5_range_join" -> rangeSql)
+}
