@@ -58,8 +58,11 @@ object DedupQueries extends QueryModule {
     Dedup.minhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
       numHashes = 32, bands = 8, minAgreement = 0.5, portable = true)
 
-  private val minhashSql =
-    s"""WITH $shinglesCte,
+  /** The full MinHash+LSH pipeline as a reusable CTE chain, ending in
+    * `agree(id_a, id_b, sig_agreement)` — shared by the pair demo and the
+    * connected-components clustering oracle. */
+  private val minhashCtes =
+    s"""$shinglesCte,
        |hh AS (SELECT doc_id, md5(shingle) AS hx FROM sh),
        |hv AS (
        |  SELECT doc_id,
@@ -85,9 +88,44 @@ object DedupQueries extends QueryModule {
        |  FROM cand c
        |  JOIN sig sa ON sa.doc_id = c.id_a
        |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private val minhashSql =
+    s"""WITH $minhashCtes
        |SELECT id_a, id_b, sig_agreement FROM agree
        |WHERE sig_agreement >= 0.5""".stripMargin
+
+  /** Near-dup clusters: connected components over the verified MinHash
+    * pair graph; every document gets a cluster id (its component's min
+    * doc_id, or itself when unpaired). */
+  private def clusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+        numHashes = 32, bands = 8, minAgreement = 0.5, portable = true)
+      .select(col("id_a"), col("id_b"))
+    val cc = graft.ops.ConnectedComponents.run(pairs)
+    docs.select("doc_id")
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Oracle twin: transitive closure of the same pair graph via a
+    * recursive CTE, then min reachable id per vertex. */
+  private val clustersSql =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS (SELECT id_a, id_b FROM agree WHERE sig_agreement >= 0.5),
+       |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |      UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT u, v FROM e
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+       |cc AS (
+       |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+       |  FROM reach GROUP BY u)
+       |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+       |FROM documents d LEFT JOIN cc c USING (doc_id)""".stripMargin
 
   /** SimHash near-dup candidates within 8 Hamming bits, portable 60-bit
     * hashing with recall-complete pigeonhole blocking (9 blocks). */
@@ -174,7 +212,8 @@ object DedupQueries extends QueryModule {
     "m8_dedup_ngram_jaccard" -> ngramJaccard _,
     "m8_dedup_minhash"       -> minhash _,
     "m8_dedup_simhash"       -> simhash _,
-    "m8_dedup_embedding"     -> embedding _)
+    "m8_dedup_embedding"     -> embedding _,
+    "m8_dedup_clusters"      -> clusters _)
 
   def oracles: Map[String, String] = Map(
     "m8_dedup_canonical_url" -> canonicalUrlDedupSql,
@@ -182,7 +221,8 @@ object DedupQueries extends QueryModule {
     "m8_dedup_ngram_jaccard" -> ngramJaccardSql,
     "m8_dedup_minhash"       -> minhashSql,
     "m8_dedup_simhash"       -> simhashSql,
-    "m8_dedup_embedding"     -> embeddingSql)
+    "m8_dedup_embedding"     -> embeddingSql,
+    "m8_dedup_clusters"      -> clustersSql)
 }
 
 /** Oracle-side rendering of the portable hyperplane weights: the same

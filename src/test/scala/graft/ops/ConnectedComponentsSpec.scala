@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def labelsOf(edges: Seq[(Long, Long)], maxIter: Int = 20) =
+    ConnectedComponents.run(edges.toDF("u", "v"), maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain collapses to the min id (transitive closure)") {
+    // 5-4-3-2-1: only adjacent pairs are edges, but all share a cluster
+    val out = labelsOf(Seq((4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L)))
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("separate components keep separate labels; cycles converge") {
+    val out = labelsOf(Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), // triangle
+      (10L, 11L),                   // pair
+      (20L, 21L), (21L, 22L), (20L, 22L)))
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)
+    assert(out(10L) == 10L && out(11L) == 10L)
+    assert(out(20L) == 20L && out(21L) == 20L && out(22L) == 20L)
+  }
+
+  test("empty edge set yields empty labels") {
+    assert(labelsOf(Seq.empty).isEmpty)
+  }
+
+  test("non-convergence within maxIter throws instead of returning junk") {
+    // a 6-chain needs ~5 propagation rounds; 1 round must fail loudly
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    intercept[IllegalStateException](labelsOf(e, maxIter = 1))
+  }
+}
