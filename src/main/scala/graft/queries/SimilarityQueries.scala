@@ -79,11 +79,60 @@ object SimilarityQueries extends QueryModule {
        |FROM ranked WHERE rank <= $K""".stripMargin
   }
 
+  /** IVF coarse-quantizer approximate top-5: 16 md5-sampled centroids,
+    * 4 probed lists per query — fully deterministic, so the oracle
+    * rebuilds centroid choice, assignment, probing, and ranking. */
+  private def topkIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb, K,
+      nlist = 16, nprobe = 4)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  private val topkIvfSql = {
+    def cos(a: String, b: String) =
+      s"""list_inner_product($a, $b) /
+         |      (sqrt(list_inner_product($a, $a)) *
+         |       sqrt(list_inner_product($b, $b)))""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT vec_id AS cent_id, v AS cvec FROM e
+       |  ORDER BY md5(vec_id::VARCHAR) LIMIT 16),
+       |assigned AS (
+       |  SELECT vec_id, v, cent_id FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos("e.v", "c.cvec")} DESC, c.cent_id) AS rn
+       |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, qv, cent_id FROM (
+       |    SELECT q.vec_id AS query_id, q.v AS qv, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cos("q.v", "c.cvec")} DESC, c.cent_id) AS rn
+       |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 8) WHERE rn <= 4),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS cand_id, ${cos("p.qv", "a.v")} AS cosine
+       |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+       |  WHERE a.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, cand_id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= $K""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_sim_topk_bruteforce" -> topkBrute _,
-    "m8_sim_topk_lsh"        -> topkLsh _)
+    "m8_sim_topk_lsh"        -> topkLsh _,
+    "m8_sim_topk_ivf"        -> topkIvf _)
 
   def oracles: Map[String, String] = Map(
     "m8_sim_topk_bruteforce" -> topkBruteSql,
-    "m8_sim_topk_lsh"        -> topkLshSql)
+    "m8_sim_topk_lsh"        -> topkLshSql,
+    "m8_sim_topk_ivf"        -> topkIvfSql)
 }

@@ -67,4 +67,43 @@ object Similarity {
     ranked(GraftOps.topKPerKey(scored, Seq(col("query_id")),
       Seq(col("cosine").desc, col("cand_id")), k), k)
   }
+
+  /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    * path: `nlist` deterministic centroids (the corpus vectors with the
+    * smallest md5(vec_id) — engine-reproducible "random" sample), each
+    * corpus vector assigned to its nearest centroid's list, each query
+    * probing only its `nprobe` nearest lists.
+    *
+    * Plan shape at 100 TB: centroids broadcast (nlist rows); assignment
+    * is a broadcast compare + partial top-1 per vector — the exchange
+    * carries one (vector, list) row per corpus vector, nothing wider;
+    * probes are tiny and broadcast into the list join, so the corpus is
+    * never shuffled again; the final cut is the TopKPerKey partial/final
+    * pair. Cost per query ≈ corpus × nprobe / nlist candidates vs the
+    * brute-force corpus scan. Ties everywhere break on the smaller id,
+    * so results are deterministic and oracle-comparable. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cent = candidates
+      .orderBy(md5(col("vec_id").cast("string")))
+      .limit(nlist)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val assigned = GraftOps.topKPerKey(
+      c.crossJoin(broadcast(cent))
+        .withColumn("csim", VectorFns.cosine(col("cv"), col("cvec"))),
+      Seq(col("cand_id")), Seq(col("csim").desc, col("cent_id")), 1)
+      .select("cand_id", "cv", "cent_id")
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probes = GraftOps.topKPerKey(
+      q.crossJoin(broadcast(cent))
+        .withColumn("qsim", VectorFns.cosine(col("qv"), col("cvec"))),
+      Seq(col("query_id")), Seq(col("qsim").desc, col("cent_id")), nprobe)
+      .select("query_id", "qv", "cent_id")
+    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))
+    ranked(GraftOps.topKPerKey(scored, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("cand_id")), k), k)
+  }
 }

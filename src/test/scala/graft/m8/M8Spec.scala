@@ -105,6 +105,28 @@ class M8Spec extends SparkSpec {
     assert(lsh.size <= brute.size)
   }
 
+  test("ivf topk: candidate reduction with recall against brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteForceTopK(q, emb, 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, emb, 5, nlist = 16, nprobe = 4)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    // random corpus: probing 4/16 lists scans ~25% of candidates; a
+    // query's strongest neighbors skew toward its own centroid's list,
+    // so recall must land clearly above the 25% random-scan floor
+    assert(recall > 0.3, s"IVF recall $recall not above random-scan floor")
+    assert(ivf.size <= brute.size)
+    // determinism: same centroids, same assignment, same ranking
+    val again = Similarity.ivfTopK(q, emb, 5, nlist = 16, nprobe = 4)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == ivf)
+  }
+
   test("hyperplane bucket is deterministic and bounded") {
     val emb = Tables.embeddings(spark, sf).limit(50)
     val b1 = emb.select(VectorFns.hyperplane_bucket(col("embedding"), 8).as("b"))
