@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Deterministic sampling and mixing operators for training-data
+  * pipelines.
+  *
+  * Everything keys off [[TextFns.portable_hash60]] of (salt, key) mapped
+  * into the integer space [0, 2^60) — never `rand()` — because at 100 TB
+  * the properties that matter are exactly the ones randomness breaks:
+  *  - **stable**: re-running a failed stage, backfilling a partition, or
+  *    re-sampling after adding columns selects the SAME rows;
+  *  - **map-side**: a sample/split/mix is a codegen'd filter — no
+  *    shuffle, no state, pushes down past column pruning;
+  *  - **independent**: changing the salt draws an independent sample, so
+  *    train/val/test and per-experiment samples don't correlate;
+  *  - **engine-portable**: any system with md5 reproduces the selection
+  *    byte-exactly (the DuckDB correctness oracle does).
+  *
+  * Thresholds are precomputed as exact integer literals (fraction ×
+  * 2^60, one double rounding in one place) and compared as longs, so no
+  * float comparison ever reaches the data path.
+  */
+object Sampling {
+
+  /** Hash space size: portable_hash60 is uniform on [0, 2^60). */
+  val HashSpace: Long = 1L << 60
+
+  /** Integer selection threshold for a fraction in [0, 1]. */
+  def thresholdFor(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction: $fraction")
+    // 2^60 fits a double exactly; the single product rounds once
+    (fraction * HashSpace.toDouble).toLong
+  }
+
+  /** The sampling coordinate: uniform in [0, 2^60), keyed and salted. */
+  def coord(key: Column, salt: String): Column =
+    TextFns.portable_hash60(concat_ws("|", lit(salt), key.cast("string")))
+
+  /** Bernoulli sample at `fraction`, deterministic in (salt, key). */
+  def hashSample(df: DataFrame, key: Column, fraction: Double,
+                 salt: String): DataFrame =
+    df.filter(coord(key, salt) < thresholdFor(fraction))
+
+  /** Per-stratum Bernoulli sample: each row's threshold comes from its
+    * stratum's fraction (`default` for unlisted strata). One codegen'd
+    * when-chain — no join against a fractions table needed for the
+    * O(10-100) strata a corpus mix typically has. */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+                       fractions: Map[String, Double], default: Double,
+                       salt: String): DataFrame = {
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit(thresholdFor(default))) { case (acc, (s, f)) =>
+        when(stratum === s, lit(thresholdFor(f))).otherwise(acc)
+      }
+    df.filter(coord(key, salt) < threshold)
+  }
+
+  /** Disjoint split assignment (train/val/test…): weights normalize to
+    * cumulative ranges over the hash space; every row lands in exactly
+    * one split, stable in (salt, key). */
+  def splitColumn(key: Column, salt: String,
+                  weights: Seq[(String, Double)]): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), s"weights: $weights")
+    val total = weights.map(_._2).sum
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.map(c => thresholdFor(math.min(c, 1.0)))
+    val h = coord(key, salt)
+    weights.init.zip(cuts.init)
+      .foldRight(lit(weights.last._1): Column) { case (((name, _), cut), acc) =>
+        when(h < cut, lit(name)).otherwise(acc)
+      }
+  }
+
+  /** Weighted corpus mix: sample each source at its rate and union,
+    * tagging provenance. Rates > 1 are capped at 1 (this operator
+    * subsamples; it does not duplicate rows — epoch repetition is a
+    * training-loop concern, not a data-prep one). */
+  def weightedMix(sources: Seq[(String, DataFrame, Double)], key: Column,
+                  salt: String): DataFrame = {
+    require(sources.nonEmpty, "weightedMix needs at least one source")
+    sources.map { case (name, df, rate) =>
+      hashSample(df, key, math.min(rate, 1.0), s"$salt|$name")
+        .withColumn("mix_source", lit(name))
+    }.reduce(_ unionByName _)
+  }
+}

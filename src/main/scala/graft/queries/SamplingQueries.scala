@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Sampling
+import Dsl.hex60Sql
+
+/** Deterministic sampling / splitting / mixing demos over `documents`
+  * ([[graft.ops.Sampling]]) — every selection decision is an exact
+  * integer compare on a salted md5-derived coordinate, so DuckDB
+  * replicates each query byte-exactly (no rand(), no approximation). */
+object SamplingQueries extends QueryModule {
+
+  private def coordSql(salt: String) =
+    hex60Sql(s"'$salt|' || doc_id::VARCHAR")
+
+  /** Per-language Bernoulli rates: majority language downsampled less,
+    * tail languages kept at a floor rate. */
+  private def stratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(Tables.documents(s, dir),
+        col("lang"), col("doc_id"),
+        fractions = Map("en" -> 0.5, "zh" -> 0.25), default = 0.1,
+        salt = "strat")
+      .select("doc_id", "lang")
+
+  private val stratifiedSql =
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ${coordSql("strat")} <
+       |  CASE WHEN lang = 'zh' THEN ${Sampling.thresholdFor(0.25)}
+       |       WHEN lang = 'en' THEN ${Sampling.thresholdFor(0.5)}
+       |       ELSE ${Sampling.thresholdFor(0.1)} END""".stripMargin
+
+  /** Disjoint 80/10/10 train/val/test assignment for every document. */
+  private def split(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Sampling.splitColumn(col("doc_id"), "split",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+
+  private val splitSql =
+    s"""SELECT doc_id,
+       |  CASE WHEN ${coordSql("split")} < ${Sampling.thresholdFor(0.8)} THEN 'train'
+       |       WHEN ${coordSql("split")} < ${Sampling.thresholdFor(0.9)} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+
+  /** Weighted three-source corpus mix with provenance tags. */
+  private def mix(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    Sampling.weightedMix(Seq(
+        ("src0", d.filter(col("source") === "src0"), 0.8),
+        ("src1", d.filter(col("source") === "src1"), 0.5),
+        ("src2", d.filter(col("source") === "src2"), 0.25)),
+      col("doc_id"), salt = "mix")
+      .select("doc_id", "mix_source")
+  }
+
+  private val mixSql = {
+    def arm(src: String, f: Double) =
+      s"""SELECT doc_id, '$src' AS mix_source FROM documents
+         |WHERE source = '$src'
+         |  AND ${hex60Sql(s"'mix|$src|' || doc_id::VARCHAR")} < ${Sampling.thresholdFor(f)}""".stripMargin
+    Seq(arm("src0", 0.8), arm("src1", 0.5), arm("src2", 0.25))
+      .mkString("", "\nUNION ALL\n", "")
+  }
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_sample_stratified" -> stratified _,
+    "m8_split_assign"      -> split _,
+    "m8_sample_mix"        -> mix _)
+
+  def oracles: Map[String, String] = Map(
+    "m8_sample_stratified" -> stratifiedSql,
+    "m8_split_assign"      -> splitSql,
+    "m8_sample_mix"        -> mixSql)
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ids = (0L until 2000L).toDF("id")
+
+  test("hashSample: deterministic, near-rate, salt-independent draws") {
+    val a = Sampling.hashSample(ids, col("id"), 0.3, "s1").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(ids, col("id"), 0.3, "s1").collect().map(_.getLong(0)).toSet
+    assert(a == b, "same salt+key must select the same rows")
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05, s"rate off: ${a.size}")
+    val c = Sampling.hashSample(ids, col("id"), 0.3, "s2").collect().map(_.getLong(0)).toSet
+    assert(c != a, "different salt must draw a different sample")
+    // independence: overlap ≈ 0.09 of corpus, not 0 and not 0.3
+    val ov = (a & c).size / 2000.0
+    assert(ov > 0.04 && ov < 0.16, s"salted draws not independent: $ov")
+  }
+
+  test("hashSample is a map-side filter: no exchange in the plan") {
+    val plan = Sampling.hashSample(ids, col("id"), 0.3, "s1")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+
+  test("splitColumn: exhaustive, disjoint, weight-proportional") {
+    val out = ids.select(col("id"),
+        Sampling.splitColumn(col("id"), "sp",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(out.length == 2000, "every row gets exactly one split")
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(math.abs(sizes("train") / 2000.0 - 0.8) < 0.05, sizes.toString)
+    assert(math.abs(sizes("val") / 2000.0 - 0.1) < 0.04, sizes.toString)
+    assert(math.abs(sizes("test") / 2000.0 - 0.1) < 0.04, sizes.toString)
+  }
+
+  test("stratifiedSample applies per-stratum rates with a default") {
+    val df = ids.withColumn("g",
+      when(col("id") % 2 === 0, "a").otherwise("b"))
+    val kept = Sampling.stratifiedSample(df, col("g"), col("id"),
+        Map("a" -> 0.5), default = 0.05, salt = "st")
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(kept("a") / 1000.0 - 0.5) < 0.07, kept.toString)
+    assert(math.abs(kept.getOrElse("b", 0L) / 1000.0 - 0.05) < 0.04, kept.toString)
+  }
+
+  test("weightedMix caps rates at 1, tags provenance, never duplicates") {
+    val s1 = (0L until 500L).toDF("id")
+    val s2 = (500L until 1000L).toDF("id")
+    val out = Sampling.weightedMix(
+        Seq(("full", s1, 2.0), ("half", s2, 0.5)), col("id"), "mx")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(out.count(_._2 == "full") == 500, "rate 2.0 caps at keep-all")
+    val half = out.count(_._2 == "half")
+    assert(math.abs(half / 500.0 - 0.5) < 0.1, s"half-source kept $half")
+    assert(out.map(_._1).distinct.length == out.length, "no duplicated rows")
+  }
+}
