@@ -30,12 +30,18 @@ object ConnectedComponents {
   def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val u = col(edges.columns(0))
     val v = col(edges.columns(1))
-    val adj = edges.select(u.as("src"), v.as("dst"))
-      .union(edges.select(v.as("src"), u.as("dst")))
+    // both orientations from ONE pass over the (possibly expensive) edge
+    // plan — a union of two selects would compute it twice
+    val adj = edges
+      .select(explode(array(
+        struct(u.as("src"), v.as("dst")),
+        struct(v.as("src"), u.as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = adj.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // init fuses the first propagation round: label = min(self, neighbors)
+    var labels = adj.groupBy("src").agg(min("dst").as("nmin"))
+      .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // sum over a cast-to-long label: one scan, null only on empty input
     def labelSum(df: DataFrame): Long = {

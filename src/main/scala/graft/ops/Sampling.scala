@@ -74,6 +74,19 @@ object Sampling {
       }
   }
 
+  /** Per-group cap: keep at most `n` rows per group, chosen by the
+    * salted hash coordinate (not arrival order), so the survivors are a
+    * uniform, stable draw from each group — the "at most N documents per
+    * domain" crawl-balancing rule. Runs through the TopKPerKey physical
+    * operator: partial per-task cut, exchange carries ≤ n rows per group
+    * per task, no full sort. */
+  def capPerGroup(df: DataFrame, group: Column, key: Column, n: Int,
+                  salt: String): DataFrame =
+    graft.plans.GraftOps.topKPerKey(
+      df.withColumn("_scoord", coord(key, salt)),
+      Seq(group), Seq(col("_scoord")), n)
+      .drop("_scoord")
+
   /** Weighted corpus mix: sample each source at its rate and union,
     * tagging provenance. Rates > 1 are capped at 1 (this operator
     * subsamples; it does not duplicate rows — epoch repetition is a

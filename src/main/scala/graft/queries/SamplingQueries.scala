@@ -65,13 +65,29 @@ object SamplingQueries extends QueryModule {
       .mkString("", "\nUNION ALL\n", "")
   }
 
+  /** Crawl-balancing cap: at most 10 documents per source, survivors a
+    * uniform stable draw (hash order, not arrival order). */
+  private def cap(s: SparkSession, dir: String): DataFrame =
+    Sampling.capPerGroup(Tables.documents(s, dir),
+        col("source"), col("doc_id"), n = 10, salt = "cap")
+      .select("doc_id", "source")
+
+  private val capSql =
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |                       ORDER BY ${coordSql("cap")}) AS rn
+       |  FROM documents) WHERE rn <= 10""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_sample_stratified" -> stratified _,
     "m8_split_assign"      -> split _,
-    "m8_sample_mix"        -> mix _)
+    "m8_sample_mix"        -> mix _,
+    "m8_cap_per_source"    -> cap _)
 
   def oracles: Map[String, String] = Map(
     "m8_sample_stratified" -> stratifiedSql,
     "m8_split_assign"      -> splitSql,
-    "m8_sample_mix"        -> mixSql)
+    "m8_sample_mix"        -> mixSql,
+    "m8_cap_per_source"    -> capSql)
 }

@@ -49,6 +49,20 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(kept.getOrElse("b", 0L) / 1000.0 - 0.05) < 0.04, kept.toString)
   }
 
+  test("capPerGroup keeps at most n per group, stable across runs") {
+    val df = ids.withColumn("g", col("id") % 7)
+    val a = Sampling.capPerGroup(df, col("g"), col("id"), 5, "c1")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.groupBy(_._2).forall(_._2.length == 5), "7 groups x 5 kept")
+    val b = Sampling.capPerGroup(df, col("g"), col("id"), 5, "c1")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSet == b.toSet, "survivors must be stable")
+    // small groups survive whole
+    val tiny = Sampling.capPerGroup(ids.limit(3).withColumn("g", lit(0L)),
+      col("g"), col("id"), 5, "c1")
+    assert(tiny.count() == 3)
+  }
+
   test("weightedMix caps rates at 1, tags provenance, never duplicates") {
     val s1 = (0L until 500L).toDF("id")
     val s2 = (500L until 1000L).toDF("id")
