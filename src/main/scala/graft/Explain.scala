@@ -51,5 +51,19 @@ object Explain {
       !plan("v3_error_capture").contains("Exchange"))
     println("minhash InMemoryTableScan (persisted sigs): " +
       plan("m8_dedup_minhash").contains("InMemoryTableScan"))
+    val asof = plan("w4_asof_join")
+    println("w4_asof_join window-not-join (no join node, has Window): " +
+      (!asof.contains("Join") && asof.contains("Window")))
+    val range = plan("w5_range_join")
+    println("w5_range_join equi-join on (key,bin), no cartesian/BNLJ: " +
+      (!range.contains("CartesianProduct") &&
+        !range.contains("BroadcastNestedLoopJoin")))
+    println("m8_sample_stratified map-side filter (no Exchange): " +
+      !plan("m8_sample_stratified").contains("Exchange"))
+    println("m8_cap_per_source TopKPerKey operators (expect 2 = partial+final): " +
+      "TopKPerKey \\[".r.findAllIn(plan("m8_cap_per_source")).length)
+    println("m8_sim_topk_ivf exchanges (expect 3: corpus assignment + " +
+      "query-probe + final cut; the corpus rides exactly one): " +
+      "Exchange hashpartitioning".r.findAllIn(plan("m8_sim_topk_ivf")).length)
   }
 }
