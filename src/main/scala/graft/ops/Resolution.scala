@@ -23,17 +23,31 @@ import graft.functions.{HtmlFns, JsonLdFns, RoleFns, UrlFns}
 object Resolution {
 
   /** Appends decision columns: company, role, canonical, conf, decision.
-    * Inputs: `html` page content, `finalUrl` post-redirect URL. */
-  def decideCompanyRole(df: DataFrame, html: Column, finalUrl: Column): DataFrame = {
-    val withSignals = df
-      .withColumn("_host", UrlFns.host_from_url(finalUrl))
-      .withColumn("_is_agg", UrlFns.is_aggregator_host(col("_host")))
+    * Inputs: `html` page content, `finalUrl` post-redirect URL.
+    *
+    * The URL-derived signals (`_host`, `_is_agg`, `_ats_slug`, and the
+    * canonical URL) depend only on `finalUrl`, so a second fusion pass
+    * over re-fetched html (renderer escalation) recomputes them for
+    * nothing. `keepUrlSignals = true` leaves them (plus `_canon`) in the
+    * output for a follow-up pass; `reuseUrlSignals = true` consumes them
+    * instead of recomputing — regex/codegen work on the escalation pass
+    * drops to the html-derived signals only. */
+  def decideCompanyRole(df: DataFrame, html: Column, finalUrl: Column,
+                        keepUrlSignals: Boolean = false,
+                        reuseUrlSignals: Boolean = false): DataFrame = {
+    val base =
+      if (reuseUrlSignals) df
+      else df
+        .withColumn("_host", UrlFns.host_from_url(finalUrl))
+        .withColumn("_is_agg", UrlFns.is_aggregator_host(col("_host")))
+        .withColumn("_ats_slug", UrlFns.guess_company_from_url(finalUrl))
+        .withColumn("_canon", UrlFns.canonical_url(finalUrl))
+    val withSignals = base
       .withColumn("_jsonld", JsonLdFns.parse_jsonld_jobposting(html))
       .withColumn("_og_site", HtmlFns.get_meta(html, "og:site_name", "property"))
       .withColumn("_h1", HtmlFns.get_h1(html))
       .withColumn("_og_title", HtmlFns.get_meta(html, "og:title", "property"))
       .withColumn("_title", HtmlFns.get_title(html))
-      .withColumn("_ats_slug", UrlFns.guess_company_from_url(finalUrl))
 
     val jsonCompany = col("_jsonld.company")
     val jsonRole = col("_jsonld.role")
@@ -93,7 +107,7 @@ object Resolution {
         .otherwise(confRaw))
       .withColumn("company", col("_c4"))
       .withColumn("role", RoleFns.clean_role(col("_r2"), col("_c4")))
-      .withColumn("canonical", UrlFns.canonical_url(finalUrl))
+      .withColumn("canonical", col("_canon"))
       .withColumn("_conf1",
         when(col("company") === "", least(col("_conf0"), lit(0.5)))
           .otherwise(col("_conf0")))
@@ -104,9 +118,12 @@ object Resolution {
       .withColumn("decision",
         when(trail === "", lit("heuristic")).otherwise(trail))
 
-    decided.drop(
-      "_host", "_is_agg", "_jsonld", "_og_site", "_h1", "_og_title", "_title",
-      "_ats_slug", "_c1", "_c2", "_c3", "_c4", "_r1", "_r2", "_split",
+    val alwaysDrop = Seq(
+      "_jsonld", "_og_site", "_h1", "_og_title", "_title",
+      "_c1", "_c2", "_c3", "_c4", "_r1", "_r2", "_split",
       "_conf0", "_conf1", "_conf2")
+    val urlCols = Seq("_host", "_is_agg", "_ats_slug", "_canon")
+    decided.drop(
+      (if (keepUrlSignals) alwaysDrop else alwaysDrop ++ urlCols): _*)
   }
 }

@@ -27,9 +27,12 @@ object ParsePipeline {
       .withColumnRenamed("decision", "decision_1")
     val needs = col("conf_1") === 0.0 && col("provider") =!= "renderer" &&
       coalesce(col("rendered_html"), lit("")) =!= ""
+    // URL-derived signals are identical in both passes — reuse them when
+    // the first pass kept them instead of re-running the URL regexes
     val re = Resolution.decideCompanyRole(renamed,
       when(needs, col("rendered_html")).otherwise(lit("")),
-      col("final_url"))
+      col("final_url"),
+      reuseUrlSignals = renamed.columns.contains("_canon"))
     val better = col("conf") > col("conf_1")
     re
       .withColumn("escalated", needs && better)
@@ -38,7 +41,8 @@ object ParsePipeline {
       .withColumn("canonical", when(better, col("canonical")).otherwise(col("canonical_1")))
       .withColumn("decision", when(better, col("decision")).otherwise(col("decision_1")))
       .withColumn("conf", when(better, col("conf")).otherwise(col("conf_1")))
-      .drop("company_1", "role_1", "canonical_1", "conf_1", "decision_1")
+      .drop("company_1", "role_1", "canonical_1", "conf_1", "decision_1",
+        "_host", "_is_agg", "_ats_slug", "_canon")
   }
 
   /** Full parse stage over a links batch (columns: sheet_name, row_index,
@@ -46,7 +50,8 @@ object ParsePipeline {
     * write-back. */
   def parse(links: DataFrame, fixtures: DataFrame): DataFrame = {
     val fetched = FetchCascade(links, fixtures)
-    val decided = Resolution.decideCompanyRole(fetched, col("html"), col("final_url"))
+    val decided = Resolution.decideCompanyRole(fetched, col("html"),
+      col("final_url"), keepUrlSignals = true)
     val escalated = withEscalation(decided)
     escalated.withColumn("parse_token",
       Provenance.parse_token(col("provider"), col("decision"), col("conf")))
