@@ -87,6 +87,37 @@ object Sampling {
       Seq(group), Seq(col("_scoord")), n)
       .drop("_scoord")
 
+  /** Keep the highest-scoring `fraction` of rows, whole score levels at
+    * a time: the threshold is the smallest score whose preceding
+    * (higher-score) levels cover less than `fraction` of the corpus, so
+    * selection is count-based and needs no quantile interpolation — on a
+    * quantized score (quality buckets) the result is exact and
+    * engine-portable.
+    *
+    * Plan shape: one aggregation to the per-level histogram (map-side
+    * partial, |levels| rows), a window over those few rows (single
+    * partition is fine — the histogram is tiny by construction), then
+    * the 1-row threshold broadcast back as a filter. The corpus itself
+    * is never shuffled. */
+  def topFractionByScore(df: DataFrame, score: Column,
+                         fraction: Double): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0, s"fraction: $fraction")
+    val dist = df.groupBy(score.as("_s")).agg(count(lit(1)).as("_cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val thr = dist
+      .withColumn("_cum", sum("_cnt").over(w))
+      .withColumn("_total", sum("_cnt").over(
+        org.apache.spark.sql.expressions.Window
+          .rowsBetween(Long.MinValue, Long.MaxValue)))
+      .filter((col("_cum") - col("_cnt")).cast("double") <
+        lit(fraction) * col("_total").cast("double"))
+      .agg(min(col("_s")).as("_thr"))
+    df.join(broadcast(thr), score >= col("_thr")).drop("_thr")
+  }
+
   /** Weighted corpus mix: sample each source at its rate and union,
     * tagging provenance. Rates > 1 are capped at 1 (this operator
     * subsamples; it does not duplicate rows — epoch repetition is a

@@ -52,22 +52,27 @@ object TextQueries extends QueryModule {
       .select(TextFns.quality_score(col("text")).as("quality"))
       .groupBy("quality").agg(count(lit(1)).as("n"))
 
-  private val qualityScoreSql = {
+  /** The quality-score heuristic as one SQL expression (DuckDB twin of
+    * `TextFns.quality_score`), shared by the histogram and filter demos. */
+  private val qualityExprSql = {
     val nTok = "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
     val nCh = "length(text)"
     val punct = "len(regexp_extract_all(text, '[[:punct:]]'))"
     val stop = s"len(regexp_extract_all(lower(text), '\\b(${TextFns.EnStop.mkString("|")})\\b'))"
-    s"""SELECT
-       |  CAST(CASE WHEN $nTok BETWEEN 5 AND 5000 THEN 0.25 ELSE 0.0 END +
+    s"""CAST(CASE WHEN $nTok BETWEEN 5 AND 5000 THEN 0.25 ELSE 0.0 END +
        |   CASE WHEN $nTok > 0 AND CAST($nCh AS DOUBLE)/CAST($nTok AS DOUBLE)
        |        BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END +
        |   CASE WHEN $nCh > 0 AND CAST($punct AS DOUBLE)/CAST($nCh AS DOUBLE) < 0.1
        |        THEN 0.25 ELSE 0.0 END +
        |   CASE WHEN $nTok > 0 AND CAST($stop AS DOUBLE)/CAST($nTok AS DOUBLE) > 0.01
-       |        THEN 0.25 ELSE 0.0 END AS DOUBLE) AS quality,
+       |        THEN 0.25 ELSE 0.0 END AS DOUBLE)""".stripMargin
+  }
+
+  private val qualityScoreSql =
+    s"""SELECT
+       |  $qualityExprSql AS quality,
        |  COUNT(*) AS n
        |FROM documents GROUP BY 1""".stripMargin
-  }
 
   /** Rolling-hash (winnowing-min) fingerprint per document. */
   private def fingerprint(s: SparkSession, dir: String): DataFrame =
@@ -87,15 +92,41 @@ object TextQueries extends QueryModule {
       |  END AS fingerprint
       |FROM norm""".stripMargin
 
+  /** Top-quartile quality gate: keep documents whose quality level sits
+    * in the smallest top set of whole levels covering ≥25% of the corpus
+    * — count-based threshold selection, no quantile interpolation
+    * ([[graft.ops.Sampling.topFractionByScore]]). */
+  private def qualityFilter(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.topFractionByScore(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextFns.quality_score(col("text")).as("quality")),
+        col("quality"), fraction = 0.25)
+      .select("doc_id", "quality")
+
+  private val qualityFilterSql =
+    s"""WITH q AS (
+       |  SELECT doc_id, $qualityExprSql AS quality FROM documents),
+       |d AS (SELECT quality, COUNT(*) AS cnt FROM q GROUP BY 1),
+       |c AS (
+       |  SELECT quality, cnt,
+       |    SUM(cnt) OVER (ORDER BY quality DESC) AS cum,
+       |    SUM(cnt) OVER () AS total
+       |  FROM d),
+       |t AS (SELECT MIN(quality) AS thr FROM c
+       |      WHERE CAST(cum - cnt AS DOUBLE) < 0.25 * CAST(total AS DOUBLE))
+       |SELECT q.doc_id, q.quality FROM q, t WHERE q.quality >= t.thr""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m8_token_count"   -> tokenCount _,
-    "m8_language_id"   -> languageId _,
-    "m8_quality_score" -> qualityScore _,
-    "m8_fingerprint"   -> fingerprint _)
+    "m8_token_count"    -> tokenCount _,
+    "m8_language_id"    -> languageId _,
+    "m8_quality_score"  -> qualityScore _,
+    "m8_quality_filter" -> qualityFilter _,
+    "m8_fingerprint"    -> fingerprint _)
 
   def oracles: Map[String, String] = Map(
-    "m8_token_count"   -> tokenCountSql,
-    "m8_language_id"   -> languageIdSql,
-    "m8_quality_score" -> qualityScoreSql,
-    "m8_fingerprint"   -> fingerprintSql)
+    "m8_token_count"    -> tokenCountSql,
+    "m8_language_id"    -> languageIdSql,
+    "m8_quality_score"  -> qualityScoreSql,
+    "m8_quality_filter" -> qualityFilterSql,
+    "m8_fingerprint"    -> fingerprintSql)
 }

@@ -63,6 +63,23 @@ class SamplingSpec extends SparkSpec {
     assert(tiny.count() == 3)
   }
 
+  test("topFractionByScore keeps whole top levels covering the fraction") {
+    // 100 rows score 3, 100 score 2, 800 score 1
+    val df = (0 until 1000).map { i =>
+      (i.toLong, if (i < 100) 3.0 else if (i < 200) 2.0 else 1.0)
+    }.toDF("id", "s")
+    // smallest set of WHOLE levels covering >=25%: {3,2} covers only
+    // 20%, so level 1 joins and everything survives — quantized scores
+    // can overshoot the fraction, by design
+    val keep25 = Sampling.topFractionByScore(df, col("s"), 0.25)
+      .collect().map(_.getDouble(1))
+    assert(keep25.length == 1000)
+    // at 10%, level 3 alone covers it: exactly the 100 top rows survive
+    val keep10 = Sampling.topFractionByScore(df, col("s"), 0.1)
+      .collect().map(_.getDouble(1))
+    assert(keep10.length == 100 && keep10.forall(_ == 3.0))
+  }
+
   test("weightedMix caps rates at 1, tags provenance, never duplicates") {
     val s1 = (0L until 500L).toDF("id")
     val s2 = (500L until 1000L).toDF("id")
