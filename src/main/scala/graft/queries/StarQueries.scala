@@ -372,7 +372,31 @@ object StarQueries extends QueryModule {
           col("exact_orders"))
       .filter(col("rel_err") < 0.05)
 
+  /** Two-phase salted aggregation over the 3-value (maximally skewed)
+    * return-flag key: salt → partial per (key, salt) → merge per key.
+    * Decimal partials make the result bit-identical to the unsalted
+    * GROUP BY the oracle runs — proving the skew-buster is a pure
+    * plan-shape change. At scale this is the manual fallback when AQE's
+    * skew handling can't apply (e.g. aggregation, not join). */
+  private def aggSaltedSkew(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Tables.lineitem(s, dir)
+      .withColumn("_salt", pmod(xxhash64(col("l_orderkey")), lit(16)))
+      .groupBy(col("l_returnflag"), col("_salt"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("pq"),
+        count(lit(1)).as("pn"))
+      .groupBy("l_returnflag")
+      .agg(sum("pq").cast("double").as("sum_qty"), sum("pn").as("n"))
+  }
+
+  private val aggSaltedSkewSql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_salted_skew"     -> aggSaltedSkew _,
     "agg_approx_distinct" -> aggApproxDistinct _,
     "w1_topk_custom_op"   -> windowTopKCustomOp _,
     "agg_typed_profile"   -> aggTypedProfile _,
@@ -397,6 +421,7 @@ object StarQueries extends QueryModule {
     "date_trunc_revenue"  -> dateTruncRevenue _)
 
   def oracles: Map[String, String] = Map(
+    "agg_salted_skew"     -> aggSaltedSkewSql,
     "w1_topk_custom_op"   -> windowTopKCustomOpSql,
     "agg_typed_profile"   -> aggTypedProfileSql,
     "agg_pricing_summary" -> aggPricingSummarySql,
