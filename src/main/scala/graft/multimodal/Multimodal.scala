@@ -53,6 +53,33 @@ object Multimodal {
         md5(col("payload")).as("checksum"),
         col("format").as("format")))
 
+  /** One sampled "frame" of a media payload. */
+  case class FrameRow(doc_id: Long, frame_index: Long, frame_len: Long)
+
+  /** Frame sampling for video-like payloads: the payload divides into
+    * fixed-size frames and every `everyN`-th one is kept. The decode is
+    * the stub convention (frame = `frameBytes` payload bytes); a real
+    * implementation would seek + decode inside the same flatMap. The
+    * shape is the part that matters at 100 TB: partition-wise iterator
+    * flatMap — one row fans out to its sampled frames lazily, so memory
+    * is bounded by one payload regardless of frame count, and the
+    * downstream sees ordinary rows it can filter/aggregate/shuffle. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   frameBytes: Int = 256, everyN: Int = 2): Dataset[FrameRow] = {
+    import spark.implicits._
+    require(frameBytes > 0 && everyN > 0, s"($frameBytes, $everyN)")
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val n = (payload.length + frameBytes - 1) / frameBytes
+          Iterator.range(0, n).filter(_ % everyN == 0).map { i =>
+            FrameRow(id, i.toLong,
+              math.min(frameBytes, payload.length - i * frameBytes).toLong)
+          }
+        }
+      }
+  }
+
   /** Partition-wise feature extraction through the typed Dataset boundary:
     * one decoder init per partition, rows streamed through in batch. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {

@@ -27,7 +27,7 @@ object ConnectedComponents {
   /** `edges` must have two columns (u, v); vertices are whatever appears
     * in an edge. Returns (id, label) with label = min vertex id of the
     * component. Throws if `maxIter` rounds don't converge. */
-  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val u = col(edges.columns(0))
     val v = col(edges.columns(1))
     // both orientations from ONE pass over the (possibly expensive) edge
@@ -39,10 +39,14 @@ object ConnectedComponents {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // init fuses the first propagation round: label = min(self, neighbors)
+    // init fuses the first propagation round: label = min(self, neighbors).
+    // Each round's plan references the previous labels TWICE (neighbor
+    // join + merge join), so without lineage truncation the logical plan
+    // doubles per round — exponential analysis cost by round ~15. Eager
+    // localCheckpoint keeps the per-round plan flat and the data cached.
     var labels = adj.groupBy("src").agg(min("dst").as("nmin"))
       .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // sum over a cast-to-long label: one scan, null only on empty input
     def labelSum(df: DataFrame): Long = {
       val r = df.agg(sum(col("label").cast("long"))).head
@@ -61,9 +65,8 @@ object ConnectedComponents {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val s = labelSum(next)
-      labels.unpersist()
       labels = next
       done = s == prevSum // labels only decrease; flat sum == fixpoint
       prevSum = s

@@ -49,11 +49,32 @@ object MultimodalQueries extends QueryModule {
       |        [unicode(c) for c in string_split(text, '')] AS unicode_codes
       |      FROM documents)""".stripMargin
 
+  /** Frame sampling (video-shaped payloads): every 2nd 256-byte frame,
+    * fanned out lazily per partition ([[Multimodal.sampleFrames]]). */
+  private def mediaFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(s,
+        Multimodal.withMediaColumns(Tables.documents(s, dir)),
+        frameBytes = 256, everyN = 2)
+      .toDF()
+
+  private val mediaFramesSql =
+    """SELECT doc_id, frame_index,
+      |  LEAST(256, blen - frame_index * 256) AS frame_len
+      |FROM (
+      |  SELECT doc_id, blen,
+      |    unnest(generate_series(0, CAST(ceil(blen / 256.0) AS BIGINT) - 1))
+      |      AS frame_index
+      |  FROM (SELECT doc_id, length(text) AS blen FROM documents)
+      |  WHERE blen > 0)
+      |WHERE frame_index % 2 = 0""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_multimodal_meta"     -> mediaMeta _,
-    "m8_multimodal_features" -> mediaFeatures _)
+    "m8_multimodal_features" -> mediaFeatures _,
+    "m8_multimodal_frames"   -> mediaFrames _)
 
   def oracles: Map[String, String] = Map(
     "m8_multimodal_meta"     -> mediaMetaSql,
-    "m8_multimodal_features" -> mediaFeaturesSql)
+    "m8_multimodal_features" -> mediaFeaturesSql,
+    "m8_multimodal_frames"   -> mediaFramesSql)
 }

@@ -30,6 +30,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(labelsOf(Seq.empty).isEmpty)
   }
 
+  test("random graphs agree with a reference union-find") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val nVerts = 40 + trial * 30
+      val edges = Seq.fill(nVerts) {
+        (rnd.nextInt(nVerts).toLong, rnd.nextInt(nVerts).toLong)
+      }.filter { case (a, b) => a != b }
+      // reference: plain union-find over the same edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(v => v -> find(v)).toMap
+      val got = labelsOf(edges)
+      assert(got == expected, s"trial $trial: $got vs $expected")
+    }
+  }
+
   test("non-convergence within maxIter throws instead of returning junk") {
     // a 6-chain needs ~5 propagation rounds; 1 round must fail loudly
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))

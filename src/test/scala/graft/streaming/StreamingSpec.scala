@@ -44,6 +44,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 3) // (00:00 click), (00:05 view), (00:10 click)
   }
 
+  test("hash sampling and split assignment work unchanged on a stream") {
+    // the sampling operators are pure map-side expressions, so the same
+    // call works on a streaming DF and selects the SAME rows as batch —
+    // the property a replayable ingest pipeline needs
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val events = (1L to 200L).map(i =>
+      Ev(i, ts((i % 50).toInt), i % 7, "click", 1.0, "{}"))
+    input.addData(events: _*)
+    val sampled = graft.ops.Sampling.hashSample(
+        input.toDF(), col("event_id"), 0.3, "stream")
+      .withColumn("split", graft.ops.Sampling.splitColumn(
+        col("event_id"), "sp", Seq("train" -> 0.8, "val" -> 0.2)))
+    EventStreams.drainToMemory(sampled, "sampled_out", OutputMode.Append())
+    val streamed = spark.table("sampled_out")
+      .select("event_id", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = graft.ops.Sampling.hashSample(
+        events.toDF(), col("event_id"), 0.3, "stream")
+      .withColumn("split", graft.ops.Sampling.splitColumn(
+        col("event_id"), "sp", Seq("train" -> 0.8, "val" -> 0.2)))
+      .select("event_id", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("watermark drops events later than the bound") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
