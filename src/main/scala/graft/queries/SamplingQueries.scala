@@ -79,13 +79,67 @@ object SamplingQueries extends QueryModule {
        |                       ORDER BY ${coordSql("cap")}) AS rn
        |  FROM documents) WHERE rn <= 10""".stripMargin
 
+  /** M8 capstone — the composed corpus-preparation pipeline a training
+    * run needs, each stage one of this engine's operators:
+    * top-quartile quality gate → exact dedup (min doc_id survives per
+    * content hash) → ≤15 docs per source (uniform stable draw) →
+    * 90/10 train/val assignment. Every stage is deterministic, so the
+    * whole chain is hash-verified end-to-end by one DuckDB oracle. */
+  private def corpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns
+    import graft.dedup.Dedup
+    val docs = Tables.documents(s, dir)
+    val gated = Sampling.topFractionByScore(
+      docs.withColumn("quality", TextFns.quality_score(col("text"))),
+      col("quality"), fraction = 0.25)
+    val survivors = Dedup.exactSurvivors(gated, col("doc_id"), col("text"))
+      .select(col("survivor_id").as("doc_id"))
+    val deduped = gated.join(survivors, Seq("doc_id"))
+    val capped = Sampling.capPerGroup(deduped,
+      col("source"), col("doc_id"), n = 15, salt = "m8cap")
+    capped.select(col("doc_id"), col("source"), col("lang"),
+      Sampling.splitColumn(col("doc_id"), "m8split",
+        Seq("train" -> 0.9, "val" -> 0.1)).as("split"))
+  }
+
+  private val corpusPipelineSql =
+    s"""WITH q AS (
+       |  SELECT doc_id, text, source, lang,
+       |    ${TextQueries.qualityExprSql} AS quality
+       |  FROM documents),
+       |h AS (SELECT quality, COUNT(*) AS cnt FROM q GROUP BY 1),
+       |hc AS (
+       |  SELECT quality, cnt,
+       |    SUM(cnt) OVER (ORDER BY quality DESC) AS cum,
+       |    SUM(cnt) OVER () AS total
+       |  FROM h),
+       |thr AS (SELECT MIN(quality) AS t FROM hc
+       |        WHERE CAST(cum - cnt AS DOUBLE) < 0.25 * CAST(total AS DOUBLE)),
+       |gated AS (SELECT q.* FROM q, thr WHERE q.quality >= thr.t),
+       |surv AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+       |deduped AS (SELECT g.* FROM gated g JOIN surv USING (doc_id)),
+       |capped AS (
+       |  SELECT doc_id, source, lang FROM (
+       |    SELECT doc_id, source, lang,
+       |      ROW_NUMBER() OVER (PARTITION BY source
+       |        ORDER BY ${hex60Sql("'m8cap|' || doc_id::VARCHAR")}) AS rn
+       |    FROM deduped) WHERE rn <= 15)
+       |SELECT doc_id, source, lang,
+       |  CASE WHEN ${hex60Sql("'m8split|' || doc_id::VARCHAR")}
+       |         < ${Sampling.thresholdFor(0.9)} THEN 'train'
+       |       ELSE 'val' END AS split
+       |FROM capped""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_corpus_pipeline"   -> corpusPipeline _,
     "m8_sample_stratified" -> stratified _,
     "m8_split_assign"      -> split _,
     "m8_sample_mix"        -> mix _,
     "m8_cap_per_source"    -> cap _)
 
   def oracles: Map[String, String] = Map(
+    "m8_corpus_pipeline"   -> corpusPipelineSql,
     "m8_sample_stratified" -> stratifiedSql,
     "m8_split_assign"      -> splitSql,
     "m8_sample_mix"        -> mixSql,

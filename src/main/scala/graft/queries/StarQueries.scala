@@ -166,6 +166,39 @@ object StarQueries extends QueryModule {
       |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""".stripMargin
 
   /** Window ranking: top-3 orders per customer (W1-family top-k). */
+  /** Pivot (long→wide): document counts per language × source, with the
+    * pivot columns pinned explicitly — the deterministic form (a
+    * discovered-values pivot would make the schema data-dependent). */
+  private def aggPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("source")
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  private val aggPivotSql = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val arms = langs.map(l =>
+      s"""COUNT(*) FILTER (WHERE lang = '$l') AS "$l"""").mkString(",\n  ")
+    s"SELECT source,\n  $arms\nFROM documents GROUP BY 1"
+  }
+
+  /** NTILE quartiles of order value per order-priority class. */
+  private def windowNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"))
+  }
+
+  private val windowNtileSql =
+    """SELECT o_orderpriority, o_orderkey,
+      |  CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+      |                      ORDER BY o_totalprice, o_orderkey) AS INT)
+      |    AS quartile
+      |FROM orders""".stripMargin
+
   private def windowRank(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -411,6 +444,8 @@ object StarQueries extends QueryModule {
     "join_star_schema"    -> joinStarSchema _,
     "join_semi"           -> joinSemi _,
     "join_anti"           -> joinAnti _,
+    "agg_pivot"           -> aggPivot _,
+    "window_ntile"        -> windowNtile _,
     "window_rank"         -> windowRank _,
     "window_running"      -> windowRunning _,
     "window_lag"          -> windowLag _,
@@ -435,6 +470,8 @@ object StarQueries extends QueryModule {
     "join_star_schema"    -> joinStarSchemaSql,
     "join_semi"           -> joinSemiSql,
     "join_anti"           -> joinAntiSql,
+    "agg_pivot"           -> aggPivotSql,
+    "window_ntile"        -> windowNtileSql,
     "window_rank"         -> windowRankSql,
     "window_running"      -> windowRunningSql,
     "window_lag"          -> windowLagSql,

@@ -54,7 +54,7 @@ object TextQueries extends QueryModule {
 
   /** The quality-score heuristic as one SQL expression (DuckDB twin of
     * `TextFns.quality_score`), shared by the histogram and filter demos. */
-  private val qualityExprSql = {
+  private[queries] val qualityExprSql = {
     val nTok = "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
     val nCh = "length(text)"
     val punct = "len(regexp_extract_all(text, '[[:punct:]]'))"
