@@ -75,4 +75,78 @@ object ConnectedComponents {
     adj.unpersist()
     labels
   }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") — the
+    * escalation path for graphs with LONG chains, where plain min-label
+    * propagation needs diameter rounds: star operations contract paths
+    * aggressively, converging in O(log²) rounds regardless of diameter.
+    *
+    * Per round: two grouped aggregations (two key-shuffles each), edge
+    * set re-checkpointed to keep the plan flat. Convergence = the edge
+    * multiset stable, detected by an order-independent checksum (sum of
+    * per-edge hashes) going flat two rounds running — with both checks
+    * inside the star rounds there is no extra pass. At convergence every
+    * edge is (node → component-min root), which is returned as
+    * (id, label) including the roots themselves. */
+  def runStars(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val u = col(edges.columns(0))
+    val v = col(edges.columns(1))
+    var e = edges.select(u.as("a"), v.as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
+      .distinct()
+      .localCheckpoint()
+    // order-independent edge-set fingerprint: (count, xor of edge hashes)
+    // — xor can't overflow under ANSI arithmetic, and the count guards
+    // the (already astronomical) xor-collision case
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        bit_xor(xxhash64(col("hi"), col("lo")))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // large-star: every neighbor larger than u links to u's min;
+    // small-star: every lower neighbor of u (and u itself) links to u's
+    // min. Both are a grouped min + a join back to the edges — never a
+    // per-node collect_set, so a crawl-scale hub node costs a shuffle,
+    // not an executor OOM.
+    def largeStar(df: DataFrame): DataFrame = {
+      val sym = df.select(explode(array(
+        struct(col("hi").as("u"), col("lo").as("n")),
+        struct(col("lo").as("u"), col("hi").as("n")))).as("e"))
+        .select(col("e.u").as("u"), col("e.n").as("n"))
+      val mins = sym.groupBy("u").agg(min(least(col("n"), col("u"))).as("m"))
+      sym.join(mins, Seq("u"))
+        .filter(col("n") > col("u") && col("n") =!= col("m"))
+        .select(col("n").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+    def smallStar(df: DataFrame): DataFrame = {
+      // edges already point hi → lo (lo < hi)
+      val mins = df.groupBy("hi").agg(min("lo").as("m"))
+      val fromLo = df.join(mins, Seq("hi"))
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+      val fromHi = mins.select(col("hi"), col("m").as("lo"))
+      fromLo.unionByName(fromHi).distinct()
+    }
+    var prev = checksum(e)
+    var stable = 0
+    var iter = 0
+    while (stable < 2) {
+      if (iter >= maxIter)
+        throw new IllegalStateException(
+          s"large/small-star did not converge in $maxIter rounds")
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val s = checksum(e)
+      stable = if (s == prev) stable + 1 else 0
+      prev = s
+      iter += 1
+    }
+    val members = e.select(col("hi").as("id"), col("lo").as("label"))
+    val roots = e.select(col("lo").as("id")).distinct()
+      .withColumn("label", col("id"))
+    members.unionByName(roots).distinct()
+  }
 }

@@ -53,6 +53,26 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("large-star/small-star agrees with min-label and union-find") {
+    val rnd = new scala.util.Random(7)
+    // long path: the case where min-label needs diameter rounds and the
+    // star algorithm must contract in O(log²)
+    val path = (1L until 30L).map(i => (i, i + 1))
+    val pathStars = ConnectedComponents.runStars(path.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pathStars == (1L to 30L).map(_ -> 1L).toMap)
+    // random graphs: equivalence with the propagation implementation
+    for (trial <- 0 until 2) {
+      val n = 50 + trial * 40
+      val edges = Seq.fill(n) {
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      val viaStars = ConnectedComponents.runStars(edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStars == labelsOf(edges), s"trial $trial")
+    }
+  }
+
   test("non-convergence within maxIter throws instead of returning junk") {
     // a 6-chain needs ~5 propagation rounds; 1 round must fail loudly
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
