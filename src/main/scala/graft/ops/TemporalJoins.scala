@@ -43,7 +43,11 @@ object TemporalJoins {
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: Column, rightKey: Column,
                leftTs: Column, rightTs: Column,
-               asofColName: String = "asof"): DataFrame = {
+               asofColName: String = "asof",
+               direction: String = "backward",
+               toleranceMicros: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward: $direction")
     val lStruct = struct(left.columns.map(left(_)): _*)
     val rStruct = struct(right.columns.map(right(_)): _*)
     val l2 = left.select(leftKey.as("_gk"), leftTs.as("_gts"), lStruct.as("_gl"))
@@ -54,11 +58,27 @@ object TemporalJoins {
       .unionByName(r2
         .withColumn("_gl", lit(null).cast(l2.schema("_gl").dataType))
         .withColumn("_gside", lit(0)))
-    val w = Window.partitionBy("_gk").orderBy(col("_gts"), col("_gside"))
+    // backward scans time ascending (last right at-or-before); forward
+    // scans descending (last right seen = nearest at-or-after). Right
+    // rows order before left at equal ts either way → inclusive match.
+    val tsOrder = if (direction == "backward") col("_gts").asc else col("_gts").desc
+    val w = Window.partitionBy("_gk").orderBy(tsOrder, col("_gside"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("_gasof", last(col("_gr"), ignoreNulls = true).over(w))
+    val matched = u
+      .withColumn("_gasof", last(col("_gr"), ignoreNulls = true).over(w))
+      .withColumn("_gmts", last(when(col("_gside") === 0, col("_gts")),
+        ignoreNulls = true).over(w))
       .filter(col("_gside") === 1)
-      .select(col("_gl.*") +: Seq(col("_gasof").as(asofColName)): _*)
+    // tolerance nulls out a match farther than Δ — as-of semantics pick
+    // THE nearest row first, so a too-far nearest means no match at all
+    val gated = toleranceMicros match {
+      case None => matched
+      case Some(tol) =>
+        val dist = abs(unix_micros(col("_gts")) - unix_micros(col("_gmts")))
+        matched.withColumn("_gasof",
+          when(col("_gmts").isNotNull && dist <= tol, col("_gasof")))
+    }
+    gated.select(col("_gl.*") +: Seq(col("_gasof").as(asofColName)): _*)
   }
 
   /** Range join (point-in-interval): pairs each point row with every

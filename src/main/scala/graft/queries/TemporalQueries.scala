@@ -43,6 +43,34 @@ object TemporalQueries extends QueryModule {
       |FROM e ASOF LEFT JOIN c
       |  ON e.user_id = c.c_user AND e.ts >= c.c_ts""".stripMargin
 
+  /** W4 forward variant: each error event picks up the same user's
+    * NEXT click at-or-after it (the "time-to-recovery" direction). */
+  private def asofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .agg(max("event_id").as("click_id"))
+    TemporalJoins.asofJoin(errors, clicks,
+        col("user_id"), col("c_user"), col("ts"), col("c_ts"),
+        direction = "forward")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof.c_ts").as("next_click_ts"),
+        col("asof.click_id").as("next_click_id"))
+  }
+
+  private val asofForwardSql =
+    """WITH c AS (
+      |  SELECT user_id AS c_user, ts AS c_ts, MAX(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |e AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+      |SELECT e.event_id, e.user_id, e.ts,
+      |       c.c_ts AS next_click_ts, c.click_id AS next_click_id
+      |FROM e ASOF LEFT JOIN c
+      |  ON e.user_id = c.c_user AND e.ts <= c.c_ts""".stripMargin
+
   /** W5: per view event, the count/value of the same user's clicks in the
     * 6 hours before it (views with no such click drop out — inner). */
   private def rangeJoin(s: SparkSession, dir: String): DataFrame = {
@@ -70,10 +98,12 @@ object TemporalQueries extends QueryModule {
       |GROUP BY 1""".stripMargin
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "w4_asof_join"  -> asof _,
-    "w5_range_join" -> rangeJoin _)
+    "w4_asof_join"    -> asof _,
+    "w4_asof_forward" -> asofForward _,
+    "w5_range_join"   -> rangeJoin _)
 
   def oracles: Map[String, String] = Map(
-    "w4_asof_join"  -> asofSql,
-    "w5_range_join" -> rangeSql)
+    "w4_asof_join"    -> asofSql,
+    "w4_asof_forward" -> asofForwardSql,
+    "w5_range_join"   -> rangeSql)
 }

@@ -30,6 +30,31 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out("l3") == null)     // key absent on the right
   }
 
+  test("asofJoin forward direction and tolerance gating") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "l1"),
+      (1L, ts("2024-01-01 11:00:00"), "l2")
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:30"), "r1"),
+      (1L, ts("2024-01-01 12:00:00"), "r2")
+    ).toDF("rk", "rt", "rv")
+    val fwd = TemporalJoins.asofJoin(left, right,
+        col("k"), col("rk"), col("t"), col("rt"), direction = "forward")
+      .select(col("tag"), col("asof.rv").as("rv"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fwd("l1") == "r1") // nearest AT-OR-AFTER, not the later one
+    assert(fwd("l2") == "r2")
+    // 10-minute tolerance: l1's nearest (30s away) survives; l2's
+    // nearest (1h away) is nulled — NOT replaced by a farther row
+    val tol = TemporalJoins.asofJoin(left, right,
+        col("k"), col("rk"), col("t"), col("rt"), direction = "forward",
+        toleranceMicros = Some(10L * 60 * 1000 * 1000))
+      .select(col("tag"), col("asof.rv").as("rv"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tol("l1") == "r1" && tol("l2") == null)
+  }
+
   test("asofJoin plans one exchange on the key, no join node") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), "x")).toDF("k", "t", "tag")
     val right = Seq((1L, ts("2024-01-01 09:00:00"), "y")).toDF("rk", "rt", "rv")
