@@ -118,6 +118,36 @@ object Sampling {
     df.join(broadcast(thr), score >= col("_thr")).drop("_thr")
   }
 
+  /** Token-budget sequence packing: assign each document to a training
+    * pack (context-window shard) of ~`budgetTokens` tokens. Documents
+    * spread over `shards` independent streams by hash, order within a
+    * shard by the same salted coordinate (deterministic, uniform), and a
+    * document joins the pack its starting token offset falls in:
+    * pack = floor(start_offset / budget).
+    *
+    * Offset packing rather than best-fit: assignment is a running sum +
+    * a projection, fully deterministic and engine-portable, and every
+    * pack's total stays within budget + one document. Each shard's
+    * running sum is an independent partitioned window, so parallelism =
+    * `shards` and no global sort exists anywhere. */
+  def packByTokenBudget(df: DataFrame, key: Column, tokens: Column,
+                        budgetTokens: Long, shards: Int,
+                        salt: String): DataFrame = {
+    require(budgetTokens > 0 && shards > 0, s"($budgetTokens, $shards)")
+    val c = coord(key, salt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_gshard")).orderBy(col("_gord"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("_gshard", pmod(c, lit(shards)))
+      .withColumn("_gord", c)
+      .withColumn("_gcum", sum(tokens).over(w))
+      .withColumn("shard", col("_gshard").cast("int"))
+      .withColumn("pack_id",
+        floor((col("_gcum") - tokens) / budgetTokens).cast("long"))
+      .drop("_gshard", "_gord", "_gcum")
+  }
+
   /** Weighted corpus mix: sample each source at its rate and union,
     * tagging provenance. Rates > 1 are capped at 1 (this operator
     * subsamples; it does not duplicate rows — epoch repetition is a

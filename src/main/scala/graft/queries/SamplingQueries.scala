@@ -131,7 +131,35 @@ object SamplingQueries extends QueryModule {
        |       ELSE 'val' END AS split
        |FROM capped""".stripMargin
 
+  /** Token-budget packing: 8 hash shards, 4096-token context packs. */
+  private def pack(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns
+    Sampling.packByTokenBudget(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextFns.token_count(col("text")).as("n_tokens")),
+        col("doc_id"), col("n_tokens"),
+        budgetTokens = 4096, shards = 8, salt = "pack")
+      .select("doc_id", "n_tokens", "shard", "pack_id")
+  }
+
+  private val packSql = {
+    val nTok = """CAST(CASE WHEN trim(text) = '' THEN 0
+                 |       ELSE len(string_split_regex(trim(text), '\s+')) END AS INT)""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, $nTok AS n_tokens,
+       |    ${coordSql("pack")} AS c
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, n_tokens, CAST(c % 8 AS INT) AS shard,
+       |    SUM(n_tokens) OVER (PARTITION BY c % 8 ORDER BY c) AS cum
+       |  FROM t)
+       |SELECT doc_id, n_tokens, shard,
+       |  CAST(floor((cum - n_tokens) / 4096) AS BIGINT) AS pack_id
+       |FROM s""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_pack_sequences"    -> pack _,
     "m8_corpus_pipeline"   -> corpusPipeline _,
     "m8_sample_stratified" -> stratified _,
     "m8_split_assign"      -> split _,
@@ -139,6 +167,7 @@ object SamplingQueries extends QueryModule {
     "m8_cap_per_source"    -> cap _)
 
   def oracles: Map[String, String] = Map(
+    "m8_pack_sequences"    -> packSql,
     "m8_corpus_pipeline"   -> corpusPipelineSql,
     "m8_sample_stratified" -> stratifiedSql,
     "m8_split_assign"      -> splitSql,

@@ -80,6 +80,24 @@ class SamplingSpec extends SparkSpec {
     assert(keep10.length == 100 && keep10.forall(_ == 3.0))
   }
 
+  test("packByTokenBudget: bounded packs, deterministic, all docs packed") {
+    val df = ids.withColumn("tok", (col("id") % 90 + 10).cast("int"))
+    val out = Sampling.packByTokenBudget(df, col("id"), col("tok"),
+        budgetTokens = 500, shards = 4, salt = "p")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(out.length == 2000, "every document lands in a pack")
+    assert(out.forall { case (_, _, sh, _) => sh >= 0 && sh < 4 })
+    // offset packing: each pack's total ≤ budget + (its largest doc - 1)
+    out.groupBy(t => (t._3, t._4)).foreach { case (k, docs) =>
+      val total = docs.map(_._2.toLong).sum
+      assert(total < 500 + 100, s"pack $k holds $total tokens")
+    }
+    val again = Sampling.packByTokenBudget(df, col("id"), col("tok"),
+        budgetTokens = 500, shards = 4, salt = "p")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(out.map(t => t._1 -> t._4).toMap == again, "stable across runs")
+  }
+
   test("weightedMix caps rates at 1, tags provenance, never duplicates") {
     val s1 = (0L until 500L).toDF("id")
     val s2 = (500L until 1000L).toDF("id")
