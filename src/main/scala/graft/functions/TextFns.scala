@@ -86,6 +86,20 @@ object TextFns {
         i => array_join(slice(tokens, i + 1, lit(w)), " "))))
   }
 
+  /** Word n-grams WITH multiplicity (unlike [[word_shingles]], which
+    * dedups) — the unit for within-document repetition analysis, where
+    * how often a gram repeats is the signal. Empty array when the text
+    * has fewer than `w` tokens. */
+  def word_grams(text: Column, w: Int): Column = {
+    val tokens = split(trim(coalesce(text, lit(""))), "\\s+")
+    val n = size(tokens)
+    when(trim(coalesce(text, lit(""))) === "" || n < w,
+        array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), n - w),
+        i => array_join(slice(tokens, i + 1, lit(w)), " ")))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-style): the minimum md5
     * over all k-char grams of the normalized text. md5 keeps the value
     * engine-reproducible. */

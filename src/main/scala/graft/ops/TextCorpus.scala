@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Corpus-level text statistics for training-data curation: within-document
+  * repetition signals (Gopher-style quality rules), cross-document
+  * boilerplate detection, and TF-IDF keyword extraction.
+  *
+  * All three are two-phase shapes — a per-gram/per-word shuffle followed by
+  * a per-document (or per-gram) aggregation — with map-side partial
+  * aggregation on every phase, so they scale linearly with corpus size and
+  * never materialize per-document state wider than a few counters.
+  */
+object TextCorpus {
+
+  /** Gopher-style repetition signals per document (arXiv:2112.11446 §A1.1,
+    * word-level adaptation): `top2_frac` = occurrences of the most common
+    * word 2-gram / total 2-grams, `dup3_frac` = fraction of word 3-gram
+    * occurrences beyond each gram's first (1 − distinct/total), and a
+    * `repetitive` verdict. Documents shorter than the gram width score 0.
+    *
+    * Shape: explode both gram widths in one pass (tagged), count per
+    * (doc, width, gram), then one conditional aggregation per doc — two
+    * shuffles on keys that grow with data volume, never with vocabulary.
+    * Each fraction is a single double division of exact counts, so the
+    * values are engine-reproducible bit-for-bit.
+    */
+  def repetitionSignals(docs: DataFrame, id: Column, text: Column,
+                        top2Threshold: Double = 0.10,
+                        dup3Threshold: Double = 0.20): DataFrame = {
+    val grams = docs
+      .select(id.as("doc_id"),
+        explode(concat(
+          transform(TextFns.word_grams(text, 2), g => struct(lit(2).as("w"), g.as("gram"))),
+          transform(TextFns.word_grams(text, 3), g => struct(lit(3).as("w"), g.as("gram")))
+        )).as("g"))
+      .select(col("doc_id"), col("g.w").as("w"), col("g.gram").as("gram"))
+
+    val perGram = grams.groupBy("doc_id", "w", "gram").agg(count(lit(1)).as("cnt"))
+
+    val perDoc = perGram.groupBy("doc_id").agg(
+      max(when(col("w") === 2, col("cnt"))).as("max2"),
+      sum(when(col("w") === 2, col("cnt"))).as("tot2"),
+      sum(when(col("w") === 3, col("cnt"))).as("tot3"),
+      count(when(col("w") === 3, lit(1))).as("dist3"))
+
+    // Left-join from the full corpus so gram-less (tiny) documents still
+    // appear, with zero scores.
+    docs.select(id.as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("max2").cast("double") / col("tot2").cast("double"), lit(0.0))
+          .as("top2_frac"),
+        coalesce((col("tot3") - col("dist3")).cast("double") / col("tot3").cast("double"),
+          lit(0.0)).as("dup3_frac"))
+      .withColumn("repetitive",
+        col("top2_frac") > top2Threshold || col("dup3_frac") > dup3Threshold)
+  }
+
+  /** Cross-document boilerplate fraction: a word 3-shingle is boilerplate
+    * when it appears in ≥ `minDocs` distinct documents; each document gets
+    * the fraction of its distinct shingles that are boilerplate (the CCNet
+    * / RefinedWeb boilerplate-removal signal, at shingle granularity).
+    *
+    * Shape: distinct shingles per doc (one explode, persisted — both
+    * phases read it), document frequency per shingle (one groupBy —
+    * shingles arrive pre-deduped per doc, so `count(*)` IS the document
+    * frequency), FILTERED to the boilerplate set before the join back.
+    * High-df grams are by definition a tiny fraction of the shingle
+    * vocabulary, so the join back is a broadcast-semi against a few
+    * thousand keys and only the matching shingle occurrences shuffle to
+    * the per-doc count; the denominator count shuffles doc-id-sized
+    * partials. Nothing in the plan grows with the cross product.
+    */
+  def boilerplateFraction(docs: DataFrame, id: Column, text: Column,
+                          minDocs: Int): DataFrame = {
+    val sh = docs
+      .select(id.as("doc_id"), explode(TextFns.word_shingles(text, 3)).as("shingle"))
+      .persist()
+    val boiler = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDocs)
+      .select("shingle")
+    val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val boilerPerDoc = sh.join(boiler, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    perDoc.join(boilerPerDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_shingles"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        (coalesce(col("n_boiler"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("boiler_frac"))
+  }
+
+  /** Top-k keywords per document by TF-IDF (tf × ln(N/df), raw counts).
+    * Rank order is (tfidf DESC, word ASC); tfidf is rounded to 6 decimals
+    * BEFORE ranking so the ordering an external verifier computes from the
+    * same formula agrees exactly (a raw double compare could flip on the
+    * last ulp of `ln` across engines).
+    *
+    * Shape: one explode → tf per (doc, word); df per word from the
+    * pre-deduped (doc, word) pairs; N as a 1-row aggregate broadcast into
+    * the plan (no driver action). The df side is |vocabulary|-sized, so
+    * Spark broadcasts it under AQE at any corpus scale.
+    */
+  def tfidfTopK(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(id.as("doc_id"),
+        explode(split(trim(coalesce(text, lit(""))), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(id).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), Seq("word"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("word").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("doc_id", "rank", "word", "tf", "df", "tfidf")
+  }
+}

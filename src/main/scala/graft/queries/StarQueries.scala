@@ -165,6 +165,44 @@ object StarQueries extends QueryModule {
       |WHERE NOT EXISTS (SELECT 1 FROM orders o
       |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""".stripMargin
 
+  /** Bloom-prefiltered semi join (runtime-filter pattern): orders with at
+    * least one returned lineitem. The bloom over returned orderkeys cuts
+    * the orders-side shuffle to the ~matching fraction before the exact
+    * semi join clears false positives — result identical to a plain semi
+    * join ([[graft.ops.BloomJoin]]). */
+  private def joinBloomSemi(s: SparkSession, dir: String): DataFrame = {
+    val returned = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    graft.ops.BloomJoin.semiJoin(
+        Tables.orders(s, dir), returned,
+        col("o_orderkey"), col("l_orderkey"), expectedItems = 200000L)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+  }
+
+  private val joinBloomSemiSql =
+    """SELECT o_orderkey, o_orderstatus
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')""".stripMargin
+
+  /** Bloom-shortcut anti join: orders with NO returned lineitem. Probe rows
+    * the bloom rejects bypass the join shuffle entirely; only the
+    * maybe-present fraction pays the exact anti join. */
+  private def joinBloomAnti(s: SparkSession, dir: String): DataFrame = {
+    val returned = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    graft.ops.BloomJoin.antiJoin(
+        Tables.orders(s, dir), returned,
+        col("o_orderkey"), col("l_orderkey"), expectedItems = 200000L)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+  }
+
+  private val joinBloomAntiSql =
+    """SELECT o_orderkey, o_orderstatus
+      |FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+      |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')""".stripMargin
+
   /** Window ranking: top-3 orders per customer (W1-family top-k). */
   /** Pivot (long→wide): document counts per language × source, with the
     * pivot columns pinned explicitly — the deterministic form (a
@@ -444,6 +482,8 @@ object StarQueries extends QueryModule {
     "join_star_schema"    -> joinStarSchema _,
     "join_semi"           -> joinSemi _,
     "join_anti"           -> joinAnti _,
+    "join_bloom_semi"     -> joinBloomSemi _,
+    "join_bloom_anti"     -> joinBloomAnti _,
     "agg_pivot"           -> aggPivot _,
     "window_ntile"        -> windowNtile _,
     "window_rank"         -> windowRank _,
@@ -470,6 +510,8 @@ object StarQueries extends QueryModule {
     "join_star_schema"    -> joinStarSchemaSql,
     "join_semi"           -> joinSemiSql,
     "join_anti"           -> joinAntiSql,
+    "join_bloom_semi"     -> joinBloomSemiSql,
+    "join_bloom_anti"     -> joinBloomAntiSql,
     "agg_pivot"           -> aggPivotSql,
     "window_ntile"        -> windowNtileSql,
     "window_rank"         -> windowRankSql,

@@ -116,17 +116,101 @@ object TextQueries extends QueryModule {
        |      WHERE CAST(cum - cnt AS DOUBLE) < 0.25 * CAST(total AS DOUBLE))
        |SELECT q.doc_id, q.quality FROM q, t WHERE q.quality >= t.thr""".stripMargin
 
+  /** Gopher-style repetition signals per document
+    * ([[graft.ops.TextCorpus.repetitionSignals]]). */
+  private def repetition(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextCorpus.repetitionSignals(
+      Tables.documents(s, dir), col("doc_id"), col("text"))
+
+  private val repetitionSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
+      |  FROM documents),
+      |g2 AS (
+      |  SELECT doc_id, gram, COUNT(*) AS cnt
+      |  FROM t, unnest(CASE WHEN len(a) < 2 THEN []
+      |                 ELSE [array_to_string(a[i:i+1], ' ')
+      |                       for i in generate_series(1, len(a) - 1)] END) AS u(gram)
+      |  GROUP BY 1, 2),
+      |g3 AS (
+      |  SELECT doc_id, gram, COUNT(*) AS cnt
+      |  FROM t, unnest(CASE WHEN len(a) < 3 THEN []
+      |                 ELSE [array_to_string(a[i:i+2], ' ')
+      |                       for i in generate_series(1, len(a) - 2)] END) AS u(gram)
+      |  GROUP BY 1, 2),
+      |d2 AS (SELECT doc_id, MAX(cnt) AS max2, SUM(cnt) AS tot2 FROM g2 GROUP BY 1),
+      |d3 AS (SELECT doc_id, SUM(cnt) AS tot3, COUNT(*) AS dist3 FROM g3 GROUP BY 1)
+      |SELECT t.doc_id,
+      |  COALESCE(CAST(max2 AS DOUBLE) / CAST(tot2 AS DOUBLE), 0.0) AS top2_frac,
+      |  COALESCE(CAST(tot3 - dist3 AS DOUBLE) / CAST(tot3 AS DOUBLE), 0.0) AS dup3_frac,
+      |  (COALESCE(CAST(max2 AS DOUBLE) / CAST(tot2 AS DOUBLE), 0.0) > 0.10 OR
+      |   COALESCE(CAST(tot3 - dist3 AS DOUBLE) / CAST(tot3 AS DOUBLE), 0.0) > 0.20)
+      |    AS repetitive
+      |FROM t
+      |LEFT JOIN d2 ON d2.doc_id = t.doc_id
+      |LEFT JOIN d3 ON d3.doc_id = t.doc_id""".stripMargin
+
+  /** Cross-document boilerplate fraction per document
+    * ([[graft.ops.TextCorpus.boilerplateFraction]], df ≥ 5). */
+  private def boilerplate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextCorpus.boilerplateFraction(
+      Tables.documents(s, dir), col("doc_id"), col("text"), minDocs = 5)
+
+  private val boilerplateSql =
+    s"""WITH ${Dsl.shinglesCte},
+       |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+       |SELECT sh.doc_id,
+       |  COUNT(*) AS n_shingles,
+       |  COUNT(CASE WHEN df.df >= 5 THEN 1 END) AS n_boiler,
+       |  CAST(COUNT(CASE WHEN df.df >= 5 THEN 1 END) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) AS boiler_frac
+       |FROM sh JOIN df ON df.shingle = sh.shingle
+       |GROUP BY 1""".stripMargin
+
+  /** Top-3 TF-IDF keywords per document
+    * ([[graft.ops.TextCorpus.tfidfTopK]]). */
+  private def tfidfKeywords(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextCorpus.tfidfTopK(
+      Tables.documents(s, dir), col("doc_id"), col("text"), k = 3)
+
+  private val tfidfKeywordsSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
+      |  FROM documents),
+      |w AS (SELECT doc_id, u.word FROM t, unnest(a) AS u(word) WHERE u.word <> ''),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+      |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+      |    round(CAST(tf.tf AS DOUBLE) *
+      |          ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+      |  FROM tf JOIN df ON df.word = tf.word CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY tfidf DESC, word ASC) AS INT) AS rank,
+      |    word, tf, df, tfidf
+      |  FROM scored)
+      |SELECT doc_id, rank, word, tf, df, tfidf FROM ranked WHERE rank <= 3""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m8_token_count"    -> tokenCount _,
-    "m8_language_id"    -> languageId _,
-    "m8_quality_score"  -> qualityScore _,
-    "m8_quality_filter" -> qualityFilter _,
-    "m8_fingerprint"    -> fingerprint _)
+    "m8_token_count"      -> tokenCount _,
+    "m8_language_id"      -> languageId _,
+    "m8_quality_score"    -> qualityScore _,
+    "m8_quality_filter"   -> qualityFilter _,
+    "m8_fingerprint"      -> fingerprint _,
+    "m8_repetition_score" -> repetition _,
+    "m8_boilerplate_frac" -> boilerplate _,
+    "m8_tfidf_keywords"   -> tfidfKeywords _)
 
   def oracles: Map[String, String] = Map(
-    "m8_token_count"    -> tokenCountSql,
-    "m8_language_id"    -> languageIdSql,
-    "m8_quality_score"  -> qualityScoreSql,
-    "m8_quality_filter" -> qualityFilterSql,
-    "m8_fingerprint"    -> fingerprintSql)
+    "m8_token_count"      -> tokenCountSql,
+    "m8_language_id"      -> languageIdSql,
+    "m8_quality_score"    -> qualityScoreSql,
+    "m8_quality_filter"   -> qualityFilterSql,
+    "m8_fingerprint"      -> fingerprintSql,
+    "m8_repetition_score" -> repetitionSql,
+    "m8_boilerplate_frac" -> boilerplateSql,
+    "m8_tfidf_keywords"   -> tfidfKeywordsSql)
 }

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** [[TextCorpus]]: repetition signals, boilerplate fractions, and TF-IDF
+  * ranking on hand-computable corpora. */
+class TextCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionSignals flags a looping document and clears a clean one") {
+    val docs = Seq(
+      (1L, "spam ham spam ham spam ham spam ham spam ham"), // one dominant 2-gram
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron"),                          // all grams unique
+      (3L, "hi")                                             // shorter than any gram
+    ).toDF("doc_id", "text")
+    val r = TextCorpus.repetitionSignals(docs, col("doc_id"), col("text"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // doc 1: 9 bigrams, "spam ham" appears 5× → top2 = 5/9; trigrams
+    // 8 total / 2 distinct → dup3 = 6/8
+    assert(math.abs(r(1L).getDouble(1) - 5.0 / 9.0) < 1e-12)
+    assert(math.abs(r(1L).getDouble(2) - 6.0 / 8.0) < 1e-12)
+    assert(r(1L).getBoolean(3))
+    // doc 2: every gram unique → top2 = 1/14 (below threshold), dup3 = 0
+    assert(math.abs(r(2L).getDouble(1) - 1.0 / 14.0) < 1e-12)
+    assert(r(2L).getDouble(2) == 0.0)
+    assert(!r(2L).getBoolean(3))
+    // doc 3: no grams at all → zero scores, still present
+    assert(r(3L).getDouble(1) == 0.0 && r(3L).getDouble(2) == 0.0)
+    assert(!r(3L).getBoolean(3))
+  }
+
+  test("boilerplateFraction marks shingles shared by >= minDocs documents") {
+    val boiler = "click here to subscribe"
+    val docs = Seq(
+      (1L, s"$boiler unique one text body"),
+      (2L, s"$boiler other words entirely here"),
+      (3L, s"$boiler third variant of body"),
+      (4L, "completely unrelated fresh content")
+    ).toDF("doc_id", "text")
+    val r = TextCorpus.boilerplateFraction(docs, col("doc_id"), col("text"),
+        minDocs = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    // "click here to" and "here to subscribe" appear in docs 1-3
+    assert(r(1L) > 0.0 && r(2L) > 0.0 && r(3L) > 0.0)
+    assert(r(4L) == 0.0)
+  }
+
+  test("tfidfTopK ranks rare terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "common common rare"),
+      (2L, "common common common"),
+      (3L, "common common other")
+    ).toDF("doc_id", "text")
+    val r = TextCorpus.tfidfTopK(docs, col("doc_id"), col("text"), k = 2)
+      .where(col("doc_id") === 1L).orderBy("rank")
+      .select("word", "tf", "df").as[(String, Long, Long)].collect()
+    // 'rare' (df=1, idf=ln 3) outranks 'common' (df=3, idf=0) despite tf 1 vs 2
+    assert(r.head == (("rare", 1L, 1L)))
+    assert(r(1)._1 == "common")
+  }
+
+  test("tfidf of a word present in every document is exactly zero") {
+    val docs = Seq((1L, "x y"), (2L, "x z")).toDF("doc_id", "text")
+    val r = TextCorpus.tfidfTopK(docs, col("doc_id"), col("text"), k = 3)
+      .where(col("word") === "x").select("tfidf").as[Double].collect()
+    assert(r.forall(_ == 0.0))
+  }
+}
