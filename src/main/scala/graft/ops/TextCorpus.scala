@@ -94,6 +94,92 @@ object TextCorpus {
           col("n_shingles").cast("double")).as("boiler_frac"))
   }
 
+  /** C4-style line-level deduplication: split each document into
+    * fixed-width token "lines" (`lineWords` tokens each; the tail line may
+    * be short), keep only the globally-first occurrence of each exact
+    * line — ordered by (doc_id, line index) — and report, per document,
+    * how many lines survived plus a digest of the rebuilt text.
+    *
+    * Scale shape: the only corpus-wide shuffle keys on `md5(line)` (16
+    * bytes), not the line text; survivor selection is a `row_number` per
+    * line-hash group — bounded by the duplication factor, never by corpus
+    * size — and the rebuild is one per-document aggregation. At 100 TB
+    * this is the standard two-shuffle line-dedup plan (CCNet/C4): nothing
+    * materializes per-line state wider than the line itself.
+    */
+  def lineDedup(docs: DataFrame, id: Column, text: Column,
+                lineWords: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(trim(coalesce(text, lit(""))), "\\s+")
+    val nLines = ceil(size(toks).cast("double") / lineWords).cast("int")
+    val lines = docs
+      .select(id.as("doc_id"),
+        posexplode(transform(sequence(lit(0), nLines - 1),
+          i => array_join(slice(toks, i * lineWords + 1, lit(lineWords)), " "))))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "line")
+    // survivor = first (doc_id, idx) per exact line; the window key is the
+    // line's md5 so the exchange carries a fixed-width key
+    val w = Window.partitionBy(md5(col("line").cast("binary")))
+      .orderBy(col("doc_id"), col("idx"))
+    val kept = lines.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val perDoc = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      md5(array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+          e => e.getField("line")), "\n").cast("binary")).as("rebuilt_md5"))
+    docs.select(id.as("doc_id"), nLines.as("n_lines"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("rebuilt_md5"), md5(lit("").cast("binary")))
+          .as("rebuilt_md5"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * `w`-shingle with a benchmark/eval set (the n-gram-overlap test used
+    * before training on scraped corpora). Returns one row per corpus
+    * document with the count of distinct overlapping shingles.
+    *
+    * Scale shape: the benchmark side is always tiny relative to the
+    * corpus, so its distinct shingle set broadcasts and the corpus is
+    * NEVER shuffled — the plan is a broadcast-hash semi-ish join on the
+    * exploded corpus shingles followed by a per-doc count with map-side
+    * partials. Works unchanged at 100 TB.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    id: Column, text: Column, w: Int): DataFrame = {
+    val cSh = corpus.select(id.as("doc_id"),
+      explode(TextFns.word_shingles(text, w)).as("shingle"))
+    val bSh = benchmark
+      .select(explode(TextFns.word_shingles(text, w)).as("shingle"))
+      .distinct()
+    val hits = cSh.join(broadcast(bSh), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    corpus.select(id.as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  /** Global top-k adjacent-token-pair counts — the scan that drives one
+    * BPE merge step (and a useful corpus statistic on its own). Pairs are
+    * formed per document with multiplicity; the cut is a
+    * TakeOrderedAndProject (per-partition partial top-k, then one k-row
+    * merge on the driver-side exchange), never a full sort.
+    */
+  def bpePairCounts(docs: DataFrame, text: Column, k: Int): DataFrame = {
+    val toks = split(trim(coalesce(text, lit(""))), "\\s+")
+    val m = greatest(size(toks) - 1, lit(0))
+    val pairs = docs.select(explode(zip_with(
+      slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => concat_ws(" ", a, b))).as("pair"))
+    pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Top-k keywords per document by TF-IDF (tf × ln(N/df), raw counts).
     * Rank order is (tfidf DESC, word ASC); tfidf is rounded to 6 decimals
     * BEFORE ranking so the ordering an external verifier computes from the

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Privacy, TextCorpus}
+
+/** Corpus-hygiene operator demos over `documents` (north-star M8 scope):
+  * PII redaction, benchmark decontamination, C4-style line-level dedup,
+  * and BPE pair counting. Every query carries a full DuckDB oracle —
+  * redacted text and rebuilt documents are compared by md5, counts
+  * exactly.
+  *
+  * The PII demo injects deterministic contact blocks (synthesized from
+  * doc_id) because the synthetic corpus contains no organic PII; the
+  * injection expression is replicated in the oracle, so the scrub itself
+  * — patterns, order, counts — is what the gate verifies. */
+object HygieneQueries extends QueryModule {
+
+  /** Shared Spark/SQL fixture: text with per-class contact blocks.
+    * Class k%3==0: untouched; k%3==1: e-mail + phone; k%3==2: IP + two
+    * e-mails. */
+  private def injected(s: SparkSession, dir: String): DataFrame = {
+    val k = col("doc_id")
+    Tables.documents(s, dir).select(col("doc_id"),
+      when(k % 3 === 1, concat(col("text"),
+          lit(" Reach user"), k % 50, lit("@mail.example or 555-"),
+          (k % 900 + 100), lit("-"), (k % 9000 + 1000)))
+        .when(k % 3 === 2, concat(col("text"),
+          lit(" From ip 10."), k % 256, lit("."), k % 100, lit("."),
+          k % 250, lit(" mail admin"), k % 20,
+          lit("@corp.example cc backup"), k % 7, lit("@corp.example")))
+        .otherwise(col("text")).as("text"))
+  }
+
+  private val injectedSql =
+    """SELECT doc_id,
+      |  CASE
+      |    WHEN doc_id % 3 = 1 THEN text || ' Reach user' || (doc_id % 50) ||
+      |      '@mail.example or 555-' || (doc_id % 900 + 100) || '-' ||
+      |      (doc_id % 9000 + 1000)
+      |    WHEN doc_id % 3 = 2 THEN text || ' From ip 10.' || (doc_id % 256) ||
+      |      '.' || (doc_id % 100) || '.' || (doc_id % 250) ||
+      |      ' mail admin' || (doc_id % 20) || '@corp.example cc backup' ||
+      |      (doc_id % 7) || '@corp.example'
+      |    ELSE text
+      |  END AS text
+      |FROM documents""".stripMargin
+
+  /** PII scrub over the injected corpus: per-doc redaction counts and the
+    * scrubbed text's digest. */
+  private def piiRedact(s: SparkSession, dir: String): DataFrame =
+    Privacy.redactPii(injected(s, dir), col("text"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        md5(col("redacted").cast("binary")).as("redacted_md5"))
+
+  private val piiRedactSql = {
+    // the Scala literals hold single backslashes at runtime; DuckDB's
+    // '...' literals don't process escapes, so they embed verbatim
+    val email = Privacy.EmailRe
+    val phone = Privacy.PhoneRe
+    val ip = Privacy.Ipv4Re
+    s"""WITH inj AS ($injectedSql),
+       |steps AS (
+       |  SELECT doc_id, text AS t0,
+       |    regexp_replace(text, '$email', '[EMAIL]', 'g') AS t1
+       |  FROM inj),
+       |steps2 AS (
+       |  SELECT doc_id, t0, t1,
+       |    regexp_replace(t1, '$phone', '[PHONE]', 'g') AS t2
+       |  FROM steps)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t0, '$email')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t1, '$phone')) AS INT) AS n_phones,
+       |  CAST(len(regexp_extract_all(t2, '$ip')) AS INT) AS n_ips,
+       |  md5(regexp_replace(t2, '$ip', '[IP]', 'g')) AS redacted_md5
+       |FROM steps2""".stripMargin
+  }
+
+  /** Benchmark decontamination: docs with doc_id % 97 == 0 act as the
+    * held-out eval set; every other document reports its distinct 5-gram
+    * overlap with that set. */
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextCorpus.decontaminate(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      col("doc_id"), col("text"), w = 5)
+  }
+
+  private val decontaminateSql =
+    s"""WITH ${Dsl.shinglesCteW(5)},
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+       |hits AS (
+       |  SELECT s.doc_id, COUNT(*) AS n_hits
+       |  FROM sh s JOIN bench b USING (shingle)
+       |  WHERE s.doc_id % 97 <> 0 GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       |  COALESCE(h.n_hits, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN hits h USING (doc_id)
+       |WHERE d.doc_id % 97 <> 0""".stripMargin
+
+  /** C4-style line dedup at 10-token lines: per-doc survivor counts and
+    * the rebuilt text's digest. */
+  private def lineDedup(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.lineDedup(Tables.documents(s, dir), col("doc_id"),
+      col("text"), lineWords = 10)
+
+  private val lineDedupSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |ln0 AS (
+      |  SELECT doc_id, toks,
+      |    unnest(generate_series(0,
+      |      CAST(ceil(len(toks) / 10.0) AS BIGINT) - 1)) AS idx
+      |  FROM d),
+      |ln AS (
+      |  SELECT doc_id, idx,
+      |    array_to_string(toks[idx*10+1 : idx*10+10], ' ') AS line
+      |  FROM ln0),
+      |kept AS (
+      |  SELECT doc_id, idx, line,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(line)
+      |                       ORDER BY doc_id, idx) AS rn
+      |  FROM ln),
+      |perdoc AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |    md5(string_agg(line, chr(10) ORDER BY idx)) AS rebuilt_md5
+      |  FROM kept WHERE rn = 1 GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(ceil(len(d.toks) / 10.0) AS INT) AS n_lines,
+      |  COALESCE(p.n_kept, 0) AS n_kept,
+      |  COALESCE(p.rebuilt_md5, md5('')) AS rebuilt_md5
+      |FROM d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+
+  /** Global top-20 adjacent-token pairs (one BPE merge-step scan). */
+  private def bpePairs(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.bpePairCounts(Tables.documents(s, dir), col("text"), k = 20)
+
+  private val bpePairsSql =
+    """WITH d AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |p AS (
+      |  SELECT unnest([toks[i] || ' ' || toks[i+1]
+      |                 for i in generate_series(1, len(toks) - 1)]) AS pair
+      |  FROM d),
+      |c AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY 1)
+      |SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_pii_redact"     -> piiRedact _,
+    "m8_decontaminate"  -> decontaminate _,
+    "m8_line_dedup"     -> lineDedup _,
+    "m8_bpe_pairs"      -> bpePairs _)
+
+  def oracles: Map[String, String] = Map(
+    "m8_pii_redact"     -> piiRedactSql,
+    "m8_decontaminate"  -> decontaminateSql,
+    "m8_line_dedup"     -> lineDedupSql,
+    "m8_bpe_pairs"      -> bpePairsSql)
+}

@@ -61,15 +61,19 @@ object Dsl {
     * oracles (mirrors `TextFns.word_shingles`: distinct 3-word windows,
     * whole trimmed text when shorter than 3 tokens). Emits CTEs `docs`
     * and `sh(doc_id, shingle)`. */
-  val shinglesCte: String =
-    """docs AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks, text
-      |  FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, shingle
-      |  FROM docs, unnest(
-      |    CASE WHEN len(toks) < 3 THEN [trim(text)]
-      |         ELSE [array_to_string(toks[i:i+2], ' ')
-      |               for i in generate_series(1, len(toks) - 2)] END
-      |  ) AS u(shingle))""".stripMargin
+  val shinglesCte: String = shinglesCteW(3)
+
+  /** Same CTE with a chosen shingle width `w` (mirrors
+    * `TextFns.word_shingles(text, w)`). */
+  def shinglesCteW(w: Int): String =
+    s"""docs AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks, text
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle
+       |  FROM docs, unnest(
+       |    CASE WHEN len(toks) < $w THEN [trim(text)]
+       |         ELSE [array_to_string(toks[i:i+${w - 1}], ' ')
+       |               for i in generate_series(1, len(toks) - ${w - 1})] END
+       |  ) AS u(shingle))""".stripMargin
 }

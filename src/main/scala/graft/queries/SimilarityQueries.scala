@@ -126,13 +126,43 @@ object SimilarityQueries extends QueryModule {
        |FROM ranked WHERE rank <= $K""".stripMargin
   }
 
+  /** Recall@5 of the LSH path against the exact brute-force ranking — the
+    * eval harness run as a first-class query (portable hyperplanes, so the
+    * oracle rebuilds BOTH rankings and the same recall numbers). */
+  private def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+    Similarity.recallAtK(
+      Similarity.lshTopK(queries, emb, K, planes = 4, portable = true),
+      Similarity.bruteForceTopK(queries, emb, K))
+  }
+
+  private val annRecallSql =
+    s"""WITH exact AS ($topkBruteSql),
+       |approx AS ($topkLshSql),
+       |ne AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1),
+       |na AS (SELECT query_id, COUNT(*) AS n_approx FROM approx GROUP BY 1),
+       |h AS (
+       |  SELECT e.query_id, COUNT(*) AS n_hits
+       |  FROM exact e JOIN approx a
+       |    ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+       |  GROUP BY 1)
+       |SELECT ne.query_id, ne.n_exact,
+       |  COALESCE(na.n_approx, 0) AS n_approx,
+       |  COALESCE(h.n_hits, 0) AS n_hits,
+       |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(ne.n_exact AS DOUBLE)
+       |    AS recall
+       |FROM ne LEFT JOIN na USING (query_id) LEFT JOIN h USING (query_id)""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_sim_topk_bruteforce" -> topkBrute _,
     "m8_sim_topk_lsh"        -> topkLsh _,
-    "m8_sim_topk_ivf"        -> topkIvf _)
+    "m8_sim_topk_ivf"        -> topkIvf _,
+    "m8_ann_recall"          -> annRecall _)
 
   def oracles: Map[String, String] = Map(
     "m8_sim_topk_bruteforce" -> topkBruteSql,
     "m8_sim_topk_lsh"        -> topkLshSql,
-    "m8_sim_topk_ivf"        -> topkIvfSql)
+    "m8_sim_topk_ivf"        -> topkIvfSql,
+    "m8_ann_recall"          -> annRecallSql)
 }

@@ -68,6 +68,30 @@ object Similarity {
       Seq(col("cosine").desc, col("cand_id")), k), k)
   }
 
+  /** Recall@k of an approximate top-k result against the exact one — the
+    * eval harness an ANN index ships with. Both inputs are
+    * (query_id, rank, cand_id, …) frames as produced by the top-k
+    * operators here. Per query: |approx ∩ exact| / |exact|.
+    *
+    * Shape: a semi-join on (query_id, cand_id) plus three per-query
+    * counts — every grouping keys on query_id, so the eval costs one
+    * shuffle of rank-list-sized data regardless of corpus size. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("cand_id"))
+    val e = exact.select(col("query_id"), col("cand_id"))
+    val nE = e.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    val nA = a.groupBy("query_id").agg(count(lit(1)).as("n_approx"))
+    val hits = e.join(a, Seq("query_id", "cand_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    nE.join(nA, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall"))
+  }
+
   /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
     * path: `nlist` deterministic centroids (the corpus vectors with the
     * smallest md5(vec_id) — engine-reproducible "random" sample), each
