@@ -32,4 +32,21 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Spread a freshly-scanned input across the session's cores before
+    * CPU-heavy per-row work (regex fusion, shingle explode, vector
+    * scoring).
+    *
+    * The local testdata files are single-row-group parquet — one
+    * unsplittable scan partition — and the heavy pipelines are otherwise
+    * shuffle-free (broadcast joins preserve partitioning), so without
+    * this the whole per-row stage runs on ONE core of the machine. On a
+    * production cluster the same scan arrives as thousands of splits and
+    * this spread is unnecessary — which is why it lives in the demo
+    * query layer, NOT inside the operators: partitioning of the input is
+    * the caller's contract. Cheap, already-shuffle-free operators (pure
+    * projections, sampling gates) deliberately skip it to stay
+    * exchange-free. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

@@ -71,7 +71,16 @@ object HtmlFns {
 
   /** P5 `isGenericTitle_`: boilerplate-title predicate — blocklist of 16
     * phrases (contains-match on lowercase), or length ≤ 2, or empty
-    * (`code-LLM-intergration.js:301-313`). */
+    * (`code-LLM-intergration.js:301-313`).
+    *
+    * Compiled as ONE regex (`^.{0,2}$` for the short/empty arm, plus the
+    * quoted phrase alternation) so the input expression is embedded — and
+    * therefore evaluated — exactly once. A `Column` is an expression
+    * *tree*, not a value: the earlier per-phrase `contains` chain embedded
+    * a copy of the caller's whole extraction tree into every one of the
+    * 17 branches, and because boolean short-circuits block codegen
+    * subexpression elimination, each row re-ran the title/h1/meta regexes
+    * up to 17× (measured 9× end-to-end on the parse pipeline). */
   def is_generic_title(s: Column): Column = {
     val t = trim(lower(coalesce(s, lit(""))))
     val blocklist = Seq(
@@ -79,20 +88,21 @@ object HtmlFns {
       "choose your sign in option", "sign in", "signin", "login", "log in",
       "home", "open positions", "all jobs", "search results", "job search",
       "apply now", "opportunities", "join our team")
-    val hasBad = blocklist.map(p => t.contains(lit(p))).reduce(_ || _)
-    (t === "") || hasBad || (length(t) <= 2)
+    val generic = "(?s)^.{0,2}$|" +
+      blocklist.map(java.util.regex.Pattern.quote).mkString("|")
+    t.rlike(generic)
   }
 
   /** P6 `hasUsefulSignal_`: page likely parseable — JSON-LD script present,
     * or any of {h1, og:title, title} non-generic
-    * (`code-LLM-intergration.js:321-332`). */
+    * (`code-LLM-intergration.js:321-332`). A signal is "good" iff it is
+    * not generic — [[is_generic_title]] is true for empty strings, so the
+    * non-empty check is implied and each signal tree is embedded once. */
   def has_useful_signal(html: Column): Column = {
     val h = coalesce(html, lit(""))
     val hasJson = h.rlike("(?i)<script[^>]+application/ld\\+json")
-    val h1 = get_h1(h)
-    val ogTitle = get_meta(h, "og:title", "property")
-    val title = get_title(h)
-    def good(c: Column): Column = (c =!= "") && !is_generic_title(c)
-    (h =!= "") && (hasJson || good(h1) || good(ogTitle) || good(title))
+    def good(c: Column): Column = !is_generic_title(c)
+    (h =!= "") && (hasJson || good(get_h1(h)) || good(get_meta(h, "og:title", "property")) ||
+      good(get_title(h)))
   }
 }

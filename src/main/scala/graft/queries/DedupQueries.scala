@@ -32,7 +32,7 @@ object DedupQueries extends QueryModule {
     * the threshold, so the brute-force oracle below must agree exactly). */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(
-      Tables.documents(s, dir),
+      Tables.spread(Tables.documents(s, dir)),
       col("doc_id"), col("text"), minJaccard = 0.5)
 
   private val ngramJaccardSql =
@@ -55,7 +55,7 @@ object DedupQueries extends QueryModule {
     * portable hashing. `sig_agreement` = k/32 is a dyadic rational —
     * exact in doubles on both engines, no rounding needed. */
   private def minhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
+    Dedup.minhashPairs(Tables.spread(Tables.documents(s, dir)), col("doc_id"), col("text"),
       numHashes = 32, bands = 8, minAgreement = 0.5, portable = true)
 
   /** The full MinHash+LSH pipeline as a reusable CTE chain, ending in
@@ -99,7 +99,7 @@ object DedupQueries extends QueryModule {
     * pair graph; every document gets a cluster id (its component's min
     * doc_id, or itself when unpaired). */
   private def clusters(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.spread(Tables.documents(s, dir))
     val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
         numHashes = 32, bands = 8, minAgreement = 0.5, portable = true)
       .select(col("id_a"), col("id_b"))
@@ -130,7 +130,7 @@ object DedupQueries extends QueryModule {
   /** SimHash near-dup candidates within 8 Hamming bits, portable 60-bit
     * hashing with recall-complete pigeonhole blocking (9 blocks). */
   private def simhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
+    Dedup.simhashPairs(Tables.spread(Tables.documents(s, dir)), col("doc_id"), col("text"),
       maxHamming = 8, portable = true)
 
   private val simhashSql =
@@ -162,7 +162,7 @@ object DedupQueries extends QueryModule {
   /** Embedding-cosine near-dups via portable hyperplane-LSH blocking
     * (8 md5-derived ±1 hyperplanes over 64 dims). */
   private def embedding(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingPairs(Tables.embeddings(s, dir), col("vec_id"),
+    Dedup.embeddingPairs(Tables.spread(Tables.embeddings(s, dir)), col("vec_id"),
       col("embedding"), minCosine = 0.4, planes = 8, portable = true, dim = 64)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
 

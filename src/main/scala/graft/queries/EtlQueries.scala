@@ -22,7 +22,7 @@ object EtlQueries extends QueryModule {
 
   /** F1: host extraction over synthesized URLs, grouped. */
   private def f1HostFromUrl(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
+    Tables.spread(Tables.orders(s, dir))
       .withColumn("url",
         concat(lit("https://www.Board"), col("o_orderkey") % 20,
           lit(".Example.com/jobs/"), col("o_orderkey"), lit("?ref=x")))
@@ -37,7 +37,7 @@ object EtlQueries extends QueryModule {
   /** F8+F7: ATS slug → company, cycling 4 ATS URL shapes. */
   private def f8GuessCompany(s: SparkSession, dir: String): DataFrame = {
     val slug = regexp_replace(col("p_name"), " ", "-")
-    Tables.part(s, dir)
+    Tables.spread(Tables.part(s, dir))
       .withColumn("url",
         when(col("p_partkey") % 4 === 0,
           concat(lit("https://jobs.lever.co/"), slug, lit("/job/1")))
@@ -174,7 +174,7 @@ object EtlQueries extends QueryModule {
       lit("<a href=\"https://www.linkedin.com/jobs/view/1\">agg</a>"),
       lit("<a href=\"https://example.com/about\">x</a>"),
       lit("<a href=\"https://jobs.lever.co/"), slug, lit("/1\">ats</a>"))
-    Tables.part(s, dir)
+    Tables.spread(Tables.part(s, dir))
       .withColumn("html", html)
       .withColumn("ats_link", UrlFns.find_first_ats_link(col("html")))
       .groupBy("ats_link").agg(count(lit(1)).as("n"))
@@ -202,7 +202,8 @@ object EtlQueries extends QueryModule {
     val url =
       when(k % 5 === 1, concat(lit("https://jobs.lever.co/beta"), k % 7, lit("/x")))
       .otherwise(concat(lit("https://site"), k % 5, lit(".example.com/j/"), k))
-    val base = Tables.orders(s, dir).withColumn("html", html).withColumn("final_url", url)
+    val base = Tables.spread(Tables.orders(s, dir))
+      .withColumn("html", html).withColumn("final_url", url)
     Resolution.decideCompanyRole(base, col("html"), col("final_url"))
       .groupBy("decision", "conf")
       .agg(count(lit(1)).as("n"),
@@ -322,7 +323,7 @@ object EtlQueries extends QueryModule {
       .when(k % 4 === 1, lit("<h1>Senior Engineer</h1>"))
       .when(k % 4 === 2, lit("<title>Sign In</title>"))
       .otherwise(lit(""))
-    Tables.orders(s, dir)
+    Tables.spread(Tables.orders(s, dir))
       .withColumn("useful", HtmlFns.has_useful_signal(html))
       .groupBy("useful").agg(count(lit(1)).as("n"))
   }

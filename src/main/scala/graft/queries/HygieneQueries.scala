@@ -81,7 +81,7 @@ object HygieneQueries extends QueryModule {
     * held-out eval set; every other document reports its distinct 5-gram
     * overlap with that set. */
   private def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.spread(Tables.documents(s, dir))
     TextCorpus.decontaminate(
       docs.filter(col("doc_id") % 97 =!= 0),
       docs.filter(col("doc_id") % 97 === 0),
@@ -103,7 +103,7 @@ object HygieneQueries extends QueryModule {
   /** C4-style line dedup at 10-token lines: per-doc survivor counts and
     * the rebuilt text's digest. */
   private def lineDedup(s: SparkSession, dir: String): DataFrame =
-    TextCorpus.lineDedup(Tables.documents(s, dir), col("doc_id"),
+    TextCorpus.lineDedup(Tables.spread(Tables.documents(s, dir)), col("doc_id"),
       col("text"), lineWords = 10)
 
   private val lineDedupSql =
@@ -136,7 +136,7 @@ object HygieneQueries extends QueryModule {
 
   /** Global top-20 adjacent-token pairs (one BPE merge-step scan). */
   private def bpePairs(s: SparkSession, dir: String): DataFrame =
-    TextCorpus.bpePairCounts(Tables.documents(s, dir), col("text"), k = 20)
+    TextCorpus.bpePairCounts(Tables.spread(Tables.documents(s, dir)), col("text"), k = 20)
 
   private val bpePairsSql =
     """WITH d AS (

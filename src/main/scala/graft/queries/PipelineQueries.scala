@@ -21,7 +21,7 @@ object PipelineQueries extends QueryModule {
     * cascade demo and the end-to-end capstone). */
   private def classLinks(s: SparkSession, dir: String): DataFrame = {
     val k = col("o_orderkey")
-    Tables.orders(s, dir).select(
+    Tables.spread(Tables.orders(s, dir)).select(
       concat(lit("t"), k % 3).as("sheet_name"), k.as("row_index"),
       when(k % 5 === 0, concat(lit("https://boards.greenhouse.io/co"), k % 7,
           lit("/jobs/"), k))
@@ -83,7 +83,7 @@ object PipelineQueries extends QueryModule {
       ("one-line hook", "backend engineer who ships"),
       ("top skills", "Scala, Spark, SQL")).toDF("key", "value")
     val k = col("o_orderkey")
-    val rows = Tables.orders(s, dir).select(
+    val rows = Tables.spread(Tables.orders(s, dir)).select(
       concat(lit("Co "), k % 7).as("company"),
       when(k % 3 === 0, lit("")).otherwise(concat(lit("Role "), k % 5)).as("role"))
     Notes.withTemplateNotes(Notes.withProfile(rows, profile))
@@ -107,7 +107,7 @@ object PipelineQueries extends QueryModule {
   private def r3Escalation(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.ParsePipeline
     val k = col("o_orderkey")
-    val orders = Tables.orders(s, dir)
+    val orders = Tables.spread(Tables.orders(s, dir))
     val links = orders.select(lit("t1").as("sheet_name"), k.as("row_index"),
       concat(lit("https://site.example.com/j/"), k).as("url"))
     val emptyJsonLd =
@@ -196,7 +196,7 @@ object PipelineQueries extends QueryModule {
   private def r4LlmRescue(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.Llm
     val k = col("o_orderkey")
-    val rows = Tables.orders(s, dir).select(
+    val rows = Tables.spread(Tables.orders(s, dir)).select(
       k.as("o_orderkey"),
       concat(lit("prompt-"), k).as("prompt"),
       when(k % 2 === 0, lit("")).otherwise(concat(lit("Known Co "), k % 5)).as("company"),
@@ -245,7 +245,7 @@ object PipelineQueries extends QueryModule {
       ("one-line hook", "backend engineer who ships"),
       ("top skills", "Scala, Spark, SQL")).toDF("key", "value")
     val k = col("o_orderkey")
-    val tracker = Tables.orders(s, dir).select(
+    val tracker = Tables.spread(Tables.orders(s, dir)).select(
       lit("t1").as("sheet_name"), k.as("row_index"),
       concat(lit("https://co.example/j/"), k).as("url"),
       concat(lit("Co "), k % 7).as("company"),

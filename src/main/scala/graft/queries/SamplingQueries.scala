@@ -88,7 +88,7 @@ object SamplingQueries extends QueryModule {
   private def corpusPipeline(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFns
     import graft.dedup.Dedup
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.spread(Tables.documents(s, dir))
     val gated = Sampling.topFractionByScore(
       docs.withColumn("quality", TextFns.quality_score(col("text"))),
       col("quality"), fraction = 0.25)

@@ -20,7 +20,7 @@ object SimilarityQueries extends QueryModule {
 
   /** Exact cosine top-5 for query vectors vec_id < 8. */
   private def topkBrute(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+    val emb = Tables.spread(Tables.embeddings(s, dir))
     Similarity.bruteForceTopK(emb.filter(col("vec_id") < 8), emb, K)
       .select(col("query_id"), col("rank"), col("cand_id"),
         round(col("cosine"), 6).as("cosine"))
@@ -50,7 +50,7 @@ object SimilarityQueries extends QueryModule {
   /** Hyperplane-LSH approximate top-5 (bucketed join — the scale path),
     * portable hyperplanes so the oracle rebuilds the buckets exactly. */
   private def topkLsh(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+    val emb = Tables.spread(Tables.embeddings(s, dir))
     Similarity.lshTopK(emb.filter(col("vec_id") < 8), emb, K, planes = 4,
       portable = true)
       .select(col("query_id"), col("rank"), col("cand_id"),
@@ -83,7 +83,7 @@ object SimilarityQueries extends QueryModule {
     * 4 probed lists per query — fully deterministic, so the oracle
     * rebuilds centroid choice, assignment, probing, and ranking. */
   private def topkIvf(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+    val emb = Tables.spread(Tables.embeddings(s, dir))
     Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb, K,
       nlist = 16, nprobe = 4)
       .select(col("query_id"), col("rank"), col("cand_id"),
@@ -130,7 +130,7 @@ object SimilarityQueries extends QueryModule {
     * eval harness run as a first-class query (portable hyperplanes, so the
     * oracle rebuilds BOTH rankings and the same recall numbers). */
   private def annRecall(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+    val emb = Tables.spread(Tables.embeddings(s, dir))
     val queries = emb.filter(col("vec_id") < 8)
     Similarity.recallAtK(
       Similarity.lshTopK(queries, emb, K, planes = 4, portable = true),

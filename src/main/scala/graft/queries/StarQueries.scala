@@ -433,7 +433,7 @@ object StarQueries extends QueryModule {
     * error bound vs exact asserted inside the query itself so the rows
     * check is meaningful. */
   private def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    Tables.spread(Tables.lineitem(s, dir))
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),

@@ -154,7 +154,7 @@ object TextQueries extends QueryModule {
     * ([[graft.ops.TextCorpus.boilerplateFraction]], df ≥ 5). */
   private def boilerplate(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextCorpus.boilerplateFraction(
-      Tables.documents(s, dir), col("doc_id"), col("text"), minDocs = 5)
+      Tables.spread(Tables.documents(s, dir)), col("doc_id"), col("text"), minDocs = 5)
 
   private val boilerplateSql =
     s"""WITH ${Dsl.shinglesCte},
@@ -171,7 +171,7 @@ object TextQueries extends QueryModule {
     * ([[graft.ops.TextCorpus.tfidfTopK]]). */
   private def tfidfKeywords(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextCorpus.tfidfTopK(
-      Tables.documents(s, dir), col("doc_id"), col("text"), k = 3)
+      Tables.spread(Tables.documents(s, dir)), col("doc_id"), col("text"), k = 3)
 
   private val tfidfKeywordsSql =
     """WITH t AS (
