@@ -154,15 +154,34 @@ object SimilarityQueries extends QueryModule {
        |    AS recall
        |FROM ne LEFT JOIN na USING (query_id) LEFT JOIN h USING (query_id)""".stripMargin
 
+  /** Per-label centroids (k-means M-step / IVF training step) with
+    * fixed-point accumulation — order-independent, so the distributed sum
+    * hash-matches the oracle's exactly with no rounding slack. */
+  private def centroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.groupCentroids(Tables.spread(Tables.embeddings(s, dir)),
+      col("label"), col("embedding"))
+
+  private val centroidsSql =
+    """WITH comp AS (
+      |  SELECT label AS grp,
+      |    unnest(generate_series(1, len(embedding))) AS i, embedding
+      |  FROM embeddings)
+      |SELECT grp, CAST(i - 1 AS INT) AS pos, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+      |        AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*) AS centroid
+      |FROM comp GROUP BY 1, 2""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_sim_topk_bruteforce" -> topkBrute _,
     "m8_sim_topk_lsh"        -> topkLsh _,
     "m8_sim_topk_ivf"        -> topkIvf _,
-    "m8_ann_recall"          -> annRecall _)
+    "m8_ann_recall"          -> annRecall _,
+    "m8_embedding_centroids" -> centroids _)
 
   def oracles: Map[String, String] = Map(
     "m8_sim_topk_bruteforce" -> topkBruteSql,
     "m8_sim_topk_lsh"        -> topkLshSql,
     "m8_sim_topk_ivf"        -> topkIvfSql,
-    "m8_ann_recall"          -> annRecallSql)
+    "m8_ann_recall"          -> annRecallSql,
+    "m8_embedding_centroids" -> centroidsSql)
 }

@@ -136,7 +136,32 @@ object StreamingQueries extends QueryModule {
       |WHERE o_orderkey % 3 = 0 AND o_orderkey % 4 <> 1 AND o_orderkey % 9 <> 0
       |GROUP BY 1""".stripMargin
 
+  /** T7 stream-static enrichment: the event stream joined to a broadcast
+    * dimension (customer segment), then windowed per segment — the
+    * standard Structured-Streaming enrichment shape (stream-static joins
+    * need no watermark on the static side; the dim broadcasts to every
+    * micro-batch). Batch analog here; the plan is identical: broadcast
+    * hash join under the windowed aggregation, the stream side never
+    * shuffles for the join. */
+  private def t7StreamStaticJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "15 minutes"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum2d(col("value")).as("revenue"))
+      .select(col("window.start").as("window_start"), col("c_mktsegment"),
+        col("n"), col("revenue"))
+
+  private val t7Sql =
+    """SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000)
+      |    AS window_start,
+      |  c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t7_stream_static_join" -> t7StreamStaticJoin _,
     "t4_two_stage_handoff" -> t4TwoStageHandoff _,
     "t_window_tumbling" -> tumbling _,
     "t_window_sliding"  -> sliding _,
@@ -145,6 +170,7 @@ object StreamingQueries extends QueryModule {
     "t_sessionize"      -> sessionize _)
 
   def oracles: Map[String, String] = Map(
+    "t7_stream_static_join" -> t7Sql,
     "t4_two_stage_handoff" -> t4Sql,
     "t_window_tumbling" -> tumblingSql,
     "t_window_sliding"  -> slidingSql,

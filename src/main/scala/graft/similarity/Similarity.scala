@@ -68,6 +68,33 @@ object Similarity {
       Seq(col("cosine").desc, col("cand_id")), k), k)
   }
 
+  /** Per-group embedding centroids — the k-means M-step (and the training
+    * step an IVF coarse quantizer iterates): mean vector per group,
+    * computed component-wise. Returns one row per (group, dimension) —
+    * `(grp, pos, n, centroid)` — the shape downstream joins consume
+    * without re-assembling arrays.
+    *
+    * Determinism at scale: double summation is shuffle-order-dependent,
+    * so the accumulation is FIXED-POINT — each component is quantized to
+    * an integer number of 1e-6 units (exact long arithmetic, order-free),
+    * divided back out once at the end. The result is bit-identical on any
+    * cluster topology (and engine-reproducible, so the oracle can verify
+    * it). Quantization error is bounded by 5e-7 per element — noise
+    * relative to any embedding model's own precision.
+    *
+    * Shape: posexplode (×dim) → one groupBy (grp, pos) with map-side
+    * partial sums — the shuffle carries two longs per (grp, pos) per
+    * map task, never the vectors. */
+  def groupCentroids(vecs: DataFrame, grp: Column, vec: Column): DataFrame =
+    vecs.select(grp.as("grp"), posexplode(vec))
+      .groupBy("grp", "pos")
+      .agg(
+        sum(round(col("col").cast("double") * 1e6).cast("long")).as("q"),
+        count(lit(1)).as("n"))
+      .select(col("grp"), col("pos"), col("n"),
+        (col("q").cast("double") / 1e6 / col("n").cast("double"))
+          .as("centroid"))
+
   /** Recall@k of an approximate top-k result against the exact one — the
     * eval harness an ANN index ships with. Both inputs are
     * (query_id, rank, cand_id, …) frames as produced by the top-k
