@@ -160,7 +160,39 @@ object StreamingQueries extends QueryModule {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1, 2""".stripMargin
 
+  /** T8 stream-stream interval join (batch analog of
+    * [[graft.streaming.EventStreams.attributionJoin]]; StreamingSpec
+    * asserts the streaming twin produces the same rows): each purchase
+    * attributed to the same user's views in the preceding hour. The
+    * equi-key keeps it a plain shuffled hash/merge join; the interval
+    * predicate is a post-join filter — at cluster scale the state bound
+    * comes from the watermark, in batch from the equi-key partitioning. */
+  private def t8Attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("value").as("v_value"))
+    purchases.join(views,
+        col("v_user") === col("p_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") < col("p_ts"))
+      .groupBy(col("p_id").as("event_id"))
+      .agg(count(lit(1)).as("n_views"), dsum2d(col("v_value")).as("view_value"))
+  }
+
+  private val t8Sql =
+    """SELECT p.event_id, COUNT(*) AS n_views,
+      |  CAST(SUM(CAST(v.value AS DECIMAL(18,2))) AS DOUBLE) AS view_value
+      |FROM events p JOIN events v ON v.user_id = p.user_id
+      |  AND p.event_type = 'purchase' AND v.event_type = 'view'
+      |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+      |GROUP BY 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t8_stream_stream_join" -> t8Attribution _,
     "t7_stream_static_join" -> t7StreamStaticJoin _,
     "t4_two_stage_handoff" -> t4TwoStageHandoff _,
     "t_window_tumbling" -> tumbling _,
@@ -170,6 +202,7 @@ object StreamingQueries extends QueryModule {
     "t_sessionize"      -> sessionize _)
 
   def oracles: Map[String, String] = Map(
+    "t8_stream_stream_join" -> t8Sql,
     "t7_stream_static_join" -> t7Sql,
     "t4_two_stage_handoff" -> t4Sql,
     "t_window_tumbling" -> tumblingSql,

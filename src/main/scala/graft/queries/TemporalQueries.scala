@@ -97,13 +97,50 @@ object TemporalQueries extends QueryModule {
       |  AND c.ts >= v.ts - INTERVAL 6 HOUR AND c.ts < v.ts
       |GROUP BY 1""".stripMargin
 
+  /** W6: SCD2 history build ([[graft.ops.Scd2]]) — each user's
+    * browse/action segment tracked as `[valid_from, valid_to)` epochs
+    * with consecutive unchanged observations collapsed. The oracle
+    * recomputes the collapse + interval assignment with DuckDB windows,
+    * so the one-shuffle two-window Spark shape is verified against an
+    * independent formulation. */
+  private def scd2(s: SparkSession, dir: String): DataFrame = {
+    val seg = when(col("event_type").isin("click", "view"), lit("browse"))
+      .otherwise(lit("action"))
+    val updates = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), seg.as("seg"))
+    graft.ops.Scd2.buildHistory(updates,
+        col("user_id"), col("ts"), col("event_id"), col("seg"))
+      .select(col("key").as("user_id"), col("attr").as("segment"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
+
+  private val scd2Sql =
+    """WITH u AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN event_type IN ('click','view') THEN 'browse'
+      |         ELSE 'action' END AS seg
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, seg, ts, event_id,
+      |    CASE WHEN row_number() OVER w = 1
+      |           OR lag(seg) OVER w IS DISTINCT FROM seg
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, seg AS segment, ts AS valid_from,
+      |  lead(ts) OVER w2 AS valid_to,
+      |  lead(ts) OVER w2 IS NULL AS is_current
+      |FROM marked WHERE chg = 1
+      |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w4_asof_join"    -> asof _,
     "w4_asof_forward" -> asofForward _,
-    "w5_range_join"   -> rangeJoin _)
+    "w5_range_join"   -> rangeJoin _,
+    "w6_scd2"         -> scd2 _)
 
   def oracles: Map[String, String] = Map(
     "w4_asof_join"    -> asofSql,
     "w4_asof_forward" -> asofForwardSql,
-    "w5_range_join"   -> rangeSql)
+    "w5_range_join"   -> rangeSql,
+    "w6_scd2"         -> scd2Sql)
 }

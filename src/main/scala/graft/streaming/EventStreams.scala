@@ -95,6 +95,23 @@ object EventStreams {
       }
   }
 
+  /** T8 stream-stream interval join (attribution): purchases joined to
+    * the same user's views in the hour before the purchase. Both sides
+    * carry watermarks and the join condition bounds event-time distance,
+    * so Spark can expire buffered state — the canonical bounded-state
+    * stream-stream join shape. Column renames after `withWatermark`
+    * preserve the watermark (it tracks the attribute, not the name). */
+  def attributionJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("value").as("v_value"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    p.join(v, expr(
+      "v_user = p_user AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts < p_ts"))
+  }
+
   /** T4 two-stage handoff: stage 1 writes its results to a parquet dir
     * (the "notes queue"), which a second streaming query consumes —
     * exactly-once between stages via idempotent keyed sink + dedup. */

@@ -139,6 +139,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch attribution rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    views.addData(
+      Ev(1, ts(1), 1, "view", 1.0, "{}"),   // inside buyer 1's hour
+      Ev(2, ts(30), 1, "view", 2.0, "{}"),  // inside
+      Ev(3, ts(40), 1, "view", 4.0, "{}"),  // AT the purchase ts: excluded
+      Ev(4, ts(5), 2, "view", 8.0, "{}"))   // other user
+    purchases.addData(Ev(10, ts(40), 1, "purchase", 50.0, "{}"))
+    EventStreams.drainToMemory(
+      EventStreams.attributionJoin(views.toDF(), purchases.toDF()),
+      "attr_out")
+    val got = spark.table("attr_out")
+      .select("p_id", "v_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    // exactly the two strictly-before views of the same user
+    assert(got == Set((10L, ts(1)), (10L, ts(30))))
+  }
+
   test("two-stage handoff: parse results land in the notes-queue dir") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
