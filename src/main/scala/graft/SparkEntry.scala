@@ -15,7 +15,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     StarQueries, EtlQueries, TextQueries, DedupQueries, SimilarityQueries,
     MultimodalQueries, StreamingQueries, PipelineQueries, FunctionQueries,
-    TemporalQueries, SamplingQueries, HygieneQueries, IngestQueries)
+    TemporalQueries, SamplingQueries, HygieneQueries, IngestQueries,
+    SinkQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference lifecycle end-to-end: validity-gated idempotent

@@ -182,39 +182,39 @@ object Dedup {
                         minJaccard: Double): DataFrame = {
     val shingled = docs.select(id.as("id"),
       explode(TextFns.word_shingles(text)).as("shingle")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val dfreq = shingled.groupBy("shingle").agg(count(lit(1)).as("df"))
-    // One aggregation builds each doc's df-sorted shingle list, its size,
-    // and the prefix slice — replacing a separate count groupBy, a join
-    // on id, and a row_number window (each a shuffle) with a single
-    // shuffle on id. Per-group state is one doc's shingle list — the
-    // same bound the window sort held.
-    val counts = shingled.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val prefix = shingled
+    // One aggregation builds each doc's df-sorted shingle list and its
+    // size — one row per doc, the compact form every later stage joins
+    // against (persist this, not the exploded table: same content, ~1/20
+    // the rows through the cache and the shuffles).
+    val lists = shingled
       .join(dfreq, Seq("shingle"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_sh"),
-        array_sort(collect_list(struct(col("df"), col("shingle"))))
-          .as("sorted"))
-      .select(col("id"), explode(slice(col("sorted"), lit(1),
+        transform(
+          array_sort(collect_list(struct(col("df"), col("shingle")))),
+          e => e.getField("shingle")).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val prefix = lists
+      .select(col("id"), explode(slice(col("sh"), lit(1),
         (floor(lit(1.0 - minJaccard) * col("n_sh")).cast("int") + 1)))
-        .as("e"))
-      .select(col("id"), col("e.shingle").as("shingle"))
+        .as("shingle"))
     val cand = prefix.select(col("id").as("id_a"), col("shingle"))
       .join(prefix.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    val common = cand
-      .join(shingled.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(shingled.select(col("id").as("id_b"), col("shingle")),
-        Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(counts.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
-      .join(counts.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+    // Exact verification joins each candidate pair to the two per-doc
+    // lists (two id-equi-joins, pair-count-sized shuffles) and intersects
+    // in place — NOT a re-join through the exploded shingle table, whose
+    // shuffle would carry candidates × shingles-per-doc rows.
+    cand
+      .join(lists.select(col("id").as("id_a"), col("n_sh").as("n_a"),
+        col("sh").as("sh_a")), Seq("id_a"))
+      .join(lists.select(col("id").as("id_b"), col("n_sh").as("n_b"),
+        col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))

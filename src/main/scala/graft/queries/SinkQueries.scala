@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Dsl._
+
+/** Write-side demos (S9 write-back is the reference's only sink; these
+  * are the lake-layout upgrades a 100 TB deployment of the same pipeline
+  * needs): date-partitioned layout whose reads prune partitions at the
+  * file index, and small-file compaction that preserves data exactly.
+  *
+  * Both queries write a real layout to a temp dir, read it back through
+  * the layout under test, and return an aggregate the oracle recomputes
+  * from the source table — the gate certifies the round-trip loses and
+  * invents nothing. Plan/layout invariants (PartitionFilters pruning,
+  * output file counts) are asserted in SinkQueriesSpec, which the gate
+  * can't see. */
+object SinkQueries extends QueryModule {
+
+  private def tempDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Partitioned-by-day event log: write once, then answer a 3-day query
+    * from the partition index — the scan lists only matching `day=`
+    * directories (PartitionFilters), so at 100 TB a day-bounded query
+    * reads ~0.1% of the lake instead of all of it. */
+  private def partitionedPrune(s: SparkSession, dir: String): DataFrame = {
+    val out = tempDir("graft_sinkp_") + "/events_by_day"
+    Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    val lo = "2024-01-02"
+    val hi = "2024-01-04"
+    s.read.parquet(out)
+      .filter(col("day") >= lo && col("day") <= hi)
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum2d(col("value")).as("total"))
+      .withColumn("day", col("day").cast("string"))
+  }
+
+  private val partitionedPruneSql =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-02' AND DATE '2024-01-04'
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Small-file compaction: a fragmented write (128 files for one day's
+    * lineitem slice — the shape a streaming or per-task committer leaves
+    * behind) re-laid-out into a handful of right-sized files. The rewrite
+    * must be a pure relayout: the returned aggregate fingerprints every
+    * column the oracle can reach, so a dropped/duplicated row or a
+    * corrupted value fails the gate. */
+  private def compaction(s: SparkSession, dir: String): DataFrame = {
+    val root = tempDir("graft_sinkc_")
+    val fragmented = s"$root/fragmented"
+    val compacted = s"$root/compacted"
+    val slice = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_shipdate")
+    slice.repartition(128).write.mode("overwrite").parquet(fragmented)
+    // compact: size-targeted coalesce of the fragmented layout
+    val sizeBytes = s.read.parquet(fragmented).inputFiles.map { f =>
+      new java.io.File(new java.net.URI(f)).length
+    }.sum
+    val targetFileBytes = 32L * 1024 * 1024
+    val nFiles = math.max(1, math.ceil(sizeBytes.toDouble / targetFileBytes).toInt)
+    s.read.parquet(fragmented).repartition(nFiles)
+      .write.mode("overwrite").parquet(compacted)
+    s.read.parquet(compacted)
+      .groupBy(expr("l_orderkey % 16").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_orderkey") * col("l_linenumber")).as("key_fp"),
+        dsum2d(col("l_quantity")).as("qty"),
+        dsum2d(col("l_extendedprice")).as("price"),
+        // NTZ micros == instant micros under the UTC session contract
+        max(unix_micros(col("l_shipdate").cast("timestamp"))).as("max_ship_us"))
+  }
+
+  private val compactionSql =
+    """SELECT l_orderkey % 16 AS bucket, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey * l_linenumber) AS BIGINT) AS key_fp,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+      |  MAX(epoch_us(l_shipdate)) AS max_ship_us
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_partitioned_prune" -> partitionedPrune _,
+    "sink_compaction"        -> compaction _)
+
+  def oracles: Map[String, String] = Map(
+    "sink_partitioned_prune" -> partitionedPruneSql,
+    "sink_compaction"        -> compactionSql)
+}
