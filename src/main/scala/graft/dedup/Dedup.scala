@@ -107,6 +107,66 @@ object Dedup {
       .filter(col("sig_agreement") >= minAgreement)
   }
 
+  /** Incremental MinHash admission: screen a DELTA batch against an
+    * already-signed CORPUS — the shape a growing training corpus needs,
+    * where yesterday's documents are signed once, stored, and never
+    * re-paired among themselves. Both inputs are signature tables
+    * `(id, sig)` (from [[minhashSignatures]] or a signature store).
+    *
+    * A delta doc is rejected when its signature agreement with any
+    * corpus doc — or any EARLIER delta doc (id order; "seen" beats
+    * "admitted", so the rule is one-pass, not sequential) — reaches
+    * `minAgreement`. Candidates come from the same LSH band equi-join as
+    * [[minhashPairs]], made asymmetric: only delta docs sit on the probe
+    * side, so corpus×corpus pairs are never generated. The band join
+    * carries (id, band-key) only; signatures join back to the
+    * deduplicated candidate list and each pair is scored once.
+    *
+    * Returns one row per delta doc: verdict admit/reject, the smallest
+    * matching id (`dup_of`), best agreement, match count. */
+  def minhashIncremental(corpusSigs: DataFrame, deltaSigs: DataFrame,
+                         bands: Int = 8, rowsPerBand: Int = 4,
+                         minAgreement: Double = 0.5,
+                         portable: Boolean = false): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    def banded(sigs: DataFrame): DataFrame = {
+      val keys =
+        if (portable) TextFns.minhash_band_strings(col("sig"), bands, rowsPerBand)
+        else TextFns.minhash_bands(col("sig"), bands, rowsPerBand)
+      sigs.select(col("id"), explode(keys).as("bk"))
+    }
+    val build = banded(corpusSigs).withColumn("is_corpus", lit(true))
+      .unionByName(banded(deltaSigs).withColumn("is_corpus", lit(false)))
+      .select(col("id").as("cand_id"), col("bk"), col("is_corpus"))
+    val cand = banded(deltaSigs).select(col("id").as("new_id"), col("bk"))
+      .join(build, Seq("bk"))
+      .filter(col("is_corpus") || col("cand_id") < col("new_id"))
+      .select("new_id", "cand_id")
+      .distinct()
+    val allSigs = corpusSigs.unionByName(deltaSigs)
+    val hits = cand
+      .join(deltaSigs.select(col("id").as("new_id"), col("sig").as("sig_n")),
+        Seq("new_id"))
+      .join(allSigs.select(col("id").as("cand_id"), col("sig").as("sig_c")),
+        Seq("cand_id"))
+      .select(col("new_id"), col("cand_id"),
+        (aggregate(zip_with(col("sig_n"), col("sig_c"),
+          (x, y) => when(x === y, lit(1.0)).otherwise(lit(0.0))),
+          lit(0.0), (acc, v) => acc + v) / numHashes).as("sig_agreement"))
+      .filter(col("sig_agreement") >= minAgreement)
+      .groupBy("new_id")
+      .agg(min("cand_id").as("dup_of"),
+        max("sig_agreement").as("best_agreement"),
+        count(lit(1)).as("n_dups"))
+    deltaSigs.select(col("id").as("doc_id"))
+      .join(hits.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNull, lit("admit")).otherwise(lit("reject"))
+          .as("verdict"),
+        col("dup_of"), col("best_agreement"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+  }
+
   /** SimHash signatures, same single-pass shape: hash each shingle once,
     * take per-bit majority votes in one codegen'd aggregation. The
     * portable variant votes over 60 bits (the md5-derived hash width);

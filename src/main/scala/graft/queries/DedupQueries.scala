@@ -95,6 +95,46 @@ object DedupQueries extends QueryModule {
        |SELECT id_a, id_b, sig_agreement FROM agree
        |WHERE sig_agreement >= 0.5""".stripMargin
 
+  /** Incremental admission: documents with doc_id % 5 == 4 arrive as the
+    * new batch and screen against the rest (the standing corpus) plus
+    * earlier batch members — corpus×corpus pairs never generated, corpus
+    * signatures reused as-is. Demo signs both sides in one pass; in
+    * production the corpus side is read back from a signature store. */
+  private def incremental(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.minhashSignatures(
+      Tables.spread(Tables.documents(s, dir)), col("doc_id"), col("text"),
+      numHashes = 32, portable = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.minhashIncremental(
+      sigs.filter(col("id") % 5 =!= 4), sigs.filter(col("id") % 5 === 4),
+      bands = 8, rowsPerBand = 4, minAgreement = 0.5, portable = true)
+  }
+
+  private val incrementalSql =
+    s"""WITH $minhashCtes,
+       |icand AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS cand_id
+       |  FROM band n JOIN band c ON n.bk = c.bk
+       |  WHERE n.doc_id % 5 = 4
+       |    AND (c.doc_id % 5 <> 4 OR c.doc_id < n.doc_id)),
+       |iagree AS (
+       |  SELECT i.new_id, i.cand_id,
+       |    SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 AS agreement
+       |  FROM icand i
+       |  JOIN sig sa ON sa.doc_id = i.new_id
+       |  JOIN sig sb ON sb.doc_id = i.cand_id AND sb.seed = sa.seed
+       |  GROUP BY 1, 2),
+       |hits AS (
+       |  SELECT new_id, MIN(cand_id) AS dup_of, MAX(agreement) AS best_agreement,
+       |    COUNT(*) AS n_dups
+       |  FROM iagree WHERE agreement >= 0.5 GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CASE WHEN h.new_id IS NULL THEN 'admit' ELSE 'reject' END AS verdict,
+       |  h.dup_of, h.best_agreement,
+       |  COALESCE(h.n_dups, 0) AS n_dups
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
+       |LEFT JOIN hits h ON h.new_id = d.doc_id""".stripMargin
+
   /** Near-dup clusters: connected components over the verified MinHash
     * pair graph; every document gets a cluster id (its component's min
     * doc_id, or itself when unpaired). */
@@ -213,6 +253,7 @@ object DedupQueries extends QueryModule {
     "m8_dedup_minhash"       -> minhash _,
     "m8_dedup_simhash"       -> simhash _,
     "m8_dedup_embedding"     -> embedding _,
+    "m8_dedup_incremental"   -> incremental _,
     "m8_dedup_clusters"      -> clusters _)
 
   def oracles: Map[String, String] = Map(
@@ -222,6 +263,7 @@ object DedupQueries extends QueryModule {
     "m8_dedup_minhash"       -> minhashSql,
     "m8_dedup_simhash"       -> simhashSql,
     "m8_dedup_embedding"     -> embeddingSql,
+    "m8_dedup_incremental"   -> incrementalSql,
     "m8_dedup_clusters"      -> clustersSql)
 }
 

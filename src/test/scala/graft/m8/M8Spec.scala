@@ -55,6 +55,27 @@ class M8Spec extends SparkSpec {
     assert(!pairs.exists(r => r.getLong(1) == 3 || r.getLong(0) == 3))
   }
 
+  test("incremental admission: corpus dup rejects, novel admits, first-seen wins") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val novel = "completely different content about spark query engines at scale"
+    val twin = "another fresh document with its own entirely distinct wording here"
+    // corpus: doc 1. delta (in id order): 10 = near-dup of corpus,
+    // 11 = novel, 12 and 13 = identical to each other but not to corpus
+    val docs = Seq(1L -> a, 10L -> a.replace("today", "tomorrow"),
+      11L -> novel, 12L -> twin, 13L -> twin).toDF("id", "text")
+    val sigs = Dedup.minhashSignatures(docs, col("id"), col("text"), 32)
+    val out = Dedup.minhashIncremental(
+        sigs.filter(col("id") === 1), sigs.filter(col("id") >= 10),
+        bands = 8, rowsPerBand = 4, minAgreement = 0.3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out(10L)._1 == "reject" && out(10L)._2 == 1L)
+    assert(out(11L)._1 == "admit")
+    assert(out(12L)._1 == "admit", "first of the twin pair is novel")
+    assert(out(13L)._1 == "reject" && out(13L)._2 == 12L)
+    assert(out.size == 4)
+  }
+
   test("simhash: near-dups within small hamming distance, distinct docs far") {
     val a = "the quick brown fox jumps over the lazy dog again and again today"
     val b = a.replace("today", "tomorrow")
