@@ -35,8 +35,15 @@ object Bench {
     // distinguishable from fast successes; failures are also listed.
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // The host carries bursty external load (identical plans observed at
+    // 0.4 s and 45 s minutes apart — BASELINE.md records a 104→487 s
+    // spread on unchanged code), so a single sample misprices exactly
+    // the queries that matter. Any run slower than this threshold gets
+    // ONE re-run and reports the minimum: bounded extra wall time, and a
+    // contention burst no longer masquerades as plan cost.
+    val retryOver = sys.env.getOrElse("SPARK_GRAFT_RETRY_OVER_SEC", "5").toDouble
     val results = selected.map { case (name, fn) =>
-      val runs = (1 to repeat).map { _ =>
+      def run(): (Double, Boolean) = {
         // Queries that persist() intermediates leave them in the
         // CacheManager, which would let a repeat (or a later query with
         // an equal plan subtree) silently reuse them — drop all cached
@@ -49,6 +56,9 @@ object Bench {
                    false }
         (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
       }
+      val base = (1 to repeat).map(_ => run())
+      val needRetry = repeat == 1 && base.forall(_._2) && base.head._1 > retryOver
+      val runs = if (needRetry) base :+ run() else base
       val oks = runs.filter(_._2).map(_._1)
       (name, if (oks.nonEmpty) oks.min else -1.0, oks.nonEmpty)
     }

@@ -466,8 +466,46 @@ object StarQueries extends QueryModule {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Salted replicate join over a deliberately skewed key (80% of fact
+    * rows share key 1): the fact side salts on a high-cardinality column,
+    * the dim side replicates ×16 with one row per salt, and the join key
+    * becomes (k, salt) — the hot key's rows now land on 16 tasks instead
+    * of one. The manual fallback when AQE skew-join can't apply (first
+    * shuffle of a multi-stage plan, or a non-AQE engine); bit-identical
+    * to the unsalted join the oracle runs. */
+  private def joinSaltedSkew(s: SparkSession, dir: String): DataFrame = {
+    val salts = 16
+    val fact = Tables.lineitem(s, dir).select(
+      when(col("l_orderkey") % 10 < 8, lit(1L))
+        .otherwise(col("l_orderkey") % 100).as("k"),
+      col("l_quantity"),
+      pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts))
+        .as("_salt"))
+    val dim = s.range(100).select(col("id").as("k"),
+        concat(lit("grp-"), col("id") % 7).as("grp"))
+      .withColumn("_salt", explode(array((0 until salts).map(lit(_)): _*)))
+    fact.join(dim, Seq("k", "_salt"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), dsum2d(col("l_quantity")).as("qty"))
+  }
+
+  private val joinSaltedSkewSql =
+    """WITH fact AS (
+      |  SELECT CASE WHEN l_orderkey % 10 < 8 THEN 1
+      |              ELSE l_orderkey % 100 END AS k,
+      |    l_quantity
+      |  FROM lineitem),
+      |dim AS (
+      |  SELECT i AS k, 'grp-' || (i % 7) AS grp
+      |  FROM generate_series(0, 99) AS t(i))
+      |SELECT grp, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM fact JOIN dim USING (k)
+      |GROUP BY 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_salted_skew"     -> aggSaltedSkew _,
+    "join_salted_skew"    -> joinSaltedSkew _,
     "agg_approx_distinct" -> aggApproxDistinct _,
     "w1_topk_custom_op"   -> windowTopKCustomOp _,
     "agg_typed_profile"   -> aggTypedProfile _,
@@ -497,6 +535,7 @@ object StarQueries extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "agg_salted_skew"     -> aggSaltedSkewSql,
+    "join_salted_skew"    -> joinSaltedSkewSql,
     "w1_topk_custom_op"   -> windowTopKCustomOpSql,
     "agg_typed_profile"   -> aggTypedProfileSql,
     "agg_pricing_summary" -> aggPricingSummarySql,

@@ -30,6 +30,25 @@ class ScalePatternsSpec extends SparkSpec {
       assert(math.abs(sa(k)._1 - s) < 1e-6 && sa(k)._2 == n, s"key $k") }
   }
 
+  test("salted replicate join matches the plain join on a skewed key") {
+    // 90% of fact rows share key 1; dim has one row per key
+    val fact = spark.range(0, 5000)
+      .select(when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id") % 50)
+        .as("k"), (col("id") % 13).cast("double").as("v"), col("id"))
+    val dim = spark.range(50).select(col("id").as("k"),
+      concat(lit("g"), col("id") % 3).as("grp"))
+    val plain = fact.join(dim, Seq("k")).groupBy("grp")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+    val salts = 8
+    val salted = fact.withColumn("salt", pmod(hash(col("id")), lit(salts)))
+      .join(dim.withColumn("salt",
+        explode(array((0 until salts).map(lit(_)): _*))), Seq("k", "salt"))
+      .groupBy("grp").agg(sum("v").as("s"), count(lit(1)).as("n"))
+    val p = plain.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val sa = salted.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(p == sa)
+  }
+
   test("write-back via dynamic partition overwrite touches only changed partitions") {
     val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
