@@ -41,6 +41,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // drop any output from a previous run: a stale result under this
+        // name would read as a (possibly passing) dump of dead code
+        val stale = new java.io.File(s"$outDir/$name")
+        if (stale.exists()) {
+          stale.listFiles().foreach(_.delete())
+          stale.delete()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

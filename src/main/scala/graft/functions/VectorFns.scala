@@ -27,6 +27,24 @@ object VectorFns {
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
   }
 
+  /** Symmetric int8 scalar quantization: q_i = ⌊x_i/scale·127 + ½⌋ with
+    * scale = max|x| — the 4× storage cut (float32 → int8) an embedding
+    * store takes at corpus scale, as a pure codegen'd projection. The
+    * ⌊·+½⌋ convention (not `round`) keeps every lane integer-exact and
+    * engine-portable: floor is IEEE-deterministic where banker's/half-up
+    * tie rules differ between engines. Zero vectors quantize to zeros. */
+  def quantize_i8(v: Column): Column = {
+    val scale = aggregate(v, lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    when(scale === 0.0, transform(v, _ => lit(0)))
+      .otherwise(transform(v,
+        x => floor(x.cast("double") / scale * 127.0 + 0.5).cast("int")))
+  }
+
+  /** The quantization scale (max |x|) the de-quantizer needs. */
+  def quantize_scale(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
+
   /** Squared euclidean distance. */
   def l2_sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) =>

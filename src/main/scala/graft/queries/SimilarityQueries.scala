@@ -171,7 +171,46 @@ object SimilarityQueries extends QueryModule {
       |        AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*) AS centroid
       |FROM comp GROUP BY 1, 2""".stripMargin
 
+  /** Int8 scalar quantization of the embedding store (the 4× storage cut
+    * at corpus scale), summarized per vector with integer-exact stats so
+    * the oracle verifies every quantized lane: sum, min, max, and the
+    * count of saturated (|q| = 127) lanes pin the whole vector. Pure
+    * projection — no shuffle, no UDF. */
+  private def quantize(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFns
+    val q = VectorFns.quantize_i8(col("embedding"))
+    Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      VectorFns.quantize_scale(col("embedding")).as("scale"),
+      aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
+      array_min(q).as("q_min"),
+      array_max(q).as("q_max"),
+      size(filter(q, y => abs(y) === 127)).cast("long").as("n_sat"))
+  }
+
+  private val quantizeSql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, v,
+      |    list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+      |  FROM e),
+      |q AS (
+      |  SELECT vec_id, scale,
+      |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+      |         ELSE list_transform(v,
+      |           x -> CAST(floor(x / scale * 127 + 0.5) AS INT)) END AS qv
+      |  FROM s)
+      |SELECT vec_id, scale,
+      |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+      |  CAST(list_aggregate(qv, 'min') AS INT) AS q_min,
+      |  CAST(list_aggregate(qv, 'max') AS INT) AS q_max,
+      |  CAST(len(list_filter(qv, y -> abs(y) = 127)) AS BIGINT) AS n_sat
+      |FROM q""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_embedding_quantize"  -> quantize _,
     "m8_sim_topk_bruteforce" -> topkBrute _,
     "m8_sim_topk_lsh"        -> topkLsh _,
     "m8_sim_topk_ivf"        -> topkIvf _,
@@ -179,6 +218,7 @@ object SimilarityQueries extends QueryModule {
     "m8_embedding_centroids" -> centroids _)
 
   def oracles: Map[String, String] = Map(
+    "m8_embedding_quantize"  -> quantizeSql,
     "m8_sim_topk_bruteforce" -> topkBruteSql,
     "m8_sim_topk_lsh"        -> topkLshSql,
     "m8_sim_topk_ivf"        -> topkIvfSql,

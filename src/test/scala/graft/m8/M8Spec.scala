@@ -148,6 +148,25 @@ class M8Spec extends SparkSpec {
     assert(again == ivf)
   }
 
+  test("int8 quantization: round-trip error bounded by scale/254, zeros safe") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "v")
+    val out = df.select(col("id"),
+        graft.functions.VectorFns.quantize_scale(col("v")).as("scale"),
+        graft.functions.VectorFns.quantize_i8(col("v")).as("q"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Int](2))).toMap
+    assert(out(1L)._1 == 1.0)
+    assert(out(1L)._2 == Seq(64, -127, 32, 0)) // floor(x*127 + .5)
+    assert(out(2L)._1 == 0.0 && out(2L)._2 == Seq(0, 0, 0, 0))
+    // dequantized error ≤ half a quantization step on every lane
+    val v = Array(0.5, -1.0, 0.25, 0.0)
+    out(1L)._2.zip(v).foreach { case (q, x) =>
+      assert(math.abs(q / 127.0 * out(1L)._1 - x) <= out(1L)._1 / 254.0 + 1e-12)
+    }
+  }
+
   test("hyperplane bucket is deterministic and bounded") {
     val emb = Tables.embeddings(spark, sf).limit(50)
     val b1 = emb.select(VectorFns.hyperplane_bucket(col("embedding"), 8).as("b"))
