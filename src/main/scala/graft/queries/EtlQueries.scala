@@ -557,7 +557,64 @@ object EtlQueries extends QueryModule {
        |FROM orders""".stripMargin
   }
 
+  /** Fuzzy company-name reconciliation (the entity-resolution step the
+    * reference does by exact company echo): two 500-name registries —
+    * one canonical, one with deterministic single-character typos —
+    * matched by 4-gram blocking + bounded edit distance. Blocking is
+    * pigeonhole-lossless for 1 substitution over the 10-char names
+    * (a substitution kills at most 4 of the 7 grams), so candidates are
+    * an equi-join on grams, never a cross join; `levenshtein` verifies
+    * exactly and both engines implement the same edit distance. */
+  private def joinFuzzyNames(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select((col("o_orderkey") % 500).as("id")).distinct()
+      .withColumn("name", substring(md5(col("id").cast("string")), 1, 10))
+    val typo = base.withColumn("name",
+      when(col("id") % 2 === 0,
+        concat(substring(col("name"), 1, 2), lit("z"),
+          substring(col("name"), 4, 7)))
+        .otherwise(col("name")))
+    def grams(df: DataFrame, side: String): DataFrame =
+      df.select(col("id").as(s"${side}_id"), col("name").as(s"${side}_name"),
+        explode(expr("transform(sequence(1, 7), g -> substring(name, g, 4))"))
+          .as("gram"))
+    val cand = grams(base, "l").join(grams(typo, "r"), Seq("gram"))
+      .select("l_id", "l_name", "r_id", "r_name").distinct()
+    cand
+      .withColumn("dist", levenshtein(col("l_name"), col("r_name")))
+      .filter(col("dist") <= 1)
+      .groupBy("l_id", "l_name")
+      .agg(count(lit(1)).as("n_matches"), min("r_id").as("best_r_id"),
+        min("dist").as("best_dist"))
+  }
+
+  private val joinFuzzyNamesSql =
+    """WITH ids AS (
+      |  SELECT DISTINCT o_orderkey % 500 AS id FROM orders),
+      |base AS (
+      |  SELECT id, md5(id::VARCHAR)[1:10] AS name FROM ids),
+      |typo AS (
+      |  SELECT id, CASE WHEN id % 2 = 0
+      |    THEN name[1:2] || 'z' || name[4:10] ELSE name END AS name
+      |  FROM base),
+      |lg AS (
+      |  SELECT id AS l_id, name AS l_name, unnest(
+      |    [name[g:g+3] for g in generate_series(1, 7)]) AS gram FROM base),
+      |rg AS (
+      |  SELECT id AS r_id, name AS r_name, unnest(
+      |    [name[g:g+3] for g in generate_series(1, 7)]) AS gram FROM typo),
+      |cand AS (
+      |  SELECT DISTINCT l_id, l_name, r_id, r_name
+      |  FROM lg JOIN rg USING (gram)),
+      |scored AS (
+      |  SELECT l_id, l_name, levenshtein(l_name, r_name) AS dist, r_id
+      |  FROM cand)
+      |SELECT l_id, l_name, COUNT(*) AS n_matches,
+      |  MIN(r_id) AS best_r_id, CAST(MIN(dist) AS INT) AS best_dist
+      |FROM scored WHERE dist <= 1 GROUP BY 1, 2""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_fuzzy_names"   -> joinFuzzyNames _,
     "f9_strip_emojis"    -> f9StripEmojis _,
     "p7_take_batch"      -> p7TakeBatch _,
     "s10_remove_processed" -> s10RemoveProcessed _,
@@ -584,6 +641,7 @@ object EtlQueries extends QueryModule {
     "w3_latest_wins"         -> w3LatestWins _)
 
   def oracles: Map[String, String] = Map(
+    "join_fuzzy_names"   -> joinFuzzyNamesSql,
     "f9_strip_emojis"    -> f9Sql,
     "p7_take_batch"      -> p7Sql,
     "s10_remove_processed" -> s10Sql,

@@ -466,6 +466,54 @@ object StarQueries extends QueryModule {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Pearson correlation + OLS slope from exact decimal co-moments:
+    * built-in `corr()` merges float partials shuffle-order-dependently
+    * (hash-unstable across engines), so the five sums accumulate as
+    * decimals — exact, order-free — and the closed forms evaluate in
+    * IEEE doubles identically on both engines. Same partial+final
+    * aggregation shape as any grouped sum at scale. */
+  private def aggCorr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val q = col("l_quantity").cast(DecimalType(18, 2))
+    val p = col("l_extendedprice").cast(DecimalType(18, 2))
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(q).cast("double").as("sx"),
+        sum(p).cast("double").as("sy"),
+        sum((q * p).cast(DecimalType(28, 4))).cast("double").as("sxy"),
+        sum((q * q).cast(DecimalType(28, 4))).cast("double").as("sxx"),
+        sum((p * p).cast(DecimalType(28, 4))).cast("double").as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+               (col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_price"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
+  }
+
+  private val aggCorrSql =
+    """WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+      |      CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4)))
+      |      AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+      |      CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4)))
+      |      AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4)))
+      |      AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  (n * sxy - sx * sy) /
+      |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price,
+      |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+      |FROM m""".stripMargin
+
   /** Salted replicate join over a deliberately skewed key (80% of fact
     * rows share key 1): the fact side salts on a high-cardinality column,
     * the dim side replicates ×16 with one row per salt, and the join key
@@ -506,6 +554,7 @@ object StarQueries extends QueryModule {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_salted_skew"     -> aggSaltedSkew _,
     "join_salted_skew"    -> joinSaltedSkew _,
+    "agg_corr"            -> aggCorr _,
     "agg_approx_distinct" -> aggApproxDistinct _,
     "w1_topk_custom_op"   -> windowTopKCustomOp _,
     "agg_typed_profile"   -> aggTypedProfile _,
@@ -536,6 +585,7 @@ object StarQueries extends QueryModule {
   def oracles: Map[String, String] = Map(
     "agg_salted_skew"     -> aggSaltedSkewSql,
     "join_salted_skew"    -> joinSaltedSkewSql,
+    "agg_corr"            -> aggCorrSql,
     "w1_topk_custom_op"   -> windowTopKCustomOpSql,
     "agg_typed_profile"   -> aggTypedProfileSql,
     "agg_pricing_summary" -> aggPricingSummarySql,

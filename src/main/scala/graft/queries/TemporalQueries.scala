@@ -132,15 +132,68 @@ object TemporalQueries extends QueryModule {
       |FROM marked WHERE chg = 1
       |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
 
+  /** W7: time-series gap fill. Daily per-type revenue with a planted
+    * outage (every third day-of-month drops out), re-densified onto the
+    * full date spine: counts zero-fill, revenue carries the last
+    * observation forward (LOCF via `last(_, ignoreNulls)` over a
+    * bounded-state running window — the standard warehouse densify, one
+    * shuffle on the series key). */
+  private def gapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), dsum2d(col("value")).as("total"))
+      .filter(dayofmonth(col("day")) % 3 =!= 0) // planted outage
+    val spine = ev.agg(min(to_date(col("ts"))).as("lo"),
+        max(to_date(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val series = spine.crossJoin(ev.select("event_type").distinct())
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    series.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("total_locf",
+        coalesce(last(col("total"), ignoreNulls = true).over(w), lit(0.0)))
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("n"), coalesce(col("total"), lit(0.0)).as("total"),
+        col("total_locf"))
+  }
+
+  private val gapFillSql =
+    """WITH daily0 AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM events GROUP BY 1, 2),
+      |daily AS (
+      |  SELECT * FROM daily0 WHERE date_part('day', day) % 3 <> 0),
+      |spine AS (
+      |  SELECT unnest(generate_series(
+      |    (SELECT MIN(CAST(ts AS DATE)) FROM events),
+      |    (SELECT MAX(CAST(ts AS DATE)) FROM events),
+      |    INTERVAL 1 DAY))::DATE AS day),
+      |series AS (
+      |  SELECT t.event_type, s.day
+      |  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t)
+      |SELECT se.event_type, CAST(se.day AS VARCHAR) AS day,
+      |  COALESCE(d.n, 0) AS n, COALESCE(d.total, 0) AS total,
+      |  COALESCE(last_value(d.total IGNORE NULLS) OVER (
+      |    PARTITION BY se.event_type ORDER BY se.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS total_locf
+      |FROM series se LEFT JOIN daily d
+      |  ON d.event_type = se.event_type AND d.day = se.day""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w4_asof_join"    -> asof _,
     "w4_asof_forward" -> asofForward _,
     "w5_range_join"   -> rangeJoin _,
-    "w6_scd2"         -> scd2 _)
+    "w6_scd2"         -> scd2 _,
+    "w7_gap_fill"     -> gapFill _)
 
   def oracles: Map[String, String] = Map(
     "w4_asof_join"    -> asofSql,
     "w4_asof_forward" -> asofForwardSql,
     "w5_range_join"   -> rangeSql,
-    "w6_scd2"         -> scd2Sql)
+    "w6_scd2"         -> scd2Sql,
+    "w7_gap_fill"     -> gapFillSql)
 }
