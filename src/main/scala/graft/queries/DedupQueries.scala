@@ -135,6 +135,34 @@ object DedupQueries extends QueryModule {
        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
        |LEFT JOIN hits h ON h.new_id = d.doc_id""".stripMargin
 
+  /** Triangle count over the verified near-dup pair graph — the
+    * structure metric that separates pairwise-similar noise from true
+    * duplicate cliques. Edges are (id_a < id_b) ordered, so each
+    * triangle {u<v<w} materializes exactly once via the two-hop
+    * equi-join (u,v)⋈(v,w)⋈(u,w): three shuffles on vertex keys, no
+    * orientation dedup pass needed. */
+  private def triangles(s: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.minhashPairs(Tables.spread(Tables.documents(s, dir)),
+        col("doc_id"), col("text"),
+        numHashes = 32, bands = 8, minAgreement = 0.5, portable = true)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uvw = e
+      .join(e.select(col("u").as("v"), col("v").as("w")), Seq("v"))
+      .join(e.select(col("u"), col("v").as("w")), Seq("u", "w"))
+    uvw.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .select("n_edges", "n_triangles")
+  }
+
+  private val trianglesSql =
+    s"""WITH $minhashCtes,
+       |p AS (SELECT id_a, id_b FROM agree WHERE sig_agreement >= 0.5)
+       |SELECT (SELECT COUNT(*) FROM p) AS n_edges,
+       |  (SELECT COUNT(*)
+       |   FROM p a JOIN p b ON b.id_a = a.id_b
+       |   JOIN p c ON c.id_a = a.id_a AND c.id_b = b.id_b) AS n_triangles""".stripMargin
+
   /** Near-dup clusters: connected components over the verified MinHash
     * pair graph; every document gets a cluster id (its component's min
     * doc_id, or itself when unpaired). */
@@ -254,6 +282,7 @@ object DedupQueries extends QueryModule {
     "m8_dedup_simhash"       -> simhash _,
     "m8_dedup_embedding"     -> embedding _,
     "m8_dedup_incremental"   -> incremental _,
+    "m8_graph_triangles"     -> triangles _,
     "m8_dedup_clusters"      -> clusters _)
 
   def oracles: Map[String, String] = Map(
@@ -264,6 +293,7 @@ object DedupQueries extends QueryModule {
     "m8_dedup_simhash"       -> simhashSql,
     "m8_dedup_embedding"     -> embeddingSql,
     "m8_dedup_incremental"   -> incrementalSql,
+    "m8_graph_triangles"     -> trianglesSql,
     "m8_dedup_clusters"      -> clustersSql)
 }
 

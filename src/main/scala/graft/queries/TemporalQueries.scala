@@ -183,7 +183,88 @@ object TemporalQueries extends QueryModule {
       |FROM series se LEFT JOIN daily d
       |  ON d.event_type = se.event_type AND d.day = se.day""".stripMargin
 
+  /** W8: trailing 7-observation moving average of daily per-type
+    * revenue. The daily totals stay DECIMAL through the window frame —
+    * a windowed double sum would accumulate in frame order on one engine
+    * and segment-tree order on another — and cast to double only at the
+    * contract boundary. ROWS framing (last 7 observed days), one shuffle
+    * on the series key. */
+  private def movingAvg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).as("total_dec"),
+        count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    daily
+      .withColumn("win_sum", sum(col("total_dec")).over(w))
+      .withColumn("win_n", count(lit(1)).over(w))
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("n"), col("total_dec").cast("double").as("total"),
+        (col("win_sum").cast("double") / col("win_n")).as("avg7"),
+        col("win_n"))
+  }
+
+  private val movingAvgSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS total_dec, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, CAST(day AS VARCHAR) AS day, n,
+      |  CAST(total_dec AS DOUBLE) AS total,
+      |  CAST(SUM(total_dec) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS avg7,
+      |  COUNT(*) OVER w AS win_n
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** T9: conversion funnel — signups that convert to a purchase by the
+    * same user within one hour. The probe is a user-keyed equi-join with
+    * an event-time bound (the batch analog of the stream-stream interval
+    * join, which is its streaming twin in EventStreams.attributionJoin),
+    * aggregated to daily conversion rates. */
+  private def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("s_id"),
+        col("ts").as("s_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val converted = signups.join(purchases,
+        col("s_user") === col("p_user") &&
+        col("p_ts") > col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
+      .select("s_id").distinct()
+      .withColumn("conv", lit(1L))
+    signups.join(converted, Seq("s_id"), "left")
+      .groupBy(to_date(col("s_ts")).cast("string").as("day"))
+      .agg(count(lit(1)).as("n_signups"),
+        sum(coalesce(col("conv"), lit(0L))).as("n_converted"))
+      .withColumn("conv_rate",
+        col("n_converted").cast("double") / col("n_signups"))
+  }
+
+  private val funnelSql =
+    """WITH s AS (
+      |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+      |conv AS (
+      |  SELECT DISTINCT s.event_id
+      |  FROM s JOIN events p
+      |    ON p.event_type = 'purchase' AND p.user_id = s.user_id
+      |   AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR)
+      |SELECT CAST(CAST(s.ts AS DATE) AS VARCHAR) AS day,
+      |  COUNT(*) AS n_signups,
+      |  CAST(SUM(CASE WHEN conv.event_id IS NULL THEN 0 ELSE 1 END)
+      |    AS BIGINT) AS n_converted,
+      |  CAST(SUM(CASE WHEN conv.event_id IS NULL THEN 0 ELSE 1 END)
+      |    AS DOUBLE) / COUNT(*) AS conv_rate
+      |FROM s LEFT JOIN conv ON conv.event_id = s.event_id
+      |GROUP BY 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w8_moving_avg"   -> movingAvg _,
+    "t9_funnel"       -> funnel _,
     "w4_asof_join"    -> asof _,
     "w4_asof_forward" -> asofForward _,
     "w5_range_join"   -> rangeJoin _,
@@ -191,6 +272,8 @@ object TemporalQueries extends QueryModule {
     "w7_gap_fill"     -> gapFill _)
 
   def oracles: Map[String, String] = Map(
+    "w8_moving_avg"   -> movingAvgSql,
+    "t9_funnel"       -> funnelSql,
     "w4_asof_join"    -> asofSql,
     "w4_asof_forward" -> asofForwardSql,
     "w5_range_join"   -> rangeSql,

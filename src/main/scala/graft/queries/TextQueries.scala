@@ -11,6 +11,27 @@ import graft.functions.TextFns
   * grouping — so the shape holds unchanged at 100 TB. */
 object TextQueries extends QueryModule {
 
+  /** Token-length histogram of the corpus (the length-distribution
+    * diagnostic behind min/max-length filters): fixed 50-token buckets,
+    * capped at bucket 19, computed as an integer floor — one partial-agg
+    * shuffle on ≤20 keys regardless of corpus size. */
+  private def lengthHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(TextFns.token_count(col("text")).as("len"))
+      .groupBy(least(floor(col("len") / 50), lit(19)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("len").as("min_len"), max("len").as("max_len"))
+
+  private val lengthHistogramSql =
+    """WITH lens AS (
+      |  SELECT CAST(CASE WHEN trim(text) = '' THEN 0
+      |    ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS len
+      |  FROM documents)
+      |SELECT CAST(LEAST(len // 50, 19) AS INT) AS bucket,
+      |  COUNT(*) AS n_docs,
+      |  MIN(len) AS min_len, MAX(len) AS max_len
+      |FROM lens GROUP BY 1""".stripMargin
+
   /** Token + subword counting per document. */
   private def tokenCount(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -195,6 +216,7 @@ object TextQueries extends QueryModule {
       |SELECT doc_id, rank, word, tf, df, tfidf FROM ranked WHERE rank <= 3""".stripMargin
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_length_histogram" -> lengthHistogram _,
     "m8_token_count"      -> tokenCount _,
     "m8_language_id"      -> languageId _,
     "m8_quality_score"    -> qualityScore _,
@@ -205,6 +227,7 @@ object TextQueries extends QueryModule {
     "m8_tfidf_keywords"   -> tfidfKeywords _)
 
   def oracles: Map[String, String] = Map(
+    "m8_length_histogram" -> lengthHistogramSql,
     "m8_token_count"      -> tokenCountSql,
     "m8_language_id"      -> languageIdSql,
     "m8_quality_score"    -> qualityScoreSql,
