@@ -256,12 +256,20 @@ object Dedup {
           e => e.getField("shingle")).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val prefix = lists
-      .select(col("id"), explode(slice(col("sh"), lit(1),
+      .select(col("id"), col("n_sh"), explode(slice(col("sh"), lit(1),
         (floor(lit(1.0 - minJaccard) * col("n_sh")).cast("int") + 1)))
         .as("shingle"))
-    val cand = prefix.select(col("id").as("id_a"), col("shingle"))
-      .join(prefix.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
+    // Length filter (AllPairs): J(a,b) ≥ t forces t·|b| ≤ |a| (for
+    // |a| ≤ |b|, J ≤ |a|/|b|) — a lossless integer predicate evaluated
+    // inside the gram join, so size-incompatible pairs never reach the
+    // distinct() shuffle.
+    val cand = prefix.select(col("id").as("id_a"), col("n_sh").as("n_a"),
+        col("shingle"))
+      .join(prefix.select(col("id").as("id_b"), col("n_sh").as("n_b"),
+        col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")).cast("double") >=
+          lit(minJaccard) * greatest(col("n_a"), col("n_b")))
       .select("id_a", "id_b")
       .distinct()
     // Exact verification joins each candidate pair to the two per-doc
