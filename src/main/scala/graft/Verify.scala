@@ -42,11 +42,15 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // drop any output from a previous run: a stale result under this
-        // name would read as a (possibly passing) dump of dead code
-        val stale = new java.io.File(s"$outDir/$name")
-        if (stale.exists()) {
-          stale.listFiles().foreach(_.delete())
-          stale.delete()
+        // name would read as a (possibly passing) dump of dead code.
+        // Recursive: a failed lazy write can leave a _temporary/ subtree
+        // that a flat listFiles+delete would silently skip.
+        val stale = Paths.get(s"$outDir/$name")
+        if (Files.exists(stale)) {
+          val walk = Files.walk(stale)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+          finally walk.close()
         }
       }
     }

@@ -88,7 +88,9 @@ object HtmlFns {
       "choose your sign in option", "sign in", "signin", "login", "log in",
       "home", "open positions", "all jobs", "search results", "job search",
       "apply now", "opportunities", "join our team")
-    val generic = "(?s)^.{0,2}$|" +
+    // \z, not $: Java's $ matches before a final line terminator, which
+    // would misclassify 3-char titles ending in a newline as "short"
+    val generic = "(?s)^.{0,2}\\z|" +
       blocklist.map(java.util.regex.Pattern.quote).mkString("|")
     t.rlike(generic)
   }

@@ -32,14 +32,21 @@ object VectorFns {
     * store takes at corpus scale, as a pure codegen'd projection. The
     * ⌊·+½⌋ convention (not `round`) keeps every lane integer-exact and
     * engine-portable: floor is IEEE-deterministic where banker's/half-up
-    * tie rules differ between engines. Zero vectors quantize to zeros. */
-  def quantize_i8(v: Column): Column = {
-    val scale = aggregate(v, lit(0.0),
-      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    * tie rules differ between engines. Zero vectors quantize to zeros.
+    *
+    * Pass the scale as a PRECOMPUTED column (e.g. a
+    * `withColumn("scale", quantize_scale(v))` projection): codegen does
+    * not hoist subexpressions out of lambda bodies, so an inline
+    * aggregate here would re-fold the whole vector once per lane —
+    * O(dim²) per row. */
+  def quantize_i8(v: Column, scale: Column): Column =
     when(scale === 0.0, transform(v, _ => lit(0)))
       .otherwise(transform(v,
         x => floor(x.cast("double") / scale * 127.0 + 0.5).cast("int")))
-  }
+
+  /** Convenience form for one-off/test use; see the scale-column caveat
+    * above before putting this in a hot path. */
+  def quantize_i8(v: Column): Column = quantize_i8(v, quantize_scale(v))
 
   /** The quantization scale (max |x|) the de-quantizer needs. */
   def quantize_scale(v: Column): Column =

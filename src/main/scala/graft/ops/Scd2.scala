@@ -43,12 +43,12 @@ object Scd2 {
       .withColumn("graft_chg",
         row_number().over(w) === 1 || !(lag(attr, 1).over(w) <=> attr))
       .filter(col("graft_chg"))
-    // Same partitioning + ordering: no second exchange, only a re-sort
-    // over the (much smaller) collapsed feed.
-    val wc = Window.partitionBy(key).orderBy(ts, tiebreak)
+    // Reusing w: same partitioning + ordering means no second exchange,
+    // only a re-sort over the (much smaller) collapsed feed — and the
+    // two passes can never desynchronize on ordering.
     changed
       .select(key.as("key"), attr.as("attr"), ts.as("valid_from"),
-        lead(ts, 1).over(wc).as("valid_to"))
+        lead(ts, 1).over(w).as("valid_to"))
       .withColumn("is_current", col("valid_to").isNull)
   }
 

@@ -24,9 +24,6 @@ import Dsl._
   */
 object IngestQueries extends QueryModule {
 
-  private def tempDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
-
   /** The sheet fixture: an orders-derived tracker page. Values are
     * comma/quote-free by construction so the CSV round-trip is exact. */
   private def sheetRows(s: SparkSession, dir: String): DataFrame =
@@ -148,10 +145,16 @@ object IngestQueries extends QueryModule {
     val sink = "t1_drain_" + java.util.UUID.randomUUID.toString.replace("-", "")
     EventStreams.drainToMemory(windowed, sink,
       org.apache.spark.sql.streaming.OutputMode.Complete())
-    s.table(sink)
+    // materialize the aggregate eagerly, then drop the sink's temp view:
+    // repeated invocations (bench repeats/retries) must not accumulate
+    // driver-held memory-sink tables for the session's lifetime
+    val out = s.table(sink)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_windows"), sum(col("n")).as("n_events"),
         dsum2d(col("total")).as("grand_total"))
+      .localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    out
   }
 
   private val t1DrainLoopSql =
@@ -186,13 +189,17 @@ object IngestQueries extends QueryModule {
   }
 
   private val t6StatefulSessionsSql =
-    """WITH marked AS (
-      |  SELECT user_id, event_id, epoch_us(ts) // 1000 AS ms,
-      |    CASE WHEN lag(ts) OVER w IS NULL
-      |           OR epoch_us(ts)//1000 - epoch_us(lag(ts) OVER w)//1000 > 300000
+    """WITH evm AS (
+      |  SELECT user_id, event_id, epoch_us(ts) // 1000 AS ms FROM events),
+      |marked AS (
+      |  -- every window orders by (ms, event_id) — the millisecond-domain
+      |  -- order the stateful operator sorts by; ordering by raw ts here
+      |  -- would diverge whenever two same-ms events carry sub-ms skew
+      |  SELECT user_id, event_id, ms,
+      |    CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 300000
       |         THEN 1 ELSE 0 END AS new_session
-      |  FROM events
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |  FROM evm
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
       |numbered AS (
       |  SELECT user_id, ms,
       |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id

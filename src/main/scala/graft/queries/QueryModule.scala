@@ -23,6 +23,11 @@ trait QueryModule {
   * aggregation exact and engine-order-independent on both sides.
   */
 object Dsl {
+  /** Fresh temp dir for queries that materialize a layout under test
+    * (CSV sheets, queues, partitioned/bucketed/compacted parquet). */
+  def tempDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
   /** Exact 2-decimal sum: matches SQL `SUM(CAST(x AS DECIMAL(18,2)))`. */
   def dsum2(c: Column): Column = sum(c.cast(DecimalType(18, 2)))
   /** Exact 4-decimal sum for price*(1-disc)-style products. */

@@ -178,14 +178,18 @@ object SimilarityQueries extends QueryModule {
     * projection — no shuffle, no UDF. */
   private def quantize(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFns
-    val q = VectorFns.quantize_i8(col("embedding"))
-    Tables.embeddings(s, dir).select(
-      col("vec_id"),
-      VectorFns.quantize_scale(col("embedding")).as("scale"),
-      aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
-      array_min(q).as("q_min"),
-      array_max(q).as("q_max"),
-      size(filter(q, y => abs(y) === 127)).cast("long").as("n_sat"))
+    // scale and the quantized array materialize once per row; inlining
+    // either into the stat expressions would re-fold the vector per use
+    val q = col("q")
+    Tables.embeddings(s, dir)
+      .withColumn("scale", VectorFns.quantize_scale(col("embedding")))
+      .withColumn("q", VectorFns.quantize_i8(col("embedding"), col("scale")))
+      .select(
+        col("vec_id"), col("scale"),
+        aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min(q).as("q_min"),
+        array_max(q).as("q_max"),
+        size(filter(q, y => abs(y) === 127)).cast("long").as("n_sat"))
   }
 
   private val quantizeSql =

@@ -18,9 +18,6 @@ import Dsl._
   * can't see. */
 object SinkQueries extends QueryModule {
 
-  private def tempDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
-
   /** Partitioned-by-day event log: write once, then answer a 3-day query
     * from the partition index — the scan lists only matching `day=`
     * directories (PartitionFilters), so at 100 TB a day-bounded query
