@@ -65,5 +65,13 @@ object Explain {
     println("m8_sim_topk_ivf exchanges (expect 3: corpus assignment + " +
       "query-probe + final cut; the corpus rides exactly one): " +
       "Exchange hashpartitioning".r.findAllIn(plan("m8_sim_topk_ivf")).length)
+    val bucketed = plan("join_bucketed_colocated")
+    val joinIdx = bucketed.indexOf("SortMergeJoin")
+    println("join_bucketed_colocated SMJ with no Exchange below it: " +
+      (joinIdx >= 0 && !bucketed.substring(joinIdx).contains("Exchange")))
+    println("sink_partitioned_prune scan carries PartitionFilters: " +
+      plan("sink_partitioned_prune").contains("PartitionFilters: [isnotnull"))
+    println("m8_embedding_quantize shuffle-free projection: " +
+      !plan("m8_embedding_quantize").contains("Exchange"))
   }
 }
