@@ -466,6 +466,33 @@ object StarQueries extends QueryModule {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Unpivot/melt parity: the wide per-flag metric row reshapes to long
+    * (flag, metric, value) via `Dataset.unpivot` — pure metadata fan-out
+    * after the aggregation, no extra shuffle. */
+  private def aggUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(dsum2d(col("l_quantity")).as("sum_qty"),
+        dsum2d(col("l_extendedprice")).as("sum_price"),
+        dsum2d(col("l_discount")).as("sum_disc"))
+    wide.unpivot(Array(col("l_returnflag")),
+      Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+      "metric", "value")
+  }
+
+  private val aggUnpivotSql =
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+      |UNION ALL
+      |SELECT l_returnflag, 'sum_price', sum_price FROM wide
+      |UNION ALL
+      |SELECT l_returnflag, 'sum_disc', sum_disc FROM wide""".stripMargin
+
   /** Pearson correlation + OLS slope from exact decimal co-moments:
     * built-in `corr()` merges float partials shuffle-order-dependently
     * (hash-unstable across engines), so the five sums accumulate as
@@ -555,6 +582,7 @@ object StarQueries extends QueryModule {
     "agg_salted_skew"     -> aggSaltedSkew _,
     "join_salted_skew"    -> joinSaltedSkew _,
     "agg_corr"            -> aggCorr _,
+    "agg_unpivot"         -> aggUnpivot _,
     "agg_approx_distinct" -> aggApproxDistinct _,
     "w1_topk_custom_op"   -> windowTopKCustomOp _,
     "agg_typed_profile"   -> aggTypedProfile _,
@@ -586,6 +614,7 @@ object StarQueries extends QueryModule {
     "agg_salted_skew"     -> aggSaltedSkewSql,
     "join_salted_skew"    -> joinSaltedSkewSql,
     "agg_corr"            -> aggCorrSql,
+    "agg_unpivot"         -> aggUnpivotSql,
     "w1_topk_custom_op"   -> windowTopKCustomOpSql,
     "agg_typed_profile"   -> aggTypedProfileSql,
     "agg_pricing_summary" -> aggPricingSummarySql,
