@@ -344,6 +344,35 @@ object StarQueries extends QueryModule {
       |EXCEPT
       |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin
 
+  /** Multiset variants: EXCEPT ALL / INTERSECT ALL keep duplicate
+    * cardinality (a customer with 3 orders minus 1 return leaves 2),
+    * where the distinct forms collapse it — both native operators, both
+    * planned as counted anti/semi aggregation, summarized to one row per
+    * variant so the cardinality difference itself is what's gated. */
+  private def setMultiset(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(s, dir).select(col("o_custkey").as("custkey"))
+    val b = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    a.exceptAll(b).agg(count(lit(1)).as("n"), sum("custkey").as("key_sum"))
+      .withColumn("op", lit("except_all"))
+      .unionByName(
+        a.intersectAll(b)
+          .agg(count(lit(1)).as("n"), sum("custkey").as("key_sum"))
+          .withColumn("op", lit("intersect_all")))
+      .select("op", "n", "key_sum")
+  }
+
+  private val setMultisetSql =
+    """WITH a AS (SELECT o_custkey AS custkey FROM orders),
+      |b AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+      |ea AS (SELECT custkey FROM a EXCEPT ALL SELECT custkey FROM b),
+      |ia AS (SELECT custkey FROM a INTERSECT ALL SELECT custkey FROM b)
+      |SELECT 'except_all' AS op, COUNT(*) AS n,
+      |  CAST(SUM(custkey) AS BIGINT) AS key_sum FROM ea
+      |UNION ALL
+      |SELECT 'intersect_all', COUNT(*),
+      |  CAST(SUM(custkey) AS BIGINT) FROM ia""".stripMargin
+
   /** Date bucketing: monthly revenue (date_trunc + exact decimal sum). */
   private def dateTruncRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -608,6 +637,7 @@ object StarQueries extends QueryModule {
     "set_union"           -> setUnion _,
     "set_intersect"       -> setIntersect _,
     "set_except"          -> setExcept _,
+    "set_multiset"        -> setMultiset _,
     "date_trunc_revenue"  -> dateTruncRevenue _)
 
   def oracles: Map[String, String] = Map(
@@ -639,5 +669,6 @@ object StarQueries extends QueryModule {
     "set_union"           -> setUnionSql,
     "set_intersect"       -> setIntersectSql,
     "set_except"          -> setExceptSql,
+    "set_multiset"        -> setMultisetSql,
     "date_trunc_revenue"  -> dateTruncRevenueSql)
 }
