@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.{HtmlFns, UrlFns}
 
 /** R2 `fetchSmartFree_` — the cost-ordered access-path cascade
@@ -66,15 +67,20 @@ object FetchCascade {
     * predicates (each is ~8 regexes over the page) so the cascade's
     * when-ladder reads two booleans instead of re-deriving them per
     * branch — the regex work happens once per fixture row, pre-join. */
-  private def fixtureSide(fixtures: DataFrame, prefix: String): DataFrame =
+  private def fixtureSide(fixtures: DataFrame): DataFrame =
     fixtures.select(
-      col("url").as(s"${prefix}url"),
-      col("direct_status").as(s"${prefix}direct_status"),
-      col("direct_html").as(s"${prefix}direct_html"),
-      col("rendered_html").as(s"${prefix}rendered_html"),
-      col("api_role").as(s"${prefix}api_role"),
-      HtmlFns.has_useful_signal(col("direct_html")).as(s"${prefix}direct_useful"),
-      HtmlFns.has_useful_signal(col("rendered_html")).as(s"${prefix}rendered_useful"))
+      col("url"),
+      col("direct_status"),
+      col("direct_html"),
+      col("rendered_html"),
+      col("api_role"),
+      HtmlFns.has_useful_signal(col("direct_html")).as("direct_useful"),
+      HtmlFns.has_useful_signal(col("rendered_html")).as("rendered_useful"))
+
+  /** Rename every fixture-side column with `prefix` so the direct and
+    * unwrap joins of the SAME projected frame stay unambiguous. */
+  private def prefixed(side: DataFrame, prefix: String): DataFrame =
+    side.select(side.columns.map(c => col(c).as(s"$prefix$c")).toIndexedSeq: _*)
 
   /** One cascade level over joined fixture columns for `urlCol`; returns
     * a struct(provider, status, final_url, html, api_company, api_role)
@@ -113,9 +119,16 @@ object FetchCascade {
     * original url and the unwrapped ATS url. No broadcast hint: fixture
     * payloads carry page HTML, so AQE should pick broadcast only when the
     * fixture side is genuinely small (a forced broadcast of a large
-    * fixture table costs more than the shuffle it avoids). */
+    * fixture table costs more than the shuffle it avoids).
+    *
+    * The projected fixture side is computed ONCE and persisted: both
+    * joins read the same materialized rows, so the useful-signal regexes
+    * (the dominant per-row cost) run once per fixture row instead of
+    * once per join. At production scale this persist is a checkpointed
+    * signal table written next to the fixture store. */
   def apply(links: DataFrame, fixtures: DataFrame): DataFrame = {
-    val j1 = links.join(fixtureSide(fixtures, "f_"),
+    val side = fixtureSide(fixtures).persist(StorageLevel.MEMORY_AND_DISK)
+    val j1 = links.join(prefixed(side, "f_"),
       links("url") === col("f_url"), "left_outer")
 
     val lvl1 = level(col("url"), "f_")
@@ -128,7 +141,7 @@ object FetchCascade {
       .withColumn("_lvl1", lvl1)
       .withColumn("_ats_url",
         when(col("_lvl1").isNull && isAgg && atsUrl =!= "", atsUrl))
-      .join(fixtureSide(fixtures, "u_"),
+      .join(prefixed(side, "u_"),
         col("_ats_url") === col("u_url"), "left_outer")
 
     val lvl2 = level(col("_ats_url"), "u_")

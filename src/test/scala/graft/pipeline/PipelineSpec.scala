@@ -214,4 +214,20 @@ class PipelineSpec extends SparkSpec {
       "plan duplicates the transport UDF")
     assert(calls.get() == 0) // sanity: local counter untouched (serialized closure)
   }
+
+  test("cascade: fixture signal projection computed once per fixture row") {
+    // the useful-signal regexes are the dominant per-fixture-row cost;
+    // the cascade joins the fixture side twice (direct + unwrap), so the
+    // projection must be persisted and computed ONCE — count actual
+    // executor-side evaluations of the html column through an accumulator
+    spark.catalog.clearCache()
+    val acc = spark.sparkContext.longAccumulator("fixture_evals")
+    val tap = udf { (s: String) => acc.add(1); s }.asNondeterministic()
+    val fx = fixtures.withColumn("direct_html", tap(col("direct_html")))
+    val allUrls = fixtures.select("url").collect().map(_.getString(0))
+    FetchCascade(links(allUrls.toIndexedSeq: _*), fx).collect()
+    assert(acc.value == fixtures.count(),
+      s"fixture side evaluated ${acc.value}x for ${fixtures.count()} rows " +
+        "— the signal projection must run once, not once per join")
+  }
 }
