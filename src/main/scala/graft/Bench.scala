@@ -60,13 +60,14 @@ object Bench {
       val needRetry = repeat == 1 && base.forall(_._2) && base.head._1 > retryOver
       val runs = if (needRetry) base :+ run() else base
       val oks = runs.filter(_._2).map(_._1)
-      (name, if (oks.nonEmpty) oks.min else -1.0, oks.nonEmpty)
+      (name, if (oks.nonEmpty) oks.min else -1.0, oks.nonEmpty,
+        oks, needRetry)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, v, true, _, _) => v }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     // Durable copy for the driver: sbt interleaves/truncates stdout, so a
@@ -74,6 +75,21 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile: ${e.getMessage}") }
+    // Self-contained per-query artifact, written by Bench itself so the
+    // record can't lose its head to log truncation: every sample is
+    // listed (so a slow-run retry is visible, not silently min'd away),
+    // `retried` marks numbers that came from a contention re-run, and the
+    // reported minimums sum to the headline total by construction.
+    val detail = results.map { case (k, v, ok, samples, retried) =>
+      val ss = samples.map(s => f"$s%.3f").mkString("[", ",", "]")
+      s""""$k":{"sec":$v,"ok":$ok,"samples":$ss,"retried":$retried}"""
+    }.mkString("{", ",", "}")
+    val detailJson =
+      s"""{"sf":"$sfDir","cpus":$cpus,"repeat":$repeat,"total_sec":$total,"n_queries":${results.size},"queries":$detail}"""
+    val timesFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMES",
+      sys.props.getOrElse("user.dir", ".") + "/bench_times.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(timesFile), detailJson + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $timesFile: ${e.getMessage}") }
     spark.stop()
     // Print last, on its own flushed line, after executor shutdown chatter.
     System.out.println(json)
