@@ -14,9 +14,11 @@ object GraftOps {
     * Plans as TWO operators — a partial (map-side) top-k on the child's
     * existing partitioning, then the final top-k after the exchange — so
     * the shuffle carries at most k rows per key per upstream task instead
-    * of every candidate row. Per-task memory is bounded by
-    * #distinct-keys-in-task × k rows (no spill); keep k and key
-    * cardinality sized accordingly, as with any hash aggregation.
+    * of every candidate row. Per-task heap memory is bounded by
+    * `spark.graft.topk.maxKeysInMemory` keys × k rows; past the bound the
+    * partial operator flushes (degrade-to-passthrough, like a partial
+    * hash agg) and the final operator falls back to a spillable external
+    * sort — pathological key cardinality spills instead of OOMing.
     *
     * Registers [[TopKPerKeyStrategy]] on the session if absent (also
     * installed globally by [[graft.GraftExtensions]]). */

@@ -2,11 +2,13 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparator
 
 /** Custom whole-operator extension (SURVEY.md §2.5 W1 at scale; guide
   * path (c): LogicalPlan + Strategy + SparkPlan).
@@ -30,7 +32,20 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 /** `partial = true` is the map-side combine: no required distribution, so
   * the heap runs on whatever partitioning the child already has and the
   * downstream exchange carries at most k rows per key per task — the same
-  * partial/final split an aggregation gets, applied to top-k. */
+  * partial/final split an aggregation gets, applied to top-k.
+  *
+  * Memory guard: the per-key heap map is bounded by
+  * `spark.graft.topk.maxKeysInMemory` distinct keys per task (default
+  * 262144 — with heaps of ≤k rows each, the same order of task memory a
+  * hash aggregate budgets). Past the bound:
+  *  - partial mode FLUSHES the buffered heaps into the output stream and
+  *    keeps going — output may then exceed k rows per key, which the
+  *    final operator cuts; exactly the degrade-to-passthrough a partial
+  *    hash aggregation takes when its hash table overflows;
+  *  - final mode switches to a SPILLABLE external sort on (keys, order)
+  *    and streams the first k rows of each key group off the sorted run —
+  *    so a task with pathological key cardinality spills to disk like a
+  *    sort aggregate instead of OOMing. */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
                           child: SparkPlan, partial: Boolean = false)
     extends UnaryExecNode {
@@ -40,11 +55,23 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     if (partial) super.requiredChildDistribution
     else ClusteredDistribution(keys) :: Nil
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "partialFlushes" -> SQLMetrics.createMetric(sparkContext,
+      "partial heap flushes (key-cardinality bound hit)"),
+    "sortFallbacks" -> SQLMetrics.createMetric(sparkContext,
+      "tasks that fell back to spillable sort"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val sortOrder = order
     val limit = k
     val childOutput = child.output
+    val childSchema = schema
+    val isPartial = partial
+    val maxKeys = conf.getConfString(
+      TopKPerKeyExec.MaxKeysConf, "262144").toInt
+    val flushMetric = longMetric("partialFlushes")
+    val fallbackMetric = longMetric("sortFallbacks")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val rowOrd: Ordering[InternalRow] =
@@ -53,8 +80,8 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
       // puts the current worst at the top for O(log k) eviction
       val heaps = new java.util.HashMap[UnsafeRow,
         scala.collection.mutable.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
+
+      def insert(row: InternalRow): Unit = {
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
@@ -66,14 +93,97 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
           heap.dequeue(); heap.enqueue(row.copy())
         }
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      heaps.values().forEach { h => out ++= h.toSeq.sorted(rowOrd) }
-      out.iterator
+      def drainHeaps(): Iterator[InternalRow] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        heaps.values().forEach { h => out ++= h.toSeq.sorted(rowOrd) }
+        heaps.clear()
+        out.iterator
+      }
+
+      if (isPartial) {
+        // streaming flush keeps partial-mode memory bounded with no spill:
+        // emitted supersets are cut by the final operator after the
+        // exchange, so correctness never depends on the flush boundary
+        new scala.collection.AbstractIterator[InternalRow] {
+          private var drain: Iterator[InternalRow] = Iterator.empty
+          override def hasNext: Boolean = {
+            while (!drain.hasNext && iter.hasNext) {
+              insert(iter.next())
+              if (heaps.size() > maxKeys) {
+                flushMetric.add(1)
+                drain = drainHeaps()
+              }
+            }
+            if (!drain.hasNext && !heaps.isEmpty) drain = drainHeaps()
+            drain.hasNext
+          }
+          override def next(): InternalRow = drain.next()
+        }
+      } else {
+        var overflow = false
+        while (iter.hasNext && !overflow) {
+          insert(iter.next())
+          if (heaps.size() > maxKeys) overflow = true
+        }
+        if (!overflow) drainHeaps()
+        else {
+          // final mode must emit EXACTLY top-k per key: hand everything —
+          // buffered heaps plus the rest of the input — to a spillable
+          // external sort on (keys, order) and cut k per key group off
+          // the sorted stream
+          fallbackMetric.add(1)
+          val fullOrder = keyExprs.map(SortOrder(_, Ascending)) ++ sortOrder
+          val sorter = UnsafeExternalRowSorter.create(
+            childSchema,
+            GenerateOrdering.generate(fullOrder, childOutput),
+            new PrefixComparator {
+              override def compare(a: Long, b: Long): Int = 0
+            },
+            new UnsafeExternalRowSorter.PrefixComputer {
+              private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+              override def computePrefix(row: InternalRow)
+                  : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+                p.value = 0L; p.isNull = false; p
+              }
+            },
+            org.apache.spark.sql.graftbridge.Bridge.taskPageSizeBytes,
+            false)
+          val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+          drainHeaps().foreach(r => sorter.insertRow(toUnsafe(r)))
+          while (iter.hasNext) sorter.insertRow(toUnsafe(iter.next()))
+          val sorted = sorter.sort()
+          new scala.collection.AbstractIterator[InternalRow] {
+            private var curKey: UnsafeRow = null
+            private var emitted = 0
+            private var ready: InternalRow = null
+            override def hasNext: Boolean = {
+              while (ready == null && sorted.hasNext) {
+                val r = sorted.next()
+                val key = keyProj(r)
+                if (curKey == null || key != curKey) {
+                  curKey = key.copy(); emitted = 0
+                }
+                if (emitted < limit) { emitted += 1; ready = r }
+              }
+              ready != null
+            }
+            override def next(): InternalRow = {
+              val r = ready; ready = null; r
+            }
+          }
+        }
+      }
     }, preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
+}
+
+object TopKPerKeyExec {
+  /** Distinct keys a task buffers in heaps before the memory guard kicks
+    * in (partial: flush; final: spillable sort fallback). */
+  val MaxKeysConf = "spark.graft.topk.maxKeysInMemory"
 }
 
 /** Planner strategy: logical TopKPerKey → TopKPerKeyExec. Installed by

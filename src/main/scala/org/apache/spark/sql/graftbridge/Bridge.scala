@@ -28,4 +28,10 @@ object Bridge {
 
   /** The analyzed logical plan behind a DataFrame. */
   def logicalPlan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** The running task's memory-manager page size — what a spilling
+    * operator hands to `UnsafeExternalRowSorter.create`. The accessor is
+    * `private[spark]`, hence this bridge hop. Executor-side only. */
+  def taskPageSizeBytes: Long =
+    org.apache.spark.TaskContext.get().taskMemoryManager().pageSizeBytes()
 }

@@ -54,4 +54,46 @@ class TopKPerKeySpec extends SparkSpec {
       assert(out == Set(("a", 1), ("a", 2), ("b", 5)))
     }
   }
+
+  test("memory guard: key cardinality past the bound stays correct " +
+      "(partial flush + final sort fallback)") {
+    withStrategy {
+      // 3000 distinct keys, ~5 rows each, bound of 25 keys per task:
+      // every task exceeds the bound, so the partial operator flushes
+      // mid-stream and the final operator takes the spillable-sort path —
+      // the result must still match the window formulation exactly
+      spark.conf.set(TopKPerKeyExec.MaxKeysConf, "25")
+      try {
+        val df = spark.range(0, 15000).select(
+          (col("id") % 3000).as("k"),
+          (col("id") * 2654435761L % 997).as("v"),
+          col("id").as("tb"))
+        val viaOp = GraftOps.topKPerKey(df,
+          Seq(col("k")), Seq(col("v").desc, col("tb")), 2)
+        val got = viaOp.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("v").desc, col("tb"))
+        val want = df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2).select("k", "tb").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == want, s"guard path diverged: ${got.size} vs ${want.size}")
+        // the guard must actually have engaged
+        def find(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[TopKPerKeyExec] = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            find(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            find(q.plan)
+          case t: TopKPerKeyExec => t +: t.children.flatMap(find)
+          case other => other.children.flatMap(find)
+        }
+        val execs = find(viaOp.queryExecution.executedPlan)
+        assert(execs.nonEmpty)
+        val flushes = execs.map(_.metrics("partialFlushes").value).sum
+        val fallbacks = execs.map(_.metrics("sortFallbacks").value).sum
+        assert(flushes > 0, "partial flush never engaged")
+        assert(fallbacks > 0, "sort fallback never engaged")
+      } finally spark.conf.unset(TopKPerKeyExec.MaxKeysConf)
+    }
+  }
 }
