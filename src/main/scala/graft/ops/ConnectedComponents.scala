@@ -47,12 +47,18 @@ object ConnectedComponents {
     var labels = adj.groupBy("src").agg(min("dst").as("nmin"))
       .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
       .localCheckpoint()
-    // sum over a cast-to-long label: one scan, null only on empty input
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("label").cast("long"))).head
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    // order-independent label-assignment fingerprint: (count, xor of
+    // (id,label) hashes) — the same overflow-safe checksum runStars uses.
+    // A raw sum(label) would overflow with 64-bit ids at corpus scale
+    // (throws under ANSI mode, or wraps and could in principle flat-line
+    // early); xor cannot overflow, and the count guards the
+    // (already astronomical) xor-collision case.
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        bit_xor(xxhash64(col("id"), col("label")))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    var prevSum = labelSum(labels)
+    var prev = checksum(labels)
     var iter = 0
     var done = false
     while (!done) {
@@ -66,10 +72,10 @@ object ConnectedComponents {
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("label"))
         .localCheckpoint()
-      val s = labelSum(next)
+      val s = checksum(next)
       labels = next
-      done = s == prevSum // labels only decrease; flat sum == fixpoint
-      prevSum = s
+      done = s == prev // labels only decrease; flat assignment == fixpoint
+      prev = s
       iter += 1
     }
     adj.unpersist()

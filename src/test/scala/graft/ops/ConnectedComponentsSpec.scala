@@ -73,6 +73,20 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("ids near Long.MaxValue converge (checksum cannot overflow)") {
+    // a raw sum(label) convergence check overflows immediately here —
+    // two Long.MaxValue-adjacent labels already exceed the long range;
+    // the (count, bit_xor) checksum must converge to the right clusters
+    val m = Long.MaxValue
+    val out = labelsOf(Seq(
+      (m, m - 1), (m - 1, m - 2),       // chain at the very top of the range
+      (m - 10, m - 11),                 // separate pair, also huge
+      (1L, m - 20)))                    // huge joined with tiny
+    assert(out(m) == m - 2 && out(m - 1) == m - 2 && out(m - 2) == m - 2)
+    assert(out(m - 10) == m - 11 && out(m - 11) == m - 11)
+    assert(out(1L) == 1L && out(m - 20) == 1L)
+  }
+
   test("non-convergence within maxIter throws instead of returning junk") {
     // a 6-chain needs ~5 propagation rounds; 1 round must fail loudly
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
