@@ -292,16 +292,35 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs via hyperplane-LSH blocking.
     * `portable = true` derives the hyperplanes from md5 (oracle-
-    * replicable); default is xxhash64. */
+    * replicable); default is xxhash64.
+    *
+    * Hot-bucket bound: a degenerate embedding cluster (and a near-dup
+    * corpus is exactly that) can put n docs in ONE bucket — n² pairs
+    * inside it. Bucket membership is capped at `maxBucket` by a
+    * deterministic per-id draw (stable, engine-reproducible), so a hot
+    * bucket costs at most maxBucket² pairs and recall degrades
+    * gracefully for the overflow instead of the stage dying. The cap
+    * runs through TopKPerKey (partial cut before the exchange); the
+    * self-join then reuses the cap's bucket partitioning. */
   def embeddingPairs(vecs: DataFrame, id: Column, vec: Column,
                      minCosine: Double = 0.95, planes: Int = 8,
-                     portable: Boolean = false, dim: Int = 64): DataFrame = {
+                     portable: Boolean = false, dim: Int = 64,
+                     maxBucket: Int = 4096): DataFrame = {
     val bucket =
       if (portable) VectorFns.hyperplane_bucket_portable(vec, planes, dim)
       else VectorFns.hyperplane_bucket(vec, planes)
     val bucketed = vecs.select(id.as("id"), vec.as("v"), bucket.as("bucket"))
-    val a = bucketed.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
-    val b = bucketed.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
+    val draw =
+      if (portable) md5(col("id").cast("string"))
+      else xxhash64(col("id"))
+    val capped =
+      if (maxBucket == Int.MaxValue) bucketed
+      else graft.plans.GraftOps.topKPerKey(
+        bucketed.withColumn("_draw", draw),
+        Seq(col("bucket")), Seq(col("_draw"), col("id")), maxBucket)
+        .drop("_draw")
+    val a = capped.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
+    val b = capped.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .withColumn("cosine", VectorFns.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= minCosine)

@@ -41,4 +41,29 @@ object GraftOps {
         TopKPerKey(keyExprs, orderExprs, k, Bridge.logicalPlan(df),
           partial = true)))
   }
+
+  /** Map-side-only cap: at most k rows per key PER TASK, chosen by
+    * `order`, with NO exchange — the child's partitioning and plan shape
+    * are preserved. Not a global cut (a key spread over t tasks keeps up
+    * to t×k rows); use where the point is bounding per-task work for hot
+    * keys without forcing a shuffle, e.g. capping LSH bucket fan-in on a
+    * scan that a broadcast join consumes in place. */
+  def capPerKeyLocal(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                     k: Int): DataFrame = {
+    require(k > 0, s"capPerKeyLocal: k must be positive, got $k")
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    val keyExprs = keys.map(Bridge.expressionNow(spark, _))
+    val orderExprs = order.map { c =>
+      Bridge.expressionNow(spark, c) match {
+        case so: SortOrder => so
+        case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+      }
+    }
+    Bridge.ofRows(spark,
+      TopKPerKey(keyExprs, orderExprs, k, Bridge.logicalPlan(df),
+        partial = true))
+  }
 }

@@ -51,16 +51,33 @@ object Similarity {
     * same hyperplane bucket. Recall < 1, cost ~ corpus/2^planes per query.
     * `portable = true` derives the hyperplanes from md5 instead of
     * xxhash64 so any engine (the correctness oracle) can rebuild the
-    * buckets exactly; xxhash64 stays the scale-path default. */
+    * buckets exactly; xxhash64 stays the scale-path default.
+    *
+    * Hot-bucket bound: a degenerate embedding cluster puts n candidates
+    * in one bucket, and every query probing it pays n cosines.
+    * `maxBucket` caps candidate fan-in per bucket PER TASK with a
+    * map-side TopKPerKey on a deterministic draw — shuffle-free, so the
+    * corpus still rides the broadcast join in place; a hot bucket costs
+    * ≤ maxBucket×tasks candidates instead of n. */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              planes: Int = 8, portable: Boolean = false): DataFrame = {
+              planes: Int = 8, portable: Boolean = false,
+              maxBucket: Int = 65536): DataFrame = {
     def bucket(v: Column) =
       if (portable) VectorFns.hyperplane_bucket_portable(v, planes)
       else VectorFns.hyperplane_bucket(v, planes)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
       bucket(col("embedding")).as("bucket"))
-    val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+    val c0 = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
       bucket(col("embedding")).as("bucket"))
+    val draw =
+      if (portable) md5(col("cand_id").cast("string"))
+      else xxhash64(col("cand_id"))
+    val c =
+      if (maxBucket == Int.MaxValue) c0
+      else GraftOps.capPerKeyLocal(
+        c0.withColumn("_draw", draw),
+        Seq(col("bucket")), Seq(col("_draw"), col("cand_id")), maxBucket)
+        .drop("_draw")
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))

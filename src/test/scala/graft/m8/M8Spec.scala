@@ -109,6 +109,40 @@ class M8Spec extends SparkSpec {
     assert(math.abs(c(0)) < 1e-12 && math.abs(c(1) - 1.0) < 1e-12)
   }
 
+  test("embedding pairs: hot bucket is capped, no quadratic row count") {
+    // 100 identical vectors land in ONE hyperplane bucket (plus 20
+    // scattered others) — uncapped that bucket alone yields C(100,2) =
+    // 4950 pairs; with maxBucket=10 the survivors pair into exactly
+    // C(10,2) = 45 (all cosine 1.0, all ≥ minCosine)
+    val hot = (1L to 100L).map(i => (i, Array.fill(8)(1.0f)))
+    val rnd = new scala.util.Random(3)
+    val cold = (101L to 120L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val vecs = (hot ++ cold).toDF("vec_id", "embedding")
+    val capped = Dedup.embeddingPairs(vecs, col("vec_id"), col("embedding"),
+      minCosine = 0.999, planes = 6, maxBucket = 10)
+    val hotPairs = capped.filter(col("id_a") <= 100 && col("id_b") <= 100)
+    assert(hotPairs.count() == 45,
+      s"expected C(10,2)=45 hot-bucket pairs, got ${hotPairs.count()}")
+    // the cap draw is deterministic: same input, same survivors
+    val again = Dedup.embeddingPairs(vecs, col("vec_id"), col("embedding"),
+      minCosine = 0.999, planes = 6, maxBucket = 10)
+      .filter(col("id_a") <= 100 && col("id_b") <= 100)
+    assert(again.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      hotPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("lsh topk: per-task candidate cap bounds hot-bucket fan-in") {
+    // all candidates share the query's bucket; with maxBucket=5 each task
+    // scores at most 5 of them, and the result stays a valid top-k (all
+    // cosines 1.0 here, so any capped subset is equally correct)
+    val cands = (1L to 200L).map(i => (i, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val q = Seq((1000L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(q, cands, k = 10, planes = 4, maxBucket = 5)
+      .collect()
+    assert(out.nonEmpty && out.length <= 10)
+    assert(out.forall(r => math.abs(r.getDouble(3) - 1.0) < 1e-9))
+  }
+
   test("lsh topk achieves reasonable recall of brute-force topk") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 8)
