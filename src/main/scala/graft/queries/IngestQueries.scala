@@ -216,6 +216,71 @@ object IngestQueries extends QueryModule {
       |  MIN(first_ms) AS first_ms, MAX(last_ms) AS last_ms
       |FROM closed GROUP BY 1""".stripMargin
 
+  /** T6 retry/backoff over an orders-derived queue snapshot: eligibility
+    * by next_attempt_at, exponential backoff on failure, max-tries →
+    * error park, success → done. now is pinned so the oracle can replay
+    * the round exactly. Classes by o_orderkey: %5==4 is already done
+    * (must pass through untouched), %3==2 is queued but not yet eligible,
+    * %2 decides the attempt outcome, %4 seeds the prior tries count. */
+  private def t10RetryBackoff(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val now = lit(1700000000L)
+    val base = Tables.orders(s, dir)
+    val queue = base.select(
+      concat(lit("t"), k % 3).as("sheet_name"),
+      k.cast("int").as("row_index"),
+      concat(lit("https://careers.example.com/o/"), k).as("url"),
+      when(k % 5 === 4, lit("done")).otherwise(lit("queued")).as("status"),
+      (k % 4).cast("int").as("tries"),
+      when(k % 3 === 0, lit(1699999900L))
+        .when(k % 3 === 1, lit(0L))
+        .otherwise(lit(1700000500L)).as("next_attempt_at"),
+      lit("").as("last_error"))
+    val outcomes = base.select(
+      concat(lit("t"), k % 3).as("sheet_name"),
+      k.cast("int").as("row_index"),
+      (k % 2 === 1).as("ok"),
+      concat(lit("Bee 500: upstream "), k % 7).as("error"))
+    Queues.retryBackoff(queue, outcomes, now, maxTries = 3, baseDelaySec = 60L)
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        sum(col("tries").cast("long")).as("sum_tries"),
+        sum(col("next_attempt_at")).as("sum_naa"),
+        count(when(col("last_error") =!= "", 1)).as("n_errors"))
+  }
+
+  private val t10RetryBackoffSql =
+    """WITH q AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 5 = 4 THEN 'done' ELSE 'queued' END AS status,
+      |    CAST(o_orderkey % 4 AS INT) AS tries,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN 1699999900
+      |         WHEN o_orderkey % 3 = 1 THEN 0
+      |         ELSE 1700000500 END AS naa,
+      |    (o_orderkey % 2 = 1) AS ok
+      |  FROM orders),
+      |f AS (
+      |  SELECT
+      |    CASE WHEN NOT (status = 'queued' AND naa <= 1700000000) THEN status
+      |         WHEN ok THEN 'done'
+      |         WHEN tries + 1 >= 3 THEN 'error'
+      |         ELSE 'queued' END AS fstatus,
+      |    CASE WHEN status = 'queued' AND naa <= 1700000000
+      |         THEN tries + 1 ELSE tries END AS ftries,
+      |    CASE WHEN NOT (status = 'queued' AND naa <= 1700000000) THEN naa
+      |         WHEN ok THEN 0
+      |         ELSE 1700000000 + 60 * (CASE tries WHEN 0 THEN 1 WHEN 1 THEN 2
+      |              WHEN 2 THEN 4 ELSE 8 END) END AS fnaa,
+      |    CASE WHEN NOT (status = 'queued' AND naa <= 1700000000) THEN ''
+      |         WHEN ok THEN ''
+      |         ELSE 'Bee 500: upstream ' || (k % 7) END AS err
+      |  FROM q)
+      |SELECT fstatus AS status, COUNT(*) AS n,
+      |  CAST(SUM(ftries) AS BIGINT) AS sum_tries,
+      |  CAST(SUM(fnaa) AS BIGINT) AS sum_naa,
+      |  COUNT(CASE WHEN err <> '' THEN 1 END) AS n_errors
+      |FROM f GROUP BY 1""".stripMargin
+
   /** Warehouse-scale co-located join: both fact tables written bucketed
     * on the join key, then joined + aggregated with ZERO exchanges — the
     * shape a 100 TB fact-fact join takes when the lake is bucketed
@@ -255,6 +320,7 @@ object IngestQueries extends QueryModule {
     "s3_queue_bootstrap"  -> s3QueueBootstrap _,
     "t1_drain_loop"       -> t1DrainLoop _,
     "t6_stateful_sessions" -> t6StatefulSessions _,
+    "t10_retry_backoff"   -> t10RetryBackoff _,
     "join_bucketed_colocated" -> joinBucketed _)
 
   def oracles: Map[String, String] = Map(
@@ -262,5 +328,6 @@ object IngestQueries extends QueryModule {
     "s3_queue_bootstrap"  -> s3QueueBootstrapSql,
     "t1_drain_loop"       -> t1DrainLoopSql,
     "t6_stateful_sessions" -> t6StatefulSessionsSql,
+    "t10_retry_backoff"   -> t10RetryBackoffSql,
     "join_bucketed_colocated" -> joinBucketedSql)
 }

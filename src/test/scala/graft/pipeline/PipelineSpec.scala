@@ -215,6 +215,34 @@ class PipelineSpec extends SparkSpec {
     assert(calls.get() == 0) // sanity: local counter untouched (serialized closure)
   }
 
+  test("retry/backoff: eligibility, exponential delay, max-tries park") {
+    // queue: (sheet, row, url, status, tries, next_attempt_at, last_error)
+    val queue = Seq(
+      ("t1", 1, "u1", "queued", 0, 100L, ""),   // eligible, will succeed
+      ("t1", 2, "u2", "queued", 0, 100L, ""),   // eligible, fail #1 → backoff 60
+      ("t1", 3, "u3", "queued", 2, 100L, "x"),  // eligible, fail #3 → error park
+      ("t1", 4, "u4", "queued", 1, 900L, "y"),  // not yet eligible → untouched
+      ("t1", 5, "u5", "done", 3, 0L, ""),       // not queued → untouched
+      ("t1", 6, "u6", "queued", 1, 100L, "z"))  // eligible, no outcome → untouched
+      .toDF("sheet_name", "row_index", "url", "status", "tries",
+        "next_attempt_at", "last_error")
+    val outcomes = Seq(
+      ("t1", 1, true, ""), ("t1", 2, false, "Bee 500: boom"),
+      ("t1", 3, false, "Bee 503: again"), ("t1", 4, false, "ignored"),
+      ("t1", 5, true, "ignored"))
+      .toDF("sheet_name", "row_index", "ok", "error")
+    val out = Queues.retryBackoff(queue, outcomes, lit(500L),
+        maxTries = 3, baseDelaySec = 60L)
+      .collect().map(r => r.getInt(1) ->
+        (r.getString(3), r.getInt(4), r.getLong(5), r.getString(6))).toMap
+    assert(out(1) == ("done", 1, 0L, ""))
+    assert(out(2) == ("queued", 1, 560L, "Bee 500: boom")) // 500 + 60·2^0
+    assert(out(3) == ("error", 3, 740L, "Bee 503: again")) // 500 + 60·2^2
+    assert(out(4) == ("queued", 1, 900L, "y"))
+    assert(out(5) == ("done", 3, 0L, ""))
+    assert(out(6) == ("queued", 1, 100L, "z"))
+  }
+
   test("cascade: fixture signal projection computed once per fixture row") {
     // the useful-signal regexes are the dominant per-fixture-row cost;
     // the cascade joins the fixture side twice (direct + unwrap), so the
