@@ -19,6 +19,9 @@ object Verify {
       // DuckDB output (timestamp[us]); Spark's default INT96 surfaces as
       // timestamp[ns] in pyarrow and can defeat the hash compare.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // events.parquet carries INT64 TIMESTAMP(NANOS); set once here so
+      // no query body has to mutate shared session conf
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -123,7 +123,13 @@ object Dedup {
     * deduplicated candidate list and each pair is scored once.
     *
     * Returns one row per delta doc: verdict admit/reject, the smallest
-    * matching id (`dup_of`), best agreement, match count. */
+    * matching id (`dup_of`), best agreement, match count.
+    *
+    * Corpus and delta id sets are expected to be DISJOINT (a delta doc
+    * is by definition not yet in the corpus); as a guard, an id present
+    * on both sides is never matched against itself, so a violated
+    * precondition degrades to "screened against the others" rather than
+    * a guaranteed self-rejection at agreement 1.0. */
   def minhashIncremental(corpusSigs: DataFrame, deltaSigs: DataFrame,
                          bands: Int = 8, rowsPerBand: Int = 4,
                          minAgreement: Double = 0.5,
@@ -140,7 +146,8 @@ object Dedup {
       .select(col("id").as("cand_id"), col("bk"), col("is_corpus"))
     val cand = banded(deltaSigs).select(col("id").as("new_id"), col("bk"))
       .join(build, Seq("bk"))
-      .filter(col("is_corpus") || col("cand_id") < col("new_id"))
+      .filter((col("is_corpus") && col("cand_id") =!= col("new_id")) ||
+        (!col("is_corpus") && col("cand_id") < col("new_id")))
       .select("new_id", "cand_id")
       .distinct()
     val allSigs = corpusSigs.unionByName(deltaSigs)

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.functions.{HtmlFns, UrlFns}
@@ -30,6 +30,67 @@ object FetchCascade {
 
   val GhUrlRe = "(?i)https?://(?:boards|job-boards)\\.greenhouse\\.io/([^/?#]+)/jobs/(\\d+)"
   val LeverUrlRe = "(?i)https?://jobs\\.lever\\.co/([^/?#]+)/([^/?#]+)"
+
+  /** S5-S7 live-mode transport. The reference really does HTTP
+    * (`code-LLM-intergration.js:339-346,398-414`; `cloud-renderer/
+    * server.js:11-58`); the engine keeps the fixtures-JOIN design
+    * (SURVEY.md §7.0), and a live deployment implements this client and
+    * materializes the SAME fixture table from it via [[liveFixtures]] —
+    * the cascade plan is identical in both modes. Mirrors
+    * [[Llm.LlmTransport]]'s injectable-transport pattern: fixture-backed
+    * in tests, an HTTP client (batched/rate-limited per partition) live. */
+  trait FetchClient extends Serializable {
+    /** Direct HTTP GET → (status, body); None on transport failure. */
+    def direct(url: String): Option[(Int, String)]
+    /** Headless-renderer fetch → rendered HTML when available. */
+    def rendered(url: String): Option[String]
+    /** ATS API probe → role title iff the API answers for this url. */
+    def apiRole(url: String): Option[String]
+  }
+
+  /** Deterministic map-backed client for tests/demos. */
+  case class FixtureClient(
+      directs: Map[String, (Int, String)] = Map.empty,
+      renders: Map[String, String] = Map.empty,
+      apis: Map[String, String] = Map.empty) extends FetchClient {
+    def direct(url: String): Option[(Int, String)] = directs.get(url)
+    def rendered(url: String): Option[String] = renders.get(url)
+    def apiRole(url: String): Option[String] = apis.get(url)
+  }
+
+  /** Materialize the fixture table for `links` by driving `client` once
+    * per DISTINCT url — two waves, because the aggregator-unwrap level
+    * probes ATS urls discovered inside wave-1 HTML. mapPartitions keeps
+    * the client call imperative and per-partition (where a live client
+    * batches and rate-limits); everything around it stays declarative. */
+  def liveFixtures(links: DataFrame, client: FetchClient): DataFrame = {
+    val spark = links.sparkSession
+    import spark.implicits._
+    def fetchWave(urls: Dataset[String]): DataFrame =
+      urls.mapPartitions { it =>
+        it.map { u =>
+          val d = client.direct(u)
+          (u, d.map(_._1), d.map(_._2), client.rendered(u), client.apiRole(u))
+        }
+      }.toDF("url", "direct_status", "direct_html", "rendered_html", "api_role")
+    val wave1 = fetchWave(links.select(col("url")).distinct().as[String])
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // wave 2: first ATS href inside aggregator pages, minus already-fetched
+    val targets = wave1
+      .filter(UrlFns.is_aggregator_host(UrlFns.host_from_url(col("url"))))
+      .select(UrlFns.find_first_ats_link(concat(
+        coalesce(col("rendered_html"), lit("")),
+        coalesce(col("direct_html"), lit("")))).as("url"))
+      .filter(col("url") =!= "")
+      .distinct()
+      .join(wave1.select("url"), Seq("url"), "left_anti")
+    wave1.unionByName(fetchWave(targets.as[String]))
+  }
+
+  /** Run the cascade in live mode: fetch via `client`, then the standard
+    * fixtures-join plan. */
+  def live(links: DataFrame, client: FetchClient): DataFrame =
+    apply(links, liveFixtures(links, client))
 
   /** S8 paid-scraper provider selection (reference `fetchRendered_`,
     * `apps-scripts/code-Extractor-withoutLLM.js:231-266`): strictly

@@ -124,7 +124,9 @@ object IngestQueries extends QueryModule {
     * window (the watermarked append variant is proven in StreamingSpec;
     * here determinism is the contract). */
   private def t1DrainLoop(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is set at session construction (SparkEntry mains,
+    // TestSpark) and by Tables.events — not here, so a query body never
+    // mutates shared session conf (ordering-dependence hazard)
     val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
       "event_type STRING, value DOUBLE, props STRING"
     // the file source wants a directory; expose the single events file
@@ -289,19 +291,27 @@ object IngestQueries extends QueryModule {
     * external location; catalog entries are per-session. */
   private def joinBucketed(s: SparkSession, dir: String): DataFrame = {
     val loc = tempDir("graft_w7_")
-    s.sql("DROP TABLE IF EXISTS w7_li")
-    s.sql("DROP TABLE IF EXISTS w7_ord")
+    // per-invocation table names (fixed names would collide with any
+    // concurrent use of the session); the previous invocation's pair is
+    // dropped so repeated bench/verify runs keep at most one generation
+    // of catalog entries alive — the result must stay LAZY (the driver
+    // executes it), so the current tables cannot be dropped here
+    s.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("w7_"))
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+    val (liName, ordName) = (s"w7_li_$tag", s"w7_ord_$tag")
     Tables.lineitem(s, dir)
       .select("l_orderkey", "l_extendedprice", "l_discount")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$loc/li").saveAsTable("w7_li")
+      .option("path", s"$loc/li").saveAsTable(liName)
     Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$loc/ord").saveAsTable("w7_ord")
+      .option("path", s"$loc/ord").saveAsTable(ordName)
     // force the sort-merge strategy: with aligned buckets it needs no
     // exchange AND no sort — a broadcast would mask the co-location
-    s.table("w7_li").hint("merge")
-      .join(s.table("w7_ord"), col("l_orderkey") === col("o_orderkey"))
+    s.table(liName).hint("merge")
+      .join(s.table(ordName), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
         dsum4d(col("l_extendedprice") * (lit(1) - col("l_discount")))

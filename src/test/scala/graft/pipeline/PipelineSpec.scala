@@ -215,6 +215,35 @@ class PipelineSpec extends SparkSpec {
     assert(calls.get() == 0) // sanity: local counter untouched (serialized closure)
   }
 
+  test("live mode: injectable client agrees with the fixtures join") {
+    // the live client is the same data as the fixtures table, served
+    // through the FetchClient trait — every url class must route to the
+    // same provider with the same payload as the fixtures-mode cascade
+    val rows = fixtures.collect()
+    val client = FetchCascade.FixtureClient(
+      directs = rows.filter(r => !r.isNullAt(1))
+        .map(r => r.getString(0) ->
+          (r.getInt(1), Option(r.getString(2)).getOrElse(""))).toMap,
+      renders = rows.filter(r => !r.isNullAt(3))
+        .map(r => r.getString(0) -> r.getString(3)).toMap,
+      apis = rows.filter(r => !r.isNullAt(4))
+        .map(r => r.getString(0) -> r.getString(4)).toMap)
+    val allUrls = rows.map(_.getString(0))
+    val ls = links(allUrls.toIndexedSeq: _*)
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select("url", "provider", "final_url", "api_company")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3))).toSet
+    val live = snap(FetchCascade.live(ls, client))
+    val viaFixtures = snap(FetchCascade(ls, fixtures))
+    // the map-backed client returns "" for a missing direct body where
+    // the fixtures table carries NULL html with a non-null status — both
+    // are "no useful signal", so provider routing must be identical
+    assert(live.map(t => (t._1, t._2, t._3, t._4)) ==
+      viaFixtures.map(t => (t._1, t._2, t._3, t._4)),
+      s"live vs fixtures diverged:\n$live\n$viaFixtures")
+  }
+
   test("retry/backoff: eligibility, exponential delay, max-tries park") {
     // queue: (sheet, row, url, status, tries, next_attempt_at, last_error)
     val queue = Seq(
