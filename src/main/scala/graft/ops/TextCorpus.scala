@@ -137,6 +137,48 @@ object TextCorpus {
           .as("rebuilt_md5"))
   }
 
+  /** Exact-substring duplication measurement (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499):
+    * slide a `windowWords`-token window with stride 1 — OVERLAPPING,
+    * unlike [[lineDedup]]'s disjoint lines — across each document and
+    * mark a window duplicated when the identical token window occurs
+    * anywhere else in the corpus: another document, or another offset of
+    * the same one. Returns per doc: window count, duplicated-window
+    * count, duplicated fraction — the signal a training pipeline trims
+    * spans or drops documents on.
+    *
+    * The paper's formulation is a corpus-wide suffix array — a
+    * single-machine construction; the windowed relaxation is the
+    * standard distributed form: any duplicated span of ≥ windowWords
+    * tokens yields ≥ 1 duplicated window (span-level recall 1), and
+    * precision trades with windowWords.
+    *
+    * Scale shape: windows explode to ~one row per token (each token
+    * starts one window — the same order as the shingle/tf passes), but
+    * the corpus-wide shuffle keys on md5(window), 16 bytes; the
+    * duplicate mark joins back on that key and the rollup is one
+    * per-doc aggregation. Nothing materializes per-window state wider
+    * than (doc_id, hash). */
+  def substringDupFraction(docs: DataFrame, id: Column, text: Column,
+                           windowWords: Int = 8): DataFrame = {
+    val toks = split(trim(coalesce(text, lit(""))), "\\s+")
+    // short docs fall back to one whole-document window (slice clamps)
+    val nWin = greatest(size(toks) - (windowWords - 1), lit(1))
+    val wins = docs
+      .select(id.as("doc_id"),
+        posexplode(transform(sequence(lit(0), nWin - 1),
+          i => array_join(slice(toks, i + 1, lit(windowWords)), " "))))
+      .select(col("doc_id"), md5(col("col").cast("binary")).as("wh"))
+    val counts = wins.groupBy("wh").agg(count(lit(1)).as("cnt"))
+    wins.join(counts, Seq("wh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        count(when(col("cnt") >= 2, 1)).as("n_dup_windows"))
+      .withColumn("dup_fraction",
+        round(col("n_dup_windows").cast("double") /
+          col("n_windows").cast("double"), 6))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * `w`-shingle with a benchmark/eval set (the n-gram-overlap test used
     * before training on scraped corpora). Returns one row per corpus

@@ -134,6 +134,31 @@ object HygieneQueries extends QueryModule {
       |  COALESCE(p.rebuilt_md5, md5('')) AS rebuilt_md5
       |FROM d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
 
+  /** Exact-substring duplication at 8-token overlapping windows
+    * (Lee et al. relaxation): per-doc duplicated-window fraction. */
+  private def substringDedup(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.substringDupFraction(Tables.spread(Tables.documents(s, dir)),
+      col("doc_id"), col("text"), windowWords = 8)
+
+  private val substringDedupSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |w0 AS (
+      |  SELECT doc_id, toks,
+      |    unnest(generate_series(1, GREATEST(len(toks) - 7, 1))) AS i
+      |  FROM d),
+      |wins AS (
+      |  SELECT doc_id, array_to_string(toks[i : i + 7], ' ') AS w FROM w0),
+      |c AS (SELECT w, COUNT(*) AS cnt FROM wins GROUP BY 1),
+      |perdoc AS (
+      |  SELECT doc_id, COUNT(*) AS n_windows,
+      |    COUNT(CASE WHEN cnt >= 2 THEN 1 END) AS n_dup_windows
+      |  FROM wins JOIN c USING (w) GROUP BY 1)
+      |SELECT doc_id, n_windows, n_dup_windows,
+      |  round(n_dup_windows / CAST(n_windows AS DOUBLE), 6) AS dup_fraction
+      |FROM perdoc""".stripMargin
+
   /** Global top-20 adjacent-token pairs (one BPE merge-step scan). */
   private def bpePairs(s: SparkSession, dir: String): DataFrame =
     TextCorpus.bpePairCounts(Tables.spread(Tables.documents(s, dir)), col("text"), k = 20)
@@ -152,11 +177,13 @@ object HygieneQueries extends QueryModule {
     "m8_pii_redact"     -> piiRedact _,
     "m8_decontaminate"  -> decontaminate _,
     "m8_line_dedup"     -> lineDedup _,
+    "m8_substring_dedup" -> substringDedup _,
     "m8_bpe_pairs"      -> bpePairs _)
 
   def oracles: Map[String, String] = Map(
     "m8_pii_redact"     -> piiRedactSql,
     "m8_decontaminate"  -> decontaminateSql,
     "m8_line_dedup"     -> lineDedupSql,
+    "m8_substring_dedup" -> substringDedupSql,
     "m8_bpe_pairs"      -> bpePairsSql)
 }

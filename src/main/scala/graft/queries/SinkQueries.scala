@@ -84,11 +84,37 @@ object SinkQueries extends QueryModule {
       |  MAX(epoch_us(l_shipdate)) AS max_ship_us
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** ORC round-trip: the third columnar format the scan surface covers
+    * (S1 lists parquet/CSV/JSON; ORC is the other lake-native columnar
+    * layout Spark reads with pushdown + pruning). Write a 3-column
+    * orders slice as ORC, read it back through the ORC scan, aggregate;
+    * the oracle recomputes from the source table, so the gate certifies
+    * the format round-trip loses and invents nothing. */
+  private def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = tempDir("graft_sinko_") + "/orders_orc"
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("key_fp"),
+        dsum2d(col("o_totalprice")).as("total"))
+  }
+
+  private val orcRoundtripSql =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_fp,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_partitioned_prune" -> partitionedPrune _,
-    "sink_compaction"        -> compaction _)
+    "sink_compaction"        -> compaction _,
+    "sink_orc_roundtrip"     -> orcRoundtrip _)
 
   def oracles: Map[String, String] = Map(
     "sink_partitioned_prune" -> partitionedPruneSql,
-    "sink_compaction"        -> compactionSql)
+    "sink_compaction"        -> compactionSql,
+    "sink_orc_roundtrip"     -> orcRoundtripSql)
 }

@@ -61,6 +61,29 @@ class TextCorpusSpec extends SparkSpec {
     assert(r(1)._1 == "common")
   }
 
+  test("substringDupFraction: cross-doc spans, self-repeats, unique docs") {
+    // doc 1 and 2 share the 6-token span "p q r s t u" → with 4-token
+    // windows each contributes 3 duplicated windows; doc 3 repeats its
+    // own 4-token opening ("x y z w x y z w") → windows at offsets 0 and
+    // 4 are identical (plus the bridging windows are unique); doc 4 is
+    // unique; doc 5 is shorter than the window → one whole-doc window
+    val docs = Seq(
+      (1L, "p q r s t u a1 b1 c1"),
+      (2L, "d2 e2 p q r s t u f2"),
+      (3L, "x y z w x y z w"),
+      (4L, "entirely fresh words nothing shared here at all"),
+      (5L, "tiny doc")).toDF("doc_id", "text")
+    val out = TextCorpus.substringDupFraction(docs, col("doc_id"),
+        col("text"), windowWords = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1) == (6L, 3L, 0.5))      // 9 toks → 6 windows, 3 dup
+    assert(out(2) == (6L, 3L, 0.5))
+    assert(out(3)._1 == 5L && out(3)._2 == 2L) // offsets 0,4 collide
+    assert(out(4) == (5L, 0L, 0.0))
+    assert(out(5) == (1L, 0L, 0.0))      // whole-doc fallback window
+  }
+
   test("tfidf of a word present in every document is exactly zero") {
     val docs = Seq((1L, "x y"), (2L, "x z")).toDF("doc_id", "text")
     val r = TextCorpus.tfidfTopK(docs, col("doc_id"), col("text"), k = 3)
