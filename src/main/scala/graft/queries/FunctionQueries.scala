@@ -112,7 +112,36 @@ object FunctionQueries extends QueryModule {
       |  quantile_cont(o_totalprice, 0.99) AS p99
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Approximate percentile sketch with a REAL oracle (unlike the HLL++
+    * sketch, which stays rows-only): the sketch value itself is
+    * engine-specific and never surfaces — instead the query emits the
+    * exact interpolated median plus a within-bound flag checking the
+    * sketch against exact quantiles at 0.5 ± 5ε. approx_percentile's
+    * rank-error guarantee (ε = 1/accuracy) holds for ANY partition/merge
+    * order, so the flag is deterministically true and the whole row
+    * hash-compares. At 100 TB the sketch is the one that runs (mergeable
+    * partials, bounded memory); the exact percentile here is the
+    * small-scale certificate. */
+  private def approxPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("_p50_sketch"),
+        expr("percentile(o_totalprice, 0.495)").as("_lo"),
+        expr("percentile(o_totalprice, 0.505)").as("_hi"))
+      .select(col("o_orderstatus"), col("p50_exact"),
+        (col("_p50_sketch") >= col("_lo") && col("_p50_sketch") <= col("_hi"))
+          .as("within_bound"))
+
+  private val approxPercentileSql =
+    """SELECT o_orderstatus,
+      |  quantile_cont(o_totalprice, 0.5) AS p50_exact,
+      |  TRUE AS within_bound
+      |FROM orders GROUP BY 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_approx_percentile" -> approxPercentile _,
     "agg_percentile"   -> percentiles _,
     "fn_date"          -> dateFns _,
     "fn_math"          -> mathFns _,
@@ -120,6 +149,7 @@ object FunctionQueries extends QueryModule {
     "fn_typed_dataset" -> typedDataset _)
 
   def oracles: Map[String, String] = Map(
+    "agg_approx_percentile" -> approxPercentileSql,
     "agg_percentile"   -> percentilesSql,
     "fn_date"          -> dateFnsSql,
     "fn_math"          -> mathFnsSql,

@@ -215,7 +215,27 @@ object TextQueries extends QueryModule {
       |  FROM scored)
       |SELECT doc_id, rank, word, tf, df, tfidf FROM ranked WHERE rank <= 3""".stripMargin
 
+  /** Unicode canonicalization for dedup keys: NFC (custom codegen
+    * expression — Spark has no normalizer builtin) → lowercase →
+    * whitespace collapse → trim, digested per doc. Both engines
+    * implement UAX #15 NFC (`nfc_normalize` in DuckDB), so the digests
+    * hash-compare; composed/decomposed unicode semantics are pinned in
+    * ExpressionsSpec. */
+  private def textNormalize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(
+          lower(graft.expressions.NormalizeText.nfc_normalize(col("text"))),
+          "\\s+", " ")).cast("binary")).as("norm_md5"))
+
+  private val textNormalizeSql =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(nfc_normalize(text)),
+      |      '\s+', ' ', 'g'))) AS norm_md5
+      |FROM documents""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_text_normalize"   -> textNormalize _,
     "m8_length_histogram" -> lengthHistogram _,
     "m8_token_count"      -> tokenCount _,
     "m8_language_id"      -> languageId _,
@@ -227,6 +247,7 @@ object TextQueries extends QueryModule {
     "m8_tfidf_keywords"   -> tfidfKeywords _)
 
   def oracles: Map[String, String] = Map(
+    "m8_text_normalize"   -> textNormalizeSql,
     "m8_length_histogram" -> lengthHistogramSql,
     "m8_token_count"      -> tokenCountSql,
     "m8_language_id"      -> languageIdSql,

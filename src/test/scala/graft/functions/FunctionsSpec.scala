@@ -111,6 +111,19 @@ class FunctionsSpec extends SparkSpec {
     assert(StripEmojis.strip("🚀") == "")
   }
 
+  test("nfc_normalize: composed and decomposed forms hash identically") {
+    import graft.expressions.NormalizeText
+    val composed = "café"              // é precomposed (U+00E9)
+    val decomposed = "café"           // e + combining acute (U+0301)
+    assert(composed != decomposed)          // different code points...
+    assert(evalStr(decomposed, NormalizeText.nfc_normalize) == composed)
+    assert(evalStr(composed, NormalizeText.nfc_normalize) == composed)
+    // already-NFC fast path returns the input text unchanged
+    assert(NormalizeText.nfc("plain ascii").eq("plain ascii"))
+    // Hangul canonical composition (multi-char recomposition)
+    assert(NormalizeText.nfc("가") == "가")
+  }
+
   test("text_preview drops script/style, strips tags, truncates") {
     val html = "<html><script>var x=1;</script><style>.a{}</style><p>Hello   <b>world</b></p></html>"
     assert(evalStr(html, c => HtmlFns.text_preview(c, 1200)) == "Hello world")
