@@ -73,5 +73,16 @@ object Explain {
       plan("sink_partitioned_prune").contains("PartitionFilters: [isnotnull"))
     println("m8_embedding_quantize shuffle-free projection: " +
       !plan("m8_embedding_quantize").contains("Exchange"))
+    val sub = plan("m8_substring_dedup")
+    println("m8_substring_dedup shuffles key on md5 window hash (wh), " +
+      "never window text: " +
+      ("Exchange hashpartitioning\\(wh".r.findAllIn(sub).nonEmpty &&
+        "Exchange hashpartitioning\\((?!wh|doc_id)".r.findAllIn(sub).isEmpty))
+    println("m8_text_normalize shuffle-free + codegen'd custom expression: " +
+      (!plan("m8_text_normalize").contains("Exchange") &&
+        plan("m8_text_normalize").contains("*(1)")))
+    println("r2_fetch_cascade fixture side read from cache " +
+      "(InMemoryTableScan, signal regexes once per row): " +
+      plan("r2_fetch_cascade").contains("InMemoryTableScan"))
   }
 }
