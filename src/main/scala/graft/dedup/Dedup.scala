@@ -297,6 +297,34 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
+  /** Duplicate-cluster survivor selection — the step that actually
+    * shrinks a training corpus after clustering: given (doc_id,
+    * cluster_id) from [[graft.ops.ConnectedComponents]] and a per-doc
+    * quality score, keep exactly ONE member per cluster — the
+    * highest-scoring, smallest id on ties (deterministic). Returns every
+    * doc with its verdict: (doc_id, cluster_id, keep, survivor_id,
+    * cluster_size) — the keep=false rows are what the pipeline drops,
+    * and survivor_id lets provenance point at the retained twin.
+    *
+    * Selection rides TopKPerKey (partial+final: ≤ 1 row per cluster per
+    * task crosses the exchange — never a per-cluster sort); the size
+    * count is one grouped aggregation; both joins key on cluster_id.
+    * Singleton clusters keep their only member by construction. */
+  def clusterSurvivors(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val scored = clusters.join(quality, Seq("doc_id"))
+    val winners = graft.plans.GraftOps.topKPerKey(scored,
+        Seq(col("cluster_id")), Seq(col("score").desc, col("doc_id")), 1)
+      .select(col("cluster_id"), col("doc_id").as("survivor_id"))
+    val sizes = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters
+      .join(winners, Seq("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("survivor_id")).as("keep"),
+        col("survivor_id"), col("cluster_size"))
+  }
+
   /** Embedding-cosine near-dup pairs via hyperplane-LSH blocking.
     * `portable = true` derives the hyperplanes from md5 (oracle-
     * replicable); default is xxhash64.

@@ -195,6 +195,57 @@ object DedupQueries extends QueryModule {
        |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
        |FROM documents d LEFT JOIN cc c USING (doc_id)""".stripMargin
 
+  /** Survivor selection over the same near-dup clusters: keep the
+    * longest member (token count as the quality proxy; smallest id on
+    * ties) of each cluster, flag the rest as drops with provenance
+    * pointing at the retained twin. */
+  private def survivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+        numHashes = 32, bands = 8, minAgreement = 0.5, portable = true)
+      .select(col("id_a"), col("id_b"))
+    val cc = graft.ops.ConnectedComponents.run(pairs)
+    val clusters = docs.select("doc_id")
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val quality = docs.select(col("doc_id"),
+      graft.functions.TextFns.token_count(col("text")).cast("long").as("score"))
+    Dedup.clusterSurvivors(clusters, quality)
+  }
+
+  private val survivorsSql =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS (SELECT id_a, id_b FROM agree WHERE sig_agreement >= 0.5),
+       |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |      UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT u, v FROM e
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+       |cc AS (
+       |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+       |  FROM reach GROUP BY u),
+       |cl AS (
+       |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN cc c USING (doc_id)),
+       |q AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN trim(text) = '' THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+       |      AS score
+       |  FROM documents),
+       |win AS (
+       |  SELECT cluster_id, doc_id AS survivor_id FROM (
+       |    SELECT cluster_id, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |                         ORDER BY score DESC, doc_id) AS rn
+       |    FROM cl JOIN q USING (doc_id)) WHERE rn = 1),
+       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cl GROUP BY 1)
+       |SELECT cl.doc_id, cl.cluster_id,
+       |  cl.doc_id = w.survivor_id AS keep, w.survivor_id, sz.cluster_size
+       |FROM cl JOIN win w USING (cluster_id) JOIN sz USING (cluster_id)""".stripMargin
+
   /** SimHash near-dup candidates within 8 Hamming bits, portable 60-bit
     * hashing with recall-complete pigeonhole blocking (9 blocks). */
   private def simhash(s: SparkSession, dir: String): DataFrame =
@@ -283,7 +334,8 @@ object DedupQueries extends QueryModule {
     "m8_dedup_embedding"     -> embedding _,
     "m8_dedup_incremental"   -> incremental _,
     "m8_graph_triangles"     -> triangles _,
-    "m8_dedup_clusters"      -> clusters _)
+    "m8_dedup_clusters"      -> clusters _,
+    "m8_dedup_survivors"     -> survivors _)
 
   def oracles: Map[String, String] = Map(
     "m8_dedup_canonical_url" -> canonicalUrlDedupSql,
@@ -294,7 +346,8 @@ object DedupQueries extends QueryModule {
     "m8_dedup_embedding"     -> embeddingSql,
     "m8_dedup_incremental"   -> incrementalSql,
     "m8_graph_triangles"     -> trianglesSql,
-    "m8_dedup_clusters"      -> clustersSql)
+    "m8_dedup_clusters"      -> clustersSql,
+    "m8_dedup_survivors"     -> survivorsSql)
 }
 
 /** Oracle-side rendering of the portable hyperplane weights: the same

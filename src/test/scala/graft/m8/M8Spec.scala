@@ -109,6 +109,24 @@ class M8Spec extends SparkSpec {
     assert(math.abs(c(0)) < 1e-12 && math.abs(c(1) - 1.0) < 1e-12)
   }
 
+  test("cluster survivors: best quality wins, id breaks ties, singletons keep") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // cluster 1: three members
+      (7L, 7L), (8L, 7L),           // cluster 7: quality tie → min id wins
+      (9L, 9L))                     // singleton
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq(
+      (1L, 10L), (2L, 99L), (3L, 50L),
+      (7L, 5L), (8L, 5L), (9L, 0L)).toDF("doc_id", "score")
+    val out = Dedup.clusterSurvivors(clusters, quality)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(2L) == (true, 2L, 3L) && out(1L) == (false, 2L, 3L) &&
+      out(3L) == (false, 2L, 3L))
+    assert(out(7L) == (true, 7L, 2L) && out(8L) == (false, 7L, 2L))
+    assert(out(9L) == (true, 9L, 1L))
+  }
+
   test("embedding pairs: hot bucket is capped, no quadratic row count") {
     // 100 identical vectors land in ONE hyperplane bucket (plus 20
     // scattered others) — uncapped that bucket alone yields C(100,2) =
