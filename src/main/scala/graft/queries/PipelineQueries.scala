@@ -187,6 +187,41 @@ object PipelineQueries extends QueryModule {
       |  COUNT(DISTINCT company) AS n_companies
       |FROM rows GROUP BY 1, 2""".stripMargin
 
+  /** P8 + F16 on the gate: the needs-notes idempotency filter (blank OR
+    * whitespace-only notes qualify; fully-noted rows are excluded) feeds
+    * the snippet struct the notes model receives, serialized by the same
+    * `to_json` the pipeline uses. URLs are query-less so canonical_url
+    * is the identity and the oracle can rebuild the JSON by string
+    * assembly. */
+  private def p8NeedsNotesSnippet(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val tracker = Tables.orders(s, dir).select(
+      lit("t1").as("sheet_name"), k.as("row_index"),
+      concat(lit("https://co.example/j/"), k).as("url"),
+      concat(lit("Co "), k % 7).as("company"),
+      when(k % 3 === 0, lit("")).otherwise(concat(lit("Role "), k % 5)).as("role"),
+      when(k % 4 === 1, lit("sent")).when(k % 4 === 2, lit("   "))
+        .otherwise(lit("")).as("li_invite"),
+      when(k % 4 === 1, lit("sent fu")).otherwise(lit("")).as("li_followup"))
+    Notes.needsNotes(tracker)
+      .select(col("row_index"),
+        Notes.snippet_json(col("url"), col("company"), col("role"),
+          lit("H1"), lit("OG Title"), lit("OG Site"), lit("Title"),
+          lit("body preview"), col("sheet_name")).as("snippet"))
+  }
+
+  private val p8Sql =
+    """SELECT o_orderkey AS row_index,
+      |  '{"url":"https://co.example/j/' || o_orderkey ||
+      |  '","company":"Co ' || (o_orderkey % 7) ||
+      |  '","role":"' ||
+      |  (CASE WHEN o_orderkey % 3 = 0 THEN ''
+      |        ELSE 'Role ' || (o_orderkey % 5) END) ||
+      |  '","h1":"H1","ogTitle":"OG Title","ogSite":"OG Site",' ||
+      |  '"title":"Title","body_preview":"body preview","sheet":"t1"}'
+      |    AS snippet
+      |FROM orders WHERE o_orderkey % 4 <> 1""".stripMargin
+
   /** R4/R7: LLM extract-rescue over a deterministic fixture transport
     * (prompt → strict-JSON completion, a pure function, so the oracle can
     * replay it). Odd keys parse strongly and skip the model; even keys
@@ -321,6 +356,7 @@ object PipelineQueries extends QueryModule {
     "r3_escalation"        -> r3Escalation _,
     "r6_template_notes"    -> r6TemplateNotes _,
     "notes_end_to_end"     -> notesEndToEnd _,
+    "p8_needs_notes_snippet" -> p8NeedsNotesSnippet _,
     "pipeline_end_to_end"  -> pipelineEndToEnd _)
 
   def oracles: Map[String, String] = Map(
@@ -329,5 +365,6 @@ object PipelineQueries extends QueryModule {
     "r3_escalation"        -> r3Sql,
     "r6_template_notes"    -> r6Sql,
     "notes_end_to_end"     -> notesEndToEndSql,
+    "p8_needs_notes_snippet" -> p8Sql,
     "pipeline_end_to_end"  -> pipelineEndToEndSql)
 }
