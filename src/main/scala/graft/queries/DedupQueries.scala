@@ -135,6 +135,23 @@ object DedupQueries extends QueryModule {
        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
        |LEFT JOIN hits h ON h.new_id = d.doc_id""".stripMargin
 
+  /** The production signature-store shape the incremental demo's doc
+    * comment promises: the standing corpus signs ONCE, its signatures
+    * land in a parquet table, and admission reads the STORED side back —
+    * so the gate certifies the store round-trip is lossless (a corrupted
+    * or re-hashed stored signature would flip a verdict). Delta docs
+    * sign fresh, as they would in production. */
+  private def signatureStore(s: SparkSession, dir: String): DataFrame = {
+    val store = Dsl.tempDir("graft_sigstore_") + "/minhash_sigs"
+    val sigs = Dedup.minhashSignatures(
+      Tables.spread(Tables.documents(s, dir)), col("doc_id"), col("text"),
+      numHashes = 32, portable = true)
+    sigs.filter(col("id") % 5 =!= 4).write.mode("overwrite").parquet(store)
+    Dedup.minhashIncremental(
+      s.read.parquet(store), sigs.filter(col("id") % 5 === 4),
+      bands = 8, rowsPerBand = 4, minAgreement = 0.5, portable = true)
+  }
+
   /** Triangle count over the verified near-dup pair graph — the
     * structure metric that separates pairwise-similar noise from true
     * duplicate cliques. Edges are (id_a < id_b) ordered, so each
@@ -333,6 +350,7 @@ object DedupQueries extends QueryModule {
     "m8_dedup_simhash"       -> simhash _,
     "m8_dedup_embedding"     -> embedding _,
     "m8_dedup_incremental"   -> incremental _,
+    "m8_signature_store"     -> signatureStore _,
     "m8_graph_triangles"     -> triangles _,
     "m8_dedup_clusters"      -> clusters _,
     "m8_dedup_survivors"     -> survivors _)
@@ -345,6 +363,7 @@ object DedupQueries extends QueryModule {
     "m8_dedup_simhash"       -> simhashSql,
     "m8_dedup_embedding"     -> embeddingSql,
     "m8_dedup_incremental"   -> incrementalSql,
+    "m8_signature_store"     -> incrementalSql,
     "m8_graph_triangles"     -> trianglesSql,
     "m8_dedup_clusters"      -> clustersSql,
     "m8_dedup_survivors"     -> survivorsSql)
