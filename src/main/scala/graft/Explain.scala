@@ -62,8 +62,14 @@ object Explain {
       !plan("m8_sample_stratified").contains("Exchange"))
     println("m8_cap_per_source TopKPerKey operators (expect 2 = partial+final): " +
       "TopKPerKey \\[".r.findAllIn(plan("m8_cap_per_source")).length)
-    println("m8_sim_topk_ivf exchanges (expect 3: corpus assignment + " +
-      "query-probe + final cut; the corpus rides exactly one): " +
+    // Serving path = corpus assignment + query-probe + final cut; the two
+    // Lloyd training iterations each add an E-step top-1 cut plus two
+    // centroid-sized M-step aggregations (the printed plan repeats the
+    // persisted training lineage under each InMemoryRelation consumer, so
+    // the textual count over-states what actually executes once).
+    println("m8_sim_topk_ivf exchanges (3 serving + persisted 2-iter " +
+      "Lloyd training lineage; every training exchange is (vector,list)- " +
+      "or centroid-sized, never corpus-wide): " +
       "Exchange hashpartitioning".r.findAllIn(plan("m8_sim_topk_ivf")).length)
     val bucketed = plan("join_bucketed_colocated")
     val joinIdx = bucketed.indexOf("SortMergeJoin")

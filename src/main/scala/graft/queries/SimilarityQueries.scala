@@ -79,42 +79,76 @@ object SimilarityQueries extends QueryModule {
        |FROM ranked WHERE rank <= $K""".stripMargin
   }
 
-  /** IVF coarse-quantizer approximate top-5: 16 md5-sampled centroids,
-    * 4 probed lists per query — fully deterministic, so the oracle
-    * rebuilds centroid choice, assignment, probing, and ranking. */
+  /** IVF coarse-quantizer approximate top-5: 16 md5-sampled seeds refined
+    * by [[IvfIters]] Lloyd iterations (fixed-point M-step — exact, so the
+    * oracle replays training bit-for-bit), 4 probed lists per query —
+    * fully deterministic, so the oracle rebuilds centroid training,
+    * assignment, probing, and ranking. */
   private def topkIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.spread(Tables.embeddings(s, dir))
     Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb, K,
-      nlist = 16, nprobe = 4)
+      nlist = 16, nprobe = 4, lloydIters = IvfIters)
       .select(col("query_id"), col("rank"), col("cand_id"),
         round(col("cosine"), 6).as("cosine"))
   }
 
+  private val IvfIters = 2
+
+  private def cosSql(a: String, b: String) =
+    s"""list_inner_product($a, $b) /
+       |      (sqrt(list_inner_product($a, $a)) *
+       |       sqrt(list_inner_product($b, $b)))""".stripMargin
+
+  /** CTE block replaying [[Similarity.trainIvfCentroids]]: seed centroids
+    * `cent0`, then one (E-step `a{n}`, M-step `cent{n}`) CTE pair per
+    * Lloyd iteration — the M-step is the same fixed-point recipe as
+    * `centroidsSql`, already proven hash-exact against the engine.
+    * Returns (ctes, finalCentroidRelation). */
+  private def ivfTrainCtes(nlist: Int, iters: Int): (String, String) = {
+    val seed =
+      s"""cent0 AS (
+         |  SELECT vec_id AS cent_id, v AS cvec FROM e
+         |  ORDER BY md5(vec_id::VARCHAR) LIMIT $nlist)""".stripMargin
+    val steps = (1 to iters).map { n =>
+      s"""a$n AS (
+         |  SELECT vec_id, v, cent_id FROM (
+         |    SELECT e.vec_id, e.v, c.cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.v", "c.cvec")} DESC, c.cent_id) AS rn
+         |    FROM e CROSS JOIN cent${n - 1} c) WHERE rn = 1),
+         |cent$n AS (
+         |  SELECT cent_id, list(centroid ORDER BY pos) AS cvec FROM (
+         |    SELECT cent_id, CAST(i - 1 AS INT) AS pos,
+         |      CAST(SUM(CAST(round(v[i] * 1000000) AS BIGINT)) AS DOUBLE)
+         |        / 1000000 / COUNT(*) AS centroid
+         |    FROM (SELECT cent_id, unnest(generate_series(1, len(v))) AS i, v
+         |          FROM a$n)
+         |    GROUP BY 1, 2)
+         |  GROUP BY cent_id)""".stripMargin
+    }
+    ((seed +: steps).mkString(",\n"), s"cent$iters")
+  }
+
   private val topkIvfSql = {
-    def cos(a: String, b: String) =
-      s"""list_inner_product($a, $b) /
-         |      (sqrt(list_inner_product($a, $a)) *
-         |       sqrt(list_inner_product($b, $b)))""".stripMargin
+    val (train, cent) = ivfTrainCtes(nlist = 16, iters = IvfIters)
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
-       |cent AS (
-       |  SELECT vec_id AS cent_id, v AS cvec FROM e
-       |  ORDER BY md5(vec_id::VARCHAR) LIMIT 16),
+       |$train,
        |assigned AS (
        |  SELECT vec_id, v, cent_id FROM (
        |    SELECT e.vec_id, e.v, c.cent_id,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${cos("e.v", "c.cvec")} DESC, c.cent_id) AS rn
-       |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+       |        ORDER BY ${cosSql("e.v", "c.cvec")} DESC, c.cent_id) AS rn
+       |    FROM e CROSS JOIN $cent c) WHERE rn = 1),
        |probes AS (
        |  SELECT query_id, qv, cent_id FROM (
        |    SELECT q.vec_id AS query_id, q.v AS qv, c.cent_id,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-       |        ORDER BY ${cos("q.v", "c.cvec")} DESC, c.cent_id) AS rn
-       |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 8) WHERE rn <= 4),
+       |        ORDER BY ${cosSql("q.v", "c.cvec")} DESC, c.cent_id) AS rn
+       |    FROM e q CROSS JOIN $cent c WHERE q.vec_id < 8) WHERE rn <= 4),
        |scored AS (
-       |  SELECT p.query_id, a.vec_id AS cand_id, ${cos("p.qv", "a.v")} AS cosine
+       |  SELECT p.query_id, a.vec_id AS cand_id, ${cosSql("p.qv", "a.v")} AS cosine
        |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
        |  WHERE a.vec_id <> p.query_id),
        |ranked AS (
@@ -140,6 +174,36 @@ object SimilarityQueries extends QueryModule {
   private val annRecallSql =
     s"""WITH exact AS ($topkBruteSql),
        |approx AS ($topkLshSql),
+       |ne AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1),
+       |na AS (SELECT query_id, COUNT(*) AS n_approx FROM approx GROUP BY 1),
+       |h AS (
+       |  SELECT e.query_id, COUNT(*) AS n_hits
+       |  FROM exact e JOIN approx a
+       |    ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+       |  GROUP BY 1)
+       |SELECT ne.query_id, ne.n_exact,
+       |  COALESCE(na.n_approx, 0) AS n_approx,
+       |  COALESCE(h.n_hits, 0) AS n_hits,
+       |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(ne.n_exact AS DOUBLE)
+       |    AS recall
+       |FROM ne LEFT JOIN na USING (query_id) LEFT JOIN h USING (query_id)""".stripMargin
+
+  /** Recall@5 of the Lloyd-trained IVF path against brute force — gates
+    * the coarse quantizer's quality (not just its determinism) through
+    * the oracle: DuckDB replays training + probing and must land on the
+    * same per-query recall numbers. */
+  private def ivfRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.spread(Tables.embeddings(s, dir))
+    val queries = emb.filter(col("vec_id") < 8)
+    Similarity.recallAtK(
+      Similarity.ivfTopK(queries, emb, K, nlist = 16, nprobe = 4,
+        lloydIters = IvfIters),
+      Similarity.bruteForceTopK(queries, emb, K))
+  }
+
+  private val ivfRecallSql =
+    s"""WITH exact AS ($topkBruteSql),
+       |approx AS ($topkIvfSql),
        |ne AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1),
        |na AS (SELECT query_id, COUNT(*) AS n_approx FROM approx GROUP BY 1),
        |h AS (
@@ -219,6 +283,7 @@ object SimilarityQueries extends QueryModule {
     "m8_sim_topk_lsh"        -> topkLsh _,
     "m8_sim_topk_ivf"        -> topkIvf _,
     "m8_ann_recall"          -> annRecall _,
+    "m8_ivf_recall"          -> ivfRecall _,
     "m8_embedding_centroids" -> centroids _)
 
   def oracles: Map[String, String] = Map(
@@ -227,5 +292,6 @@ object SimilarityQueries extends QueryModule {
     "m8_sim_topk_lsh"        -> topkLshSql,
     "m8_sim_topk_ivf"        -> topkIvfSql,
     "m8_ann_recall"          -> annRecallSql,
+    "m8_ivf_recall"          -> ivfRecallSql,
     "m8_embedding_centroids" -> centroidsSql)
 }

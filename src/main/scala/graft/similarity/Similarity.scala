@@ -136,32 +136,83 @@ object Similarity {
           col("n_exact").cast("double")).as("recall"))
   }
 
-  /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
-    * path: `nlist` deterministic centroids (the corpus vectors with the
-    * smallest md5(vec_id) — engine-reproducible "random" sample), each
-    * corpus vector assigned to its nearest centroid's list, each query
-    * probing only its `nprobe` nearest lists.
-    *
-    * Plan shape at 100 TB: centroids broadcast (nlist rows); assignment
-    * is a broadcast compare + partial top-1 per vector — the exchange
-    * carries one (vector, list) row per corpus vector, nothing wider;
-    * probes are tiny and broadcast into the list join, so the corpus is
-    * never shuffled again; the final cut is the TopKPerKey partial/final
-    * pair. Cost per query ≈ corpus × nprobe / nlist candidates vs the
-    * brute-force corpus scan. Ties everywhere break on the smaller id,
-    * so results are deterministic and oracle-comparable. */
-  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cent = candidates
-      .orderBy(md5(col("vec_id").cast("string")))
-      .limit(nlist)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-    val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
-    val assigned = GraftOps.topKPerKey(
+  /** Nearest-centroid assignment (the k-means E-step): each candidate row
+    * `(cand_id, cv)` paired with its single best centroid from the
+    * broadcast `cent` frame `(cent_id, cvec)`. Ties break on the smaller
+    * cent_id, so assignment is deterministic and oracle-reproducible.
+    * The exchange carries one (vector, list) row per candidate. */
+  def ivfAssign(c: DataFrame, cent: DataFrame): DataFrame =
+    GraftOps.topKPerKey(
       c.crossJoin(broadcast(cent))
         .withColumn("csim", VectorFns.cosine(col("cv"), col("cvec"))),
       Seq(col("cand_id")), Seq(col("csim").desc, col("cent_id")), 1)
       .select("cand_id", "cv", "cent_id")
+
+  /** Re-assemble [[groupCentroids]]' per-dimension rows into centroid
+    * arrays `(cent_id, cvec)`. `array_sort` over the (pos, centroid)
+    * structs pins component order deterministically regardless of
+    * `collect_list`'s arrival order; a centroid is ≤ a few hundred
+    * doubles, so the per-group collect is trivially bounded. */
+  private def assembleCentroids(perDim: DataFrame): DataFrame =
+    perDim.groupBy(col("grp"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("centroid")))).as("pc"))
+      .select(col("grp").as("cent_id"),
+        transform(col("pc"), p => p.getField("centroid")).as("cvec"))
+
+  /** Lloyd-trained IVF coarse quantizer: `nlist` deterministic seeds (the
+    * corpus vectors with the smallest md5(vec_id)) refined by `iters`
+    * k-means iterations — E-step = [[ivfAssign]] (broadcast compare,
+    * top-1 per vector), M-step = [[groupCentroids]] (fixed-point sums,
+    * order-free) reassembled per list. Raw sampled seeds land on random
+    * points, so list sizes skew badly on clustered real embeddings;
+    * one or two Lloyd rounds move the centroids to the cluster modes and
+    * even out the inverted lists. Every step is exact-arithmetic or
+    * deterministically tie-broken, so the trained centroids are
+    * bit-identical on any cluster topology (and engine-reproducible).
+    * A list that captures no vectors in an E-step drops out — nlist is
+    * an upper bound after training, as in any k-means.
+    *
+    * At 100 TB, train on a sample, not the corpus: pass e.g.
+    * `Sampling.hashSample(corpus, col("vec_id"), 1e-4, "ivf")` as
+    * `candidates` here and assign the full corpus with [[ivfAssign]] —
+    * the E-step cost then scales with the sample while staying fully
+    * deterministic (hash-threshold draw, no RNG). */
+  def trainIvfCentroids(candidates: DataFrame, nlist: Int, iters: Int): DataFrame = {
+    val seeds = candidates
+      .orderBy(md5(col("vec_id").cast("string")))
+      .limit(nlist)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    (1 to iters).foldLeft(seeds) { (cent, _) =>
+      assembleCentroids(groupCentroids(ivfAssign(c, cent),
+        col("cent_id"), col("cv")))
+    }
+  }
+
+  /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    * path: `nlist` centroids ([[trainIvfCentroids]] — md5-sampled seeds
+    * plus `lloydIters` deterministic k-means rounds), each corpus vector
+    * assigned to its nearest centroid's list, each query probing only its
+    * `nprobe` nearest lists.
+    *
+    * Plan shape at 100 TB: centroids broadcast (nlist rows, persisted so
+    * the training chain runs once, not per consumer); assignment is a
+    * broadcast compare + partial top-1 per vector — the exchange carries
+    * one (vector, list) row per corpus vector, nothing wider; probes are
+    * tiny and broadcast into the list join, so the corpus is never
+    * shuffled again; the final cut is the TopKPerKey partial/final pair.
+    * Training costs `lloydIters` extra broadcast passes over the corpus
+    * (no new plan shape). Cost per query ≈ corpus × nprobe / nlist
+    * candidates vs the brute-force corpus scan. Ties everywhere break on
+    * the smaller id, so results are deterministic and oracle-comparable. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 2): DataFrame = {
+    val cent0 = trainIvfCentroids(candidates, nlist, lloydIters)
+    // nlist rows; persist so final assignment + probes don't each replay
+    // the training passes over the corpus
+    val cent = if (lloydIters > 0) cent0.persist() else cent0
+    val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val assigned = ivfAssign(c, cent)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val probes = GraftOps.topKPerKey(
       q.crossJoin(broadcast(cent))

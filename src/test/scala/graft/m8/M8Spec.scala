@@ -200,6 +200,57 @@ class M8Spec extends SparkSpec {
     assert(again == ivf)
   }
 
+  test("ivf lloyd training balances inverted lists on planted clusters") {
+    // 4 planted clusters on near-orthogonal directions with deterministic
+    // jitter. md5-sampled seeds land on arbitrary corpus points — often
+    // several inside one cluster — so untrained lists skew; two Lloyd
+    // rounds must move the centroids toward the cluster modes and even
+    // the lists out (max/median bounded), without losing recall.
+    val rows = for {
+      cl <- 0 until 4
+      i  <- 0 until 60
+    } yield {
+      val base = Array.fill(8)(0.0f)
+      base(cl * 2) = 1.0f
+      val jit = base.zipWithIndex.map { case (x, d) =>
+        x + 0.08f * (((cl * 60 + i) * 31 + d * 7) % 11 - 5) / 5.0f
+      }
+      ((cl * 60 + i + 1).toLong, jit)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    def listSizes(cent: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Similarity.ivfAssign(c, cent).groupBy("cent_id").count()
+        .collect().map(_.getLong(1)).sorted.toSeq
+    val seeds = Similarity.trainIvfCentroids(emb, nlist = 4, iters = 0)
+    val trained = Similarity.trainIvfCentroids(emb, nlist = 4, iters = 2)
+    val before = listSizes(seeds)
+    val after = listSizes(trained)
+    // trained: every surviving list within 2× the median — the planted
+    // clusters are recoverable, so a still-skewed partition means the
+    // M-step didn't move the centroids
+    val median = after(after.length / 2).toDouble
+    assert(after.max <= 2 * median,
+      s"trained lists skewed: $after (seeds gave $before)")
+    assert(after.max <= before.max,
+      s"training worsened the largest list: $before -> $after")
+    // and training must not cost recall at equal nprobe
+    val q = emb.filter(col("vec_id") <= 8)
+    val brute = Similarity.bruteForceTopK(q, emb, 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(iters: Int): Double = {
+      val got = Similarity.ivfTopK(q, emb, 5, nlist = 4, nprobe = 1,
+        lloydIters = iters)
+        .select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val (r0, r2) = (recallOf(0), recallOf(2))
+    assert(r2 >= r0, s"training lost recall: untrained $r0 vs trained $r2")
+    assert(r2 > 0.9, s"trained IVF recall $r2 on separable clusters")
+  }
+
   test("int8 quantization: round-trip error bounded by scale/254, zeros safe") {
     val df = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
