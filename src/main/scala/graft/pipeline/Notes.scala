@@ -14,14 +14,22 @@ import org.apache.spark.sql.functions._
 object Notes {
 
   /** J5/S11: collect the 2-column profile table into one row and
-    * broadcast-cross-join it onto `df` as `profile_<key>` columns. */
+    * broadcast-cross-join it onto `df` as `profile_<key>` columns.
+    *
+    * The cross join is row-count-safe BY CONSTRUCTION, not by
+    * precondition: the global aggregate below always produces exactly one
+    * row — an empty profile yields null fields instead of annihilating
+    * `df`, and duplicate keys reduce deterministically via `min` instead
+    * of multiplying rows or picking an arbitrary `first` (on a well-formed
+    * profile, keys are unique and `min` IS the value). */
   def withProfile(df: DataFrame, profile: DataFrame,
                   keys: Seq[String] = Seq("one-line hook", "headline", "top skills")): DataFrame = {
-    val one = profile.groupBy().pivot("key", keys).agg(first("value"))
-    val renamed = keys.foldLeft(one) { (d, k) =>
-      d.withColumnRenamed(k, "profile_" + k.replaceAll("[^a-z0-9]+", "_"))
+    val fields = keys.map { k =>
+      min(when(col("key") === k, col("value")))
+        .as("profile_" + k.replaceAll("[^a-z0-9]+", "_"))
     }
-    df.crossJoin(broadcast(renamed))
+    val one = profile.groupBy().agg(fields.head, fields.tail: _*)
+    df.crossJoin(broadcast(one))
   }
 
   /** Template fields from reference lines 1067-1077. Expects `company`,

@@ -68,13 +68,44 @@ object MultimodalQueries extends QueryModule {
       |  WHERE blen > 0)
       |WHERE frame_index % 2 = 0""".stripMargin
 
+  private val NImages = 12
+
+  /** REAL image decode: plant [[NImages]] PNGs with closed-form pixel
+    * patterns (encoded with `ImageIO` on the executors), decode them back
+    * through [[Multimodal.ImageIoDecoder]], and report integer-exact
+    * dimensions + per-channel sums. The oracle holds the closed-form
+    * expected values as literals — the engine must MEASURE them from
+    * decoded pixels, so any decode defect (wrong size, swapped or lossy
+    * channels, dropped rows) hash-mismatches. */
+  private def imageDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractImageStats(s, Multimodal.plantedImages(s, NImages))
+      .toDF()
+
+  private val imageDecodeSql = {
+    val rows = (0 until NImages).map { id =>
+      val e = Multimodal.expectedImageStats(id.toLong)
+      s"(${e.img_id}, ${e.width}, ${e.height}, ${e.channels}, " +
+        s"${e.sum_r}, ${e.sum_g}, ${e.sum_b})"
+    }.mkString(",\n  ")
+    s"""SELECT CAST(img_id AS BIGINT) AS img_id,
+       |  CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       |  CAST(channels AS INT) AS channels,
+       |  CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+       |  CAST(sum_b AS BIGINT) AS sum_b
+       |FROM (VALUES
+       |  $rows)
+       |  AS t(img_id, width, height, channels, sum_r, sum_g, sum_b)""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_multimodal_meta"     -> mediaMeta _,
     "m8_multimodal_features" -> mediaFeatures _,
-    "m8_multimodal_frames"   -> mediaFrames _)
+    "m8_multimodal_frames"   -> mediaFrames _,
+    "m8_image_decode"        -> imageDecode _)
 
   def oracles: Map[String, String] = Map(
     "m8_multimodal_meta"     -> mediaMetaSql,
     "m8_multimodal_features" -> mediaFeaturesSql,
-    "m8_multimodal_frames"   -> mediaFramesSql)
+    "m8_multimodal_frames"   -> mediaFramesSql,
+    "m8_image_decode"        -> imageDecodeSql)
 }

@@ -263,6 +263,83 @@ object PipelineQueries extends QueryModule {
       |  COUNT(*) AS n
       |FROM orders GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** R5/R7 notes fallback semantics, oracle-gated the way R4 is: a
+    * fixture transport with DETERMINISTIC FAILURES — %10==0 malformed
+    * completion, %10==5 blank invite field, %7==2 transport returns None
+    * (model unavailable) — all three land in template mode; everything
+    * else is LLM mode, with %3==1 planting a 300-char invite that must
+    * truncate to exactly 280 (reference `apps-scripts/
+    * code-LLM-intergration.js:1181`) and every LLM follow-up planted in
+    * the reference's 280-500 length band (lines 1019-1020). The output is
+    * mode counts + length bounds, so a wrong fallback decision, a missed
+    * truncation, or an out-of-band follow-up all hash-mismatch. */
+  private def r5NotesFallback(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Llm
+    import s.implicits._
+    val profile = Seq(
+      ("one-line hook", "backend engineer who ships"),
+      ("top skills", "Scala, Spark, SQL")).toDF("key", "value")
+    val k = col("o_orderkey")
+    val rows = Tables.spread(Tables.orders(s, dir)).select(
+      k.as("o_orderkey"),
+      concat(lit("p-"), k).as("prompt"),
+      concat(lit("Co "), k % 7).as("company"),
+      when(k % 3 === 0, lit("")).otherwise(concat(lit("Role "), k % 5)).as("role"),
+      lit("").as("source"))
+    val transport = Llm.FixtureTransport { p =>
+      val key = p.stripPrefix("p-").toLong
+      if (key % 10 == 0) Some("the model rambled, no json")
+      else if (key % 10 == 5) Some("""{"invite":"","followup":"present"}""")
+      else if (key % 7 == 2) None // deterministic transport failure
+      else {
+        val fu = "F" * (280 + (key % 221)).toInt
+        val invite = if (key % 3 == 1) "L" * 300
+          else s"Hi Co ${key % 7}! Keen to connect."
+        Some(s"""ok {"invite":"$invite","followup":"$fu"} bye""")
+      }
+    }
+    Llm.notesWithFallback(
+      Notes.withTemplateNotes(Notes.withProfile(rows, profile)),
+      transport, col("prompt"))
+      .groupBy("notes_mode")
+      .agg(count(lit(1)).as("n"),
+        max(length(col("li_invite"))).as("max_invite_len"),
+        min(length(col("li_followup"))).as("min_fu_len"),
+        max(length(col("li_followup"))).as("max_fu_len"))
+  }
+
+  private val r5Sql =
+    """WITH cls AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN 'this role'
+      |         ELSE 'Role ' || (o_orderkey % 5) END AS role2,
+      |    'Co ' || (o_orderkey % 7) AS comp
+      |  FROM orders),
+      |f AS (
+      |  SELECT k,
+      |    CASE WHEN k % 10 = 0 OR k % 10 = 5 OR k % 7 = 2
+      |         THEN 'template' ELSE 'llm' END AS notes_mode,
+      |    CASE
+      |      WHEN k % 10 = 0 OR k % 10 = 5 OR k % 7 = 2 THEN
+      |        'Hi there — I applied for ' || role2 || ' at ' || comp ||
+      |        '. I''m a backend engineer who ships and would love to connect.'
+      |      WHEN k % 3 = 1 THEN repeat('L', 280)
+      |      ELSE 'Hi Co ' || (k % 7) || '! Keen to connect.'
+      |    END AS li_invite,
+      |    CASE
+      |      WHEN k % 10 = 0 OR k % 10 = 5 OR k % 7 = 2 THEN
+      |        'Thanks for connecting! I just applied for ' || role2 || ' at ' ||
+      |        comp || '. My background includes Scala, Spark, SQL.' ||
+      |        ' If there’s a chance to chat, I’d value 10–15 minutes to share how I can contribute.'
+      |      ELSE repeat('F', CAST(280 + (k % 221) AS INT))
+      |    END AS li_followup
+      |  FROM cls)
+      |SELECT notes_mode, COUNT(*) AS n,
+      |  CAST(MAX(length(li_invite)) AS INT) AS max_invite_len,
+      |  CAST(MIN(length(li_followup)) AS INT) AS min_fu_len,
+      |  CAST(MAX(length(li_followup)) AS INT) AS max_fu_len
+      |FROM f GROUP BY 1""".stripMargin
+
   /** Capstone: the reference's §3.2 notes lifecycle end-to-end (reference
     * `apps-scripts/code-LLM-intergration.js:1119-1198`): needs-notes
     * idempotency filter (P8/J2) → snippet assembly (F16) → fixture LLM
@@ -354,6 +431,7 @@ object PipelineQueries extends QueryModule {
     "r4_llm_rescue"        -> r4LlmRescue _,
     "r2_fetch_cascade"     -> r2Cascade _,
     "r3_escalation"        -> r3Escalation _,
+    "r5_notes_fallback"    -> r5NotesFallback _,
     "r6_template_notes"    -> r6TemplateNotes _,
     "notes_end_to_end"     -> notesEndToEnd _,
     "p8_needs_notes_snippet" -> p8NeedsNotesSnippet _,
@@ -363,6 +441,7 @@ object PipelineQueries extends QueryModule {
     "r4_llm_rescue"        -> r4Sql,
     "r2_fetch_cascade"     -> r2Sql,
     "r3_escalation"        -> r3Sql,
+    "r5_notes_fallback"    -> r5Sql,
     "r6_template_notes"    -> r6Sql,
     "notes_end_to_end"     -> notesEndToEndSql,
     "p8_needs_notes_snippet" -> p8Sql,

@@ -1,0 +1,76 @@
+package graft.m8
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.ImageIoDecoder
+import org.apache.spark.sql.functions._
+
+/** Real-decoder tests for the multimodal boundary: actual PNG/JPEG bytes
+  * through `javax.imageio`, stub fallback for non-image payloads, and the
+  * planted-fixture round trip the `m8_image_decode` oracle relies on. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pngBytes(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder: handcrafted 2x3 PNG decodes to exact channel sums") {
+    // pixels: (r,g,b) = (10x+1, 20y+2, x+y) — tiny enough to sum by hand
+    val bytes = pngBytes(2, 3)((x, y) => ((10 * x + 1) << 16) | ((20 * y + 2) << 8) | (x + y))
+    val d = ImageIoDecoder.decode(bytes).get
+    assert(d.width == 2 && d.height == 3 && d.channels == 3)
+    assert(d.sum_r == (0 until 3).map(_ => 1 + 11).sum)        // per row: 1+11
+    assert(d.sum_g == (0 until 3).map(y => 2 * (20 * y + 2)).sum)
+    assert(d.sum_b == (for (y <- 0 until 3; x <- 0 until 2) yield x + y).sum)
+    assert(math.abs(d.meanLuma -
+      (d.sum_r + d.sum_g + d.sum_b).toDouble / 18.0) < 1e-12)
+  }
+
+  test("ImageIoDecoder: JPEG decodes with exact dimensions") {
+    val img = new java.awt.image.BufferedImage(
+      7, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val d = ImageIoDecoder.decode(bos.toByteArray).get
+    assert(d.width == 7 && d.height == 5)
+  }
+
+  test("ImageIoDecoder: non-image bytes return None, extractFeatures falls back to stub") {
+    assert(ImageIoDecoder.decode("just some text".getBytes("UTF-8")).isEmpty)
+    assert(ImageIoDecoder.decode(Array.empty[Byte]).isEmpty)
+    val media = Seq((1L, "hello multimodal"))
+      .toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("format", lit("png"))
+    val out = Multimodal.extractFeatures(spark, media).collect()
+    val expect = Multimodal.StubDecoder.decode(
+      "hello multimodal".getBytes("UTF-8"), "png")
+    assert(out.length == 1)
+    assert(out(0).width == expect.width && out(0).height == expect.height &&
+      out(0).feat_mean == expect.feat_mean)
+  }
+
+  test("extractFeatures reports real dimensions for a real PNG payload") {
+    val bytes = pngBytes(9, 4)((x, y) => (x << 16) | (y << 8) | 7)
+    val media = Seq((5L, bytes, "png")).toDF("doc_id", "payload", "format")
+    val out = Multimodal.extractFeatures(spark, media).collect()(0)
+    assert(out.width == 9 && out.height == 4 && out.byte_len == bytes.length)
+  }
+
+  test("planted fixture: encode → decode round trip measures the closed-form stats") {
+    val got = Multimodal.extractImageStats(
+        spark, Multimodal.plantedImages(spark, 12))
+      .collect().map(s => s.img_id -> s).toMap
+    assert(got.size == 12)
+    (0L until 12L).foreach { id =>
+      assert(got(id) == Multimodal.expectedImageStats(id),
+        s"img $id: ${got(id)} != ${Multimodal.expectedImageStats(id)}")
+    }
+  }
+}

@@ -153,6 +153,21 @@ class PipelineSpec extends SparkSpec {
       "Hi there — I applied for this role at your company. I'm a backend engineer who ships and would love to connect.")
   }
 
+  test("withProfile is row-count-safe: duplicate keys reduce, empty profile keeps rows") {
+    val rows = Seq(("Acme", "SWE"), ("Beta", "PM")).toDF("company", "role")
+    // duplicate key: deterministic min-reduce, and rows must NOT multiply
+    val dup = Seq(("one-line hook", "zz later value"),
+      ("one-line hook", "aa first value")).toDF("key", "value")
+    val outDup = Notes.withProfile(rows, dup).collect()
+    assert(outDup.length == 2, s"profile join multiplied rows: ${outDup.length}")
+    assert(outDup.forall(_.getAs[String]("profile_one_line_hook") == "aa first value"))
+    // empty profile: null fields, not an annihilated frame
+    val empty = Seq.empty[(String, String)].toDF("key", "value")
+    val outEmpty = Notes.withProfile(rows, empty).collect()
+    assert(outEmpty.length == 2, s"empty profile dropped rows: ${outEmpty.length}")
+    assert(outEmpty.forall(_.getAs[String]("profile_headline") == null))
+  }
+
   test("llm notes with fixture transport; template fallback on garbage") {
     val rows = Seq(("p-ok", "Acme", "SWE", "", ""), ("p-bad", "Beta", "PM", "", ""))
       .toDF("prompt", "company", "role", "li_invite", "li_followup")

@@ -1,0 +1,55 @@
+package graft.plans
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan shape regression gate for the headline queries (the
+  * expensive chains whose shape regressions have historically cost the
+  * most — the round-7 double fixture projection would have tripped the
+  * r2_fetch_cascade exchange bound here).
+  *
+  * Asserts, per query, against the sf0.001 executed plan:
+  *  - no CartesianProduct anywhere;
+  *  - no BroadcastNestedLoopJoin unless the query deliberately
+  *    broadcast-cross-joins a 1-row side (the profile/threshold pattern);
+  *  - the number of shuffle Exchanges stays at or below the audited
+  *    count — a new shuffle in these chains is a scale regression, not
+  *    an implementation detail.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def shuffles(p: String): Int =
+    "(?<![A-Za-z])Exchange (hash|range|Single)".r.findAllIn(p).length
+
+  // name -> (max shuffle exchanges = the audited count, 1-row
+  // broadcast-cross-join allowed). Bounds are exact as of round 9 — if a
+  // legitimate change adds a shuffle, re-audit and raise the one bound
+  // with a comment, don't loosen them wholesale.
+  private val expected: Seq[(String, Int, Boolean)] = Seq(
+    ("pipeline_end_to_end", 4, false),
+    ("r3_escalation", 1, false),
+    ("r2_fetch_cascade", 1, false),
+    ("r1_decide_company_role", 1, false),
+    ("m8_dedup_survivors", 3, false),
+    ("r6_template_notes", 2, true),
+    ("notes_end_to_end", 2, true),
+    ("m8_dedup_minhash", 8, false),
+    ("agg_pricing_summary", 1, false),
+    ("join_star_schema", 2, false))
+
+  expected.foreach { case (name, maxExchanges, allowBnlj) =>
+    test(s"$name: no cartesian, bounded shuffles (≤$maxExchanges)") {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"CartesianProduct in $name")
+      if (!allowBnlj)
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"BroadcastNestedLoopJoin in $name")
+      val n = shuffles(p)
+      assert(n <= maxExchanges,
+        s"$name shuffle exchanges grew: $n > $maxExchanges")
+      info(s"$name: $n shuffle exchanges")
+    }
+  }
+}
