@@ -309,9 +309,17 @@ object Dedup {
     * Selection rides TopKPerKey (partial+final: ≤ 1 row per cluster per
     * task crosses the exchange — never a per-cluster sort); the size
     * count is one grouped aggregation; both joins key on cluster_id.
-    * Singleton clusters keep their only member by construction. */
+    * Singleton clusters keep their only member by construction.
+    *
+    * Docs with NO quality row score -∞ (left join + coalesce) instead of
+    * vanishing: every input doc appears in the verdict output, and a
+    * cluster whose members all lack scores still keeps its smallest id —
+    * a missing upstream score must surface as a low-priority doc, not as
+    * a silently dropped cluster. */
   def clusterSurvivors(clusters: DataFrame, quality: DataFrame): DataFrame = {
-    val scored = clusters.join(quality, Seq("doc_id"))
+    val scored = clusters.join(quality, Seq("doc_id"), "left")
+      .withColumn("score",
+        coalesce(col("score"), lit(Double.NegativeInfinity)))
     val winners = graft.plans.GraftOps.topKPerKey(scored,
         Seq(col("cluster_id")), Seq(col("score").desc, col("doc_id")), 1)
       .select(col("cluster_id"), col("doc_id").as("survivor_id"))

@@ -47,7 +47,19 @@ object GraftOps {
     * are preserved. Not a global cut (a key spread over t tasks keeps up
     * to t×k rows); use where the point is bounding per-task work for hot
     * keys without forcing a shuffle, e.g. capping LSH bucket fan-in on a
-    * scan that a broadcast join consumes in place. */
+    * scan that a broadcast join consumes in place.
+    *
+    * CAVEAT — the per-task cap is itself best-effort, not a hard bound:
+    * past `spark.graft.topk.maxKeysInMemory` distinct keys in one task,
+    * the partial operator flushes its heaps (the same degrade-to-
+    * passthrough a partial hash agg does) and starts fresh, so a key can
+    * emit up to k rows per flush window. With no final operator after an
+    * exchange to re-cut, that superset reaches the consumer. This is the
+    * deliberate trade — the alternative is an OOM or a forced shuffle —
+    * but it means: use this only where the cap is a performance bound
+    * (candidate limiting), never where >k rows per key per task would be
+    * a correctness error. Raise `maxKeysInMemory` if the flush metric
+    * fires on a workload where the cap matters. */
   def capPerKeyLocal(df: DataFrame, keys: Seq[Column], order: Seq[Column],
                      k: Int): DataFrame = {
     require(k > 0, s"capPerKeyLocal: k must be positive, got $k")

@@ -152,16 +152,25 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
           drainHeaps().foreach(r => sorter.insertRow(toUnsafe(r)))
           while (iter.hasNext) sorter.insertRow(toUnsafe(iter.next()))
           val sorted = sorter.sort()
+          // Group changes are detected with the SAME generated ordering
+          // the sort used (comparator equality on the key prefix), not
+          // UnsafeRow byte equality: keys that compare equal but differ
+          // in bytes would interleave within one sorted run and a
+          // byte-equality cut would reset `emitted` mid-group, emitting
+          // more than k rows for that key.
+          val keyGroupOrd: Ordering[InternalRow] = GenerateOrdering.generate(
+            keyExprs.map(SortOrder(_, Ascending)), childOutput)
           new scala.collection.AbstractIterator[InternalRow] {
-            private var curKey: UnsafeRow = null
+            private var curRow: UnsafeRow = null
             private var emitted = 0
             private var ready: InternalRow = null
             override def hasNext: Boolean = {
               while (ready == null && sorted.hasNext) {
                 val r = sorted.next()
-                val key = keyProj(r)
-                if (curKey == null || key != curKey) {
-                  curKey = key.copy(); emitted = 0
+                if (curRow == null || keyGroupOrd.compare(r, curRow) != 0) {
+                  // the sorter's iterator reuses its row buffer — copy the
+                  // group's first row to compare later rows against
+                  curRow = toUnsafe(r).copy(); emitted = 0
                 }
                 if (emitted < limit) { emitted += 1; ready = r }
               }

@@ -296,10 +296,15 @@ object DedupQueries extends QueryModule {
        |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8""".stripMargin
 
   /** Embedding-cosine near-dups via portable hyperplane-LSH blocking
-    * (8 md5-derived ±1 hyperplanes over 64 dims). */
+    * (8 md5-derived ±1 hyperplanes over 64 dims). The hot-bucket cap is
+    * explicitly DISABLED here: the oracle enumerates every same-bucket
+    * pair, so a default cap would silently diverge the moment a bucket
+    * exceeds it — the capped scale path is covered by unit specs
+    * instead. */
   private def embedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(Tables.spread(Tables.embeddings(s, dir)), col("vec_id"),
-      col("embedding"), minCosine = 0.4, planes = 8, portable = true, dim = 64)
+      col("embedding"), minCosine = 0.4, planes = 8, portable = true, dim = 64,
+      maxBucket = Int.MaxValue)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
 
   private val embeddingSql = {

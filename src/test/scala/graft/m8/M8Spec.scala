@@ -127,6 +127,20 @@ class M8Spec extends SparkSpec {
     assert(out(9L) == (true, 9L, 1L))
   }
 
+  test("cluster survivors: docs without quality rows rank last, never vanish") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L),  // doc 2 has no quality row → doc 1 survives
+      (5L, 5L), (6L, 5L))  // NO member has quality → min id survives
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 3L)).toDF("doc_id", "score")
+    val out = Dedup.clusterSurvivors(clusters, quality)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.size == 4, s"verdict dropped docs: ${out.keySet}")
+    assert(out(1L) == (true, 1L, 2L) && out(2L) == (false, 1L, 2L))
+    assert(out(5L) == (true, 5L, 2L) && out(6L) == (false, 5L, 2L))
+  }
+
   test("embedding pairs: hot bucket is capped, no quadratic row count") {
     // 100 identical vectors land in ONE hyperplane bucket (plus 20
     // scattered others) — uncapped that bucket alone yields C(100,2) =
