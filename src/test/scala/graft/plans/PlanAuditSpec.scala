@@ -37,7 +37,13 @@ class PlanAuditSpec extends SparkSpec {
     ("notes_end_to_end", 2, true),
     ("m8_dedup_minhash", 8, false),
     ("agg_pricing_summary", 1, false),
-    ("join_star_schema", 2, false))
+    ("join_star_schema", 2, false),
+    // m8_corpus_pipeline broadcast-cross-joins its 1-row quality
+    // threshold — the sanctioned BNLJ pattern
+    ("m8_corpus_pipeline", 6, true),
+    ("m8_dedup_embedding", 0, false),
+    ("m8_sample_mix", 0, false),
+    ("m8_substring_dedup", 2, false))
 
   expected.foreach { case (name, maxExchanges, allowBnlj) =>
     test(s"$name: no cartesian, bounded shuffles (≤$maxExchanges)") {
