@@ -160,4 +160,40 @@ object Sampling {
         .withColumn("mix_source", lit(name))
     }.reduce(_ unionByName _)
   }
+
+  /** Temperature-flattened source mix — the multilingual-pretraining
+    * rebalance: subsample source s at rate r_s = (n_min / n_s)^(1-α),
+    * so the kept distribution follows p_s ∝ n_s^α. α = 1 keeps every
+    * row; α → 0 equalizes source counts; the rarest source always keeps
+    * everything (this operator subsamples, like [[weightedMix]] —
+    * upsampling/repetition belongs to the training loop).
+    *
+    * Plan shape at 100 TB: one grouped count (map-side partial) over the
+    * source column, the per-source rate frame (|sources| rows) broadcast
+    * back, and a map-side integer threshold compare — the corpus itself
+    * never shuffles and the selection stays stable/replayable under the
+    * same (salt, key) contract as every sampler here.
+    *
+    * Engine-exactness: at α = 0.5 the rate is sqrt(n_min/n_s); IEEE
+    * division and sqrt are correctly rounded in every engine, so the
+    * integer threshold (one floor of one product) is bit-identical and
+    * the selection fully oracle-replayable. Other α go through pow(),
+    * whose last-ulp behavior is implementation-defined — fine at scale,
+    * but the oracle-gated query pins α = 0.5. */
+  def temperatureMix(df: DataFrame, source: Column, key: Column,
+                     alpha: Double, salt: String): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha: $alpha")
+    val counts = df.groupBy(source.as("mix_source"))
+      .agg(count(lit(1)).as("_n_s"))
+    val nMin = counts.agg(min(col("_n_s")).as("_n_min"))
+    val ratio = col("_n_min").cast("double") / col("_n_s").cast("double")
+    val rate = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
+    val thr = counts.crossJoin(broadcast(nMin))
+      .select(col("mix_source"),
+        floor(rate * lit(HashSpace.toDouble)).cast("long").as("_thr"))
+    df.withColumn("mix_source", source)
+      .join(broadcast(thr), Seq("mix_source"))
+      .filter(coord(key, salt) < col("_thr"))
+      .drop("_thr")
+  }
 }

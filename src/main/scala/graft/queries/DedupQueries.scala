@@ -326,6 +326,69 @@ object DedupQueries extends QueryModule {
        |WHERE cosine >= 0.4""".stripMargin
   }
 
+  /** SemDeDup-style SEMANTIC dedup end-to-end: embedding near-dup pairs
+    * (portable hyperplane LSH + cosine ≥ 0.4) → connected components →
+    * exactly one survivor per semantic cluster. The quality proxy is a
+    * deterministic integer draw (vec_id mod 97), so survivor choice never
+    * rides a float ordering across engines; the oracle replays LSH
+    * bucketing, the pair threshold, the recursive-CTE closure, and the
+    * arg-max. This is the composition a training corpus runs when "the
+    * same content, re-phrased" must collapse, not just byte twins. */
+  private def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.spread(Tables.embeddings(s, dir))
+    val pairs = Dedup.embeddingPairs(emb, col("vec_id"), col("embedding"),
+        minCosine = 0.4, planes = 8, portable = true, dim = 64,
+        maxBucket = Int.MaxValue)
+      .select(col("id_a"), col("id_b"))
+    val cc = graft.ops.ConnectedComponents.run(pairs)
+    val clusters = emb.select(col("vec_id").as("doc_id"))
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val quality = emb.select(col("vec_id").as("doc_id"),
+      (col("vec_id") % 97).as("score"))
+    Dedup.clusterSurvivors(clusters, quality)
+  }
+
+  private val semanticDedupSql = {
+    val bucket = OracleVectors.bucketSql(planes = 8, dim = 64)
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |cand AS (
+       |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.v AS v_a, b2.v AS v_b
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM cand
+       |  WHERE list_inner_product(v_a, v_b) /
+       |      (sqrt(list_inner_product(v_a, v_a)) *
+       |       sqrt(list_inner_product(v_b, v_b))) >= 0.4),
+       |ed AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |       UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT u, v FROM ed
+       |  UNION
+       |  SELECT r.u, ed.v FROM reach r JOIN ed ON r.v = ed.u),
+       |cc AS (
+       |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+       |  FROM reach GROUP BY u),
+       |cl AS (
+       |  SELECT e.vec_id AS doc_id, COALESCE(c.cluster_id, e.vec_id) AS cluster_id
+       |  FROM e LEFT JOIN cc c ON c.doc_id = e.vec_id),
+       |q AS (SELECT vec_id AS doc_id, vec_id % 97 AS score FROM embeddings),
+       |win AS (
+       |  SELECT cluster_id, doc_id AS survivor_id FROM (
+       |    SELECT cluster_id, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |                         ORDER BY score DESC, doc_id) AS rn
+       |    FROM cl JOIN q USING (doc_id)) WHERE rn = 1),
+       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cl GROUP BY 1)
+       |SELECT cl.doc_id, cl.cluster_id,
+       |  cl.doc_id = w.survivor_id AS keep, w.survivor_id, sz.cluster_size
+       |FROM cl JOIN win w USING (cluster_id) JOIN sz USING (cluster_id)""".stripMargin
+  }
+
   /** Dedup by canonical URL (the reference's own dedup key, F12+A1):
     * tracking-param variants of the same posting collapse to one survivor. */
   private def canonicalUrlDedup(s: SparkSession, dir: String): DataFrame = {
@@ -356,6 +419,7 @@ object DedupQueries extends QueryModule {
     "m8_dedup_embedding"     -> embedding _,
     "m8_dedup_incremental"   -> incremental _,
     "m8_signature_store"     -> signatureStore _,
+    "m8_semantic_dedup"      -> semanticDedup _,
     "m8_graph_triangles"     -> triangles _,
     "m8_dedup_clusters"      -> clusters _,
     "m8_dedup_survivors"     -> survivors _)
@@ -369,6 +433,7 @@ object DedupQueries extends QueryModule {
     "m8_dedup_embedding"     -> embeddingSql,
     "m8_dedup_incremental"   -> incrementalSql,
     "m8_signature_store"     -> incrementalSql,
+    "m8_semantic_dedup"      -> semanticDedupSql,
     "m8_graph_triangles"     -> trianglesSql,
     "m8_dedup_clusters"      -> clustersSql,
     "m8_dedup_survivors"     -> survivorsSql)

@@ -45,6 +45,39 @@ object SamplingQueries extends QueryModule {
        |       ELSE 'test' END AS split
        |FROM documents""".stripMargin
 
+  /** Temperature rebalance (α = 0.5) over the corpus's NATURAL language
+    * skew: per-language keep rates are data-dependent —
+    * sqrt(n_min/n_lang) — so the kept distribution follows p ∝ n^0.5
+    * (rarest language keeps all rows). sqrt/division are IEEE-correctly
+    * rounded in both engines, so the integer thresholds and therefore
+    * every selection decision replay exactly. */
+  private def temperature(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val kept = Sampling.temperatureMix(d, col("lang"), col("doc_id"),
+        alpha = 0.5, salt = "temp")
+      .groupBy("mix_source").agg(count(lit(1)).as("n_kept"))
+    d.groupBy(col("lang").as("mix_source")).agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("mix_source"), "left")
+      .select(col("mix_source"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  private val temperatureSql =
+    s"""WITH n AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY 1),
+       |m AS (SELECT MIN(n_s) AS n_min FROM n),
+       |thr AS (
+       |  SELECT lang,
+       |    CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_s AS DOUBLE)) *
+       |      1152921504606846976.0) AS BIGINT) AS t
+       |  FROM n CROSS JOIN m),
+       |kept AS (
+       |  SELECT d.lang, COUNT(*) AS n_kept
+       |  FROM documents d JOIN thr ON d.lang = thr.lang
+       |  WHERE ${coordSql("temp")} < thr.t GROUP BY 1)
+       |SELECT n.lang AS mix_source, n.n_s AS n_total,
+       |  COALESCE(k.n_kept, 0) AS n_kept
+       |FROM n LEFT JOIN kept k ON n.lang = k.lang""".stripMargin
+
   /** Weighted three-source corpus mix with provenance tags. */
   private def mix(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
@@ -164,6 +197,7 @@ object SamplingQueries extends QueryModule {
     "m8_sample_stratified" -> stratified _,
     "m8_split_assign"      -> split _,
     "m8_sample_mix"        -> mix _,
+    "m8_temperature_mix"   -> temperature _,
     "m8_cap_per_source"    -> cap _)
 
   def oracles: Map[String, String] = Map(
@@ -172,5 +206,6 @@ object SamplingQueries extends QueryModule {
     "m8_sample_stratified" -> stratifiedSql,
     "m8_split_assign"      -> splitSql,
     "m8_sample_mix"        -> mixSql,
+    "m8_temperature_mix"   -> temperatureSql,
     "m8_cap_per_source"    -> capSql)
 }

@@ -98,6 +98,28 @@ class SamplingSpec extends SparkSpec {
     assert(out.map(t => t._1 -> t._4).toMap == again, "stable across runs")
   }
 
+  test("temperatureMix flattens toward n^alpha, rarest source keeps all") {
+    // sources sized 1000 / 250 / 40: at alpha=0.5 expected keep rates are
+    // sqrt(40/n) → 0.2, 0.4, 1.0
+    val df = ((0L until 1000L).map(i => (i, "big")) ++
+      (1000L until 1250L).map(i => (i, "mid")) ++
+      (1250L until 1290L).map(i => (i, "rare"))).toDF("id", "src")
+    val out = Sampling.temperatureMix(df, col("src"), col("id"), 0.5, "t")
+      .groupBy("mix_source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("rare") == 40L, s"rarest source must keep all: $out")
+    assert(math.abs(out("big") / 1000.0 - 0.2) < 0.05, s"big: $out")
+    assert(math.abs(out("mid") / 250.0 - 0.4) < 0.1, s"mid: $out")
+    // deterministic: same draw on re-run
+    val again = Sampling.temperatureMix(df, col("src"), col("id"), 0.5, "t")
+      .groupBy("mix_source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == out)
+    // alpha = 1 keeps everything
+    val all = Sampling.temperatureMix(df, col("src"), col("id"), 1.0, "t").count()
+    assert(all == 1290L)
+  }
+
   test("weightedMix caps rates at 1, tags provenance, never duplicates") {
     val s1 = (0L until 500L).toDF("id")
     val s2 = (500L until 1000L).toDF("id")
