@@ -613,7 +613,48 @@ object EtlQueries extends QueryModule {
       |  MIN(r_id) AS best_r_id, CAST(MIN(dist) AS INT) AS best_dist
       |FROM scored WHERE dist <= 1 GROUP BY 1, 2""".stripMargin
 
+  /** V4 (beyond the reference's V1-V3 audit ops): the data-quality
+    * constraint report an ETL engine runs before promoting a load —
+    * null/blank counts, duplicate candidate keys, referential orphans,
+    * range constraints — all as in-band (check, n_violations) rows from
+    * [[graft.ops.Quality]]. Violations are PLANTED with modular
+    * arithmetic so the oracle recomputes every count in closed form
+    * (the synthetic tables themselves are clean — a report of zeros
+    * would gate nothing). */
+  private def v4QualityReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Quality
+    val k = col("o_orderkey")
+    val dirty = Tables.spread(Tables.orders(s, dir)).select(
+      when(k % 13 === 0, lit(null).cast("long")).otherwise(k).as("okey"),
+      when(k % 7 === 0, lit("")).otherwise(concat(lit("c"), k % 50)).as("cat"),
+      (k % 1000).as("ref"),
+      when(k % 11 === 0, lit(-1.0)).otherwise(lit(5.0)).as("amount"))
+    val parent = Tables.orders(s, dir).select((k % 500).as("pkey"))
+    Quality.report(Seq(
+      Quality.nullReport(dirty, Seq("okey", "cat")),
+      Quality.duplicateKeys(dirty, Seq(col("ref")), "ref_mod1000"),
+      Quality.referentialOrphans(dirty, col("ref"), parent, col("pkey"),
+        "ref_to_parent"),
+      Quality.constraintViolations(dirty, col("amount") >= 0, "amount_nonneg")))
+  }
+
+  private val v4Sql =
+    """SELECT * FROM (
+      |  SELECT 'null_or_blank:okey' AS "check",
+      |    COUNT(CASE WHEN o_orderkey % 13 = 0 THEN 1 END) AS n_violations
+      |  FROM orders
+      |  UNION ALL SELECT 'null_or_blank:cat',
+      |    COUNT(CASE WHEN o_orderkey % 7 = 0 THEN 1 END) FROM orders
+      |  UNION ALL SELECT 'duplicate_key:ref_mod1000',
+      |    COUNT(*) - COUNT(DISTINCT o_orderkey % 1000) FROM orders
+      |  UNION ALL SELECT 'orphans:ref_to_parent',
+      |    COUNT(CASE WHEN o_orderkey % 1000 >= 500 THEN 1 END) FROM orders
+      |  UNION ALL SELECT 'constraint:amount_nonneg',
+      |    COUNT(CASE WHEN o_orderkey % 11 = 0 THEN 1 END) FROM orders)
+      |ORDER BY "check"""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v4_quality_report"  -> v4QualityReport _,
     "join_fuzzy_names"   -> joinFuzzyNames _,
     "f9_strip_emojis"    -> f9StripEmojis _,
     "p7_take_batch"      -> p7TakeBatch _,
@@ -641,6 +682,7 @@ object EtlQueries extends QueryModule {
     "w3_latest_wins"         -> w3LatestWins _)
 
   def oracles: Map[String, String] = Map(
+    "v4_quality_report"  -> v4Sql,
     "join_fuzzy_names"   -> joinFuzzyNamesSql,
     "f9_strip_emojis"    -> f9Sql,
     "p7_take_batch"      -> p7Sql,
