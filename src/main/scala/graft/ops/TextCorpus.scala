@@ -222,6 +222,51 @@ object TextCorpus {
       .limit(k)
   }
 
+  /** Exact corpus-wide heavy hitters (the vocabulary/stopword question)
+    * by the TWO-PASS Misra-Gries shape: pass 1 runs a bounded MG sketch
+    * per partition (`capacity` counters, decrement-all on overflow —
+    * amortized O(1) per token, memory O(capacity) regardless of
+    * vocabulary size); the union of per-partition candidates is itself
+    * an MG summary, so it retains every token with global frequency
+    * > n/capacity. Pass 2 exactly recounts ONLY the candidates (a
+    * key-only semi-join — the vocabulary-wide groupBy a naive top-k
+    * would pay never happens) and cuts the top k by (count desc, token).
+    *
+    * The result is EXACT, not approximate, whenever each true top-k
+    * token's frequency exceeds n/capacity — size `capacity ≫ k` (the
+    * default gives 1024 counters per task for a top-20 ask, a ~50×
+    * margin on natural-language skew) and the sketch is a candidate
+    * filter, never the reported number. */
+  def heavyHitters(docs: DataFrame, text: Column, k: Int,
+                   capacity: Int = 1024): DataFrame = {
+    require(k > 0 && capacity >= k, s"heavyHitters($k, $capacity)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tokens = docs
+      .select(explode(split(trim(coalesce(text, lit(""))), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+    val candidates = tokens.as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { tok =>
+        if (counts.contains(tok)) counts(tok) += 1
+        else if (counts.size < capacity) counts(tok) = 1L
+        else {
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          counts.keysIterator.foreach { key =>
+            if (counts(key) == 1L) dead += key
+          }
+          counts.mapValuesInPlace((_, v) => v - 1)
+          dead.foreach(counts.remove)
+        }
+      }
+      counts.keysIterator
+    }.toDF("tok").distinct()
+    tokens.join(candidates, Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(k)
+  }
+
   /** Top-k keywords per document by TF-IDF (tf × ln(N/df), raw counts).
     * Rank order is (tfidf DESC, word ASC); tfidf is rounded to 6 decimals
     * BEFORE ranking so the ordering an external verifier computes from the

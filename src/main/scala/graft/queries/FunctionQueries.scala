@@ -140,7 +140,24 @@ object FunctionQueries extends QueryModule {
       |  TRUE AS within_bound
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Z-order (Morton) clustering key over (customer, order) — the
+    * 2-D lake-layout sort key; the oracle expands the identical
+    * shift/mask pipeline, so every interleaved bit is hash-compared. */
+  private def zorderKey(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ZOrderFns
+    Tables.orders(s, dir).select(col("o_orderkey"),
+      ZOrderFns.zorder16(col("o_custkey"), col("o_orderkey") % 65536)
+        .as("zkey"))
+  }
+
+  private val zorderKeySql =
+    s"""SELECT o_orderkey,
+       |  ${graft.functions.ZOrderFns.zorderSql("o_custkey", "(o_orderkey % 65536)")}
+       |    AS zkey
+       |FROM orders""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_zorder_key"    -> zorderKey _,
     "agg_approx_percentile" -> approxPercentile _,
     "agg_percentile"   -> percentiles _,
     "fn_date"          -> dateFns _,
@@ -149,6 +166,7 @@ object FunctionQueries extends QueryModule {
     "fn_typed_dataset" -> typedDataset _)
 
   def oracles: Map[String, String] = Map(
+    "fn_zorder_key"    -> zorderKeySql,
     "agg_approx_percentile" -> approxPercentileSql,
     "agg_percentile"   -> percentilesSql,
     "fn_date"          -> dateFnsSql,

@@ -234,7 +234,24 @@ object TextQueries extends QueryModule {
       |      '\s+', ' ', 'g'))) AS norm_md5
       |FROM documents""".stripMargin
 
+  /** Corpus-wide top-20 tokens via the two-pass Misra-Gries shape
+    * ([[TextCorpus.heavyHitters]]): the per-partition sketch only
+    * nominates candidates; the reported counts are an exact recount, so
+    * the oracle's brute-force vocabulary scan must agree row for row. */
+  private def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextCorpus.heavyHitters(Tables.spread(Tables.documents(s, dir)),
+      col("text"), k = 20)
+
+  private val heavyHittersSql =
+    """SELECT tok, cnt FROM (
+      |  SELECT tok, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |    FROM documents WHERE trim(text) <> '')
+      |  WHERE tok <> '' GROUP BY 1)
+      |ORDER BY cnt DESC, tok LIMIT 20""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_heavy_hitters"    -> heavyHitters _,
     "m8_text_normalize"   -> textNormalize _,
     "m8_length_histogram" -> lengthHistogram _,
     "m8_token_count"      -> tokenCount _,
@@ -247,6 +264,7 @@ object TextQueries extends QueryModule {
     "m8_tfidf_keywords"   -> tfidfKeywords _)
 
   def oracles: Map[String, String] = Map(
+    "m8_heavy_hitters"    -> heavyHittersSql,
     "m8_text_normalize"   -> textNormalizeSql,
     "m8_length_histogram" -> lengthHistogramSql,
     "m8_token_count"      -> tokenCountSql,

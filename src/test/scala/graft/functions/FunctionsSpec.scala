@@ -219,4 +219,23 @@ class FunctionsSpec extends SparkSpec {
       .collect()(0).getString(0)
     assert(r == "parse:{provider=gh-api, signals=jsonld-org}")
   }
+
+  test("zorder16: exact interleave on known values, tile locality") {
+    import graft.functions.ZOrderFns
+    val rows = Seq((3L, 1L), (0L, 5L), (0xFFFFL, 0xFFFFL), (21L, 0L))
+      .toDF("x", "y")
+      .select(ZOrderFns.zorder16(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    // spread(3)=0b101=5, spread(1)<<1=2 → 7; spread(5)=0b10001=17 → 34;
+    // full 16+16 bits → 2^32-1; spread(21)=0b100010001=273
+    assert(rows.toSeq == Seq(7L, 34L, 4294967295L, 273L))
+    // tile locality: the key's high bits are the interleave of the
+    // coordinates' high bits, so a 16×16 tile shares zkey >> 8
+    val tile = (for (x <- 16 until 32; y <- 48 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+      .select((ZOrderFns.zorder16(col("x"), col("y"))
+        .cast("long") / 256).cast("long").as("hi"))
+      .distinct().collect()
+    assert(tile.length == 1, s"16x16 tile spans ${tile.length} zkey>>8 prefixes")
+  }
 }

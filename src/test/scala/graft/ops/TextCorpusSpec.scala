@@ -84,6 +84,28 @@ class TextCorpusSpec extends SparkSpec {
     assert(out(5) == (1L, 0L, 0.0))      // whole-doc fallback window
   }
 
+  test("heavyHitters: two-pass MG equals brute-force top-k, tiny capacity") {
+    // skewed corpus: 'the' ×300, 'of' ×200, 'and' ×120 spread across many
+    // docs, plus 500 unique noise tokens — capacity 8 forces constant
+    // decrement-all overflow in pass 1, yet the recount must stay exact
+    val docs = ((0 until 100).map(i => (i.toLong, "the the the of of and")) ++
+      (100 until 120).map(i => (i.toLong, "and the of noise" + i)) ++
+      (120 until 600).map(i => (i.toLong, s"uniq${i}a uniq${i}b uniq${i}c")))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextCorpus.heavyHitters(docs, col("text"), k = 3,
+        capacity = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val brute = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").count()
+      .orderBy(col("count").desc, col("tok"))
+      .limit(3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == brute, s"MG $got vs brute $brute")
+    assert(got == Seq(("the", 320L), ("of", 220L), ("and", 120L)))
+  }
+
   test("tfidf of a word present in every document is exactly zero") {
     val docs = Seq((1L, "x y"), (2L, "x z")).toDF("doc_id", "text")
     val r = TextCorpus.tfidfTopK(docs, col("doc_id"), col("text"), k = 3)
