@@ -458,19 +458,28 @@ object StarQueries extends QueryModule {
       |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
       |  FROM orders) t WHERE rn <= 2""".stripMargin
 
-  /** Approximate sketches (HLL++): no DuckDB oracle (different sketch),
-    * error bound vs exact asserted inside the query itself so the rows
-    * check is meaningful. */
+  /** Approximate sketches (HLL++): a foreign engine cannot hash-match the
+    * sketch VALUE (different sketch internals by design), so the emitted
+    * columns are the engine-exact ones — the exact distinct count and a
+    * `within_bound` verdict comparing the sketch against it in-query.
+    * The oracle recomputes the exact count and expects the verdict TRUE,
+    * which puts the sketch's error contract itself on the hash gate: an
+    * out-of-bound estimate flips the boolean and the compare fails. */
   private def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.lineitem(s, dir))
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
-      .withColumn("rel_err",
+      .withColumn("within_bound",
         abs(col("approx_orders") - col("exact_orders")).cast("double") /
-          col("exact_orders"))
-      .filter(col("rel_err") < 0.05)
+          col("exact_orders") < 0.05)
+      .select("l_returnflag", "exact_orders", "within_bound")
+
+  private val aggApproxDistinctSql =
+    """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  true AS within_bound
+      |FROM lineitem GROUP BY 1""".stripMargin
 
   /** Two-phase salted aggregation over the 3-value (maximally skewed)
     * return-flag key: salt → partial per (key, salt) → merge per key.
@@ -641,6 +650,7 @@ object StarQueries extends QueryModule {
     "date_trunc_revenue"  -> dateTruncRevenue _)
 
   def oracles: Map[String, String] = Map(
+    "agg_approx_distinct" -> aggApproxDistinctSql,
     "agg_salted_skew"     -> aggSaltedSkewSql,
     "join_salted_skew"    -> joinSaltedSkewSql,
     "agg_corr"            -> aggCorrSql,

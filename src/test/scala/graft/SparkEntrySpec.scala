@@ -36,8 +36,8 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("only the approximate sketch runs without an oracle") {
+  test("every query is oracle-gated (the sketch gates its error contract)") {
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(unoracled == Set("agg_approx_distinct"), unoracled.toString)
+    assert(unoracled.isEmpty, s"queries without oracles: $unoracled")
   }
 }

@@ -11,10 +11,9 @@ class StarQueriesSpec extends SparkSpec {
     }
   }
 
-  test("every star query has an oracle (sketches rows-only by design)") {
+  test("every star query has an oracle (the sketch gates its error bound)") {
     assert(StarQueries.oracles.keySet.subsetOf(StarQueries.all.keySet))
-    assert(StarQueries.all.keySet -- StarQueries.oracles.keySet ==
-      Set("agg_approx_distinct"))
+    assert(StarQueries.all.keySet == StarQueries.oracles.keySet)
   }
 
   test("pricing summary groups are the 6 flag/status combos") {
