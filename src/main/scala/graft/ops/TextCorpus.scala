@@ -222,6 +222,34 @@ object TextCorpus {
       .limit(k)
   }
 
+  /** Overlapping token-window chunking — the document → training-sample
+    * (or RAG-passage) splitter: each doc yields windows of `chunkTokens`
+    * tokens starting every `strideTokens` (stride < chunk ⇒ overlap;
+    * the last window is the remainder, never dropped). Pure column
+    * arithmetic — `sequence` over starts, `slice` per window, one
+    * explode — so chunking is codegen'd, shuffle-free, and the
+    * (doc_id, chunk_index, offset) provenance rides every chunk for
+    * exact reassembly or span-level dedup downstream. Empty docs yield
+    * no chunks. */
+  def chunkDocuments(docs: DataFrame, id: Column, text: Column,
+                     chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 &&
+      strideTokens <= chunkTokens, s"($chunkTokens, $strideTokens)")
+    val toks = split(trim(coalesce(text, lit(""))), "\\s+")
+    val n = when(trim(coalesce(text, lit(""))) === "", lit(0))
+      .otherwise(size(toks))
+    docs.select(id.as("doc_id"), toks.as("_t"), n.as("_n"))
+      .filter(col("_n") > 0)
+      .select(col("doc_id"), col("_t"), col("_n"),
+        posexplode(sequence(lit(0), col("_n") - 1, lit(strideTokens))))
+      .withColumnRenamed("pos", "chunk_index")
+      .withColumnRenamed("col", "offset")
+      .select(col("doc_id"), col("chunk_index"), col("offset"),
+        least(lit(chunkTokens), col("_n") - col("offset")).as("n_tokens"),
+        concat_ws(" ", slice(col("_t"), col("offset") + 1, lit(chunkTokens)))
+          .as("chunk"))
+  }
+
   /** Exact corpus-wide heavy hitters (the vocabulary/stopword question)
     * by the TWO-PASS Misra-Gries shape: pass 1 runs a bounded MG sketch
     * per partition (`capacity` counters, decrement-all on overflow —

@@ -250,7 +250,29 @@ object TextQueries extends QueryModule {
       |  WHERE tok <> '' GROUP BY 1)
       |ORDER BY cnt DESC, tok LIMIT 20""".stripMargin
 
+  /** Overlapping 32-token chunks every 24 tokens (25% overlap) with
+    * (doc_id, chunk_index, offset) provenance — the doc → training-sample
+    * splitter, pure column arithmetic ([[TextCorpus.chunkDocuments]]). */
+  private def chunkDocs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextCorpus.chunkDocuments(Tables.spread(Tables.documents(s, dir)),
+      col("doc_id"), col("text"), chunkTokens = 32, strideTokens = 24)
+
+  private val chunkDocsSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents WHERE trim(text) <> ''),
+      |s AS (
+      |  SELECT doc_id, t, len(t) AS n,
+      |    unnest(generate_series(0, len(t) - 1, 24)) AS off
+      |  FROM d)
+      |SELECT doc_id, CAST(off // 24 AS INT) AS chunk_index,
+      |  CAST(off AS INT) AS offset,
+      |  CAST(LEAST(32, n - off) AS INT) AS n_tokens,
+      |  array_to_string(t[off + 1 : off + 32], ' ') AS chunk
+      |FROM s""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_chunk_documents"  -> chunkDocs _,
     "m8_heavy_hitters"    -> heavyHitters _,
     "m8_text_normalize"   -> textNormalize _,
     "m8_length_histogram" -> lengthHistogram _,
@@ -264,6 +286,7 @@ object TextQueries extends QueryModule {
     "m8_tfidf_keywords"   -> tfidfKeywords _)
 
   def oracles: Map[String, String] = Map(
+    "m8_chunk_documents"  -> chunkDocsSql,
     "m8_heavy_hitters"    -> heavyHittersSql,
     "m8_text_normalize"   -> textNormalizeSql,
     "m8_length_histogram" -> lengthHistogramSql,

@@ -84,6 +84,29 @@ class TextCorpusSpec extends SparkSpec {
     assert(out(5) == (1L, 0L, 0.0))      // whole-doc fallback window
   }
 
+  test("chunkDocuments: overlap, remainder tail, reassembly, empty docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                     // shorter than chunk
+      (3L, ""), (4L, "   "))                           // no chunks
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextCorpus.chunkDocuments(docs, col("doc_id"),
+        col("text"), chunkTokens = 4, strideTokens = 3)
+      .orderBy("doc_id", "chunk_index").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val d1 = out.filter(_._1 == 1L)
+    // starts 0,3,6,9: windows of 4, last is the 1-token remainder
+    assert(d1.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 1)))
+    assert(d1(0)._5 == "w1 w2 w3 w4" && d1(1)._5 == "w4 w5 w6 w7" &&
+      d1(3)._5 == "w10")
+    // overlap: consecutive chunks share chunk-stride tokens
+    assert(d1(0)._5.split(" ").last == d1(1)._5.split(" ").head)
+    assert(out.filter(_._1 == 2L).toSeq.map(c => (c._2, c._4, c._5)) ==
+      Seq((0, 2, "a b")))
+    assert(!out.exists(c => c._1 == 3L || c._1 == 4L), "blank docs chunk to nothing")
+  }
+
   test("heavyHitters: two-pass MG equals brute-force top-k, tiny capacity") {
     // skewed corpus: 'the' ×300, 'of' ×200, 'and' ×120 spread across many
     // docs, plus 500 unique noise tokens — capacity 8 forces constant
