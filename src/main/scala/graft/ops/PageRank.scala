@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed PageRank over an arbitrary directed edge set — the graph
+  * centrality ranking a crawl/corpus pipeline uses to weight sources
+  * (which hosts/documents are authoritative enough to keep at a higher
+  * sampling temperature) and the third member of the engine's graph
+  * family next to triangle counting and connected components
+  * ([[ConnectedComponents]]).
+  *
+  * Arithmetic is FIXED-POINT: ranks are longs scaled by [[PageRank.Scale]]
+  * and every step is integer multiply/divide, so the result is
+  * bit-identical on any partitioning/topology (a double-valued PageRank
+  * sums contributions in shuffle order and never replays exactly; these
+  * longs are order-free) — which is what puts an iterative numeric
+  * operator on the DuckDB hash-compare gate at all. Total mass is ≤
+  * `Scale` (1e12) by construction, so per-node contribution sums can
+  * never overflow a long even at billions of nodes.
+  *
+  * Per iteration the work is ONE new exchange — the `groupBy(dst)`
+  * partial+final contribution aggregate — plus a 1-row scalar read:
+  *   - contributions: `edges ⋈ ranks` on src. The persisted edge set is
+  *     already hash-partitioned on src (its build join keyed on src) and
+  *     each round's ranks come out of the merge join partitioned on the
+  *     node key, so the join itself adds no exchange; out-degree is
+  *     pre-merged into the edge set, so no per-iteration deg join.
+  *   - dangling mass: nodes with no out-edges tax their whole rank back
+  *     into the uniform pool (without this, sink nodes drain mass every
+  *     round). The sink flag rides the rank relation, so this is a
+  *     filter + 1-row aggregate over the round's checkpoint — no join.
+  *   - merge: `nodes ⟕ contributions`, node-hash vs dst-hash partitioned
+  *     — co-partitioned, no new exchange.
+  * Each round ends in an eager `localCheckpoint` (same rationale as
+  * [[ConnectedComponents.run]]: the plan references the previous ranks
+  * twice, so lineage would double per round). The scalar N / dangling
+  * reads are 1-row aggregates, not data collects — the same shape as
+  * AQE's runtime statistics.
+  */
+object PageRank {
+
+  /** 1e12 fixed-point scale: rank 0.25 is stored as 250_000_000_000L. */
+  val Scale: Long = 1000000000000L
+
+  /** `edges` must have two columns (src, dst); self-loops and duplicate
+    * edges are removed. Damping is the rational `dampNum/dampDen`
+    * (default 85/100); `iterations` is fixed (no convergence test) so
+    * the computation is a pure function of the edge set. Returns
+    * (node, rank) for every node appearing in any edge, ranks summing
+    * to ≈ Scale (floor-division dust excepted). */
+  def run(edges: DataFrame, iterations: Int = 10,
+          dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iterations >= 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"bad PageRank config ($iterations, $dampNum/$dampDen)")
+    val src = col(edges.columns(0))
+    val dst = col(edges.columns(1))
+    val e = edges.select(src.as("src"), dst.as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // out-degree merged into the edge set ONCE (and the join leaves it
+    // hash-partitioned on src — the partitioning every round reuses)
+    val edgesDeg = e.join(deg, Seq("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // node universe with a sink flag: sink = appears only as a dst
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .join(deg.select(col("src").as("node"), lit(false).as("sink")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("sink"), lit(true)).as("sink"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    if (n == 0) {
+      edgesDeg.unpersist(); nodes.unpersist()
+      return nodes.select(col("node"), lit(0L).as("rank"))
+    }
+    val tele = ((dampDen - dampNum) * Scale / dampDen) / n
+    var ranks = nodes.withColumn("rank", lit(Scale / n)).localCheckpoint()
+    for (_ <- 0 until iterations) {
+      val dangling =
+        ranks.filter(col("sink")).agg(coalesce(sum("rank"), lit(0L)))
+          .head().getLong(0)
+      val dshare = dangling / n
+      val contrib = edgesDeg.join(ranks, edgesDeg("src") === ranks("node"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("contrib"))
+      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"), col("sink"),
+          (lit(tele) + expr(
+            s"($dampNum * (coalesce(contrib, 0L) + ${dshare}L)) div $dampDen"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    edgesDeg.unpersist()
+    nodes.unpersist()
+    ranks.select("node", "rank")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.PageRank
+
+/** Graph-centrality queries over the trade graph derived from the
+  * TPC-H-ish tables: a directed bipartite edge per distinct
+  * (supplier → customer) trading relationship in `lineitem ⋈ orders`
+  * (customer keys offset by 1e6 into a disjoint node-id space).
+  * Suppliers have out-edges; customers are all sinks — which makes the
+  * dangling-mass redistribution a load-bearing part of the oracle, not
+  * a corner case.
+  *
+  * The oracle replays the ENTIRE fixed-point iteration in SQL: the
+  * 10 rounds are unrolled as chained CTEs doing the same integer
+  * multiply/floor-divide steps, so the hash compare certifies every
+  * round's arithmetic, not just a final shape.
+  */
+object GraphQueries extends QueryModule {
+
+  private val CustOffset = 1000000L
+  private val Iters = 10
+
+  /** PageRank over supplier→customer trade edges, top 20 by rank. */
+  private def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("l_suppkey").as("src"),
+        (col("o_custkey") + lit(CustOffset)).as("dst"))
+    PageRank.run(edges, iterations = Iters)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(20)
+  }
+
+  /** The unrolled-iteration oracle: r0 → r10 as chained CTEs, each round
+    * recomputing dangling share + contributions with the same integer
+    * arithmetic ([[PageRank]]: Scale=1e12, damping 85/100, floor
+    * division throughout — all values non-negative, so DuckDB's `//`
+    * and Spark's `div` agree exactly). */
+  private val pagerankSql: String = {
+    val scale = PageRank.Scale
+    val rounds = (1 to Iters).map { k =>
+      val p = k - 1
+      s"""d$k AS MATERIALIZED (
+         |  SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) // (SELECT n FROM m) AS dshare
+         |  FROM r$p r LEFT JOIN deg ON r.node = deg.src
+         |  WHERE deg.src IS NULL),
+         |r$k AS MATERIALIZED (
+         |  SELECT nd.node,
+         |    ((15 * $scale) // 100) // (SELECT n FROM m)
+         |    + (85 * (COALESCE(c.contrib, 0) + (SELECT dshare FROM d$k))) // 100 AS rank
+         |  FROM nodes nd
+         |  LEFT JOIN (
+         |    SELECT ed.dst AS cnode, CAST(SUM(r.rank // ed.outdeg) AS BIGINT) AS contrib
+         |    FROM ed JOIN r$p r ON ed.src = r.node
+         |    GROUP BY ed.dst) c ON nd.node = c.cnode)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT l.l_suppkey AS src, $CustOffset + o.o_custkey AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  WHERE l.l_suppkey <> $CustOffset + o.o_custkey),
+       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+       |ed AS MATERIALIZED (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node
+       |          FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |m AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS MATERIALIZED (SELECT node, $scale // (SELECT n FROM m) AS rank FROM nodes),
+       |$rounds
+       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$Iters
+       |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+  }
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_pagerank" -> pagerank _)
+
+  def oracles: Map[String, String] = Map(
+    "m8_pagerank" -> pagerankSql)
+}

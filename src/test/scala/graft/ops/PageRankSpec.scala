@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference model: the same fixed-point recurrence in
+    * plain Scala longs — the distributed result must match EXACTLY. */
+  private def ref(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val outdeg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val tele = ((15L * PageRank.Scale) / 100) / n
+    var r = nodes.map(_ -> PageRank.Scale / n).toMap
+    for (_ <- 0 until iters) {
+      val dshare = nodes.filterNot(outdeg.contains).map(r).sum / n
+      val contrib = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      for ((s, d) <- e) contrib(d) += r(s) / outdeg(s)
+      r = nodes.map(nd => nd -> (tele + (85L * (contrib(nd) + dshare)) / 100))
+        .toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int = 10): Map[Long, Long] =
+    PageRank.run(edges.toDF("src", "dst"), iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("matches the driver-side fixed-point model exactly") {
+    // mixed graph: a 3-cycle feeding a sink, a hub, a duplicate edge and
+    // a self-loop (both must be dropped)
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (3, 1), (3, 4), (5, 4), (6, 4), (7, 4),
+      (4, 8), (8, 8), (1, 2), (9, 1))
+    assert(run(edges) == ref(edges, 10))
+  }
+
+  test("hub of a star graph collects the most rank") {
+    val edges = (1L to 20L).map(i => (i, 100L))
+    val r = run(edges)
+    assert(r(100L) == r.values.max)
+    assert(r(100L) > 10 * r(1L))
+  }
+
+  test("sink mass is redistributed, not drained") {
+    // 1 -> 2, 2 is a pure sink: without dangling redistribution rank
+    // mass collapses toward the teleport floor
+    val r = run(Seq((1L, 2L)), iters = 20)
+    val total = r.values.sum
+    // mass conserved up to floor-division dust (< ~1 unit per node/round)
+    assert(total > PageRank.Scale - 1000 && total <= PageRank.Scale)
+    assert(r(2L) > r(1L)) // the sink still holds more than its feeder
+  }
+
+  test("pure function of the edge set: repartitioned input agrees") {
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (5, 1), (5, 2))
+    val df1 = edges.toDF("src", "dst").repartition(7)
+    val df3 = edges.toDF("src", "dst").coalesce(1)
+    val a = PageRank.run(df1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = PageRank.run(df3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    assert(a == ref(edges, 10).toSet)
+  }
+
+  test("zero iterations returns the uniform prior") {
+    val r = run(Seq((1L, 2L), (2L, 3L)), iters = 0)
+    assert(r.values.toSet == Set(PageRank.Scale / 3))
+  }
+}
