@@ -369,4 +369,36 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Grade an approximate pair generator against ground truth — the
+    * evaluation a pipeline runs before trusting a MinHash/SimHash/LSH
+    * config on a real corpus (is 8 bands × 4 rows actually ≥90% recall
+    * at Jaccard 0.5 on OUR data, or only on the S-curve chart?).
+    *
+    * Both inputs are (id_a, id_b) pair sets with the same orientation
+    * (the engine's generators all emit id_a < id_b). Returns ONE row:
+    * truth/candidate/hit counts plus precision/recall/F1 in basis
+    * points — integer floor arithmetic, so the scorecard itself is
+    * engine-exact and sits on the oracle gate. One full-outer join keyed
+    * on the pair — pair-count-sized shuffles, nothing quadratic. */
+  def pairEval(truth: DataFrame, candidates: DataFrame): DataFrame = {
+    val t = truth.select(col(truth.columns(0)).as("id_a"),
+      col(truth.columns(1)).as("id_b"), lit(1L).as("t"))
+    val c = candidates.select(col(candidates.columns(0)).as("id_a"),
+      col(candidates.columns(1)).as("id_b"), lit(1L).as("c"))
+    t.join(c, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        coalesce(sum("t"), lit(0L)).as("n_truth"),
+        coalesce(sum("c"), lit(0L)).as("n_candidates"),
+        coalesce(sum(when(col("t").isNotNull && col("c").isNotNull, 1L)),
+          lit(0L)).as("n_hits"))
+      .select(col("n_truth"), col("n_candidates"), col("n_hits"),
+        expr("case when n_candidates = 0 then 0L" +
+          " else (10000 * n_hits) div n_candidates end").as("precision_bp"),
+        expr("case when n_truth = 0 then 0L" +
+          " else (10000 * n_hits) div n_truth end").as("recall_bp"))
+      .withColumn("f1_bp",
+        expr("case when precision_bp + recall_bp = 0 then 0L" +
+          " else (2 * precision_bp * recall_bp) div (precision_bp + recall_bp) end"))
+  }
 }

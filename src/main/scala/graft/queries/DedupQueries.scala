@@ -152,6 +152,55 @@ object DedupQueries extends QueryModule {
       bands = 8, rowsPerBand = 4, minAgreement = 0.5, portable = true)
   }
 
+  /** MinHash-vs-ground-truth scorecard ([[Dedup.pairEval]]): exact
+    * word-3-gram Jaccard ≥ 0.5 pairs (PPJoin, lossless) as truth,
+    * 32-hash / 8-band signature-agreement pairs as the approximation —
+    * the measurement that justifies (or rejects) an LSH config on this
+    * corpus. Counts and basis-point scores are integer floor math, so
+    * the whole scorecard is hash-compared; the oracle recomputes BOTH
+    * pair generators from raw text. */
+  private def dedupEval(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.spread(Tables.documents(s, dir))
+    val truth = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"),
+      minJaccard = 0.5).select("id_a", "id_b")
+    val cand = Dedup.minhashPairs(d, col("doc_id"), col("text"),
+      numHashes = 32, bands = 8, minAgreement = 0.5, portable = true)
+      .select("id_a", "id_b")
+    Dedup.pairEval(truth, cand)
+  }
+
+  private val dedupEvalSql =
+    s"""WITH $minhashCtes,
+       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       |common AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT id_a, id_b FROM common
+       |  JOIN counts ca ON ca.doc_id = id_a
+       |  JOIN counts cb ON cb.doc_id = id_b
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE)
+       |        >= 0.5),
+       |approx AS (SELECT id_a, id_b FROM agree WHERE sig_agreement >= 0.5),
+       |stats AS (
+       |  SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       |         (SELECT COUNT(*) FROM approx) AS n_candidates,
+       |         (SELECT COUNT(*) FROM truth t JOIN approx a
+       |            ON t.id_a = a.id_a AND t.id_b = a.id_b) AS n_hits),
+       |bp AS (
+       |  SELECT n_truth, n_candidates, n_hits,
+       |    CASE WHEN n_candidates = 0 THEN 0
+       |         ELSE (10000 * n_hits) // n_candidates END AS precision_bp,
+       |    CASE WHEN n_truth = 0 THEN 0
+       |         ELSE (10000 * n_hits) // n_truth END AS recall_bp
+       |  FROM stats)
+       |SELECT n_truth, n_candidates, n_hits, precision_bp, recall_bp,
+       |  CASE WHEN precision_bp + recall_bp = 0 THEN 0
+       |       ELSE (2 * precision_bp * recall_bp) // (precision_bp + recall_bp)
+       |       END AS f1_bp
+       |FROM bp""".stripMargin
+
   /** Triangle count over the verified near-dup pair graph — the
     * structure metric that separates pairwise-similar noise from true
     * duplicate cliques. Edges are (id_a < id_b) ordered, so each
@@ -420,6 +469,7 @@ object DedupQueries extends QueryModule {
     "m8_dedup_incremental"   -> incremental _,
     "m8_signature_store"     -> signatureStore _,
     "m8_semantic_dedup"      -> semanticDedup _,
+    "m8_dedup_eval"          -> dedupEval _,
     "m8_graph_triangles"     -> triangles _,
     "m8_dedup_clusters"      -> clusters _,
     "m8_dedup_survivors"     -> survivors _)
@@ -434,6 +484,7 @@ object DedupQueries extends QueryModule {
     "m8_dedup_incremental"   -> incrementalSql,
     "m8_signature_store"     -> incrementalSql,
     "m8_semantic_dedup"      -> semanticDedupSql,
+    "m8_dedup_eval"          -> dedupEvalSql,
     "m8_graph_triangles"     -> trianglesSql,
     "m8_dedup_clusters"      -> clustersSql,
     "m8_dedup_survivors"     -> survivorsSql)

@@ -300,4 +300,30 @@ class M8Spec extends SparkSpec {
     val f = df.collect().map(_.getString(0))
     assert(f(0) == f(1) && f(0) != f(2))
   }
+
+  test("pairEval: confusion counts and basis-point scores, floor math") {
+    val truth = Seq((1L, 2L), (1L, 3L), (4L, 5L), (6L, 7L)).toDF("id_a", "id_b")
+    val cand = Seq((1L, 2L), (4L, 5L), (8L, 9L)).toDF("id_a", "id_b")
+    val r = Dedup.pairEval(truth, cand).collect().head
+    // hits = {(1,2),(4,5)}: precision 2/3, recall 2/4
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (4L, 3L, 2L))
+    assert(r.getLong(3) == 6666L) // floor(20000/3)
+    assert(r.getLong(4) == 5000L)
+    assert(r.getLong(5) == (2L * 6666 * 5000) / (6666 + 5000)) // 5714
+  }
+
+  test("pairEval: empty candidate set scores zero without dividing by zero") {
+    val truth = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val cand = truth.filter(col("id_a") < 0)
+    val r = Dedup.pairEval(truth, cand).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (1L, 0L, 0L))
+    assert(r.getLong(3) == 0L && r.getLong(4) == 0L && r.getLong(5) == 0L)
+  }
+
+  test("pairEval: perfect generator scores 10000 across the board") {
+    val p = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val r = Dedup.pairEval(p, p).collect().head
+    assert(r.getLong(3) == 10000L && r.getLong(4) == 10000L &&
+      r.getLong(5) == 10000L)
+  }
 }
