@@ -370,6 +370,32 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** P(pair becomes an LSH candidate) for true Jaccard `s` under `b`
+    * bands × `r` rows: 1 - (1 - s^r)^b — the S-curve every banding
+    * choice trades on. Driver-side planning math (no data touched). */
+  def candidateProbability(s: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+
+  /** Pick the banding for a signature of `numHashes` hashes whose
+    * S-curve threshold (1/b)^(1/r) lands closest to `targetJaccard` —
+    * the config step before [[minhashPairs]], so the 50%-candidate
+    * point sits at the Jaccard level the pipeline actually cares about
+    * (too few bands → recall dies; too many → candidate volume
+    * explodes). Returns (bands, rowsPerBand); ties prefer more bands
+    * (recall over candidate volume). Validate the choice on real data
+    * with [[pairEval]]. */
+  def chooseBands(numHashes: Int, targetJaccard: Double): (Int, Int) = {
+    require(numHashes > 0 && targetJaccard > 0 && targetJaccard < 1,
+      s"bad config ($numHashes, $targetJaccard)")
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    val best = divisors.minBy { b =>
+      val r = numHashes / b
+      val threshold = math.pow(1.0 / b, 1.0 / r)
+      (math.abs(threshold - targetJaccard), -b)
+    }
+    (best, numHashes / best)
+  }
+
   /** Grade an approximate pair generator against ground truth — the
     * evaluation a pipeline runs before trusting a MinHash/SimHash/LSH
     * config on a real corpus (is 8 bands × 4 rows actually ≥90% recall

@@ -301,6 +301,19 @@ class M8Spec extends SparkSpec {
     assert(f(0) == f(1) && f(0) != f(2))
   }
 
+  test("chooseBands lands the S-curve threshold on the target jaccard") {
+    // 32 hashes: thresholds are 1.0 (1×32), .958 (2×16), .841 (4×8),
+    // .595 (8×4), .25 (16×2), .031 (32×1) — 0.5 picks the shipped 8×4
+    assert(Dedup.chooseBands(32, 0.5) == (8, 4))
+    assert(Dedup.chooseBands(32, 0.85) == (4, 8))
+    assert(Dedup.chooseBands(32, 0.25) == (16, 2))
+    assert(Dedup.chooseBands(128, 0.8) == (8, 16)) // (1/8)^(1/16) = .878
+    // S-curve sanity at the chosen config: steep around the threshold
+    val p = (s: Double) => Dedup.candidateProbability(s, 8, 4)
+    assert(p(0.2) < 0.15 && p(0.595) > 0.45 && p(0.595) < 0.75 && p(0.9) > 0.99)
+    assert(p(0.3) < p(0.5) && p(0.5) < p(0.7)) // monotone
+  }
+
   test("pairEval: confusion counts and basis-point scores, floor math") {
     val truth = Seq((1L, 2L), (1L, 3L), (4L, 5L), (6L, 7L)).toDF("id_a", "id_b")
     val cand = Seq((1L, 2L), (4L, 5L), (8L, 9L)).toDF("id_a", "id_b")
