@@ -80,17 +80,19 @@ object PageRank {
     val tele = ((dampDen - dampNum) * Scale / dampDen) / n
     var ranks = nodes.withColumn("rank", lit(Scale / n)).localCheckpoint()
     for (_ <- 0 until iterations) {
-      val dangling =
-        ranks.filter(col("sink")).agg(coalesce(sum("rank"), lit(0L)))
-          .head().getLong(0)
-      val dshare = dangling / n
+      // dangling share as a BROADCAST 1-row aggregate inside the round's
+      // plan — not a driver read: the whole round is ONE job (the eager
+      // checkpoint), not two
+      val dshare = ranks.filter(col("sink"))
+        .agg(expr(s"coalesce(sum(rank), 0L) div ${n}L").as("dshare"))
       val contrib = edgesDeg.join(ranks, edgesDeg("src") === ranks("node"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy("dst").agg(sum("c").as("contrib"))
       ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .crossJoin(broadcast(dshare))
         .select(col("node"), col("sink"),
           (lit(tele) + expr(
-            s"($dampNum * (coalesce(contrib, 0L) + ${dshare}L)) div $dampDen"))
+            s"($dampNum * (coalesce(contrib, 0L) + dshare)) div $dampDen"))
             .as("rank"))
         .localCheckpoint()
     }
