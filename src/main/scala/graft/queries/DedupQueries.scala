@@ -152,6 +152,95 @@ object DedupQueries extends QueryModule {
       bands = 8, rowsPerBand = 4, minAgreement = 0.5, portable = true)
   }
 
+  /** Leakage-safe train/val/test split: assignment keyed on the near-dup
+    * CLUSTER id (hash-split on the component label from
+    * [[graft.ops.ConnectedComponents]]), so a document and its near
+    * duplicates can never straddle train and test — the contamination
+    * that silently inflates eval scores when the split is keyed per-doc.
+    * Output is the single-row scorecard: corpus/cluster/split sizes plus
+    * the number of near-dup pairs torn apart by the NAIVE doc-keyed
+    * split (nonzero: the hazard, measured) and by the cluster-keyed one
+    * (structurally zero — but computed, not asserted). Oracle replays
+    * clustering (recursive closure), both md5 split assignments, and
+    * both leak counts. */
+  private def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+        numHashes = 32, bands = 8, minAgreement = 0.5, portable = true)
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cc = graft.ops.ConnectedComponents.run(pairs)
+    val weights = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val assign = docs.select("doc_id")
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        graft.ops.Sampling.splitColumn(col("cluster_id"), "lsplit", weights)
+          .as("split"),
+        graft.ops.Sampling.splitColumn(col("doc_id"), "lsplit", weights)
+          .as("naive_split"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assign.select(col("doc_id").as("id_a"),
+      col("split").as("split_a"), col("naive_split").as("naive_a"))
+    val b = assign.select(col("doc_id").as("id_b"),
+      col("split").as("split_b"), col("naive_split").as("naive_b"))
+    val leaks = pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("naive_a") =!= col("naive_b"), 1L)), lit(0L))
+          .as("naive_leaks"),
+        coalesce(sum(when(col("split_a") =!= col("split_b"), 1L)), lit(0L))
+          .as("safe_leaks"))
+    assign.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        coalesce(sum(when(col("split") === "train", 1L)), lit(0L)).as("n_train"),
+        coalesce(sum(when(col("split") === "val", 1L)), lit(0L)).as("n_val"),
+        coalesce(sum(when(col("split") === "test", 1L)), lit(0L)).as("n_test"))
+      .crossJoin(broadcast(leaks))
+  }
+
+  private val leakageSafeSplitSql = {
+    import graft.ops.Sampling.thresholdFor
+    def splitCase(keyExpr: String) =
+      s"""CASE WHEN ${Dsl.hex60Sql(s"'lsplit|' || CAST($keyExpr AS VARCHAR)")}
+         |       < ${thresholdFor(0.9)} THEN 'train'
+         |     WHEN ${Dsl.hex60Sql(s"'lsplit|' || CAST($keyExpr AS VARCHAR)")}
+         |       < ${thresholdFor(0.95)} THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS (SELECT id_a, id_b FROM agree WHERE sig_agreement >= 0.5),
+       |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |      UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT u, v FROM e
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+       |cc AS (
+       |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+       |  FROM reach GROUP BY u),
+       |assign AS (
+       |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       |    ${splitCase("COALESCE(c.cluster_id, d.doc_id)")} AS split,
+       |    ${splitCase("d.doc_id")} AS naive_split
+       |  FROM documents d LEFT JOIN cc c USING (doc_id)),
+       |leaks AS (
+       |  SELECT COUNT(*) AS n_pairs,
+       |    CAST(COALESCE(SUM(CASE WHEN a.naive_split <> b.naive_split
+       |      THEN 1 END), 0) AS BIGINT) AS naive_leaks,
+       |    CAST(COALESCE(SUM(CASE WHEN a.split <> b.split
+       |      THEN 1 END), 0) AS BIGINT) AS safe_leaks
+       |  FROM pairs p
+       |  JOIN assign a ON a.doc_id = p.id_a
+       |  JOIN assign b ON b.doc_id = p.id_b)
+       |SELECT (SELECT COUNT(*) FROM assign) AS n_docs,
+       |  (SELECT COUNT(DISTINCT cluster_id) FROM assign) AS n_clusters,
+       |  (SELECT COUNT(*) FROM assign WHERE split = 'train') AS n_train,
+       |  (SELECT COUNT(*) FROM assign WHERE split = 'val') AS n_val,
+       |  (SELECT COUNT(*) FROM assign WHERE split = 'test') AS n_test,
+       |  n_pairs, naive_leaks, safe_leaks
+       |FROM leaks""".stripMargin
+  }
+
   /** MinHash-vs-ground-truth scorecard ([[Dedup.pairEval]]): exact
     * word-3-gram Jaccard ≥ 0.5 pairs (PPJoin, lossless) as truth,
     * 32-hash / 8-band signature-agreement pairs as the approximation —
@@ -470,6 +559,7 @@ object DedupQueries extends QueryModule {
     "m8_signature_store"     -> signatureStore _,
     "m8_semantic_dedup"      -> semanticDedup _,
     "m8_dedup_eval"          -> dedupEval _,
+    "m8_leakage_safe_split"  -> leakageSafeSplit _,
     "m8_graph_triangles"     -> triangles _,
     "m8_dedup_clusters"      -> clusters _,
     "m8_dedup_survivors"     -> survivors _)
@@ -485,6 +575,7 @@ object DedupQueries extends QueryModule {
     "m8_signature_store"     -> incrementalSql,
     "m8_semantic_dedup"      -> semanticDedupSql,
     "m8_dedup_eval"          -> dedupEvalSql,
+    "m8_leakage_safe_split"  -> leakageSafeSplitSql,
     "m8_graph_triangles"     -> trianglesSql,
     "m8_dedup_clusters"      -> clustersSql,
     "m8_dedup_survivors"     -> survivorsSql)

@@ -314,6 +314,20 @@ class M8Spec extends SparkSpec {
     assert(p(0.3) < p(0.5) && p(0.5) < p(0.7)) // monotone
   }
 
+  test("cluster-keyed split can never tear a near-dup pair") {
+    // three chained pairs forming one cluster + isolated docs: every
+    // member must land in the same split because the key is the label
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = graft.ops.ConnectedComponents.run(pairs)
+    val assign = cc.select(col("id"), col("label"),
+      graft.ops.Sampling.splitColumn(col("label"), "s",
+        Seq("train" -> 0.5, "test" -> 0.5)).as("split"))
+    val perCluster = assign.groupBy("label")
+      .agg(countDistinct("split").as("n_splits"))
+      .select(max("n_splits")).as[Long].head()
+    assert(perCluster == 1L)
+  }
+
   test("pairEval: confusion counts and basis-point scores, floor math") {
     val truth = Seq((1L, 2L), (1L, 3L), (4L, 5L), (6L, 7L)).toDF("id_a", "id_b")
     val cand = Seq((1L, 2L), (4L, 5L), (8L, 9L)).toDF("id_a", "id_b")
