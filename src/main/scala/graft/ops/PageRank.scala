@@ -44,22 +44,34 @@ object PageRank {
   /** 1e12 fixed-point scale: rank 0.25 is stored as 250_000_000_000L. */
   val Scale: Long = 1000000000000L
 
-  /** `edges` must have two columns (src, dst); self-loops and duplicate
-    * edges are removed. Damping is the rational `dampNum/dampDen`
-    * (default 85/100); `iterations` is fixed (no convergence test) so
-    * the computation is a pure function of the edge set. Returns
-    * (node, rank) for every node appearing in any edge, ranks summing
-    * to ≈ Scale (floor-division dust excepted). */
+  /** `edges` must have two columns (src, dst) — or three, the third a
+    * POSITIVE long weight (a vote's strength: trade volume, link count;
+    * rank then flows proportionally, `(rank * w) div sum_w(src)` per
+    * edge, so `max(w) * Scale * dampNum` must fit a long — weights up
+    * to ~10^5 are safe). Self-loops and duplicate unweighted edges are
+    * removed; weighted duplicates should be pre-aggregated by the
+    * caller (their weights would double-count). Damping is the rational
+    * `dampNum/dampDen` (default 85/100); `iterations` is fixed (no
+    * convergence test) so the computation is a pure function of the
+    * edge set. Returns (node, rank) for every node appearing in any
+    * edge, ranks summing to ≈ Scale (floor-division dust excepted). */
   def run(edges: DataFrame, iterations: Int = 10,
           dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
     require(iterations >= 0 && dampNum >= 0 && dampNum <= dampDen,
       s"bad PageRank config ($iterations, $dampNum/$dampDen)")
+    val weighted = edges.columns.length >= 3
     val src = col(edges.columns(0))
     val dst = col(edges.columns(1))
-    val e = edges.select(src.as("src"), dst.as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e =
+      if (weighted)
+        edges.select(src.as("src"), dst.as("dst"),
+          col(edges.columns(2)).cast("long").as("w"))
+          .filter(col("src") =!= col("dst") && col("w") > 0)
+      else edges.select(src.as("src"), dst.as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .withColumn("w", lit(1L))
+    val deg = e.groupBy("src").agg(sum("w").as("outdeg"))
     // out-degree merged into the edge set ONCE (and the join leaves it
     // hash-partitioned on src — the partitioning every round reuses)
     val edgesDeg = e.join(deg, Seq("src"))
@@ -86,7 +98,7 @@ object PageRank {
       val dshare = ranks.filter(col("sink"))
         .agg(expr(s"coalesce(sum(rank), 0L) div ${n}L").as("dshare"))
       val contrib = edgesDeg.join(ranks, edgesDeg("src") === ranks("node"))
-        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .select(col("dst"), expr("(rank * w) div outdeg").as("c"))
         .groupBy("dst").agg(sum("c").as("contrib"))
       ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
         .crossJoin(broadcast(dshare))

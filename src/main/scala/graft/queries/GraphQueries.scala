@@ -35,13 +35,43 @@ object GraphQueries extends QueryModule {
       .limit(20)
   }
 
+  /** Weighted variant: the same graph with TRADE VOLUME as the vote —
+    * each relationship's weight is its lineitem count, so rank flows
+    * proportionally to how much actually ships, not to bare edge
+    * existence. */
+  private def pagerankWeighted(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("l_suppkey").as("src"),
+        (col("o_custkey") + lit(CustOffset)).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    PageRank.run(edges, iterations = Iters)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(20)
+  }
+
   /** The unrolled-iteration oracle: r0 → r10 as chained CTEs, each round
     * recomputing dangling share + contributions with the same integer
     * arithmetic ([[PageRank]]: Scale=1e12, damping 85/100, floor
     * division throughout — all values non-negative, so DuckDB's `//`
     * and Spark's `div` agree exactly). */
-  private val pagerankSql: String = {
+  private def pagerankSql(weighted: Boolean): String = {
     val scale = PageRank.Scale
+    val edgeCte =
+      if (weighted)
+        s"""e AS MATERIALIZED (
+           |  SELECT l.l_suppkey AS src, $CustOffset + o.o_custkey AS dst,
+           |    COUNT(*) AS w
+           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  WHERE l.l_suppkey <> $CustOffset + o.o_custkey
+           |  GROUP BY 1, 2)""".stripMargin
+      else
+        s"""e AS MATERIALIZED (
+           |  SELECT DISTINCT l.l_suppkey AS src, $CustOffset + o.o_custkey AS dst,
+           |    1 AS w
+           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  WHERE l.l_suppkey <> $CustOffset + o.o_custkey)""".stripMargin
     val rounds = (1 to Iters).map { k =>
       val p = k - 1
       s"""d$k AS MATERIALIZED (
@@ -54,16 +84,16 @@ object GraphQueries extends QueryModule {
          |    + (85 * (COALESCE(c.contrib, 0) + (SELECT dshare FROM d$k))) // 100 AS rank
          |  FROM nodes nd
          |  LEFT JOIN (
-         |    SELECT ed.dst AS cnode, CAST(SUM(r.rank // ed.outdeg) AS BIGINT) AS contrib
+         |    SELECT ed.dst AS cnode,
+         |      CAST(SUM((r.rank * ed.w) // ed.outdeg) AS BIGINT) AS contrib
          |    FROM ed JOIN r$p r ON ed.src = r.node
          |    GROUP BY ed.dst) c ON nd.node = c.cnode)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS MATERIALIZED (
-       |  SELECT DISTINCT l.l_suppkey AS src, $CustOffset + o.o_custkey AS dst
-       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-       |  WHERE l.l_suppkey <> $CustOffset + o.o_custkey),
-       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
-       |ed AS MATERIALIZED (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+    s"""WITH $edgeCte,
+       |deg AS MATERIALIZED (
+       |  SELECT src, CAST(SUM(w) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+       |ed AS MATERIALIZED (
+       |  SELECT e.src, e.dst, e.w, deg.outdeg FROM e JOIN deg USING (src)),
        |nodes AS MATERIALIZED (SELECT DISTINCT node
        |          FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
        |m AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
@@ -74,8 +104,10 @@ object GraphQueries extends QueryModule {
   }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m8_pagerank" -> pagerank _)
+    "m8_pagerank"          -> pagerank _,
+    "m8_pagerank_weighted" -> pagerankWeighted _)
 
   def oracles: Map[String, String] = Map(
-    "m8_pagerank" -> pagerankSql)
+    "m8_pagerank"          -> pagerankSql(weighted = false),
+    "m8_pagerank_weighted" -> pagerankSql(weighted = true))
 }

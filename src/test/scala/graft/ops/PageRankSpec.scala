@@ -71,4 +71,48 @@ class PageRankSpec extends SparkSpec {
     val r = run(Seq((1L, 2L), (2L, 3L)), iters = 0)
     assert(r.values.toSet == Set(PageRank.Scale / 3))
   }
+
+  /** Weighted reference model: contribution = (rank * w) div sum_w. */
+  private def refW(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges.filter(p => p._1 != p._2 && p._3 > 0)
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val outw = e.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val tele = ((15L * PageRank.Scale) / 100) / n
+    var r = nodes.map(_ -> PageRank.Scale / n).toMap
+    for (_ <- 0 until iters) {
+      val dshare = nodes.filterNot(outw.contains).map(r).sum / n
+      val contrib = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      for ((s, d, w) <- e) contrib(d) += (r(s) * w) / outw(s)
+      r = nodes.map(nd => nd -> (tele + (85L * (contrib(nd) + dshare)) / 100))
+        .toMap
+    }
+    r
+  }
+
+  test("weighted: matches the model; heavier edges pull more rank") {
+    val edges = Seq[(Long, Long, Long)](
+      (1, 2, 9), (1, 3, 1), (2, 1, 1), (3, 1, 1), (4, 2, 5), (4, 3, 5))
+    val got = PageRank.run(edges.toDF("src", "dst", "w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refW(edges, 10))
+    assert(got(2L) > got(3L)) // 1 votes 9:1 for 2 over 3
+  }
+
+  test("weighted with all-equal weights equals the unweighted result") {
+    val pairs = Seq[(Long, Long)]((1, 2), (2, 3), (3, 1), (3, 4), (5, 4))
+    val w = PageRank.run(pairs.map(p => (p._1, p._2, 7L)).toDF("src", "dst", "w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val u = PageRank.run(pairs.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w == u)
+  }
+
+  test("weighted: zero/negative-weight edges are dropped entirely") {
+    val got = PageRank.run(
+      Seq((1L, 2L, 1L), (2L, 3L, 0L), (8L, 9L, -5L)).toDF("src", "dst", "w"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L)) // 3, 8, 9 never appear via dead edges
+  }
 }
