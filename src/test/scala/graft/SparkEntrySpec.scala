@@ -22,7 +22,10 @@ class SparkEntrySpec extends AnyFunSuite {
     "Sampling" -> graft.queries.SamplingQueries,
     "Hygiene" -> graft.queries.HygieneQueries,
     "Ingest" -> graft.queries.IngestQueries,
-    "Sink" -> graft.queries.SinkQueries)
+    "Sink" -> graft.queries.SinkQueries,
+    "Graph" -> graft.queries.GraphQueries,
+    "Probe" -> graft.queries.ProbeQueries,
+    "Incremental" -> graft.queries.IncrementalQueries)
 
   test("no query name is defined by two modules") {
     val names = modules.flatMap { case (m, q) => q.all.keys.map(_ -> m) }
