@@ -1,10 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.functions.col
 import graft.ops.IncrementalAgg
 import graft.ops.IncrementalAgg.Measure
+import java.nio.charset.StandardCharsets
 
 /** Streaming materialized-view maintenance: each micro-batch is reduced
   * to its partial state ([[IncrementalAgg.state]]) and folded into the
@@ -13,13 +15,55 @@ import graft.ops.IncrementalAgg.Measure
   * measures only), and per-batch work is batch + state sized, never
   * history-sized.
   *
-  * The store is rewritten atomically per batch (write new state to a
-  * staging dir, then swap): a view table must be a consistent snapshot,
-  * never a partial append. Readers finalize with their own projection
-  * (e.g. avg = stored sum / stored count) — floats never live in the
-  * store. With an ordered file source the final state equals batch-mode
-  * aggregation over the same files, asserted in ViewMaintenanceSpec. */
+  * Snapshots are VERSIONED and published through a pointer file: batch
+  * `b` writes `v{b}`, then atomically renames a staged pointer over
+  * `LATEST`. A crash at ANY point leaves the previous pointer (and the
+  * snapshot it names) fully intact — there is no delete-then-rename
+  * window where the view doesn't exist; a half-written `v{b}` is
+  * unreferenced garbage, cleaned by the next successful batch. Readers
+  * resolve [[ViewMaintenance.readLatest]] and always see one complete
+  * snapshot. Floats never live in the store — readers finalize with
+  * their own projection (e.g. avg = stored sum / stored count). With an
+  * ordered file source the final state equals batch-mode aggregation
+  * over the same files, asserted in ViewMaintenanceSpec. */
 object ViewMaintenance {
+
+  private def fs(spark: SparkSession): FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  /** The snapshot dir `LATEST` names — falling back, if the pointer is
+    * missing or dangling (a crash in the tiny pointer-replace window on
+    * filesystems whose rename refuses to clobber), to the HIGHEST
+    * complete (`_SUCCESS`-marked) versioned snapshot on disk, so
+    * recovery needs no operator intervention. None before the first
+    * publish. */
+  def latestSnapshot(spark: SparkSession, stateDir: String): Option[String] = {
+    val f = fs(spark)
+    val ptr = new Path(s"$stateDir/LATEST")
+    val fromPtr =
+      if (!f.exists(ptr)) None
+      else {
+        val len = f.getFileStatus(ptr).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = f.open(ptr)
+        try in.readFully(0, buf) finally in.close()
+        Some(s"$stateDir/${new String(buf, StandardCharsets.UTF_8).trim}")
+      }
+    fromPtr.filter(p => f.exists(new Path(p))).orElse {
+      val root = new Path(stateDir)
+      if (!f.exists(root)) None
+      else f.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+") &&
+          f.exists(new Path(s.getPath, "_SUCCESS")))
+        .sortBy(_.getPath.getName.drop(1).toLong)
+        .lastOption.map(_.getPath.toString)
+    }
+  }
+
+  /** Current view contents (one complete snapshot, whatever the
+    * maintainer is doing concurrently). */
+  def readLatest(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    latestSnapshot(spark, stateDir).map(spark.read.parquet(_))
 
   /** Start maintaining the view over streaming `rows`. AvailableNow by
     * default (drain-then-stop, the scheduled-refresh shape); pass
@@ -28,24 +72,32 @@ object ViewMaintenance {
                keys: Seq[String], measures: Seq[Measure],
                continuous: Boolean = false): StreamingQuery = {
     val writer = rows.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val f = fs(spark)
         val delta = IncrementalAgg.state(batch, keys.map(col), measures)
-        val merged =
-          try {
-            val prior = spark.read.parquet(s"$stateDir/current")
-            IncrementalAgg.merge(Seq(prior, delta), keys, measures)
-          } catch { case _: Exception => delta } // first batch: no store yet
-        // stage → swap: the view is replaced, never partially appended
-        val staged = merged.persist()
-        staged.write.mode("overwrite").parquet(s"$stateDir/next")
-        staged.unpersist()
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val cur = new org.apache.hadoop.fs.Path(s"$stateDir/current")
-        val next = new org.apache.hadoop.fs.Path(s"$stateDir/next")
-        fs.delete(cur, true)
-        fs.rename(next, cur)
+        val prior = latestSnapshot(spark, stateDir)
+        val merged = prior match {
+          case Some(dir) =>
+            IncrementalAgg.merge(Seq(spark.read.parquet(dir), delta),
+              keys, measures)
+          case None => delta
+        }
+        val snap = s"$stateDir/v$batchId"
+        merged.write.mode("overwrite").parquet(snap)
+        // publish: staged pointer, then ONE atomic rename — no window
+        // where LATEST is missing or names an incomplete snapshot
+        val tmp = new Path(s"$stateDir/LATEST.tmp")
+        val out = f.create(tmp, true)
+        try out.write(s"v$batchId".getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        f.rename(tmp, new Path(s"$stateDir/LATEST")) || {
+          // HDFS-style rename refuses to clobber: replace explicitly
+          f.delete(new Path(s"$stateDir/LATEST"), false)
+          f.rename(tmp, new Path(s"$stateDir/LATEST"))
+        }
+        // retire the superseded snapshot (unreferenced from here on)
+        prior.foreach(p => f.delete(new Path(p), true))
         ()
       }
       .option("checkpointLocation", checkpointDir)

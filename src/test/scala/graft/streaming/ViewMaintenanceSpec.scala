@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 
 /** Streaming materialized-view maintenance: micro-batches folded into
-  * the persistent state table must leave exactly `state(all rows)`. */
+  * versioned snapshots published through a pointer file must leave
+  * exactly `state(all rows)`, and a torn publish must never lose the
+  * previous snapshot. */
 class ViewMaintenanceSpec extends SparkSpec {
   import spark.implicits._
 
@@ -26,6 +28,12 @@ class ViewMaintenanceSpec extends SparkSpec {
     Files.copy(part.toPath, Paths.get(watchDir, name))
   }
 
+  private def snap(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("k"), col("s").cast("decimal(38,2)"), col("n"),
+      col("lo"), col("hi"))
+      .collect().map(r => (r.getString(0), r.getDecimal(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+
   test("3-batch maintained view equals the batch-mode aggregate") {
     val root = Files.createTempDirectory("view_stream").toString
     val watch = s"$root/in"; Files.createDirectories(Paths.get(watch))
@@ -43,18 +51,37 @@ class ViewMaintenanceSpec extends SparkSpec {
     ViewMaintenance.maintain(rows, s"$root/state", s"$root/ckpt",
       Seq("k"), measures).awaitTermination()
 
-    val got = spark.read.parquet(s"$root/state/current")
-      .select(col("k"), col("s").cast("decimal(38,2)"), col("n"),
-        col("lo"), col("hi"))
-      .collect().map(r => (r.getString(0), r.getDecimal(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4))).toSet
+    val got = ViewMaintenance.readLatest(spark, s"$root/state").get
     val want = IncrementalAgg.state(all.flatten.toDF("k", "v"),
-        Seq(col("k")), measures)
-      .select(col("k"), col("s").cast("decimal(38,2)"), col("n"),
-        col("lo"), col("hi"))
-      .collect().map(r => (r.getString(0), r.getDecimal(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4))).toSet
-    assert(got == want)
-    assert(!Files.exists(Paths.get(s"$root/state/next")), "staging swapped away")
+      Seq(col("k")), measures)
+    assert(snap(got) == snap(want))
+    // superseded snapshots were retired; exactly one version remains
+    val versions = new java.io.File(s"$root/state").listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+    assert(versions.length == 1)
+  }
+
+  test("dangling pointer recovers to the highest complete snapshot") {
+    val root = Files.createTempDirectory("view_recover").toString
+    val state = s"$root/state"
+    // two published snapshots on disk
+    IncrementalAgg.state(Seq("a" -> 1.0).toDF("k", "v"), Seq(col("k")),
+      measures).write.parquet(s"$state/v0")
+    IncrementalAgg.state(Seq("a" -> 1.0, "b" -> 2.0).toDF("k", "v"),
+      Seq(col("k")), measures).write.parquet(s"$state/v1")
+    // pointer torn: names a snapshot that never completed
+    Files.write(Paths.get(state, "LATEST"), "v7".getBytes)
+    assert(ViewMaintenance.latestSnapshot(spark, state).get.endsWith("/v1"))
+    // pointer missing entirely: same recovery
+    Files.delete(Paths.get(state, "LATEST"))
+    assert(ViewMaintenance.latestSnapshot(spark, state).get.endsWith("/v1"))
+    // an incomplete snapshot (no _SUCCESS) is never selected
+    Files.createDirectories(Paths.get(state, "v9"))
+    assert(ViewMaintenance.latestSnapshot(spark, state).get.endsWith("/v1"))
+  }
+
+  test("empty store reads as None, not an error") {
+    val root = Files.createTempDirectory("view_empty").toString
+    assert(ViewMaintenance.readLatest(spark, s"$root/nope").isEmpty)
   }
 }
