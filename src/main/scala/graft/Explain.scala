@@ -90,5 +90,16 @@ object Explain {
     println("r2_fetch_cascade fixture side read from cache " +
       "(InMemoryTableScan, signal regexes once per row): " +
       plan("r2_fetch_cascade").contains("InMemoryTableScan"))
+    val pr = plan("m8_pagerank")
+    println("m8_pagerank serving plan exchange-free TakeOrdered over the " +
+      "final checkpoint (per-round plans end at their own checkpoint): " +
+      (!pr.contains("Exchange") && pr.contains("TakeOrderedAndProject")))
+    println("m8_key_skew TakeOrdered top-N + 1-row broadcast total " +
+      "(never a full sort or a driver collect): " +
+      (plan("m8_key_skew").contains("TakeOrderedAndProject") &&
+        plan("m8_key_skew").contains("BroadcastExchange")))
+    println("m8_incremental_agg merge = union + re-reduce, " +
+      "state-sized exchanges only (expect 2): " +
+      "Exchange hashpartitioning".r.findAllIn(plan("m8_incremental_agg")).length)
   }
 }
