@@ -222,6 +222,95 @@ object TextCorpus {
       .limit(k)
   }
 
+  /** Byte-pair-encoding merge-rule TRAINER (Sennrich et al., "Neural
+    * Machine Translation of Rare Words with Subword Units") — the
+    * tokenizer-training loop itself, not just one round of pair counts
+    * ([[bpePairCounts]] is the single-step statistic): learn `numMerges`
+    * merge rules by repeatedly taking the corpus-wide most frequent
+    * adjacent symbol pair and fusing it everywhere.
+    *
+    * The distributed shape is the one that survives 100 TB: the corpus
+    * is reduced ONCE to the (word, count) vocabulary — Zipf-bounded,
+    * orders of magnitude smaller than the corpus — and every training
+    * round runs over that vocabulary only: one weighted pair-count
+    * aggregation (explode adjacent pairs per word × count, map-side
+    * partial sum), one TakeOrdered(1) for the argmax rule (ties break
+    * lexicographically — fully deterministic), and one map-side
+    * `aggregate` lambda that fuses the pair greedily left-to-right
+    * inside each word's symbol array (no shuffle). The symbol table is
+    * localCheckpointed per round (two consumers per round would double
+    * the lineage). Training stops early when no pair repeats.
+    *
+    * Returns the learned rule table (rank, left, right, merged, cnt) —
+    * the artifact a tokenizer ships. The per-round argmax is a 1-row
+    * driver read: the merge RULE is a scalar decision, the same shape
+    * as AQE's runtime statistics, never a data collect. */
+  def trainBpe(docs: DataFrame, text: Column, numMerges: Int): DataFrame = {
+    require(numMerges >= 0, s"numMerges: $numMerges")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("rank", IntegerType, nullable = false),
+      StructField("left", StringType, nullable = false),
+      StructField("right", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false)))
+    // corpus → vocabulary, once; symbols start as characters
+    var vocab = docs
+      .select(explode(split(trim(coalesce(text, lit(""))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(split(col("word"), "").as("sym"), col("cnt"))
+      .localCheckpoint()
+    val rules = scala.collection.mutable.ArrayBuffer[Row]()
+    var r = 0
+    var done = false
+    while (r < numMerges && !done) {
+      val m = greatest(size(col("sym")) - 1, lit(0))
+      val top = vocab
+        .select(explode(zip_with(
+          slice(col("sym"), lit(1), m), slice(col("sym"), lit(2), m),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"), col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("n"))
+        .filter(col("n") >= 2)
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, rr, n) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        val merged = l + rr
+        rules += Row(r, l, rr, merged, n)
+        // greedy left-to-right fusion inside each symbol array: the
+        // accumulator carries (output, pending previous symbol)
+        val nullStr = lit(null).cast("string")
+        val fused = aggregate(
+          col("sym"),
+          struct(array().cast("array<string>").as("out"), nullStr.as("prev")),
+          (acc, x) => when(
+            acc.getField("prev") === l && x === rr,
+            struct(concat(acc.getField("out"), array(lit(merged))).as("out"),
+              nullStr.as("prev")))
+            .otherwise(struct(
+              when(acc.getField("prev").isNull, acc.getField("out"))
+                .otherwise(concat(acc.getField("out"),
+                  array(acc.getField("prev")))).as("out"),
+              x.as("prev"))),
+          acc => when(acc.getField("prev").isNull, acc.getField("out"))
+            .otherwise(concat(acc.getField("out"),
+              array(acc.getField("prev")))))
+        val next = vocab.select(fused.as("sym"), col("cnt")).localCheckpoint()
+        vocab = next
+        r += 1
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rules.toSeq, 1), outSchema)
+  }
+
   /** Overlapping token-window chunking — the document → training-sample
     * (or RAG-passage) splitter: each doc yields windows of `chunkTokens`
     * tokens starting every `strideTokens` (stride < chunk ⇒ overlap;

@@ -107,6 +107,69 @@ class TextCorpusSpec extends SparkSpec {
     assert(!out.exists(c => c._1 == 3L || c._1 == 4L), "blank docs chunk to nothing")
   }
 
+  /** Reference BPE in plain Scala: word counts → greedy merge loop. */
+  private def refBpe(corpus: Seq[String], k: Int): Seq[(String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = corpus
+      .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, v) =>
+        w.map(_.toString).toVector -> v.size.toLong
+      }
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var done = false
+    while (out.size < k && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      for ((syms, c) <- vocab; p <- syms.zip(syms.tail)) counts(p) += c
+      val best = counts.filter(_._2 >= 2)
+      if (best.isEmpty) done = true
+      else {
+        val ((l, r), n) = best.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((l, r, n))
+        vocab = vocab.groupBy { case (syms, _) =>
+          val merged = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              merged += (l + r); i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          merged.result()
+        }.map { case (s, m) => s -> m.values.sum }
+      }
+    }
+    out.toSeq
+  }
+
+  test("trainBpe learns the reference merge sequence exactly") {
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq(corpus.mkString(" ")).toDF("text")
+    val got = graft.ops.TextCorpus.trainBpe(docs, col("text"), 6)
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getString(2),
+        x.getString(3), x.getLong(4)))
+    val want = refBpe(corpus, 6).zipWithIndex
+      .map { case ((l, r, n), i) => (i, l, r, l + r, n) }
+    assert(got.toSeq == want)
+    // the classic result: 'es' ('e','s' appears in newest+widest = 9×)
+    assert(got(0)._2 == "e" && got(0)._3 == "s" && got(0)._5 == 9L)
+  }
+
+  test("trainBpe: greedy fusion is non-overlapping (aaaa → aa aa)") {
+    val docs = Seq("aaaa aaaa aaaa").toDF("text")
+    val got = graft.ops.TextCorpus.trainBpe(docs, col("text"), 2)
+      .collect().map(x => (x.getString(1), x.getString(2), x.getLong(4)))
+    // round 1: (a,a) count = 3 words × 3 adjacent = 9; fused → [aa, aa]
+    assert(got(0) == ("a", "a", 9L))
+    // round 2: (aa,aa) count = 3 — NOT (a,a) again inside one round
+    assert(got(1) == ("aa", "aa", 3L))
+  }
+
+  test("trainBpe stops early when no pair repeats") {
+    val docs = Seq("ab cd ef").toDF("text")
+    val got = graft.ops.TextCorpus.trainBpe(docs, col("text"), 10)
+    assert(got.count() == 0) // every pair occurs once: nothing to merge
+  }
+
   test("heavyHitters: two-pass MG equals brute-force top-k, tiny capacity") {
     // skewed corpus: 'the' ×300, 'of' ×200, 'and' ×120 spread across many
     // docs, plus 500 unique noise tokens — capacity 8 forces constant
