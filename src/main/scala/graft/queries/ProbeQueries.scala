@@ -46,11 +46,49 @@ object ProbeQueries extends QueryModule {
       |  (SELECT total FROM t) AS total_rows
       |FROM j ORDER BY fanout DESC, key LIMIT 20""".stripMargin
 
+  /** Bloom-filter contract probe (the HLL error-contract pattern: emit
+    * what the oracle can recompute exactly, plus verdicts the sketch
+    * must satisfy — an out-of-contract sketch hash-fails the gate):
+    * build the filter over every order's customer key, then
+    *  - `no_false_negatives`: every PRESENT key must hit (a Bloom
+    *    filter's hard guarantee, not probabilistic);
+    *  - `fpr_within_bound`: probing a disjoint key set (custkey+10^7,
+    *    absent by construction), the false-positive rate must stay
+    *    within 3× the configured 1% — deterministic for the fixed hash
+    *    family, so this either always holds on this data or the build
+    *    is broken. */
+  private def bloomFpr(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.BloomJoin
+    val orders = Tables.orders(s, dir)
+    val keys = orders.select(col("o_custkey").as("k")).distinct()
+    val bloom = BloomJoin.buildBloom(keys, col("k"),
+      expectedItems = 2000L, fpp = 0.01)
+    val present = keys
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(BloomJoin.mightContain(keys, col("k"), bloom), 1L)),
+          lit(0L)).as("hits"))
+    val absent = keys.select((col("k") + lit(10000000L)).as("pk"))
+      .agg(count(lit(1)).as("n_probes"),
+        coalesce(sum(when(BloomJoin.mightContain(keys, col("pk"), bloom), 1L)),
+          lit(0L)).as("fp"))
+    present.crossJoin(broadcast(absent))
+      .select(col("n_probes"),
+        (col("hits") === col("n")).as("no_false_negatives"),
+        (col("fp") * 10000 <= col("n_probes") * 300).as("fpr_within_bound"))
+  }
+
+  private val bloomFprSql =
+    """SELECT COUNT(DISTINCT o_custkey) AS n_probes,
+      |  TRUE AS no_false_negatives, TRUE AS fpr_within_bound
+      |FROM orders""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_key_skew"    -> keySkew _,
-    "m8_join_fanout" -> joinFanout _)
+    "m8_join_fanout" -> joinFanout _,
+    "m8_bloom_fpr"   -> bloomFpr _)
 
   def oracles: Map[String, String] = Map(
     "m8_key_skew"    -> keySkewSql,
-    "m8_join_fanout" -> joinFanoutSql)
+    "m8_join_fanout" -> joinFanoutSql,
+    "m8_bloom_fpr"   -> bloomFprSql)
 }
