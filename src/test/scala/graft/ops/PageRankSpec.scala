@@ -109,6 +109,19 @@ class PageRankSpec extends SparkSpec {
     assert(w == u)
   }
 
+  test("empty edge set returns an empty ranking, not an error") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(PageRank.run(empty).collect().isEmpty)
+    // a graph of only self-loops is empty after cleanup
+    assert(PageRank.run(Seq((3L, 3L)).toDF("src", "dst")).collect().isEmpty)
+  }
+
+  test("bad configs are rejected") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] { PageRank.run(e, iterations = -1) }
+    intercept[IllegalArgumentException] { PageRank.run(e, dampNum = 101) }
+  }
+
   test("weighted: zero/negative-weight edges are dropped entirely") {
     val got = PageRank.run(
       Seq((1L, 2L, 1L), (2L, 3L, 0L), (8L, 9L, -5L)).toDF("src", "dst", "w"))
