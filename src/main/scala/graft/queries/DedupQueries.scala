@@ -61,7 +61,7 @@ object DedupQueries extends QueryModule {
   /** The full MinHash+LSH pipeline as a reusable CTE chain, ending in
     * `agree(id_a, id_b, sig_agreement)` — shared by the pair demo and the
     * connected-components clustering oracle. */
-  private val minhashCtes =
+  private[queries] val minhashCtes =
     s"""$shinglesCte,
        |hh AS (SELECT doc_id, md5(shingle) AS hx FROM sh),
        |hv AS (
@@ -199,25 +199,37 @@ object DedupQueries extends QueryModule {
       .crossJoin(broadcast(leaks))
   }
 
-  private val leakageSafeSplitSql = {
+  /** DuckDB replica of the 0.9/0.05/0.05 `lsplit`-salted assignment
+    * ([[graft.ops.Sampling.splitColumn]]) over an arbitrary key
+    * expression — shared by the split scorecard and the export
+    * capstone. */
+  private def splitCase(keyExpr: String): String = {
     import graft.ops.Sampling.thresholdFor
-    def splitCase(keyExpr: String) =
-      s"""CASE WHEN ${Dsl.hex60Sql(s"'lsplit|' || CAST($keyExpr AS VARCHAR)")}
-         |       < ${thresholdFor(0.9)} THEN 'train'
-         |     WHEN ${Dsl.hex60Sql(s"'lsplit|' || CAST($keyExpr AS VARCHAR)")}
-         |       < ${thresholdFor(0.95)} THEN 'val'
-         |     ELSE 'test' END""".stripMargin
+    s"""CASE WHEN ${Dsl.hex60Sql(s"'lsplit|' || CAST($keyExpr AS VARCHAR)")}
+       |       < ${thresholdFor(0.9)} THEN 'train'
+       |     WHEN ${Dsl.hex60Sql(s"'lsplit|' || CAST($keyExpr AS VARCHAR)")}
+       |       < ${thresholdFor(0.95)} THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+  }
+
+  /** The recursive-closure clustering chain shared by the split
+    * scorecard and export oracles: extends [[minhashCtes]] with
+    * `pairs`/`e`/`reach`/`cc` (use with WITH RECURSIVE). */
+  private val closureCtes =
+    """pairs AS (SELECT id_a, id_b FROM agree WHERE sig_agreement >= 0.5),
+      |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |      UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT u, v FROM e
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+      |cc AS (
+      |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+      |  FROM reach GROUP BY u)""".stripMargin
+
+  private val leakageSafeSplitSql = {
     s"""WITH RECURSIVE $minhashCtes,
-       |pairs AS (SELECT id_a, id_b FROM agree WHERE sig_agreement >= 0.5),
-       |e AS (SELECT id_a AS u, id_b AS v FROM pairs
-       |      UNION ALL SELECT id_b, id_a FROM pairs),
-       |reach AS (
-       |  SELECT u, v FROM e
-       |  UNION
-       |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
-       |cc AS (
-       |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
-       |  FROM reach GROUP BY u),
+       |$closureCtes,
        |assign AS (
        |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
        |    ${splitCase("COALESCE(c.cluster_id, d.doc_id)")} AS split,
@@ -240,6 +252,58 @@ object DedupQueries extends QueryModule {
        |  n_pairs, naive_leaks, safe_leaks
        |FROM leaks""".stripMargin
   }
+
+  /** Training-data export capstone — the operators COMPOSED into the
+    * path a real corpus ships through: near-dup clustering → leakage-
+    * safe cluster-keyed split → overlapping token-window chunking →
+    * per-split export manifest (docs, chunks, token volume). A chunk
+    * inherits its document's split, and the split is cluster-keyed, so
+    * no near-duplicate material can cross from train into eval even
+    * after chunking. The oracle replays the ENTIRE composition:
+    * recursive closure, md5 split assignment, and the stride-window
+    * chunker, down to the per-split token sums. */
+  private def trainingExport(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+        numHashes = 32, bands = 8, minAgreement = 0.5, portable = true)
+      .select(col("id_a"), col("id_b"))
+    val cc = graft.ops.ConnectedComponents.run(pairs)
+    val assign = docs.select("doc_id")
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        graft.ops.Sampling.splitColumn(
+          coalesce(col("label"), col("doc_id")), "lsplit",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("split"))
+    val chunks = graft.ops.TextCorpus.chunkDocuments(docs,
+      col("doc_id"), col("text"), chunkTokens = 32, strideTokens = 24)
+    chunks.join(assign, Seq("doc_id"))
+      .groupBy("split")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"))
+      .orderBy("split")
+  }
+
+  private val trainingExportSql =
+    s"""WITH RECURSIVE $minhashCtes,
+       |$closureCtes,
+       |assign AS (
+       |  SELECT d.doc_id,
+       |    ${splitCase("COALESCE(c.cluster_id, d.doc_id)")} AS split
+       |  FROM documents d LEFT JOIN cc c USING (doc_id)),
+       |cd AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents WHERE trim(text) <> ''),
+       |cs AS (
+       |  SELECT doc_id, len(t) AS n,
+       |    unnest(generate_series(0, len(t) - 1, 24)) AS off
+       |  FROM cd),
+       |chunks AS (SELECT doc_id, LEAST(32, n - off) AS n_tokens FROM cs)
+       |SELECT a.split, COUNT(DISTINCT ch.doc_id) AS n_docs,
+       |  COUNT(*) AS n_chunks,
+       |  CAST(SUM(ch.n_tokens) AS BIGINT) AS sum_tokens
+       |FROM chunks ch JOIN assign a USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** MinHash-vs-ground-truth scorecard ([[Dedup.pairEval]]): exact
     * word-3-gram Jaccard ≥ 0.5 pairs (PPJoin, lossless) as truth,
@@ -560,6 +624,7 @@ object DedupQueries extends QueryModule {
     "m8_semantic_dedup"      -> semanticDedup _,
     "m8_dedup_eval"          -> dedupEval _,
     "m8_leakage_safe_split"  -> leakageSafeSplit _,
+    "m8_training_export"     -> trainingExport _,
     "m8_graph_triangles"     -> triangles _,
     "m8_dedup_clusters"      -> clusters _,
     "m8_dedup_survivors"     -> survivors _)
@@ -576,6 +641,7 @@ object DedupQueries extends QueryModule {
     "m8_semantic_dedup"      -> semanticDedupSql,
     "m8_dedup_eval"          -> dedupEvalSql,
     "m8_leakage_safe_split"  -> leakageSafeSplitSql,
+    "m8_training_export"     -> trainingExportSql,
     "m8_graph_triangles"     -> trianglesSql,
     "m8_dedup_clusters"      -> clustersSql,
     "m8_dedup_survivors"     -> survivorsSql)
