@@ -82,13 +82,52 @@ object ProbeQueries extends QueryModule {
       |  TRUE AS no_false_negatives, TRUE AS fpr_within_bound
       |FROM orders""".stripMargin
 
+  /** Count-min-sketch contract probe — the frequency member of the
+    * sketch-family gates (HLL++ = distinct counts, Bloom = membership,
+    * CMS = per-key frequency). The sketch is built DISTRIBUTED (one
+    * `count_min_sketch` aggregation pass); the key domain probed is the
+    * handful of event types (a 5-row driver read, the same class as a
+    * catalog listing). Two verdicts per key:
+    *  - `never_underestimates`: CMS's hard guarantee (hash collisions
+    *    only ever ADD);
+    *  - `within_eps_bound`: estimate ≤ exact + ⌈ε·N⌉ — probabilistic in
+    *    general, deterministic here for the fixed seed.
+    * The oracle recomputes the exact counts and expects TRUE twice. */
+  private def cmsContract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = Tables.events(s, dir)
+    val bin = events
+      .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("s"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bin))
+    val keys = events.select("event_type").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val est = keys.map(k => (k, cms.estimateCount(k))).toDF("event_type", "est")
+    val exact = events.groupBy("event_type").agg(count(lit(1)).as("exact_cnt"))
+    val total = events.agg(count(lit(1)).as("n_rows"))
+    exact.join(broadcast(est), Seq("event_type"))
+      .crossJoin(broadcast(total))
+      .select(col("event_type"), col("exact_cnt"),
+        (col("est") >= col("exact_cnt")).as("never_underestimates"),
+        expr("est <= exact_cnt + cast(ceil(0.001 * n_rows) as bigint)")
+          .as("within_eps_bound"))
+  }
+
+  private val cmsContractSql =
+    """SELECT event_type, COUNT(*) AS exact_cnt,
+      |  TRUE AS never_underestimates, TRUE AS within_eps_bound
+      |FROM events GROUP BY 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m8_key_skew"    -> keySkew _,
-    "m8_join_fanout" -> joinFanout _,
-    "m8_bloom_fpr"   -> bloomFpr _)
+    "m8_key_skew"     -> keySkew _,
+    "m8_join_fanout"  -> joinFanout _,
+    "m8_bloom_fpr"    -> bloomFpr _,
+    "m8_cms_contract" -> cmsContract _)
 
   def oracles: Map[String, String] = Map(
-    "m8_key_skew"    -> keySkewSql,
-    "m8_join_fanout" -> joinFanoutSql,
-    "m8_bloom_fpr"   -> bloomFprSql)
+    "m8_key_skew"     -> keySkewSql,
+    "m8_join_fanout"  -> joinFanoutSql,
+    "m8_bloom_fpr"    -> bloomFprSql,
+    "m8_cms_contract" -> cmsContractSql)
 }
