@@ -119,13 +119,58 @@ object ProbeQueries extends QueryModule {
       |  TRUE AS never_underestimates, TRUE AS within_eps_bound
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Tukey-fence outlier gate: per return flag, exact interpolated
+    * quartiles (the established percentile ↔ quantile_cont parity)
+    * give IQR fences at 1.5×, and each row is tested against its
+    * group's fences — the distribution-aware "is this value sane"
+    * check a quality pipeline runs on numeric columns, with the fence
+    * derivation itself on the gate (identical IEEE expression order in
+    * both engines). Plan: one grouped percentile pass, fences
+    * broadcast back over the fact scan, one counting pass. */
+  private def outlierGate(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val fences = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.25)").as("q1"),
+        expr("percentile(l_extendedprice, 0.75)").as("q3"))
+      .select(col("l_returnflag"),
+        (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo_fence"),
+        (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi_fence"))
+    li.join(broadcast(fences), Seq("l_returnflag"))
+      .groupBy("l_returnflag", "lo_fence", "hi_fence")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(when(col("l_extendedprice") < col("lo_fence") ||
+          col("l_extendedprice") > col("hi_fence"), 1L)), lit(0L))
+          .as("n_outliers"))
+      .select("l_returnflag", "n_rows", "n_outliers", "lo_fence", "hi_fence")
+  }
+
+  private val outlierGateSql =
+    """WITH f AS (
+      |  SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, 0.25) AS q1,
+      |    quantile_cont(l_extendedprice, 0.75) AS q3
+      |  FROM lineitem GROUP BY 1),
+      |fe AS (
+      |  SELECT l_returnflag, q1 - 1.5 * (q3 - q1) AS lo_fence,
+      |    q3 + 1.5 * (q3 - q1) AS hi_fence
+      |  FROM f)
+      |SELECT l.l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(COALESCE(SUM(CASE WHEN l_extendedprice < lo_fence
+      |    OR l_extendedprice > hi_fence THEN 1 END), 0) AS BIGINT)
+      |    AS n_outliers,
+      |  fe.lo_fence, fe.hi_fence
+      |FROM lineitem l JOIN fe USING (l_returnflag)
+      |GROUP BY l.l_returnflag, fe.lo_fence, fe.hi_fence""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_outlier_gate" -> outlierGate _,
     "m8_key_skew"     -> keySkew _,
     "m8_join_fanout"  -> joinFanout _,
     "m8_bloom_fpr"    -> bloomFpr _,
     "m8_cms_contract" -> cmsContract _)
 
   def oracles: Map[String, String] = Map(
+    "m8_outlier_gate" -> outlierGateSql,
     "m8_key_skew"     -> keySkewSql,
     "m8_join_fanout"  -> joinFanoutSql,
     "m8_bloom_fpr"    -> bloomFprSql,

@@ -79,4 +79,25 @@ class PropertiesSpec extends AnyFunSuite {
       keptParams(CanonicalUrl.canonicalize(u)) == keptParams(u)
     })
   }
+
+  private val hashesGen = Gen.oneOf(8, 16, 24, 32, 48, 64, 96, 128)
+  private val jaccardGen = Gen.choose(0.05, 0.95)
+
+  test("chooseBands returns a divisor pair no other divisor beats") {
+    check(Prop.forAll(hashesGen, jaccardGen) { (n, t) =>
+      val (b, r) = graft.dedup.Dedup.chooseBands(n, t)
+      def dist(bb: Int) = math.abs(math.pow(1.0 / bb, bb.toDouble / n) - t)
+      b * r == n && (1 to n).filter(n % _ == 0).forall(dist(b) <= dist(_))
+    })
+  }
+
+  test("candidateProbability is a monotone S-curve within [0, 1]") {
+    check(Prop.forAll(jaccardGen, jaccardGen, hashesGen) { (s1, s2, n) =>
+      val (b, r) = graft.dedup.Dedup.chooseBands(n, 0.5)
+      val (lo, hi) = (math.min(s1, s2), math.max(s1, s2))
+      val (pLo, pHi) = (graft.dedup.Dedup.candidateProbability(lo, b, r),
+        graft.dedup.Dedup.candidateProbability(hi, b, r))
+      pLo >= 0.0 && pHi <= 1.0 && pLo <= pHi
+    })
+  }
 }
