@@ -354,6 +354,72 @@ object DedupQueries extends QueryModule {
        |       END AS f1_bp
        |FROM bp""".stripMargin
 
+  /** The same scorecard for the SimHash family — [[Dedup.pairEval]] is
+    * generator-agnostic, so every approximate family grades against the
+    * SAME exact-Jaccard ground truth and configs become comparable
+    * numbers (MinHash 8×4 vs SimHash ≤8-hamming on THIS corpus), not
+    * folklore. */
+  private def dedupEvalSimhash(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.spread(Tables.documents(s, dir))
+    val truth = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"),
+      minJaccard = 0.5).select("id_a", "id_b")
+    val cand = Dedup.simhashPairs(d, col("doc_id"), col("text"),
+      maxHamming = 8, portable = true).select("id_a", "id_b")
+    Dedup.pairEval(truth, cand)
+  }
+
+  private val dedupEvalSimhashSql =
+    s"""WITH $shinglesCte,
+       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       |common AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT id_a, id_b FROM common
+       |  JOIN counts ca ON ca.doc_id = id_a
+       |  JOIN counts cb ON cb.doc_id = id_b
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE)
+       |        >= 0.5),
+       |h AS (SELECT doc_id, ${hex60Sql("shingle")} AS h FROM sh),
+       |bits AS (SELECT unnest(generate_series(0, 59)) AS b),
+       |votes AS (
+       |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM h CROSS JOIN bits GROUP BY 1, 2),
+       |ssig AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+       |      AS sig
+       |  FROM votes GROUP BY 1),
+       |blocks AS (SELECT unnest(generate_series(0, 8)) AS i),
+       |banded AS (
+       |  SELECT doc_id, sig, i,
+       |    (sig >> (i * 60 // 9)) &
+       |      ((1::BIGINT << ((i + 1) * 60 // 9 - i * 60 // 9)) - 1) AS key
+       |  FROM ssig CROSS JOIN blocks),
+       |approx AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.i = b.i AND a.key = b.key AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 8),
+       |stats AS (
+       |  SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       |         (SELECT COUNT(*) FROM approx) AS n_candidates,
+       |         (SELECT COUNT(*) FROM truth t JOIN approx a
+       |            ON t.id_a = a.id_a AND t.id_b = a.id_b) AS n_hits),
+       |bp AS (
+       |  SELECT n_truth, n_candidates, n_hits,
+       |    CASE WHEN n_candidates = 0 THEN 0
+       |         ELSE (10000 * n_hits) // n_candidates END AS precision_bp,
+       |    CASE WHEN n_truth = 0 THEN 0
+       |         ELSE (10000 * n_hits) // n_truth END AS recall_bp
+       |  FROM stats)
+       |SELECT n_truth, n_candidates, n_hits, precision_bp, recall_bp,
+       |  CASE WHEN precision_bp + recall_bp = 0 THEN 0
+       |       ELSE (2 * precision_bp * recall_bp) // (precision_bp + recall_bp)
+       |       END AS f1_bp
+       |FROM bp""".stripMargin
+
   /** Triangle count over the verified near-dup pair graph — the
     * structure metric that separates pairwise-similar noise from true
     * duplicate cliques. Edges are (id_a < id_b) ordered, so each
@@ -623,6 +689,7 @@ object DedupQueries extends QueryModule {
     "m8_signature_store"     -> signatureStore _,
     "m8_semantic_dedup"      -> semanticDedup _,
     "m8_dedup_eval"          -> dedupEval _,
+    "m8_dedup_eval_simhash"  -> dedupEvalSimhash _,
     "m8_leakage_safe_split"  -> leakageSafeSplit _,
     "m8_training_export"     -> trainingExport _,
     "m8_graph_triangles"     -> triangles _,
@@ -640,6 +707,7 @@ object DedupQueries extends QueryModule {
     "m8_signature_store"     -> incrementalSql,
     "m8_semantic_dedup"      -> semanticDedupSql,
     "m8_dedup_eval"          -> dedupEvalSql,
+    "m8_dedup_eval_simhash"  -> dedupEvalSimhashSql,
     "m8_leakage_safe_split"  -> leakageSafeSplitSql,
     "m8_training_export"     -> trainingExportSql,
     "m8_graph_triangles"     -> trianglesSql,

@@ -162,7 +162,39 @@ object ProbeQueries extends QueryModule {
       |FROM lineitem l JOIN fe USING (l_returnflag)
       |GROUP BY l.l_returnflag, fe.lo_fence, fe.hi_fence""".stripMargin
 
+  /** Order-free table digests ([[graft.ops.Integrity]]): XOR of per-row
+    * md5 fingerprints over keys + categorical columns (text pre-hashed
+    * with md5 — engines must agree on the BYTES digested, and floats
+    * are excluded because float→string rendering is engine-specific).
+    * The migration-validation answer to "did every row survive the
+    * move": one pass, 3 rows out, any single-row change flips it. */
+  private def tableDigests(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Integrity
+    Integrity.digests(Seq(
+      ("orders", Tables.orders(s, dir), Seq(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"))),
+      ("lineitem", Tables.lineitem(s, dir), Seq(col("l_orderkey"),
+        col("l_linenumber"), col("l_returnflag"), col("l_linestatus"))),
+      ("documents", Tables.documents(s, dir), Seq(col("doc_id"),
+        col("lang"), col("source"), md5(col("text"))))))
+  }
+
+  private val tableDigestsSql = {
+    def one(t: String, colsExpr: String) =
+      s"""SELECT '$t' AS tbl, COUNT(*) AS n_rows,
+         |  bit_xor(${Dsl.hex60Sql(colsExpr)}) AS digest FROM $t""".stripMargin
+    Seq(
+      one("orders",
+        "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, o_orderpriority)"),
+      one("lineitem",
+        "concat_ws('|', l_orderkey, l_linenumber, l_returnflag, l_linestatus)"),
+      one("documents",
+        "concat_ws('|', doc_id, lang, source, md5(text))"))
+      .mkString("\nUNION ALL\n")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_table_digest" -> tableDigests _,
     "m8_outlier_gate" -> outlierGate _,
     "m8_key_skew"     -> keySkew _,
     "m8_join_fanout"  -> joinFanout _,
@@ -170,6 +202,7 @@ object ProbeQueries extends QueryModule {
     "m8_cms_contract" -> cmsContract _)
 
   def oracles: Map[String, String] = Map(
+    "m8_table_digest" -> tableDigestsSql,
     "m8_outlier_gate" -> outlierGateSql,
     "m8_key_skew"     -> keySkewSql,
     "m8_join_fanout"  -> joinFanoutSql,
