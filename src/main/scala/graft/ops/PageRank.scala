@@ -60,6 +60,13 @@ object PageRank {
     require(iterations >= 0 && dampNum >= 0 && dampNum <= dampDen,
       s"bad PageRank config ($iterations, $dampNum/$dampDen)")
     val weighted = edges.columns.length >= 3
+    // fail fast on (src, dst, metadata) misuse: a non-numeric third
+    // column would cast to null, silently dropping every edge
+    if (weighted) require(
+      edges.schema.fields(2).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"third edge column must be a numeric weight, got " +
+        edges.schema.fields(2).dataType.simpleString)
     val src = col(edges.columns(0))
     val dst = col(edges.columns(1))
     val e =

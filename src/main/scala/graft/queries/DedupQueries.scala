@@ -61,7 +61,7 @@ object DedupQueries extends QueryModule {
   /** The full MinHash+LSH pipeline as a reusable CTE chain, ending in
     * `agree(id_a, id_b, sig_agreement)` — shared by the pair demo and the
     * connected-components clustering oracle. */
-  private[queries] val minhashCtes =
+  private val minhashCtes =
     s"""$shinglesCte,
        |hh AS (SELECT doc_id, md5(shingle) AS hx FROM sh),
        |hv AS (
@@ -191,12 +191,19 @@ object DedupQueries extends QueryModule {
           .as("naive_leaks"),
         coalesce(sum(when(col("split_a") =!= col("split_b"), 1L)), lit(0L))
           .as("safe_leaks"))
-    assign.agg(count(lit(1)).as("n_docs"),
+    val out = assign.agg(count(lit(1)).as("n_docs"),
         countDistinct(col("cluster_id")).as("n_clusters"),
         coalesce(sum(when(col("split") === "train", 1L)), lit(0L)).as("n_train"),
         coalesce(sum(when(col("split") === "val", 1L)), lit(0L)).as("n_val"),
         coalesce(sum(when(col("split") === "test", 1L)), lit(0L)).as("n_test"))
       .crossJoin(broadcast(leaks))
+      // eager 1-row checkpoint so both caches can be released NOW — a
+      // long-lived session (the 153-query driver run) must not carry
+      // this query's pair set in the block store forever
+      .localCheckpoint()
+    pairs.unpersist()
+    assign.unpersist()
+    out
   }
 
   /** DuckDB replica of the 0.9/0.05/0.05 `lsplit`-salted assignment
@@ -322,37 +329,50 @@ object DedupQueries extends QueryModule {
     Dedup.pairEval(truth, cand)
   }
 
+  /** Exact-Jaccard ground-truth CTEs (`counts`/`common`/`truth`) —
+    * shared by every pairEval oracle so all approximate families grade
+    * against literally the same SQL. Requires `sh` from
+    * [[Dsl.shinglesCte]] upstream. */
+  private val jaccardTruthCtes =
+    """counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |common AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |truth AS (
+      |  SELECT id_a, id_b FROM common
+      |  JOIN counts ca ON ca.doc_id = id_a
+      |  JOIN counts cb ON cb.doc_id = id_b
+      |  WHERE CAST(n_common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE)
+      |        >= 0.5)""".stripMargin
+
+  /** The confusion-count + basis-point scorecard tail ([[Dedup.pairEval]]
+    * replica) over CTEs `truth` and `approx` — shared verbatim by every
+    * eval oracle. */
+  private val scorecardSql =
+    """stats AS (
+      |  SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+      |         (SELECT COUNT(*) FROM approx) AS n_candidates,
+      |         (SELECT COUNT(*) FROM truth t JOIN approx a
+      |            ON t.id_a = a.id_a AND t.id_b = a.id_b) AS n_hits),
+      |bp AS (
+      |  SELECT n_truth, n_candidates, n_hits,
+      |    CASE WHEN n_candidates = 0 THEN 0
+      |         ELSE (10000 * n_hits) // n_candidates END AS precision_bp,
+      |    CASE WHEN n_truth = 0 THEN 0
+      |         ELSE (10000 * n_hits) // n_truth END AS recall_bp
+      |  FROM stats)
+      |SELECT n_truth, n_candidates, n_hits, precision_bp, recall_bp,
+      |  CASE WHEN precision_bp + recall_bp = 0 THEN 0
+      |       ELSE (2 * precision_bp * recall_bp) // (precision_bp + recall_bp)
+      |       END AS f1_bp
+      |FROM bp""".stripMargin
+
   private val dedupEvalSql =
     s"""WITH $minhashCtes,
-       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-       |common AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |truth AS (
-       |  SELECT id_a, id_b FROM common
-       |  JOIN counts ca ON ca.doc_id = id_a
-       |  JOIN counts cb ON cb.doc_id = id_b
-       |  WHERE CAST(n_common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE)
-       |        >= 0.5),
+       |$jaccardTruthCtes,
        |approx AS (SELECT id_a, id_b FROM agree WHERE sig_agreement >= 0.5),
-       |stats AS (
-       |  SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
-       |         (SELECT COUNT(*) FROM approx) AS n_candidates,
-       |         (SELECT COUNT(*) FROM truth t JOIN approx a
-       |            ON t.id_a = a.id_a AND t.id_b = a.id_b) AS n_hits),
-       |bp AS (
-       |  SELECT n_truth, n_candidates, n_hits,
-       |    CASE WHEN n_candidates = 0 THEN 0
-       |         ELSE (10000 * n_hits) // n_candidates END AS precision_bp,
-       |    CASE WHEN n_truth = 0 THEN 0
-       |         ELSE (10000 * n_hits) // n_truth END AS recall_bp
-       |  FROM stats)
-       |SELECT n_truth, n_candidates, n_hits, precision_bp, recall_bp,
-       |  CASE WHEN precision_bp + recall_bp = 0 THEN 0
-       |       ELSE (2 * precision_bp * recall_bp) // (precision_bp + recall_bp)
-       |       END AS f1_bp
-       |FROM bp""".stripMargin
+       |$scorecardSql""".stripMargin
 
   /** The same scorecard for the SimHash family — [[Dedup.pairEval]] is
     * generator-agnostic, so every approximate family grades against the
@@ -368,57 +388,12 @@ object DedupQueries extends QueryModule {
     Dedup.pairEval(truth, cand)
   }
 
-  private val dedupEvalSimhashSql =
-    s"""WITH $shinglesCte,
-       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-       |common AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |truth AS (
-       |  SELECT id_a, id_b FROM common
-       |  JOIN counts ca ON ca.doc_id = id_a
-       |  JOIN counts cb ON cb.doc_id = id_b
-       |  WHERE CAST(n_common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE)
-       |        >= 0.5),
-       |h AS (SELECT doc_id, ${hex60Sql("shingle")} AS h FROM sh),
-       |bits AS (SELECT unnest(generate_series(0, 59)) AS b),
-       |votes AS (
-       |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-       |  FROM h CROSS JOIN bits GROUP BY 1, 2),
-       |ssig AS (
-       |  SELECT doc_id,
-       |    CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
-       |      AS sig
-       |  FROM votes GROUP BY 1),
-       |blocks AS (SELECT unnest(generate_series(0, 8)) AS i),
-       |banded AS (
-       |  SELECT doc_id, sig, i,
-       |    (sig >> (i * 60 // 9)) &
-       |      ((1::BIGINT << ((i + 1) * 60 // 9 - i * 60 // 9)) - 1) AS key
-       |  FROM ssig CROSS JOIN blocks),
-       |approx AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM banded a JOIN banded b
-       |    ON a.i = b.i AND a.key = b.key AND a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.sig, b.sig)) <= 8),
-       |stats AS (
-       |  SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
-       |         (SELECT COUNT(*) FROM approx) AS n_candidates,
-       |         (SELECT COUNT(*) FROM truth t JOIN approx a
-       |            ON t.id_a = a.id_a AND t.id_b = a.id_b) AS n_hits),
-       |bp AS (
-       |  SELECT n_truth, n_candidates, n_hits,
-       |    CASE WHEN n_candidates = 0 THEN 0
-       |         ELSE (10000 * n_hits) // n_candidates END AS precision_bp,
-       |    CASE WHEN n_truth = 0 THEN 0
-       |         ELSE (10000 * n_hits) // n_truth END AS recall_bp
-       |  FROM stats)
-       |SELECT n_truth, n_candidates, n_hits, precision_bp, recall_bp,
-       |  CASE WHEN precision_bp + recall_bp = 0 THEN 0
-       |       ELSE (2 * precision_bp * recall_bp) // (precision_bp + recall_bp)
-       |       END AS f1_bp
-       |FROM bp""".stripMargin
+  private lazy val dedupEvalSimhashSql =
+    s"""WITH $simhashCtes,
+       |$jaccardTruthCtes,
+       |approx AS (SELECT id_a, id_b FROM scand
+       |           WHERE bit_count(xor(sig_a, sig_b)) <= 8),
+       |$scorecardSql""".stripMargin
 
   /** Triangle count over the verified near-dup pair graph — the
     * structure metric that separates pairwise-similar noise from true
@@ -537,14 +512,17 @@ object DedupQueries extends QueryModule {
     Dedup.simhashPairs(Tables.spread(Tables.documents(s, dir)), col("doc_id"), col("text"),
       maxHamming = 8, portable = true)
 
-  private val simhashSql =
-    s"""WITH $shinglesCte,
+  /** The SimHash chain as a reusable CTE block ending in
+    * `scand(id_a, id_b, sig_a, sig_b)` — shared by the pair demo and
+    * the eval-harness oracle so the two can never drift. */
+  private val simhashCtes =
+    s"""$shinglesCte,
        |h AS (SELECT doc_id, ${hex60Sql("shingle")} AS h FROM sh),
        |bits AS (SELECT unnest(generate_series(0, 59)) AS b),
        |votes AS (
        |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
        |  FROM h CROSS JOIN bits GROUP BY 1, 2),
-       |sig AS (
+       |ssig AS (
        |  SELECT doc_id,
        |    CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
        |      AS sig
@@ -554,14 +532,17 @@ object DedupQueries extends QueryModule {
        |  SELECT doc_id, sig, i,
        |    (sig >> (i * 60 // 9)) &
        |      ((1::BIGINT << ((i + 1) * 60 // 9 - i * 60 // 9)) - 1) AS key
-       |  FROM sig CROSS JOIN blocks),
-       |cand AS (
+       |  FROM ssig CROSS JOIN blocks),
+       |scand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |    a.sig AS sig_a, b.sig AS sig_b
        |  FROM banded a JOIN banded b
-       |    ON a.i = b.i AND a.key = b.key AND a.doc_id < b.doc_id)
+       |    ON a.i = b.i AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val simhashSql =
+    s"""WITH $simhashCtes
        |SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
-       |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8""".stripMargin
+       |FROM scand WHERE bit_count(xor(sig_a, sig_b)) <= 8""".stripMargin
 
   /** Embedding-cosine near-dups via portable hyperplane-LSH blocking
     * (8 md5-derived ±1 hyperplanes over 64 dims). The hot-bucket cap is

@@ -20,16 +20,21 @@ import java.nio.charset.StandardCharsets
   * `LATEST`. A crash at ANY point leaves the previous pointer (and the
   * snapshot it names) fully intact — there is no delete-then-rename
   * window where the view doesn't exist; a half-written `v{b}` is
-  * unreferenced garbage, cleaned by the next successful batch. Readers
-  * resolve [[ViewMaintenance.readLatest]] and always see one complete
-  * snapshot. Floats never live in the store — readers finalize with
+  * unreferenced garbage, cleaned by the next successful batch; and a
+  * REPLAYED batch (crash after publish, before the stream checkpoint
+  * commit) detects its own already-published snapshot and skips, so
+  * the fold is idempotent in batchId. Readers resolve
+  * [[ViewMaintenance.readLatest]] and always see one complete
+  * snapshot; the immediately-superseded snapshot is retained for one
+  * extra batch so a reader that resolved it mid-publish can finish
+  * its scan before the dir is retired. Floats never live in the store — readers finalize with
   * their own projection (e.g. avg = stored sum / stored count). With an
   * ordered file source the final state equals batch-mode aggregation
   * over the same files, asserted in ViewMaintenanceSpec. */
 object ViewMaintenance {
 
-  private def fs(spark: SparkSession): FileSystem =
-    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** The snapshot dir `LATEST` names — falling back, if the pointer is
     * missing or dangling (a crash in the tiny pointer-replace window on
@@ -38,7 +43,7 @@ object ViewMaintenance {
     * recovery needs no operator intervention. None before the first
     * publish. */
   def latestSnapshot(spark: SparkSession, stateDir: String): Option[String] = {
-    val f = fs(spark)
+    val f = fs(spark, stateDir)
     val ptr = new Path(s"$stateDir/LATEST")
     val fromPtr =
       if (!f.exists(ptr)) None
@@ -74,30 +79,47 @@ object ViewMaintenance {
     val writer = rows.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val f = fs(spark)
-        val delta = IncrementalAgg.state(batch, keys.map(col), measures)
-        val prior = latestSnapshot(spark, stateDir)
-        val merged = prior match {
-          case Some(dir) =>
-            IncrementalAgg.merge(Seq(spark.read.parquet(dir), delta),
-              keys, measures)
-          case None => delta
-        }
+        val f = fs(spark, stateDir)
         val snap = s"$stateDir/v$batchId"
-        merged.write.mode("overwrite").parquet(snap)
-        // publish: staged pointer, then ONE atomic rename — no window
-        // where LATEST is missing or names an incomplete snapshot
-        val tmp = new Path(s"$stateDir/LATEST.tmp")
-        val out = f.create(tmp, true)
-        try out.write(s"v$batchId".getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-        f.rename(tmp, new Path(s"$stateDir/LATEST")) || {
-          // HDFS-style rename refuses to clobber: replace explicitly
-          f.delete(new Path(s"$stateDir/LATEST"), false)
-          f.rename(tmp, new Path(s"$stateDir/LATEST"))
+        val prior = latestSnapshot(spark, stateDir)
+        // Idempotent replay: a crash AFTER publish but BEFORE the stream
+        // checkpoint commit re-delivers this batchId — its snapshot is
+        // already the published state, so folding it again would
+        // double-count (and the merge would read the very dir it
+        // overwrites). Skip straight to the checkpoint commit.
+        if (!prior.contains(snap)) {
+          val delta = IncrementalAgg.state(batch, keys.map(col), measures)
+          val merged = prior match {
+            case Some(dir) =>
+              IncrementalAgg.merge(Seq(spark.read.parquet(dir), delta),
+                keys, measures)
+            case None => delta
+          }
+          merged.write.mode("overwrite").parquet(snap)
+          // publish: staged pointer, then ONE atomic rename — no window
+          // where LATEST is missing or names an incomplete snapshot
+          val tmp = new Path(s"$stateDir/LATEST.tmp")
+          val out = f.create(tmp, true)
+          try out.write(s"v$batchId".getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          f.rename(tmp, new Path(s"$stateDir/LATEST")) || {
+            // HDFS-style rename refuses to clobber: replace explicitly
+            f.delete(new Path(s"$stateDir/LATEST"), false)
+            f.rename(tmp, new Path(s"$stateDir/LATEST"))
+          }
+          // Retention: keep the immediately-superseded snapshot for one
+          // more batch (a reader that resolved it mid-publish can still
+          // finish its scan); retire everything OLDER than that.
+          val keep = Set(snap) ++ prior
+          if (f.exists(new Path(stateDir)))
+            f.listStatus(new Path(stateDir)).foreach { s0 =>
+              val p = s0.getPath
+              if (s0.isDirectory && p.getName.matches("v\\d+") &&
+                !keep.contains(p.toString) &&
+                !keep.exists(_.endsWith("/" + p.getName)))
+                f.delete(p, true)
+            }
         }
-        // retire the superseded snapshot (unreferenced from here on)
-        prior.foreach(p => f.delete(new Path(p), true))
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -122,6 +122,11 @@ class PageRankSpec extends SparkSpec {
     intercept[IllegalArgumentException] { PageRank.run(e, dampNum = 101) }
   }
 
+  test("a non-numeric third column is rejected, not silently cast") {
+    val e = Seq((1L, 2L, "metadata")).toDF("src", "dst", "note")
+    intercept[IllegalArgumentException] { PageRank.run(e) }
+  }
+
   test("weighted: zero/negative-weight edges are dropped entirely") {
     val got = PageRank.run(
       Seq((1L, 2L, 1L), (2L, 3L, 0L), (8L, 9L, -5L)).toDF("src", "dst", "w"))

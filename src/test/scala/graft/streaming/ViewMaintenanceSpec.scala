@@ -55,10 +55,12 @@ class ViewMaintenanceSpec extends SparkSpec {
     val want = IncrementalAgg.state(all.flatten.toDF("k", "v"),
       Seq(col("k")), measures)
     assert(snap(got) == snap(want))
-    // superseded snapshots were retired; exactly one version remains
+    // retention: the published snapshot plus at most its predecessor
+    // (kept one batch for in-flight readers); older versions retired
     val versions = new java.io.File(s"$root/state").listFiles()
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-    assert(versions.length == 1)
+      .map(_.getName).sorted
+    assert(versions.length <= 2 && versions.last == "v2")
   }
 
   test("dangling pointer recovers to the highest complete snapshot") {
