@@ -63,17 +63,19 @@ object ProbeQueries extends QueryModule {
     val keys = orders.select(col("o_custkey").as("k")).distinct()
     val bloom = BloomJoin.buildBloom(keys, col("k"),
       expectedItems = 2000L, fpp = 0.01)
-    val present = keys
-      .agg(count(lit(1)).as("n"),
-        coalesce(sum(when(BloomJoin.mightContain(keys, col("k"), bloom), 1L)),
-          lit(0L)).as("hits"))
-    val absent = keys.select((col("k") + lit(10000000L)).as("pk"))
+    // both probes in ONE aggregate over one scan of the key set: each
+    // row contributes its present-key hit and its shifted absent-key
+    // probe — no second distinct, no second exchange
+    keys
       .agg(count(lit(1)).as("n_probes"),
-        coalesce(sum(when(BloomJoin.mightContain(keys, col("pk"), bloom), 1L)),
+        coalesce(sum(when(
+          BloomJoin.mightContain(keys, col("k"), bloom), 1L)), lit(0L))
+          .as("hits"),
+        coalesce(sum(when(
+          BloomJoin.mightContain(keys, col("k") + lit(10000000L), bloom), 1L)),
           lit(0L)).as("fp"))
-    present.crossJoin(broadcast(absent))
       .select(col("n_probes"),
-        (col("hits") === col("n")).as("no_false_negatives"),
+        (col("hits") === col("n_probes")).as("no_false_negatives"),
         (col("fp") * 10000 <= col("n_probes") * 300).as("fpr_within_bound"))
   }
 

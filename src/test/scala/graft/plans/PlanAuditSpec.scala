@@ -55,7 +55,18 @@ class PlanAuditSpec extends SparkSpec {
     // under every consumer in toString, so these counts overstate the
     // executed exchanges — still pinned: growth means a shape regression
     ("m8_dedup_eval", 27, false),
-    ("m8_leakage_safe_split", 21, true))
+    // scorecard is an eager 1-row checkpoint: the serving plan is
+    // exchange-free by construction (caches released inside the query)
+    ("m8_leakage_safe_split", 0, false),
+    // sketch contracts broadcast 1-row totals (sanctioned BNLJ); the
+    // digest is three single-agg branches; the export capstone carries
+    // the clustering chain plus the shuffle-free chunker
+    ("m8_outlier_gate", 2, false),
+    ("m8_cms_contract", 2, true),
+    ("m8_bloom_fpr", 2, false), // keys distinct + the 1-row final agg
+    ("m8_table_digest", 3, false),
+    ("m8_training_export", 3, false),
+    ("m8_dedup_eval_simhash", 21, false))
 
   expected.foreach { case (name, maxExchanges, allowBnlj) =>
     test(s"$name: no cartesian, bounded shuffles (≤$maxExchanges)") {
