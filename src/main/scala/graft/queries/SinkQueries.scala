@@ -108,13 +108,42 @@ object SinkQueries extends QueryModule {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Backfill planner — the recovery step after an interrupted
+    * partitioned load: list-what-exists in the sink (partition
+    * discovery, no data read), anti-join against the source's partition
+    * universe, and emit the missing partitions WITH the row volume each
+    * will move — so the backfill is a work plan, not a full rewrite.
+    * The demo writes a sink that stops at 2000-06 (the "interrupted"
+    * load), and the plan must name exactly the months from 2000-07 on;
+    * the oracle derives the same plan from the source and the cutoff
+    * alone. */
+  private def backfillPlan(s: SparkSession, dir: String): DataFrame = {
+    val sink = Dsl.tempDir("graft_backfill_") + "/orders_by_month"
+    val src = graft.Tables.orders(s, dir)
+      .withColumn("part_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    src.filter(col("part_month") < "2000-07")
+      .write.partitionBy("part_month").mode("overwrite").parquet(sink)
+    val have = s.read.parquet(sink).select("part_month").distinct()
+    src.join(have, Seq("part_month"), "left_anti")
+      .groupBy("part_month").agg(count(lit(1)).as("n_rows"))
+  }
+
+  private val backfillPlanSql =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS part_month,
+      |  COUNT(*) AS n_rows
+      |FROM orders
+      |WHERE strftime(o_orderdate, '%Y-%m') >= '2000-07'
+      |GROUP BY 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_partitioned_prune" -> partitionedPrune _,
     "sink_compaction"        -> compaction _,
-    "sink_orc_roundtrip"     -> orcRoundtrip _)
+    "sink_orc_roundtrip"     -> orcRoundtrip _,
+    "sink_backfill_plan"     -> backfillPlan _)
 
   def oracles: Map[String, String] = Map(
     "sink_partitioned_prune" -> partitionedPruneSql,
     "sink_compaction"        -> compactionSql,
-    "sink_orc_roundtrip"     -> orcRoundtripSql)
+    "sink_orc_roundtrip"     -> orcRoundtripSql,
+    "sink_backfill_plan"     -> backfillPlanSql)
 }
