@@ -6,7 +6,6 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.functions.col
 import graft.ops.IncrementalAgg
 import graft.ops.IncrementalAgg.Measure
-import java.nio.charset.StandardCharsets
 
 /** Streaming materialized-view maintenance: each micro-batch is reduced
   * to its partial state ([[IncrementalAgg.state]]) and folded into the
@@ -44,16 +43,8 @@ object ViewMaintenance {
     * publish. */
   def latestSnapshot(spark: SparkSession, stateDir: String): Option[String] = {
     val f = fs(spark, stateDir)
-    val ptr = new Path(s"$stateDir/LATEST")
-    val fromPtr =
-      if (!f.exists(ptr)) None
-      else {
-        val len = f.getFileStatus(ptr).getLen.toInt
-        val buf = new Array[Byte](len)
-        val in = f.open(ptr)
-        try in.readFully(0, buf) finally in.close()
-        Some(s"$stateDir/${new String(buf, StandardCharsets.UTF_8).trim}")
-      }
+    val fromPtr = StatePointer.read(spark, stateDir, "LATEST")
+      .map(v => s"$stateDir/$v")
     fromPtr.filter(p => f.exists(new Path(p))).orElse {
       val root = new Path(stateDir)
       if (!f.exists(root)) None
@@ -86,8 +77,12 @@ object ViewMaintenance {
         // checkpoint commit re-delivers this batchId — its snapshot is
         // already the published state, so folding it again would
         // double-count (and the merge would read the very dir it
-        // overwrites). Skip straight to the checkpoint commit.
-        if (!prior.contains(snap)) {
+        // overwrites). Skip straight to the checkpoint commit. Compare
+        // by version NAME: the _SUCCESS-scan fallback returns
+        // fully-qualified paths (file:/…), which a raw-path equality
+        // would miss in exactly the crash window the guard exists for.
+        val priorName = prior.map(_.split('/').last)
+        if (!priorName.contains(s"v$batchId")) {
           val delta = IncrementalAgg.state(batch, keys.map(col), measures)
           val merged = prior match {
             case Some(dir) =>
@@ -96,17 +91,8 @@ object ViewMaintenance {
             case None => delta
           }
           merged.write.mode("overwrite").parquet(snap)
-          // publish: staged pointer, then ONE atomic rename — no window
-          // where LATEST is missing or names an incomplete snapshot
-          val tmp = new Path(s"$stateDir/LATEST.tmp")
-          val out = f.create(tmp, true)
-          try out.write(s"v$batchId".getBytes(StandardCharsets.UTF_8))
-          finally out.close()
-          f.rename(tmp, new Path(s"$stateDir/LATEST")) || {
-            // HDFS-style rename refuses to clobber: replace explicitly
-            f.delete(new Path(s"$stateDir/LATEST"), false)
-            f.rename(tmp, new Path(s"$stateDir/LATEST"))
-          }
+          // publish via the shared staged-rename protocol ([[StatePointer]])
+          StatePointer.publish(spark, stateDir, "LATEST", s"v$batchId")
           // Retention: keep the immediately-superseded snapshot for one
           // more batch (a reader that resolved it mid-publish can still
           // finish its scan); retire everything OLDER than that.
