@@ -56,7 +56,11 @@ class PlanAuditSpec extends SparkSpec {
     // executed exchanges — still pinned: growth means a shape regression
     ("m8_dedup_eval", 27, false),
     // scorecard is an eager 1-row checkpoint: the serving plan is
-    // exchange-free by construction (caches released inside the query)
+    // exchange-free by construction (caches released inside the query).
+    // The heavy chain behind it is NOT invisible to this gate: the
+    // minhash pipeline's shape is pinned via m8_dedup_minhash/
+    // m8_dedup_eval above, and the closure/split composition via
+    // m8_training_export below.
     ("m8_leakage_safe_split", 0, false),
     // sketch contracts broadcast 1-row totals (sanctioned BNLJ); the
     // digest is three single-agg branches; the export capstone carries
