@@ -16,7 +16,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * (lateness null) — nothing is ever silently dropped.
   *
   * Crash-safety, concretely:
-  *  - each batch writes to its own `batch=<id>` subdirectory with
+  *  - each batch writes to its own `graft_batch=<id>` subdirectory with
   *    overwrite, so a REPLAYED batch (crash before the stream
   *    checkpoint commit) replaces its own previous attempt instead of
   *    appending duplicates — totals stay conserved across restarts
@@ -35,38 +35,60 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * monotonically. */
 object LateData {
 
+  /** The mark plus whether it came from the pointer (false ⇒ it was
+    * recovered the expensive way and should be republished even if the
+    * current batch can't advance it). Recovery EXCLUDES the replaying
+    * batch's own `graft_batch=<batchId>` subdir — the contract is "max
+    * event time seen in PRIOR batches", and a crash-then-replay must
+    * not let a batch's rows raise the threshold against themselves. */
   private def readMark(spark: SparkSession, stateDir: String,
-                       sinkDirs: Seq[String], tsCol: String): Long =
-    StatePointer.read(spark, stateDir, "MAX_TS").map(_.toLong).getOrElse {
-      // pointer missing: first run, or lost in the clobber window —
-      // recover the true mark from the durable sinks
-      val fs0 = new Path(stateDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val present = sinkDirs.filter(d => fs0.exists(new Path(d)))
-      if (present.isEmpty) Long.MinValue
-      else present.map { d =>
-        val r = spark.read.parquet(d)
-          .agg(max(unix_timestamp(col(tsCol).cast("timestamp")))).head()
-        if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
-      }.max
-    }
+                       sinkDirs: Seq[String], tsCol: String,
+                       batchId: Long): (Long, Boolean) =
+    StatePointer.read(spark, stateDir, "MAX_TS").map(v => (v.toLong, true))
+      .getOrElse {
+        // pointer missing: first run, or lost in the clobber window —
+        // recover the true mark from the durable sinks (per-dir
+        // filesystem: sinks may live on a different scheme than state)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val present = sinkDirs.filter { d =>
+          val p = new Path(d); p.getFileSystem(conf).exists(p)
+        }
+        val marks = present.map { d =>
+          try {
+            val r = spark.read.parquet(d)
+              .filter(col("graft_batch") =!= lit(batchId))
+              .agg(max(unix_timestamp(col(tsCol).cast("timestamp")))).head()
+            if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+          } catch {
+            // dir exists but holds no committed files (a crash during
+            // the very first write leaves only _temporary/): no data,
+            // no mark — recovery must not itself be the crash
+            case _: org.apache.spark.sql.AnalysisException => Long.MinValue
+          }
+        }
+        ((Long.MinValue +: marks).max, false)
+      }
 
   /** Split the stream on lateness vs the persistent high-water mark.
     * `rows` must carry a timestamp column `tsCol`; late = event time
     * older than (mark − `delaySeconds`) where the mark is the max event
     * time seen in PRIOR batches. Late rows land in `lateDir` with
     * `late_by_sec` (null for unparseable event times) under a
-    * `batch=<id>` partition; everything else lands in `mainDir` the
+    * `graft_batch=<id>` partition; everything else lands in `mainDir` the
     * same way. AvailableNow by default; `continuous = true` for a long
     * loop. */
   def splitLate(rows: DataFrame, tsCol: String, delaySeconds: Long,
                 mainDir: String, lateDir: String, stateDir: String,
                 checkpointDir: String,
                 continuous: Boolean = false): StreamingQuery = {
+    require(!rows.columns.contains("graft_batch"),
+      "input must not carry a graft_batch column (reserved for the " +
+        "per-batch sink partitioning)")
     val writer = rows.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val mark = readMark(spark, stateDir, Seq(mainDir, lateDir), tsCol)
+        val (mark, fromPointer) =
+          readMark(spark, stateDir, Seq(mainDir, lateDir), tsCol, batchId)
         val b = batch.persist()
         val tsSec = unix_timestamp(col(tsCol).cast("timestamp"))
         val isLate =
@@ -77,14 +99,18 @@ object LateData {
           else when(tsSec.isNull, lit(null).cast("long"))
             .otherwise(lit(mark - delaySeconds) - tsSec)
         b.filter(!isLate)
-          .write.mode("overwrite").parquet(s"$mainDir/batch=$batchId")
+          .write.mode("overwrite").parquet(s"$mainDir/graft_batch=$batchId")
         val late = b.filter(isLate).withColumn("late_by_sec", lateBy)
         if (!late.isEmpty)
-          late.write.mode("overwrite").parquet(s"$lateDir/batch=$batchId")
+          late.write.mode("overwrite").parquet(s"$lateDir/graft_batch=$batchId")
         val newMax = b.agg(max(tsSec)).head()
-        if (!newMax.isNullAt(0))
-          StatePointer.publish(spark, stateDir, "MAX_TS",
-            math.max(mark, newMax.getLong(0)).toString)
+        val advanced =
+          if (newMax.isNullAt(0)) mark else math.max(mark, newMax.getLong(0))
+        // publish when the batch advanced the mark OR when the mark was
+        // recovered the expensive way — otherwise an all-null run after
+        // a lost pointer re-scans both sinks on every batch forever
+        if (advanced != Long.MinValue && (!newMax.isNullAt(0) || !fromPointer))
+          StatePointer.publish(spark, stateDir, "MAX_TS", advanced.toString)
         b.unpersist()
         ()
       }

@@ -24,13 +24,20 @@ private[streaming] object StatePointer {
   def read(spark: SparkSession, dir: String, name: String): Option[String] = {
     val f = fsFor(spark, dir)
     val ptr = new Path(s"$dir/$name")
-    if (!f.exists(ptr)) None
-    else {
-      val len = f.getFileStatus(ptr).getLen.toInt
-      val buf = new Array[Byte](len)
-      val in = f.open(ptr)
-      try in.readFully(0, buf) finally in.close()
-      Some(new String(buf, StandardCharsets.UTF_8).trim)
+    try {
+      if (!f.exists(ptr)) None
+      else {
+        val len = f.getFileStatus(ptr).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = f.open(ptr)
+        try in.readFully(0, buf) finally in.close()
+        Some(new String(buf, StandardCharsets.UTF_8).trim)
+      }
+    } catch {
+      // exists/open race vs a concurrent publish's clobber fallback:
+      // the pointer vanished mid-read — report "missing" so the
+      // caller's documented recovery path engages instead of crashing
+      case _: java.io.FileNotFoundException => None
     }
   }
 

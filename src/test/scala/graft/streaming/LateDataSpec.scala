@@ -50,7 +50,7 @@ class LateDataSpec extends SparkSpec {
     val main = spark.read.parquet(s"$root/main")
       .select("id").as[Long].collect().toSet
     val late = spark.read.parquet(s"$root/late")
-      .select(col("id"), col("batch").cast("long"),
+      .select(col("id"), col("graft_batch").cast("long"),
         col("late_by_sec"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1),
@@ -63,7 +63,7 @@ class LateDataSpec extends SparkSpec {
     assert(main.size + late.size == 7, "nothing silently dropped")
   }
 
-  test("first batch has no mark: valid rows on time, batch=0 layout") {
+  test("first batch has no mark: valid rows on time, per-batch layout") {
     val root = Files.createTempDirectory("late_first").toString
     val watch = s"$root/in"; Files.createDirectories(Paths.get(watch))
     writeBatch(watch, "b0.parquet", Seq((1L, Some(5000L)), (2L, Some(100L))))
@@ -73,7 +73,7 @@ class LateDataSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/main").count() == 2)
     assert(!Files.exists(Paths.get(s"$root/late")))
     // per-batch subdir layout: a replay overwrites, never re-appends
-    assert(Files.exists(Paths.get(s"$root/main/batch=0")))
+    assert(Files.exists(Paths.get(s"$root/main/graft_batch=0")))
   }
 
   test("lost mark pointer recovers from the sinks, not MinValue") {
