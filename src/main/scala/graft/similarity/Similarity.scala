@@ -208,9 +208,12 @@ object Similarity {
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 2): DataFrame = {
     val cent0 = trainIvfCentroids(candidates, nlist, lloydIters)
-    // nlist rows; persist so final assignment + probes don't each replay
-    // the training passes over the corpus
-    val cent = if (lloydIters > 0) cent0.persist() else cent0
+    // nlist rows; materialize once (eager localCheckpoint) so final
+    // assignment + probes don't each replay the training passes over the
+    // corpus — and nothing stays pinned in the cache after the query
+    // returns (a persist() here would leak a cached relation per call in
+    // a long-lived session)
+    val cent = if (lloydIters > 0) cent0.localCheckpoint(true) else cent0
     val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
     val assigned = ivfAssign(c, cent)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))

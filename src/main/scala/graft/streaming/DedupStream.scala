@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -20,13 +21,22 @@ import graft.dedup.Dedup
   * Admission order is first-seen-wins, so with an ordered source (file
   * stream + `maxFilesPerTrigger`) the verdict stream is deterministic and
   * equals the same batches replayed through batch-mode admission —
-  * asserted in DedupStreamSpec. */
+  * asserted in DedupStreamSpec.
+  *
+  * Crash-safety mirrors [[LateData]]: both sinks are laid out as
+  * `graft_batch=<id>` subdirectories written with overwrite, so a batch
+  * re-delivered after a crash-before-checkpoint-commit replaces its own
+  * previous attempt (no duplicate verdicts, no duplicate signatures), and
+  * the corpus read excludes the replaying batch's own subdir so its rows
+  * never screen against their own first-attempt signatures. */
 object DedupStream {
 
-  /** Signature-store schema: (id, sig[numHashes]). */
+  /** Signature-store schema: (id, sig[numHashes]) + the per-batch
+    * partition column the crash-safe sink layout adds. */
   private def sigSchema: StructType = StructType(Seq(
     StructField("id", LongType),
-    StructField("sig", ArrayType(LongType))))
+    StructField("sig", ArrayType(LongType)),
+    StructField("graft_batch", LongType)))
 
   /** Start the admission stream over a streaming `docs` frame with
     * (doc_id, text) columns. AvailableNow by default: drain what exists,
@@ -43,24 +53,41 @@ object DedupStream {
         val spark = batch.sparkSession
         val delta = Dedup.minhashSignatures(batch, col("doc_id"), col("text"),
           numHashes = bands * rowsPerBand, portable = portable).persist()
-        // First batch: no store yet — screen against an empty corpus.
+        // Screen against everything PRIOR batches admitted. Existence is
+        // checked explicitly — a missing store means "first batch, empty
+        // corpus", but a genuine read failure (FS error, corrupt files)
+        // must fail the batch, NOT silently admit everything against an
+        // empty corpus. The store is partitioned graft_batch=<id>; a
+        // replayed batch excludes its own previous attempt so its rows
+        // can't self-collide against their identical signatures.
+        val storePath = new Path(sigStoreDir)
+        val storeFs =
+          storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val corpus =
-          try spark.read.schema(sigSchema).parquet(sigStoreDir)
-          catch { case _: Exception =>
+          if (storeFs.exists(storePath))
+            spark.read.schema(sigSchema).parquet(sigStoreDir)
+              .filter(col("graft_batch") =!= lit(batchId))
+              .select(col("id"), col("sig"))
+          else
             spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sigSchema)
-          }
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(sigSchema.dropRight(1)))
         val verdicts = Dedup.minhashIncremental(corpus, delta,
           bands, rowsPerBand, minAgreement, portable).persist()
+        // Per-batch subdirs with overwrite: a batch replayed after a
+        // crash-before-checkpoint-commit REPLACES its previous attempt
+        // instead of appending duplicate verdict and signature rows.
         verdicts.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(verdictDir)
+          .write.mode("overwrite")
+          .parquet(s"$verdictDir/graft_batch=$batchId")
         // Admitted signatures extend the store; rejected ones are dropped
         // (their surviving twin already stands in for them).
         delta.join(
             verdicts.filter(col("verdict") === "admit")
               .select(col("doc_id").as("id")),
             Seq("id"), "left_semi")
-          .write.mode("append").parquet(sigStoreDir)
+          .write.mode("overwrite")
+          .parquet(s"$sigStoreDir/graft_batch=$batchId")
         verdicts.unpersist()
         delta.unpersist()
         ()

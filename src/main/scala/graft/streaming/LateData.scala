@@ -101,8 +101,18 @@ object LateData {
         b.filter(!isLate)
           .write.mode("overwrite").parquet(s"$mainDir/graft_batch=$batchId")
         val late = b.filter(isLate).withColumn("late_by_sec", lateBy)
+        val lateSub = s"$lateDir/graft_batch=$batchId"
         if (!late.isEmpty)
-          late.write.mode("overwrite").parquet(s"$lateDir/graft_batch=$batchId")
+          late.write.mode("overwrite").parquet(lateSub)
+        else {
+          // A replay can reclassify rows late→main (mark re-derived lower
+          // after a lost pointer). The main subdir above was overwritten
+          // unconditionally; the late subdir must not keep the earlier
+          // attempt's rows or they'd exist in BOTH sinks — delete it.
+          val p = new Path(lateSub)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
         val newMax = b.agg(max(tsSec)).head()
         val advanced =
           if (newMax.isNullAt(0)) mark else math.max(mark, newMax.getLong(0))

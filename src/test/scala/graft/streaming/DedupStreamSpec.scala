@@ -83,5 +83,31 @@ class DedupStreamSpec extends SparkSpec {
       v
     }.toMap
     assert(replayed == got)
+
+    // crash-replay idempotency: drop the LAST batch's commit marker (a
+    // crash after the foreachBatch body but before the checkpoint commit)
+    // and restart — the source re-delivers batch 2, whose per-batch
+    // subdir overwrite must REPLACE the first attempt, not append to it.
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    assert(commits.last.delete())
+    val docs2 = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    DedupStream.admitDocuments(docs2, store, verdicts, ckpt)
+      .awaitTermination()
+
+    val after = spark.read.parquet(verdicts)
+      .select("doc_id", "verdict", "dup_of").collect()
+    assert(after.length == 7, "replayed batch must not duplicate verdicts")
+    assert(after.map(r => r.getLong(0) ->
+      (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap == got)
+    val storeRows = spark.read.parquet(store).select("id").collect()
+    assert(storeRows.length == 4, "replayed batch must not duplicate signatures")
+    assert(storeRows.map(_.getLong(0)).toSet == Set(1L, 2L, 4L, 6L))
   }
 }
