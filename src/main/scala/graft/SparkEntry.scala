@@ -16,7 +16,8 @@ object SparkEntry {
     StarQueries, EtlQueries, TextQueries, DedupQueries, SimilarityQueries,
     MultimodalQueries, StreamingQueries, PipelineQueries, FunctionQueries,
     TemporalQueries, SamplingQueries, HygieneQueries, IngestQueries,
-    SinkQueries, GraphQueries, ProbeQueries, IncrementalQueries)
+    SinkQueries, GraphQueries, ProbeQueries, IncrementalQueries,
+    StreamGateQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference lifecycle end-to-end: validity-gated idempotent

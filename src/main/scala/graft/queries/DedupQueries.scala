@@ -90,6 +90,10 @@ object DedupQueries extends QueryModule {
        |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
        |  GROUP BY 1, 2)""".stripMargin
 
+  /** The portable-MinHash CTE chain for reuse by other oracles (the
+    * streaming-admission gate unrolls per-batch stages over it). */
+  private[queries] def minhashOracleCtes: String = minhashCtes
+
   private val minhashSql =
     s"""WITH $minhashCtes
        |SELECT id_a, id_b, sig_agreement FROM agree

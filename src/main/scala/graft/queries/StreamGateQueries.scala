@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.{DedupStream, LateData, ViewMaintenance}
+import graft.ops.IncrementalAgg.Measure
+
+/** Oracle gates for the streaming state machines that previously only had
+  * specs: [[LateData.splitLate]], [[ViewMaintenance.maintain]] and
+  * [[DedupStream.admitDocuments]] (SURVEY.md §2.10 / north-star M8).
+  *
+  * Pattern (same as `t1_drain_loop`): derive a DETERMINISTIC batch
+  * sequence from the driver tables (`key % 3` slices written as one file
+  * per batch, modification times spaced so the file source's oldest-first
+  * order is fixed), drain the REAL streaming component under
+  * `Trigger.AvailableNow` with `maxFilesPerTrigger=1`, then read its
+  * durable sinks back. The oracle replays the whole batch sequence in
+  * SQL — the late/main split against the advancing high-water mark, the
+  * monoid state fold, and the three-stage incremental MinHash admission
+  * (unrolled: each stage screens against prior stages' ADMITTED docs plus
+  * earlier same-batch docs, exactly the `minhashIncremental` contract). */
+object StreamGateQueries extends QueryModule {
+
+  /** Write `df` as `k` single-file batches (slice i = rows with
+    * `splitCol % k == i`) into a fresh watch dir, modification times
+    * 2 s apart so the file stream processes them oldest-first in slice
+    * order. Returns the watch dir. */
+  private def writeOrderedBatches(df: DataFrame, splitCol: String,
+                                  k: Int): String = {
+    val watch = Dsl.tempDir("graft_stream_watch_")
+    val base = System.currentTimeMillis() - 3600L * 1000
+    (0 until k).foreach { i =>
+      val stage = Dsl.tempDir("graft_stream_stage_")
+      df.filter(col(splitCol) % k === i)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(watch, s"b$i.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(base + i * 2000L)
+    }
+    watch
+  }
+
+  /** T11: late-data accounting. Three event batches stream through
+    * [[LateData.splitLate]] (delay 3600 s); each batch's rows land in the
+    * main or late sink versus the high-water mark advanced by PRIOR
+    * batches. Output: per (batch, sink) counts, id sums and total
+    * observed lateness, read back from the durable sinks. */
+  private def t11LateSplit(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("event_id", "ts", "user_id")
+    val watch = writeOrderedBatches(ev, "event_id", 3)
+    val root = Dsl.tempDir("graft_t11_")
+    val (mainDir, lateDir) = (s"$root/main", s"$root/late")
+    val stream = s.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    LateData.splitLate(stream, "ts", delaySeconds = 3600L,
+      mainDir, lateDir, s"$root/state", s"$root/ckpt")
+      .awaitTermination()
+    val main = s.read.parquet(mainDir)
+      .withColumn("sink", lit("main"))
+      .withColumn("late_by_sec", lit(null).cast("long"))
+    val late = s.read.parquet(lateDir).withColumn("sink", lit("late"))
+    main.unionByName(late)
+      .groupBy(col("graft_batch").cast("long").as("batch"), col("sink"))
+      .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"),
+        sum("late_by_sec").as("sum_late"))
+  }
+
+  private val t11Sql =
+    """WITH b AS (
+      |  SELECT event_id, event_id % 3 AS batch,
+      |    epoch_us(ts) // 1000000 AS tsec
+      |  FROM events),
+      |bm AS (SELECT batch, MAX(tsec) AS mx FROM b GROUP BY 1),
+      |marks AS (
+      |  SELECT batch, MAX(mx) OVER (ORDER BY batch
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mark
+      |  FROM bm),
+      |cls AS (
+      |  SELECT x.event_id, x.batch,
+      |    CASE WHEN m.mark IS NOT NULL AND x.tsec < m.mark - 3600
+      |         THEN 'late' ELSE 'main' END AS sink,
+      |    CASE WHEN m.mark IS NOT NULL AND x.tsec < m.mark - 3600
+      |         THEN (m.mark - 3600) - x.tsec END AS late_by
+      |  FROM b x JOIN marks m USING (batch))
+      |SELECT batch, sink, COUNT(*) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(late_by) AS BIGINT) AS sum_late
+      |FROM cls GROUP BY 1, 2""".stripMargin
+
+  /** T12: streaming materialized-view maintenance. Three event batches
+    * fold through [[ViewMaintenance.maintain]] (per-batch partial state
+    * merged into the versioned snapshot store); the published view must
+    * equal the flat aggregate over everything — the monoid-fold gate. */
+  private def t12ViewMaintain(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select("event_id", "user_id", "event_type")
+    val watch = writeOrderedBatches(ev, "event_id", 3)
+    val root = Dsl.tempDir("graft_t12_")
+    val stream = s.readStream
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    ViewMaintenance.maintain(stream, s"$root/state", s"$root/ckpt",
+      keys = Seq("event_type"),
+      measures = Seq(
+        Measure("n", "count", lit(1)),
+        Measure("sum_uid", "sum", col("user_id")),
+        Measure("min_id", "min", col("event_id")),
+        Measure("max_id", "max", col("event_id"))))
+      .awaitTermination()
+    ViewMaintenance.readLatest(s, s"$root/state").get
+      .select("event_type", "n", "sum_uid", "min_id", "max_id")
+  }
+
+  private val t12Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** M8: streaming corpus admission. Three document batches stream
+    * through [[DedupStream.admitDocuments]] (portable MinHash, 8×4
+    * bands): each batch screens against the signature store that prior
+    * batches' ADMITTED docs extended, plus earlier docs of its own batch.
+    * Output: every verdict row from the durable sink. */
+  private def streamAdmission(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val watch = writeOrderedBatches(docs, "doc_id", 3)
+    val root = Dsl.tempDir("graft_m8adm_")
+    val stream = s.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    DedupStream.admitDocuments(stream, s"$root/store", s"$root/verdicts",
+      s"$root/ckpt", bands = 8, rowsPerBand = 4, minAgreement = 0.5,
+      portable = true)
+      .awaitTermination()
+    s.read.parquet(s"$root/verdicts")
+      .select("doc_id", "verdict", "dup_of", "best_agreement", "n_dups",
+        "batch_id")
+  }
+
+  /** One admission stage of the oracle: candidates for batch `i` docs are
+    * earlier same-batch docs (any verdict — they're all in the delta) or
+    * `admitted` prior-batch docs; agreement over the 32 portable MinHash
+    * slots; hits at ≥ 0.5 reduce to (dup_of = min, best, count). */
+  private def stageSql(i: Int, admitted: String): String =
+    s"""c$i AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS cand_id
+       |  FROM band n JOIN band c ON n.bk = c.bk
+       |  WHERE n.doc_id % 3 = $i AND (
+       |        (c.doc_id % 3 = $i AND c.doc_id < n.doc_id)
+       |        $admitted)),
+       |a$i AS (
+       |  SELECT i.new_id, i.cand_id,
+       |    SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 AS agreement
+       |  FROM c$i i
+       |  JOIN sig sa ON sa.doc_id = i.new_id
+       |  JOIN sig sb ON sb.doc_id = i.cand_id AND sb.seed = sa.seed
+       |  GROUP BY 1, 2),
+       |h$i AS (
+       |  SELECT new_id, MIN(cand_id) AS dup_of, MAX(agreement) AS best_agreement,
+       |    COUNT(*) AS n_dups
+       |  FROM a$i WHERE agreement >= 0.5 GROUP BY 1),
+       |adm$i AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE doc_id % 3 = $i AND doc_id NOT IN (SELECT new_id FROM h$i)),
+       |v$i AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN h.new_id IS NULL THEN 'admit' ELSE 'reject' END AS verdict,
+       |    h.dup_of, h.best_agreement,
+       |    CAST(COALESCE(h.n_dups, 0) AS BIGINT) AS n_dups,
+       |    CAST($i AS BIGINT) AS batch_id
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = $i) d
+       |  LEFT JOIN h$i h ON h.new_id = d.doc_id)""".stripMargin
+
+  /** The minhash CTE chain is DedupQueries' portable replica (md5 hex
+    * digits → h1/h2 → 32 affine min-hashes → 8 band keys); shared via
+    * [[DedupQueries.minhashOracleCtes]]. */
+  private val streamAdmissionSql =
+    s"""WITH ${DedupQueries.minhashOracleCtes},
+       |${stageSql(0, "")},
+       |${stageSql(1, "OR c.doc_id IN (SELECT doc_id FROM adm0)")},
+       |${stageSql(2,
+            "OR c.doc_id IN (SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1)")}
+       |SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL
+       |SELECT * FROM v2""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_late_split"      -> t11LateSplit _,
+    "t12_view_maintain"   -> t12ViewMaintain _,
+    "m8_stream_admission" -> streamAdmission _)
+
+  def oracles: Map[String, String] = Map(
+    "t11_late_split"      -> t11Sql,
+    "t12_view_maintain"   -> t12Sql,
+    "m8_stream_admission" -> streamAdmissionSql)
+}
