@@ -218,6 +218,100 @@ object SimilarityQueries extends QueryModule {
        |    AS recall
        |FROM ne LEFT JOIN na USING (query_id) LEFT JOIN h USING (query_id)""".stripMargin
 
+  /** IVF over int8-quantized inverted lists (the composed memory-story
+    * path): lists carry codes, queries score codes, a 15-deep shortlist
+    * is exact-rescored against the float corpus. Training, quantization,
+    * the shortlist cut, and the rescore all replay in the oracle. */
+  private def topkIvfQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.spread(Tables.embeddings(s, dir))
+    Similarity.ivfTopKQuantized(emb.filter(col("vec_id") < 8), emb, K,
+      nlist = 16, nprobe = 4, lloydIters = IvfIters, rescoreK = RescoreK)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  private val RescoreK = 15
+
+  private val topkIvfQSql = {
+    val (train, cent) = ivfTrainCtes(nlist = 16, iters = IvfIters)
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |$train,
+       |assigned AS (
+       |  SELECT vec_id, v, cent_id FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.v", "c.cvec")} DESC, c.cent_id) AS rn
+       |    FROM e CROSS JOIN $cent c) WHERE rn = 1),
+       |codes AS (
+       |  SELECT vec_id, cent_id,
+       |    CASE WHEN scale = 0
+       |         THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+       |         ELSE list_transform(v,
+       |           x -> CAST(CAST(floor(x / scale * 127 + 0.5) AS INT) AS DOUBLE))
+       |    END AS qc
+       |  FROM (SELECT vec_id, cent_id, v,
+       |          list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+       |        FROM assigned)),
+       |probes AS (
+       |  SELECT query_id, qv, cent_id FROM (
+       |    SELECT q.vec_id AS query_id, q.v AS qv, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.v", "c.cvec")} DESC, c.cent_id) AS rn
+       |    FROM e q CROSS JOIN $cent c WHERE q.vec_id < 8) WHERE rn <= 4),
+       |approx AS (
+       |  SELECT p.query_id, p.qv, c.vec_id AS cand_id,
+       |    ${cosSql("p.qv", "c.qc")} AS qcos
+       |  FROM codes c JOIN probes p ON c.cent_id = p.cent_id
+       |  WHERE c.vec_id <> p.query_id),
+       |short AS (
+       |  SELECT query_id, qv, cand_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY qcos DESC, cand_id) AS rn FROM approx)
+       |  WHERE rn <= $RescoreK),
+       |rescored AS (
+       |  SELECT s.query_id, s.cand_id, ${cosSql("s.qv", "e.v")} AS cosine
+       |  FROM short s JOIN e ON e.vec_id = s.cand_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM rescored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, cand_id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= $K""".stripMargin
+  }
+
+  /** Recall@5 of the quantized-list IVF against the FLOAT IVF path — the
+    * cost of the int8 codes in isolation (coarse-quantizer loss already
+    * measured by `m8_ivf_recall`). The oracle replays both paths. */
+  private def ivfQRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.spread(Tables.embeddings(s, dir))
+    val queries = emb.filter(col("vec_id") < 8)
+    Similarity.recallAtK(
+      Similarity.ivfTopKQuantized(queries, emb, K, nlist = 16, nprobe = 4,
+        lloydIters = IvfIters, rescoreK = RescoreK),
+      Similarity.ivfTopK(queries, emb, K, nlist = 16, nprobe = 4,
+        lloydIters = IvfIters))
+  }
+
+  private val ivfQRecallSql =
+    s"""WITH exact AS ($topkIvfSql),
+       |approx AS ($topkIvfQSql),
+       |ne AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1),
+       |na AS (SELECT query_id, COUNT(*) AS n_approx FROM approx GROUP BY 1),
+       |h AS (
+       |  SELECT e.query_id, COUNT(*) AS n_hits
+       |  FROM exact e JOIN approx a
+       |    ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+       |  GROUP BY 1)
+       |SELECT ne.query_id, ne.n_exact,
+       |  COALESCE(na.n_approx, 0) AS n_approx,
+       |  COALESCE(h.n_hits, 0) AS n_hits,
+       |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(ne.n_exact AS DOUBLE)
+       |    AS recall
+       |FROM ne LEFT JOIN na USING (query_id) LEFT JOIN h USING (query_id)""".stripMargin
+
   /** Per-label centroids (k-means M-step / IVF training step) with
     * fixed-point accumulation — order-independent, so the distributed sum
     * hash-matches the oracle's exactly with no rounding slack. */
@@ -282,8 +376,10 @@ object SimilarityQueries extends QueryModule {
     "m8_sim_topk_bruteforce" -> topkBrute _,
     "m8_sim_topk_lsh"        -> topkLsh _,
     "m8_sim_topk_ivf"        -> topkIvf _,
+    "m8_sim_topk_ivf_q"      -> topkIvfQ _,
     "m8_ann_recall"          -> annRecall _,
     "m8_ivf_recall"          -> ivfRecall _,
+    "m8_ivf_q_recall"        -> ivfQRecall _,
     "m8_embedding_centroids" -> centroids _)
 
   def oracles: Map[String, String] = Map(
@@ -291,7 +387,9 @@ object SimilarityQueries extends QueryModule {
     "m8_sim_topk_bruteforce" -> topkBruteSql,
     "m8_sim_topk_lsh"        -> topkLshSql,
     "m8_sim_topk_ivf"        -> topkIvfSql,
+    "m8_sim_topk_ivf_q"      -> topkIvfQSql,
     "m8_ann_recall"          -> annRecallSql,
     "m8_ivf_recall"          -> ivfRecallSql,
+    "m8_ivf_q_recall"        -> ivfQRecallSql,
     "m8_embedding_centroids" -> centroidsSql)
 }

@@ -228,4 +228,48 @@ object Similarity {
     ranked(GraftOps.topKPerKey(scored, Seq(col("query_id")),
       Seq(col("cosine").desc, col("cand_id")), k), k)
   }
+
+  /** IVF with int8-quantized inverted lists — the 100 TB memory story:
+    * the lists store [[VectorFns.quantize_i8]] codes (4× smaller than
+    * float32), queries score against the CODES (for cosine the per-vector
+    * scale cancels, so no dequantization is even needed), and only a
+    * `rescoreK`-deep shortlist per query is exact-rescored against the
+    * float corpus. Compared to [[ivfTopK]] the probe join moves int8
+    * arrays instead of floats and the float vectors are touched for
+    * exactly `|queries| × rescoreK` rows — fetched through a broadcast
+    * semi-structured lookup, so the corpus is never shuffled.
+    *
+    * Every step is deterministic (floor-quantization is IEEE-portable,
+    * ties break on ids), so the oracle replays training, quantization,
+    * code-scoring, the shortlist cut, and the rescore exactly. Recall vs
+    * the float path is gated by its own recall query. */
+  def ivfTopKQuantized(queries: DataFrame, candidates: DataFrame, k: Int,
+                       nlist: Int = 16, nprobe: Int = 4,
+                       lloydIters: Int = 2, rescoreK: Int = 15): DataFrame = {
+    val cent0 = trainIvfCentroids(candidates, nlist, lloydIters)
+    val cent = if (lloydIters > 0) cent0.localCheckpoint(true) else cent0
+    val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    // the inverted lists: (list, id, int8 code) — no float payload
+    val lists = ivfAssign(c, cent)
+      .withColumn("scale", VectorFns.quantize_scale(col("cv")))
+      .withColumn("code", VectorFns.quantize_i8(col("cv"), col("scale")))
+      .select("cand_id", "cent_id", "code")
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probes = GraftOps.topKPerKey(
+      q.crossJoin(broadcast(cent))
+        .withColumn("qsim", VectorFns.cosine(col("qv"), col("cvec"))),
+      Seq(col("query_id")), Seq(col("qsim").desc, col("cent_id")), nprobe)
+      .select("query_id", "qv", "cent_id")
+    val approx = lists.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("qcos", VectorFns.cosine(col("qv"), col("code")))
+    val shortlist = GraftOps.topKPerKey(approx, Seq(col("query_id")),
+      Seq(col("qcos").desc, col("cand_id")), rescoreK)
+      .select("query_id", "qv", "cand_id")
+    // exact rescore: fetch the true float vectors for the shortlist only
+    val rescored = c.join(broadcast(shortlist), Seq("cand_id"))
+      .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))
+    ranked(GraftOps.topKPerKey(rescored, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("cand_id")), k), k)
+  }
 }

@@ -265,6 +265,25 @@ class M8Spec extends SparkSpec {
     assert(r2 > 0.9, s"trained IVF recall $r2 on separable clusters")
   }
 
+  test("quantized-list ivf: rescore recovers the float ranking") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 8)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val float = ids(Similarity.ivfTopK(q, emb, 5, nlist = 16, nprobe = 4))
+    val quant = Similarity.ivfTopKQuantized(q, emb, 5, nlist = 16,
+      nprobe = 4, rescoreK = 15)
+    val qIds = ids(quant)
+    // int8 cosine error is ~1e-2; a 3× rescore depth must absorb it —
+    // the exact-rescored shortlist recovers (nearly) the float top-5
+    val recall = (float & qIds).size.toDouble / float.size
+    assert(recall >= 0.8, s"quantized IVF recall vs float path: $recall")
+    // determinism: floor-quantization + id tiebreaks, bit-stable
+    assert(ids(Similarity.ivfTopKQuantized(q, emb, 5, nlist = 16,
+      nprobe = 4, rescoreK = 15)) == qIds)
+  }
+
   test("int8 quantization: round-trip error bounded by scale/254, zeros safe") {
     val df = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
