@@ -56,7 +56,39 @@ object PageRank {
     * edge set. Returns (node, rank) for every node appearing in any
     * edge, ranks summing to ≈ Scale (floor-division dust excepted). */
   def run(edges: DataFrame, iterations: Int = 10,
-          dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+          dampNum: Long = 85, dampDen: Long = 100): DataFrame =
+    iterate(edges, iterations, dampNum, dampDen, stopDelta = None)._1
+
+  /** Convergence-stop variant: iterate until the TOTAL rank movement of a
+    * round — `sum(|rank_k − rank_{k−1}|)`, exact long arithmetic — drops
+    * to `epsScaled` fixed-point units or below (e.g. `Scale / 1e6` =
+    * "the whole graph moved less than a millionth of the total mass"),
+    * capped at `maxIterations`. The delta is integer-exact and the
+    * iteration is a pure function of the edge set, so the STOPPING ROUND
+    * is deterministic too — which keeps this variant on the oracle gate
+    * (the oracle unrolls rounds and picks the first qualifying one) and
+    * makes it the tool for answering "how many rounds does this graph
+    * actually need" before pinning `iterations` in production.
+    *
+    * Costs one extra 1-row aggregate per round (old⋈new on the node key —
+    * co-partitioned checkpoints, no extra exchange) plus the driver-side
+    * loop decision the convergence test inherently is; both are
+    * metadata-scale, bounded by the round count.
+    *
+    * Returns (node, rank, n_rounds) — `n_rounds` the constant round the
+    * iteration stopped after. */
+  def runConverged(edges: DataFrame, maxIterations: Int = 50,
+                   epsScaled: Long = Scale / 1000000L,
+                   dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(epsScaled >= 0, s"negative tolerance $epsScaled")
+    val (ranks, rounds) =
+      iterate(edges, maxIterations, dampNum, dampDen, Some(epsScaled))
+    ranks.withColumn("n_rounds", lit(rounds.toLong))
+  }
+
+  private def iterate(edges: DataFrame, iterations: Int,
+                      dampNum: Long, dampDen: Long,
+                      stopDelta: Option[Long]): (DataFrame, Int) = {
     require(iterations >= 0 && dampNum >= 0 && dampNum <= dampDen,
       s"bad PageRank config ($iterations, $dampNum/$dampDen)")
     val weighted = edges.columns.length >= 3
@@ -94,11 +126,13 @@ object PageRank {
     val n = nodes.count()
     if (n == 0) {
       edgesDeg.unpersist(); nodes.unpersist()
-      return nodes.select(col("node"), lit(0L).as("rank"))
+      return (nodes.select(col("node"), lit(0L).as("rank")), 0)
     }
     val tele = ((dampDen - dampNum) * Scale / dampDen) / n
     var ranks = nodes.withColumn("rank", lit(Scale / n)).localCheckpoint()
-    for (_ <- 0 until iterations) {
+    var rounds = 0
+    var converged = false
+    while (rounds < iterations && !converged) {
       // dangling share as a BROADCAST 1-row aggregate inside the round's
       // plan — not a driver read: the whole round is ONE job (the eager
       // checkpoint), not two
@@ -107,6 +141,7 @@ object PageRank {
       val contrib = edgesDeg.join(ranks, edgesDeg("src") === ranks("node"))
         .select(col("dst"), expr("(rank * w) div outdeg").as("c"))
         .groupBy("dst").agg(sum("c").as("contrib"))
+      val prev = ranks
       ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
         .crossJoin(broadcast(dshare))
         .select(col("node"), col("sink"),
@@ -114,9 +149,20 @@ object PageRank {
             s"($dampNum * (coalesce(contrib, 0L) + dshare)) div $dampDen"))
             .as("rank"))
         .localCheckpoint()
+      rounds += 1
+      // convergence test: exact long |Δ| sum over the two checkpoints,
+      // co-partitioned on the node key — a 1-row metadata read per round,
+      // the loop decision a convergence stop inherently is
+      stopDelta.foreach { eps =>
+        val delta = ranks.select(col("node"), col("rank"))
+          .join(prev.select(col("node"), col("rank").as("prev_rank")),
+            Seq("node"))
+          .agg(sum(abs(col("rank") - col("prev_rank")))).head().getLong(0)
+        converged = delta <= eps
+      }
     }
     edgesDeg.unpersist()
     nodes.unpersist()
-    ranks.select("node", "rank")
+    (ranks.select("node", "rank"), rounds)
   }
 }

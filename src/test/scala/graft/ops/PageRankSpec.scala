@@ -72,6 +72,46 @@ class PageRankSpec extends SparkSpec {
     assert(r.values.toSet == Set(PageRank.Scale / 3))
   }
 
+  /** Rounds-to-converge of the reference model: first k whose exact
+    * |Δ| sum is ≤ eps. */
+  private def refRounds(edges: Seq[(Long, Long)], eps: Long,
+                        cap: Int): Int = {
+    var k = 1
+    while (k < cap) {
+      val (a, b) = (ref(edges, k - 1), ref(edges, k))
+      if (a.keys.map(n => math.abs(b(n) - a(n))).sum <= eps) return k
+      k += 1
+    }
+    cap
+  }
+
+  test("convergence stop: halts at the model's round, ranks match run(R)") {
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (3, 1), (3, 4), (5, 4), (6, 4), (7, 4),
+      (4, 8), (9, 1))
+    val eps = PageRank.Scale / 1000000L
+    val expectRounds = refRounds(edges, eps, cap = 50)
+    assert(expectRounds > 1 && expectRounds < 50,
+      s"test graph degenerate: converges at $expectRounds")
+    val out = PageRank.runConverged(edges.toDF("src", "dst"),
+      maxIterations = 50, epsScaled = eps).collect()
+    val rounds = out.map(_.getLong(2)).toSet
+    assert(rounds == Set(expectRounds.toLong),
+      s"stopped at $rounds, model says $expectRounds")
+    // the converged ranks are exactly the fixed-iteration result at R
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      ref(edges, expectRounds))
+  }
+
+  test("convergence stop: the cap binds when eps is unreachable") {
+    // star graph, eps=0, cap=2: round 2 still moves mass (the dangling
+    // share keeps changing), so the iteration must stop AT the cap
+    val edges = (1L to 5L).map(i => (i, 100L))
+    val out = PageRank.runConverged(edges.toDF("src", "dst"),
+      maxIterations = 2, epsScaled = 0L).collect()
+    assert(out.map(_.getLong(2)).toSet == Set(2L))
+  }
+
   /** Weighted reference model: contribution = (rank * w) div sum_w. */
   private def refW(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
     val e = edges.filter(p => p._1 != p._2 && p._3 > 0)
