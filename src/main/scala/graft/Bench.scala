@@ -124,5 +124,9 @@ object Bench {
     // Print last, on its own flushed line, after executor shutdown chatter.
     System.out.println(json)
     System.out.flush()
+    // Fail-closed exit: any crashed query must surface in the process rc,
+    // not only inside the JSON — a gate keyed on the exit code must not
+    // pass a broken suite.
+    if (results.exists(!_._3)) sys.exit(1)
   }
 }

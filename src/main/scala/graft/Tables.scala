@@ -20,15 +20,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses
-    * natively: read nanos as long, then integer-divide to micros — the same
-    * truncation DuckDB applies, so oracle timestamps agree exactly. */
+  /** `events.ts` has shipped as both INT64 TIMESTAMP(NANOS) and plain
+    * timestamp[us] parquet across testdata generations. Spark 4 refuses
+    * nanos natively, so with `nanosAsLong=true` a nanos file surfaces as
+    * LongType — integer-divide to micros (the truncation DuckDB applies).
+    * A micros file surfaces as TIMESTAMP_NTZ (no tz annotation). Either
+    * way the loader's contract is a session-TZ `TimestampType` column
+    * (the session TZ is pinned to UTC by every entry point, so the
+    * NTZ→LTZ cast is an identity on the stored micros) — downstream
+    * `unix_micros`/window logic never sees a generation difference. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -37,6 +37,7 @@ object Verify {
           d.withColumn(f.name, col(f.name).cast(TimestampNTZType))
         else d
       }
+    val failedQueries = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -55,6 +56,22 @@ object Verify {
             .forEach(p => Files.deleteIfExists(p))
           finally walk.close()
         }
+        // Fail-closed: a crashed query must still leave an output, or the
+        // downstream compare silently drops it from the suite and absence
+        // reads as a pass. An EMPTY frame with a sentinel error column
+        // fails every check class — rows_match (0 vs oracle), schema
+        // (sentinel name), and the weaker rows-only gate for no-oracle
+        // queries (0 rows) — so the breakage is recorded, never elided.
+        try {
+          import org.apache.spark.sql.types.{StructType, StructField, StringType}
+          val sentinel = StructType(Seq(StructField("__graft_verify_error", StringType)))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sentinel)
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name sentinel write failed: ${e2.getMessage}")
+        }
+        failedQueries += name
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -72,6 +89,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable failure roster next to the dumps, and a nonzero rc:
+    // both layers of the gate fail closed on a crashed query.
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      failedQueries.map(q).mkString("[", ",", "]"))
     spark.stop()
+    if (failedQueries.nonEmpty) {
+      System.err.println(s"[verify] ${failedQueries.size} queries failed: " +
+        failedQueries.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -344,7 +344,15 @@ object Dedup {
     * bucket costs at most maxBucket² pairs and recall degrades
     * gracefully for the overflow instead of the stage dying. The cap
     * runs through TopKPerKey (partial cut before the exchange); the
-    * self-join then reuses the cap's bucket partitioning. */
+    * self-join then reuses the cap's bucket partitioning.
+    *
+    * The truncation is OBSERVABLE, not silent: TopKPerKey's
+    * `droppedRows` SQL metric (visible in the Spark UI / executedPlan
+    * metrics; summed across the partial+final pair it equals docs-in −
+    * docs-out) reports exactly how many docs the cap excluded, so a
+    * production caller can alarm on recall loss and re-run the hot
+    * buckets with a higher cap. M8Spec pins the metric on a planted
+    * hot bucket. */
   def embeddingPairs(vecs: DataFrame, id: Column, vec: Column,
                      minCosine: Double = 0.95, planes: Int = 8,
                      portable: Boolean = false, dim: Int = 64,

@@ -59,7 +59,14 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     "partialFlushes" -> SQLMetrics.createMetric(sparkContext,
       "partial heap flushes (key-cardinality bound hit)"),
     "sortFallbacks" -> SQLMetrics.createMetric(sparkContext,
-      "tasks that fell back to spillable sort"))
+      "tasks that fell back to spillable sort"),
+    // every row this instance discards (heap reject/evict, or sorted-run
+    // cut past k). Summed over the partial+final pair the count telescopes
+    // to compound input − output — the exact number of rows the k-cut
+    // removed, surfaced so a capped caller (e.g. embeddingPairs' hot-bucket
+    // bound) can SEE the truncation instead of silently losing recall.
+    "droppedRows" -> SQLMetrics.createMetric(sparkContext,
+      "rows dropped by the k-cut"))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
@@ -72,6 +79,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
       TopKPerKeyExec.MaxKeysConf, "262144").toInt
     val flushMetric = longMetric("partialFlushes")
     val fallbackMetric = longMetric("sortFallbacks")
+    val dropMetric = longMetric("droppedRows")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val rowOrd: Ordering[InternalRow] =
@@ -91,7 +99,8 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
         if (heap.size < limit) heap.enqueue(row.copy())
         else if (rowOrd.compare(row, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(row.copy())
-        }
+          dropMetric.add(1) // the evicted former head
+        } else dropMetric.add(1) // the rejected incoming row
       }
       def drainHeaps(): Iterator[InternalRow] = {
         val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
@@ -173,6 +182,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
                   curRow = toUnsafe(r).copy(); emitted = 0
                 }
                 if (emitted < limit) { emitted += 1; ready = r }
+                else dropMetric.add(1) // cut past k off the sorted run
               }
               ready != null
             }

@@ -129,6 +129,14 @@ object IngestQueries extends QueryModule {
     // mutates shared session conf (ordering-dependence hazard)
     val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
       "event_type STRING, value DOUBLE, props STRING"
+    // the raw INT64 values are nanos in older testdata generations and
+    // micros in newer ones (both INT64 on disk, so the BIGINT stream
+    // schema reads either); probe the batch-read type to pick the divisor
+    val tsToMicros =
+      Tables.load(s, dir, "events").schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _                                   => col("ts")
+      }
     // the file source wants a directory; expose the single events file
     // through a symlinked temp dir (no data copy)
     val streamDir = java.nio.file.Paths.get(tempDir("graft_t1_"))
@@ -138,7 +146,7 @@ object IngestQueries extends QueryModule {
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1") // T3: bounded work per trigger
       .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(tsToMicros))
     val windowed = stream
       .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum2d(col("value")).as("total"))

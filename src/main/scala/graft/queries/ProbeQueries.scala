@@ -87,9 +87,9 @@ object ProbeQueries extends QueryModule {
   /** Count-min-sketch contract probe — the frequency member of the
     * sketch-family gates (HLL++ = distinct counts, Bloom = membership,
     * CMS = per-key frequency). The sketch is built DISTRIBUTED (one
-    * `count_min_sketch` aggregation pass); the key domain probed is the
-    * handful of event types (a 5-row driver read, the same class as a
-    * catalog listing). Two verdicts per key:
+    * `count_min_sketch` aggregation pass) and probed IN the plan: the
+    * 1-row sketch aggregate is broadcast onto the grouped key frame and
+    * deserialized once per partition. Two verdicts per key:
     *  - `never_underestimates`: CMS's hard guarantee (hash collisions
     *    only ever ADD);
     *  - `within_eps_bound`: estimate ≤ exact + ⌈ε·N⌉ — probabilistic in
@@ -98,22 +98,32 @@ object ProbeQueries extends QueryModule {
   private def cmsContract(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val events = Tables.events(s, dir)
-    val bin = events
-      .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("s"))
-      .head().getAs[Array[Byte]](0)
-    val cms = org.apache.spark.util.sketch.CountMinSketch
-      .readFrom(new java.io.ByteArrayInputStream(bin))
-    val keys = events.select("event_type").distinct()
-      .collect().map(_.getString(0)).toSeq
-    val est = keys.map(k => (k, cms.estimateCount(k))).toDF("event_type", "est")
+    // the sketch never touches the driver: it stays a 1-row aggregate
+    // broadcast into the probe, and the key domain stays a distributed
+    // grouped frame — no `.collect()` anywhere, so the same query shape
+    // holds when the probed domain is millions of keys, not five
+    val sketch = events
+      .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("sketch_bin"))
     val exact = events.groupBy("event_type").agg(count(lit(1)).as("exact_cnt"))
     val total = events.agg(count(lit(1)).as("n_rows"))
-    exact.join(broadcast(est), Seq("event_type"))
-      .crossJoin(broadcast(total))
-      .select(col("event_type"), col("exact_cnt"),
-        (col("est") >= col("exact_cnt")).as("never_underestimates"),
-        expr("est <= exact_cnt + cast(ceil(0.001 * n_rows) as bigint)")
-          .as("within_eps_bound"))
+    val probed = exact.crossJoin(broadcast(sketch)).crossJoin(broadcast(total))
+      .select(col("event_type"), col("exact_cnt"), col("n_rows"), col("sketch_bin"))
+      .as[(String, Long, Long, Array[Byte])]
+      .mapPartitions { it =>
+        // deserialize the (identical) broadcast bytes once per partition,
+        // then probe every key in the partition against that instance
+        var cms: org.apache.spark.util.sketch.CountMinSketch = null
+        it.map { case (k, exactCnt, nRows, bin) =>
+          if (cms == null)
+            cms = org.apache.spark.util.sketch.CountMinSketch
+              .readFrom(new java.io.ByteArrayInputStream(bin))
+          (k, exactCnt, nRows, cms.estimateCount(k))
+        }
+      }.toDF("event_type", "exact_cnt", "n_rows", "est")
+    probed.select(col("event_type"), col("exact_cnt"),
+      (col("est") >= col("exact_cnt")).as("never_underestimates"),
+      expr("est <= exact_cnt + cast(ceil(0.001 * n_rows) as bigint)")
+        .as("within_eps_bound"))
   }
 
   private val cmsContractSql =

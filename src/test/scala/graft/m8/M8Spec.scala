@@ -163,6 +163,37 @@ class M8Spec extends SparkSpec {
       hotPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("embedding pairs: the hot-bucket cap reports its truncation") {
+    // same planted hot bucket as above: 100 docs collapse into one
+    // hyperplane bucket, maxBucket=10 keeps 10 — the TopKPerKey
+    // droppedRows metric must account for the 90 excluded docs (summed
+    // over the partial+final pair it telescopes to docs-in − docs-out),
+    // so a production caller can alarm on silent recall loss
+    val hot = (1L to 100L).map(i => (i, Array.fill(8)(1.0f)))
+    val vecs = hot.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(vecs, col("vec_id"), col("embedding"),
+      minCosine = 0.999, planes = 6, maxBucket = 10)
+    // collect() drives THIS Dataset's queryExecution (count() would spin
+    // up a separate aggregate execution whose metrics we can't see)
+    pairs.collect()
+    def find(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[graft.plans.TopKPerKeyExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        find(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        find(q.plan)
+      case t: graft.plans.TopKPerKeyExec => t +: t.children.flatMap(find)
+      case other => other.children.flatMap(find)
+    }
+    val execs = find(pairs.queryExecution.executedPlan)
+    assert(execs.nonEmpty, "cap did not plan through TopKPerKey")
+    val dropped = execs.map(_.metrics("droppedRows").value).sum
+    // one logical evaluation of the cap drops exactly 90 docs (100 in,
+    // 10 out); the self-join re-evaluates parts of the chain per branch
+    // (modulo AQE exchange reuse), so the metric sum is at least that
+    assert(dropped >= 90, s"expected >= 90 dropped docs, got $dropped")
+  }
+
   test("lsh topk: per-task candidate cap bounds hot-bucket fan-in") {
     // all candidates share the query's bucket; with maxBucket=5 each task
     // scores at most 5 of them, and the result stays a valid top-k (all
