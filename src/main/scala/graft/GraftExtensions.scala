@@ -65,6 +65,29 @@ object GraftRegistry {
     reg(spark, "vec_cosine") { e => VectorFns.cosine(asCol(e.head), asCol(e(1))) }
     reg(spark, "vec_dot") { e => VectorFns.dot(asCol(e.head), asCol(e(1))) }
     reg(spark, "vec_l2_norm") { e => VectorFns.l2_norm(asCol(e.head)) }
+    // the remaining fusion/provenance vocabulary, so the WHOLE parse
+    // lifecycle is expressible as one SQL text (pipeline_end_to_end_sql):
+    // get_meta/source_token_upsert take a compile-time name argument in
+    // the column API; the SQL form requires that argument foldable
+    reg(spark, "get_meta") { e =>
+      HtmlFns.get_meta(asCol(e.head), foldedString(e(1)), foldedString(e(2))) }
+    reg(spark, "looks_like_company_dash_role") { e =>
+      RoleFns.looks_like_company_dash_role(asCol(e.head)) }
+    reg(spark, "title_split_company") { e => RoleFns.title_split_company(asCol(e.head)) }
+    reg(spark, "title_split_role") { e => RoleFns.title_split_role(asCol(e.head)) }
+    reg(spark, "parse_token") { e =>
+      graft.ops.Provenance.parse_token(asCol(e.head), asCol(e(1)), asCol(e(2))) }
+    reg(spark, "source_token_upsert") { e =>
+      graft.ops.Provenance.source_token_upsert(
+        asCol(e.head), foldedString(e(1)), asCol(e(2))) }
+  }
+
+  /** Evaluate a foldable string argument (SQL literal) at registration
+    * time — the handful of functions with compile-time name parameters
+    * surface them in SQL as literal-only arguments. */
+  private def foldedString(e: Expression): String = {
+    require(e.foldable, s"argument must be a string literal, got $e")
+    String.valueOf(e.eval(null))
   }
 }
 

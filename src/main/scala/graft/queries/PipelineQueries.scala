@@ -427,6 +427,312 @@ object PipelineQueries extends QueryModule {
       |SELECT li_invite, li_followup, source, COUNT(*) AS n
       |FROM final GROUP BY 1, 2, 3""".stripMargin
 
+  /** The §3.1 lifecycle as ONE `spark.sql` text — the SQL-string surface
+    * of [[pipelineEndToEnd]]. Every stage (validity-gated enqueue,
+    * cascade levels, signal-fusion ladder, renderer escalation, token
+    * assembly, keyed write-back) is SQL over the registered function
+    * library ([[graft.GraftRegistry.registerFunctions]]) and three temp
+    * views; the DataFrame inputs build only the INPUT views (fixtures /
+    * tracker — test scaffolding, not lifecycle). Gated by the SAME oracle
+    * as the DataFrame path, so both surfaces must hash-agree. */
+  private def pipelineEndToEndViaSql(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftRegistry.registerFunctions(s)
+    val classed = classLinks(s, dir)
+    classed.withColumn("link",
+        when(col("row_index") % 7 === 6, lit("not a url")).otherwise(col("url")))
+      .select(col("sheet_name"), col("row_index"), col("link"),
+        lit("").as("canonical_link"), lit("").as("company_auto"),
+        lit("").as("role_auto"), lit("").as("status"), lit("").as("source"))
+      .createOrReplaceTempView("petl_tracker")
+    classFixtures(classed).createOrReplaceTempView("petl_fixtures")
+    classed.select(col("sheet_name"), col("row_index"), col("url"),
+        lit("queued").as("status")).filter(lit(false))
+      .createOrReplaceTempView("petl_queue")
+
+    // regexes as SQL literals (the parser consumes one backslash level)
+    def rx(re: String) = re.replace("\\", "\\\\")
+    val gh = rx(FetchCascade.GhUrlRe)
+    val lever = rx(FetchCascade.LeverUrlRe)
+    val structT = "STRUCT<provider:STRING,status:INT,final_url:STRING," +
+      "html:STRING,api_company:STRING,api_role:STRING>"
+
+    /** One cascade level over `p`-prefixed fixture columns for url `u` —
+      * the SQL rendition of FetchCascade.level. */
+    def level(u: String, p: String) =
+      s"""CASE
+         |  WHEN ${p}api_role IS NOT NULL AND regexp_extract($u, '$gh', 1) <> '' THEN
+         |    named_struct('provider', 'gh-api', 'status', 200,
+         |      'final_url', canonical_url($u), 'html', '',
+         |      'api_company', nice_case(regexp_extract($u, '$gh', 1)),
+         |      'api_role', ${p}api_role)
+         |  WHEN ${p}api_role IS NOT NULL AND regexp_extract($u, '$lever', 1) <> '' THEN
+         |    named_struct('provider', 'lever-api', 'status', 200,
+         |      'final_url', canonical_url($u), 'html', '',
+         |      'api_company', nice_case(regexp_extract($u, '$lever', 1)),
+         |      'api_role', ${p}api_role)
+         |  WHEN ${p}direct_status IS NOT NULL AND ${p}direct_status < 400
+         |      AND ${p}direct_useful THEN
+         |    named_struct('provider', 'direct', 'status', ${p}direct_status,
+         |      'final_url', $u, 'html', ${p}direct_html,
+         |      'api_company', CAST(NULL AS STRING), 'api_role', CAST(NULL AS STRING))
+         |  WHEN ${p}rendered_useful THEN
+         |    named_struct('provider', 'renderer', 'status', 200,
+         |      'final_url', $u, 'html', ${p}rendered_html,
+         |      'api_company', CAST(NULL AS STRING), 'api_role', CAST(NULL AS STRING))
+         |  ELSE CAST(NULL AS $structT)
+         |END""".stripMargin
+
+    /** The R1 fusion ladder (Resolution.decideCompanyRole) over html
+      * expression `h`, emitting `company/role/conf/decision` with suffix
+      * `sfx`; URL signals (_host/_is_agg/_ats_slug/_canon) are computed
+      * by an upstream CTE and reused by both passes. */
+    def fusion(h: String, sfx: String) =
+      s"""  parse_jsonld_jobposting($h).company AS _jc$sfx,
+         |  parse_jsonld_jobposting($h).role AS _jr$sfx,
+         |  get_meta($h, 'og:site_name', 'property') AS _og_site$sfx,
+         |  get_h1($h) AS _h1$sfx,
+         |  get_meta($h, 'og:title', 'property') AS _og_title$sfx,
+         |  get_title($h) AS _title$sfx""".stripMargin
+    def ladder(sfx: String) =
+      s"""  CASE WHEN _jc$sfx <> '' THEN _jc$sfx ELSE _ats_slug END AS _c2$sfx,
+         |  CASE WHEN _jr$sfx <> '' THEN _jr$sfx
+         |       WHEN _h1$sfx <> '' THEN _h1$sfx
+         |       WHEN _og_title$sfx <> '' THEN _og_title$sfx
+         |       ELSE _title$sfx END AS _r1$sfx,
+         |  (CASE WHEN _jc$sfx <> '' THEN 0.5D ELSE 0.0D END +
+         |   CASE WHEN _jr$sfx <> '' THEN 0.5D ELSE 0.0D END +
+         |   CASE WHEN _jc$sfx = '' AND _ats_slug <> '' THEN 0.35D ELSE 0.0D END +
+         |   CASE WHEN _jr$sfx = '' AND _h1$sfx <> '' THEN 0.35D
+         |        WHEN _jr$sfx = '' AND _h1$sfx = '' AND _og_title$sfx <> '' THEN 0.25D
+         |        WHEN _jr$sfx = '' AND _h1$sfx = '' AND _og_title$sfx = ''
+         |          AND _title$sfx <> '' THEN 0.15D
+         |        ELSE 0.0D END) AS _confa$sfx,
+         |  concat_ws('+',
+         |    CASE WHEN _jc$sfx <> '' THEN 'jsonld-org' END,
+         |    CASE WHEN _jr$sfx <> '' THEN 'jsonld-title' END,
+         |    CASE WHEN _jc$sfx = '' AND _ats_slug <> '' THEN 'ats-slug' END,
+         |    CASE WHEN _jr$sfx = '' AND _h1$sfx <> '' THEN 'h1' END,
+         |    CASE WHEN _jr$sfx = '' AND _h1$sfx = '' AND _og_title$sfx <> ''
+         |      THEN 'og:title' END,
+         |    CASE WHEN _jr$sfx = '' AND _h1$sfx = '' AND _og_title$sfx = ''
+         |      AND _title$sfx <> '' THEN 'title' END) AS _trail1$sfx""".stripMargin
+    def decide(sfx: String) =
+      s"""  CASE WHEN _c3$sfx = '' AND _r1$sfx <> ''
+         |      AND looks_like_company_dash_role(_r1$sfx)
+         |    THEN true ELSE false END AS _split$sfx""".stripMargin
+    def finish(sfx: String) =
+      s"""  CASE WHEN _split$sfx THEN title_split_company(_r1$sfx)
+         |       ELSE _c3$sfx END AS _company0$sfx,
+         |  clean_role(CASE WHEN _split$sfx THEN title_split_role(_r1$sfx)
+         |                  ELSE _r1$sfx END,
+         |             CASE WHEN _split$sfx THEN title_split_company(_r1$sfx)
+         |                  ELSE _c3$sfx END) AS _role0$sfx,
+         |  CASE WHEN _split$sfx THEN greatest(
+         |      CASE WHEN _confb$sfx > _confa$sfx THEN _confb$sfx ELSE _confa$sfx END,
+         |      0.55D)
+         |    ELSE _confb$sfx END AS _conf0$sfx,
+         |  CASE WHEN concat_ws('+', nullif(_trail1$sfx, ''),
+         |        CASE WHEN _split$sfx THEN 'title-split' END) = ''
+         |    THEN 'heuristic'
+         |    ELSE concat_ws('+', nullif(_trail1$sfx, ''),
+         |        CASE WHEN _split$sfx THEN 'title-split' END) END AS _decision$sfx""".stripMargin
+
+    s.sql(s"""
+      |WITH queued AS (
+      |  -- J1 validity-gated idempotent enqueue (anti-join vs in-flight)
+      |  SELECT t.sheet_name, t.row_index, t.link AS url
+      |  FROM petl_tracker t
+      |  LEFT ANTI JOIN (
+      |    SELECT sheet_name, row_index FROM petl_queue
+      |    WHERE status IN ('queued', 'processing')) q
+      |    ON t.sheet_name = q.sheet_name AND t.row_index = q.row_index
+      |  WHERE t.link RLIKE '(?i)^https?://'
+      |),
+      |fx AS (
+      |  SELECT url, CAST(direct_status AS INT) AS direct_status, direct_html,
+      |    rendered_html, api_role,
+      |    has_useful_signal(direct_html) AS direct_useful,
+      |    has_useful_signal(rendered_html) AS rendered_useful
+      |  FROM petl_fixtures
+      |),
+      |j1 AS (
+      |  SELECT q.*, f.direct_status AS f_direct_status,
+      |    f.direct_html AS f_direct_html, f.rendered_html AS f_rendered_html,
+      |    f.api_role AS f_api_role, f.direct_useful AS f_direct_useful,
+      |    f.rendered_useful AS f_rendered_useful
+      |  FROM queued q LEFT JOIN fx f ON q.url = f.url
+      |),
+      |l1 AS (
+      |  SELECT *, ${level("url", "f_")} AS _lvl1,
+      |    CASE WHEN ${level("url", "f_")} IS NULL
+      |        AND is_aggregator_host(host_from_url(url))
+      |        AND find_first_ats_link(concat(coalesce(f_rendered_html, ''),
+      |              coalesce(f_direct_html, ''))) <> ''
+      |      THEN find_first_ats_link(concat(coalesce(f_rendered_html, ''),
+      |              coalesce(f_direct_html, '')))
+      |    END AS _ats_url
+      |  FROM j1
+      |),
+      |l2 AS (
+      |  SELECT l1.*, u.direct_status AS u_direct_status,
+      |    u.direct_html AS u_direct_html, u.rendered_html AS u_rendered_html,
+      |    u.api_role AS u_api_role, u.direct_useful AS u_direct_useful,
+      |    u.rendered_useful AS u_rendered_useful
+      |  FROM l1 LEFT JOIN fx u ON l1._ats_url = u.url
+      |),
+      |cascaded AS (
+      |  SELECT sheet_name, row_index, url,
+      |    coalesce(
+      |      _lvl1,
+      |      CASE WHEN _lvl2x IS NOT NULL THEN named_struct(
+      |        'provider', concat(_lvl2x.provider, '-unwrapped'),
+      |        'status', _lvl2x.status, 'final_url', _lvl2x.final_url,
+      |        'html', _lvl2x.html, 'api_company', _lvl2x.api_company,
+      |        'api_role', _lvl2x.api_role) END,
+      |      CASE
+      |        WHEN coalesce(f_rendered_html, '') <> '' THEN named_struct(
+      |          'provider', 'renderer', 'status', 200, 'final_url', url,
+      |          'html', f_rendered_html, 'api_company', CAST(NULL AS STRING),
+      |          'api_role', CAST(NULL AS STRING))
+      |        WHEN f_direct_status IS NOT NULL THEN named_struct(
+      |          'provider', 'direct', 'status', f_direct_status,
+      |          'final_url', url, 'html', coalesce(f_direct_html, ''),
+      |          'api_company', CAST(NULL AS STRING),
+      |          'api_role', CAST(NULL AS STRING))
+      |      END) AS fetched,
+      |    f_rendered_html AS rendered_html
+      |  FROM (SELECT *, ${level("_ats_url", "u_")} AS _lvl2x FROM l2)
+      |),
+      |fetched AS (
+      |  SELECT sheet_name, row_index, url,
+      |    fetched.provider AS provider, fetched.final_url AS final_url,
+      |    fetched.html AS html, fetched.api_company AS api_company,
+      |    rendered_html
+      |  FROM cascaded
+      |),
+      |-- R1 fusion pass 1: URL signals + html signals + ladder
+      |sig1 AS (
+      |  SELECT *, host_from_url(final_url) AS _host,
+      |    is_aggregator_host(host_from_url(final_url)) AS _is_agg,
+      |    guess_company_from_url(final_url) AS _ats_slug,
+      |    canonical_url(final_url) AS _canon,
+      |${fusion("html", "")}
+      |  FROM fetched
+      |),
+      |lad1 AS (SELECT *,
+      |${ladder("")}
+      |  FROM sig1),
+      |c31 AS (SELECT *,
+      |  CASE WHEN _c2 <> '' THEN _c2
+      |       WHEN _og_site <> '' AND NOT _is_agg THEN _og_site
+      |       ELSE '' END AS _c3,
+      |  _confa + CASE WHEN _c2 = '' AND _og_site <> '' AND NOT _is_agg
+      |    THEN 0.25D ELSE 0.0D END AS _confb,
+      |  concat_ws('+', nullif(_trail1, ''),
+      |    CASE WHEN _c2 = '' AND _og_site <> '' AND NOT _is_agg
+      |      THEN 'og:site_name' END) AS _trail1b
+      |  FROM lad1),
+      |sp1 AS (SELECT *, ${decide("")} FROM
+      |  (SELECT * EXCEPT (_trail1), _trail1b AS _trail1 FROM c31)),
+      |pass1 AS (SELECT *,
+      |${finish("")}
+      |  FROM sp1),
+      |clamp1 AS (
+      |  SELECT *, greatest(least(
+      |      CASE WHEN _role0 = '' THEN least(
+      |        CASE WHEN _company0 = '' THEN least(_conf0, 0.5D) ELSE _conf0 END,
+      |        0.5D)
+      |      ELSE CASE WHEN _company0 = '' THEN least(_conf0, 0.5D)
+      |           ELSE _conf0 END END,
+      |      1.0D), 0.0D) AS conf_1
+      |  FROM pass1
+      |),
+      |-- R3 escalation: conf-0 non-renderer rows with rendered html re-fuse
+      |esc AS (
+      |  SELECT *, (conf_1 = 0.0D AND provider <> 'renderer'
+      |    AND coalesce(rendered_html, '') <> '') AS _needs,
+      |    CASE WHEN (conf_1 = 0.0D AND provider <> 'renderer'
+      |      AND coalesce(rendered_html, '') <> '') THEN rendered_html
+      |      ELSE '' END AS _html2
+      |  FROM clamp1
+      |),
+      |sig2 AS (SELECT *,
+      |${fusion("_html2", "_e")}
+      |  FROM esc),
+      |lad2 AS (SELECT *,
+      |${ladder("_e")}
+      |  FROM sig2),
+      |c32 AS (SELECT *,
+      |  CASE WHEN _c2_e <> '' THEN _c2_e
+      |       WHEN _og_site_e <> '' AND NOT _is_agg THEN _og_site_e
+      |       ELSE '' END AS _c3_e,
+      |  _confa_e + CASE WHEN _c2_e = '' AND _og_site_e <> '' AND NOT _is_agg
+      |    THEN 0.25D ELSE 0.0D END AS _confb_e,
+      |  concat_ws('+', nullif(_trail1_e, ''),
+      |    CASE WHEN _c2_e = '' AND _og_site_e <> '' AND NOT _is_agg
+      |      THEN 'og:site_name' END) AS _trail1b_e
+      |  FROM lad2),
+      |sp2 AS (SELECT *, ${decide("_e")} FROM
+      |  (SELECT * EXCEPT (_trail1_e), _trail1b_e AS _trail1_e FROM c32)),
+      |pass2 AS (SELECT *,
+      |${finish("_e")}
+      |  FROM sp2),
+      |clamp2 AS (
+      |  SELECT *, greatest(least(
+      |      CASE WHEN _role0_e = '' THEN least(
+      |        CASE WHEN _company0_e = '' THEN least(_conf0_e, 0.5D)
+      |             ELSE _conf0_e END, 0.5D)
+      |      ELSE CASE WHEN _company0_e = '' THEN least(_conf0_e, 0.5D)
+      |           ELSE _conf0_e END END,
+      |      1.0D), 0.0D) AS conf_2
+      |  FROM pass2
+      |),
+      |merged AS (
+      |  SELECT sheet_name, row_index,
+      |    (_needs AND conf_2 > conf_1) AS escalated,
+      |    CASE WHEN conf_2 > conf_1 THEN _company0_e ELSE _company0 END AS company,
+      |    CASE WHEN conf_2 > conf_1 THEN _role0_e ELSE _role0 END AS role,
+      |    _canon AS canonical,
+      |    CASE WHEN conf_2 > conf_1 THEN conf_2 ELSE conf_1 END AS conf,
+      |    CASE WHEN conf_2 > conf_1 THEN _decision_e ELSE _decision END AS decision,
+      |    provider
+      |  FROM clamp2
+      |),
+      |results AS (
+      |  SELECT sheet_name, row_index, canonical, company, role,
+      |    CASE WHEN escalated THEN source_token_upsert(
+      |        source_token_upsert('', 'parse',
+      |          parse_token(provider, decision, conf)),
+      |        'fetch', 'fetch:{escalated=renderer}')
+      |      ELSE source_token_upsert('', 'parse',
+      |        parse_token(provider, decision, conf)) END AS source_new
+      |  FROM merged
+      |),
+      |-- J3/S9 keyed write-back over the tracker
+      |written AS (
+      |  SELECT
+      |    CASE WHEN r.source_new IS NOT NULL THEN 'ok' ELSE t.status END AS status,
+      |    CASE WHEN r.source_new IS NOT NULL THEN
+      |      CASE WHEN r.source_new RLIKE 'fetch:\\\\{[^}]*\\\\}' THEN
+      |        source_token_upsert(
+      |          source_token_upsert(coalesce(t.source, ''), 'parse',
+      |            regexp_extract(r.source_new, 'parse:\\\\{[^}]*\\\\}', 0)),
+      |          'fetch', regexp_extract(r.source_new, 'fetch:\\\\{[^}]*\\\\}', 0))
+      |      ELSE source_token_upsert(coalesce(t.source, ''), 'parse',
+      |        regexp_extract(r.source_new, 'parse:\\\\{[^}]*\\\\}', 0)) END
+      |    ELSE t.source END AS source,
+      |    CASE WHEN r.company IS NOT NULL THEN r.company
+      |         ELSE t.company_auto END AS company_auto
+      |  FROM petl_tracker t
+      |  LEFT JOIN results r
+      |    ON t.sheet_name = r.sheet_name AND t.row_index = r.row_index
+      |)
+      |SELECT status, source, COUNT(*) AS n,
+      |  COUNT(DISTINCT company_auto) AS n_companies
+      |FROM written GROUP BY 1, 2
+      |""".stripMargin)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r4_llm_rescue"        -> r4LlmRescue _,
     "r2_fetch_cascade"     -> r2Cascade _,
@@ -435,7 +741,8 @@ object PipelineQueries extends QueryModule {
     "r6_template_notes"    -> r6TemplateNotes _,
     "notes_end_to_end"     -> notesEndToEnd _,
     "p8_needs_notes_snippet" -> p8NeedsNotesSnippet _,
-    "pipeline_end_to_end"  -> pipelineEndToEnd _)
+    "pipeline_end_to_end"  -> pipelineEndToEnd _,
+    "pipeline_end_to_end_sql" -> pipelineEndToEndViaSql _)
 
   def oracles: Map[String, String] = Map(
     "r4_llm_rescue"        -> r4Sql,
@@ -445,5 +752,7 @@ object PipelineQueries extends QueryModule {
     "r6_template_notes"    -> r6Sql,
     "notes_end_to_end"     -> notesEndToEndSql,
     "p8_needs_notes_snippet" -> p8Sql,
-    "pipeline_end_to_end"  -> pipelineEndToEndSql)
+    "pipeline_end_to_end"  -> pipelineEndToEndSql,
+    // the SQL surface must land on the SAME oracle as the DataFrame path
+    "pipeline_end_to_end_sql" -> pipelineEndToEndSql)
 }
