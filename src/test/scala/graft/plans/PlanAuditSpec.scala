@@ -66,11 +66,22 @@ class PlanAuditSpec extends SparkSpec {
     // digest is three single-agg branches; the export capstone carries
     // the clustering chain plus the shuffle-free chunker
     ("m8_outlier_gate", 2, false),
-    ("m8_cms_contract", 2, true),
+    // 3 as of round 11: the sketch build moved from a driver .head() into
+    // the plan as its own 1-row single-partition aggregate (exchange #3)
+    ("m8_cms_contract", 3, true),
     ("m8_bloom_fpr", 2, false), // keys distinct + the 1-row final agg
     ("m8_table_digest", 3, false),
     ("m8_training_export", 3, false),
-    ("m8_dedup_eval_simhash", 21, false))
+    ("m8_dedup_eval_simhash", 21, false),
+    // round-11 additions: the semantic-dedup e2e (LSH → CC → survivors,
+    // clustering persisted), the SQL-text flagship (same 4-exchange bound
+    // as its DataFrame twin), the quantized IVF search (centroid/probe
+    // broadcasts are the sanctioned nlist-row BNLJ), and converged
+    // pagerank's exchange-free serving read of the final checkpoint
+    ("m8_semantic_dedup", 3, false),
+    ("pipeline_end_to_end_sql", 4, false),
+    ("m8_sim_topk_ivf_q", 4, true),
+    ("m8_pagerank_converged", 0, false))
 
   expected.foreach { case (name, maxExchanges, allowBnlj) =>
     test(s"$name: no cartesian, bounded shuffles (≤$maxExchanges)") {
