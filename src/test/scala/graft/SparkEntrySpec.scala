@@ -25,7 +25,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "Sink" -> graft.queries.SinkQueries,
     "Graph" -> graft.queries.GraphQueries,
     "Probe" -> graft.queries.ProbeQueries,
-    "Incremental" -> graft.queries.IncrementalQueries)
+    "Incremental" -> graft.queries.IncrementalQueries,
+    "StreamGate" -> graft.queries.StreamGateQueries)
 
   test("no query name is defined by two modules") {
     val names = modules.flatMap { case (m, q) => q.all.keys.map(_ -> m) }
