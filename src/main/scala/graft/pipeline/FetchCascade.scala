@@ -198,12 +198,23 @@ object FetchCascade {
       concat(coalesce(col("f_rendered_html"), lit("")),
         coalesce(col("f_direct_html"), lit(""))))
 
+    // Null-skew bypass on the unwrap join: `_ats_url` is null for every
+    // row that doesn't need unwrapping — usually almost all of them — and
+    // a hash exchange sends every null-keyed row to ONE partition, so the
+    // join stage (and the heavy fusion projection that rides it) would
+    // run effectively single-threaded at scale. Joining on a per-row
+    // synthetic key for the null rows (" " + url can never match a
+    // fetched fixture url) spreads them uniformly while the left-outer
+    // still passes them through with null unwrap columns.
     val withAts = j1
       .withColumn("_lvl1", lvl1)
       .withColumn("_ats_url",
         when(col("_lvl1").isNull && isAgg && atsUrl =!= "", atsUrl))
+      .withColumn("_ats_key",
+        coalesce(col("_ats_url"), concat(lit(" "), col("url"))))
       .join(prefixed(side, "u_"),
-        col("_ats_url") === col("u_url"), "left_outer")
+        col("_ats_key") === col("u_url"), "left_outer")
+      .drop("_ats_key")
 
     val lvl2 = level(col("_ats_url"), "u_")
     // last resort: rendered else direct, from the original url's fixtures

@@ -574,11 +574,14 @@ object PipelineQueries extends QueryModule {
       |  FROM j1
       |),
       |l2 AS (
+      |  -- null-skew bypass (same as FetchCascade): null _ats_url rows get
+      |  -- per-row never-matching keys so the hash exchange stays uniform
       |  SELECT l1.*, u.direct_status AS u_direct_status,
       |    u.direct_html AS u_direct_html, u.rendered_html AS u_rendered_html,
       |    u.api_role AS u_api_role, u.direct_useful AS u_direct_useful,
       |    u.rendered_useful AS u_rendered_useful
-      |  FROM l1 LEFT JOIN fx u ON l1._ats_url = u.url
+      |  FROM l1 LEFT JOIN fx u
+      |    ON coalesce(l1._ats_url, concat(' ', l1.url)) = u.url
       |),
       |cascaded AS (
       |  SELECT sheet_name, row_index, url,
