@@ -378,6 +378,26 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Pick the hyperplane count for [[embeddingPairs]] at corpus size
+    * `n`: the expected bucket population is n / 2^planes, and the pairs
+    * scored inside a bucket grow with its population squared — so a
+    * FIXED plane count turns the operator quadratic as the corpus
+    * grows (measured: the oracle-pinned planes=8 config scales 14× for
+    * 10× data, BASELINE.md round-11). `ceil(log2(n / targetBucket))`
+    * keeps expected bucket population ≤ targetBucket, making total
+    * scored pairs ~n × targetBucket — linear in the corpus. Clamped to
+    * [4, 30]; each added plane costs one more dot product per row at
+    * signing time and (like tighter LSH bands) trades recall for
+    * candidate volume — validate a new config with [[pairEval]], the
+    * same loop [[chooseBands]] prescribes. */
+  def choosePlanes(corpusSize: Long, targetBucket: Int = 512): Int = {
+    require(corpusSize > 0 && targetBucket > 0,
+      s"bad config ($corpusSize, $targetBucket)")
+    val needed = math.ceil(
+      math.log(corpusSize.toDouble / targetBucket) / math.log(2.0)).toInt
+    math.min(30, math.max(4, needed))
+  }
+
   /** P(pair becomes an LSH candidate) for true Jaccard `s` under `b`
     * bands × `r` rows: 1 - (1 - s^r)^b — the S-curve every banding
     * choice trades on. Driver-side planning math (no data touched). */

@@ -163,6 +163,24 @@ class M8Spec extends SparkSpec {
       hotPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("choosePlanes keeps expected bucket population at or below target") {
+    // the config step that keeps embeddingPairs linear as a corpus grows:
+    // expected bucket population n / 2^planes must land <= targetBucket
+    for (n <- Seq(1000L, 50000L, 5000000L, 10000000000L);
+         target <- Seq(256, 512, 4096)) {
+      val p = Dedup.choosePlanes(n, target)
+      assert(p >= 4 && p <= 30)
+      if (p < 30)
+        assert(n.toDouble / math.pow(2, p) <= target,
+          s"n=$n target=$target planes=$p leaves expected bucket too hot")
+      if (p > 4) // minimality: one fewer plane would overshoot the target
+        assert(n.toDouble / math.pow(2, p - 1) > target ||
+          Dedup.choosePlanes(n, target) == 4)
+    }
+    // 10x the corpus costs ~log2(10) ~ 3-4 extra planes, not a rework
+    assert(Dedup.choosePlanes(50000) - Dedup.choosePlanes(5000) <= 4)
+  }
+
   test("embedding pairs: the hot-bucket cap reports its truncation") {
     // same planted hot bucket as above: 100 docs collapse into one
     // hyperplane bucket, maxBucket=10 keeps 10 — the TopKPerKey
