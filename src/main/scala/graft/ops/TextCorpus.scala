@@ -244,7 +244,14 @@ object TextCorpus {
     * Returns the learned rule table (rank, left, right, merged, cnt) —
     * the artifact a tokenizer ships. The per-round argmax is a 1-row
     * driver read: the merge RULE is a scalar decision, the same shape
-    * as AQE's runtime statistics, never a data collect. */
+    * as AQE's runtime statistics, never a data collect.
+    *
+    * Job-count bound (the contract's SQL-inexpressible iterative
+    * class): exactly `numMerges` rounds × 2 jobs per round (the argmax
+    * TakeOrdered + the fused-vocabulary localCheckpoint), plus the one
+    * up-front corpus→vocabulary reduction — ≤ 2·numMerges + 1 Spark
+    * jobs total, each over the Zipf-bounded vocabulary, stopping early
+    * the first round no pair repeats. */
   def trainBpe(docs: DataFrame, text: Column, numMerges: Int): DataFrame = {
     require(numMerges >= 0, s"numMerges: $numMerges")
     val spark = docs.sparkSession
