@@ -61,8 +61,13 @@ object ProbeQueries extends QueryModule {
     import graft.ops.BloomJoin
     val orders = Tables.orders(s, dir)
     val keys = orders.select(col("o_custkey").as("k")).distinct()
+    // size the filter from the data, not a constant: a filter built for
+    // 2000 items saturates at 15k keys (sf0.1) and the FPR contract
+    // breaks — the 1-value count is a planning statistic, the same
+    // class as AQE's runtime stats
+    val nKeys = keys.count()
     val bloom = BloomJoin.buildBloom(keys, col("k"),
-      expectedItems = 2000L, fpp = 0.01)
+      expectedItems = math.max(nKeys, 1L), fpp = 0.01)
     // both probes in ONE aggregate over one scan of the key set: each
     // row contributes its present-key hit and its shifted absent-key
     // probe — no second distinct, no second exchange

@@ -255,8 +255,14 @@ object StarQueries extends QueryModule {
 
   /** Running (cumulative) sum per supplier in ship-date order. */
   private def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    // l_quantity closes the sort: the testdata carries duplicate
+    // (orderkey, linenumber) rows at sf0.1+, and a running sum over a
+    // non-total order is engine-dependent for the tied prefix — with
+    // quantity as the final key, tied rows are interchangeable for the
+    // cumulative sum and the result is order-independent again
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(s, dir)
       .withColumn("running_qty",
@@ -269,7 +275,7 @@ object StarQueries extends QueryModule {
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
       |    PARTITION BY l_suppkey
-      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
       |FROM lineitem""".stripMargin
 
