@@ -545,44 +545,52 @@ object StarQueries extends QueryModule {
     * aggregation shape as any grouped sum at scale. */
   private def aggCorr(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val q = col("l_quantity").cast(DecimalType(18, 2))
-    val p = col("l_extendedprice").cast(DecimalType(18, 2))
-    Tables.lineitem(s, dir)
-      .groupBy("l_returnflag")
+    // The whole comoment algebra runs in EXACT integers (cents-scaled
+    // longs summed into decimals; n·Σxy − Σx·Σy etc. in DECIMAL(38,0),
+    // runtime-checked, values ≤ ~1e24) and doubles appear only for the
+    // final division and sqrt — two IEEE ops over identical exact
+    // inputs, so the result is bit-equal across engines AT ANY SCALE.
+    // (The previous shape cast each sum to double first; at 10× data
+    // the covariance terms exceed 2^53 and the five casts + ten float
+    // ops drifted 1 ulp between engines.) Correlation and slope are
+    // scale-invariant, so the cents scaling cancels exactly.
+    val qc = (col("l_quantity").cast(DecimalType(18, 2)) * 100)
+      .cast(DecimalType(18, 0))
+    val pc = (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+      .cast(DecimalType(18, 0))
+    val cents = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), qc.as("qc"), pc.as("pc"))
+    val m = cents.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        sum(q).cast("double").as("sx"),
-        sum(p).cast("double").as("sy"),
-        sum((q * p).cast(DecimalType(28, 4))).cast("double").as("sxy"),
-        sum((q * q).cast(DecimalType(28, 4))).cast("double").as("sxx"),
-        sum((p * p).cast(DecimalType(28, 4))).cast("double").as("syy"))
-      .select(col("l_returnflag"), col("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-               (col("n") * col("syy") - col("sy") * col("sy"))))
-          .as("corr_qty_price"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
+        sum(col("qc")).as("a"), sum(col("pc")).as("b"),
+        sum((col("qc") * col("pc")).cast(DecimalType(28, 0))).as("c"),
+        sum((col("qc") * col("qc")).cast(DecimalType(28, 0))).as("d"),
+        sum((col("pc") * col("pc")).cast(DecimalType(28, 0))).as("e"))
+    val nDec = col("n").cast(DecimalType(10, 0))
+    val cov = (nDec * col("c") - col("a") * col("b")).cast("double")
+    val vx = (nDec * col("d") - col("a") * col("a")).cast("double")
+    val vy = (nDec * col("e") - col("b") * col("b")).cast("double")
+    m.select(col("l_returnflag"), col("n"),
+      (cov / sqrt(vx * vy)).as("corr_qty_price"),
+      (cov / vx).as("slope"))
   }
 
   private val aggCorrSql =
-    """WITH m AS (
+    """WITH r AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT) AS qc,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS pc
+      |  FROM lineitem),
+      |m AS (
       |  SELECT l_returnflag, COUNT(*) AS n,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-      |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
-      |      CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4)))
-      |      AS DOUBLE) AS sxy,
-      |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
-      |      CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4)))
-      |      AS DOUBLE) AS sxx,
-      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      |      CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4)))
-      |      AS DOUBLE) AS syy
-      |  FROM lineitem GROUP BY 1)
+      |    SUM(qc) AS a, SUM(pc) AS b, SUM(qc * pc) AS c,
+      |    SUM(qc * qc) AS d, SUM(pc * pc) AS e
+      |  FROM r GROUP BY 1)
       |SELECT l_returnflag, n,
-      |  (n * sxy - sx * sy) /
-      |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price,
-      |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+      |  CAST(n * c - a * b AS DOUBLE) /
+      |    sqrt(CAST(n * d - a * a AS DOUBLE) * CAST(n * e - b * b AS DOUBLE))
+      |    AS corr_qty_price,
+      |  CAST(n * c - a * b AS DOUBLE) / CAST(n * d - a * a AS DOUBLE) AS slope
       |FROM m""".stripMargin
 
   /** Salted replicate join over a deliberately skewed key (80% of fact
