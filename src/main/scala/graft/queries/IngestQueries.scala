@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 import graft.Tables
 import graft.pipeline.Queues
 import graft.sources.SheetSources
@@ -127,26 +128,46 @@ object IngestQueries extends QueryModule {
     // nanosAsLong is set at session construction (SparkEntry mains,
     // TestSpark) and by Tables.events — not here, so a query body never
     // mutates shared session conf (ordering-dependence hazard)
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-      "event_type STRING, value DOUBLE, props STRING"
-    // the raw INT64 values are nanos in older testdata generations and
-    // micros in newer ones (both INT64 on disk, so the BIGINT stream
-    // schema reads either); probe the batch-read type to pick the divisor
-    val tsToMicros =
+    // the on-disk ts physical type varies by generation: INT64 nanos
+    // (read as BIGINT under nanosAsLong, divide to micros), INT64 micros
+    // (NTZ annotation — also readable as BIGINT, values already micros),
+    // or INT96/LTZ-annotated timestamp (Spark-written images — not
+    // readable as BIGINT, declared TIMESTAMP with no conversion). Probe
+    // the batch-read type to pick the stream schema and the conversion.
+    val (tsDecl, tsToMicros) =
       Tables.load(s, dir, "events").schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-        case _                                   => col("ts")
+        case org.apache.spark.sql.types.LongType =>
+          ("ts BIGINT", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          ("ts BIGINT", timestamp_micros(col("ts")))
+        case _ =>
+          ("ts TIMESTAMP", col("ts"))
       }
-    // the file source wants a directory; expose the single events file
-    // through a symlinked temp dir (no data copy)
+    val schema = s"event_id BIGINT, $tsDecl, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    // the file source wants a directory of data FILES; expose the events
+    // table through a symlinked temp dir (no data copy). The table
+    // arrives as a single file (driver testdata) or a Spark-written
+    // directory of part-files (ScaleUp images) — symlink each data file
+    // either way, since a symlinked subDIRECTORY is invisible to the
+    // file source's glob and would silently stream 0 rows.
     val streamDir = java.nio.file.Paths.get(tempDir("graft_t1_"))
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val parts: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(src)) {
+        val ls = java.nio.file.Files.list(src)
+        try ls.iterator().asScala.filter(_.getFileName.toString
+          .endsWith(".parquet")).toSeq
+        finally ls.close()
+      } else Seq(src)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve(f"events_$i%05d.parquet"), p)
+    }
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1") // T3: bounded work per trigger
       .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(tsToMicros))
+      .withColumn("ts", tsToMicros)
     val windowed = stream
       .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum2d(col("value")).as("total"))
