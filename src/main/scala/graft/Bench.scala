@@ -114,12 +114,38 @@ object Bench {
       val ls = loads.map(fmt).mkString("[", ",", "]")
       s""""$k":{"sec":${fmt(v)},"ok":$ok,"samples":$ss,"retries":$retries,"loads":$ls}"""
     }.mkString("{", ",", "}")
+    // Provenance: driver runs (no env) and deliberate closing runs must
+    // not alias onto one filename — a repeat=1 driver sample overwriting
+    // a committed repeat=3 closing artifact reads as a fake regression.
+    // Driver/ad-hoc runs default to bench_times_driver.json; a closing
+    // run opts into the committed path explicitly via
+    // SPARK_GRAFT_BENCH_TIMES + SPARK_GRAFT_RUN_KIND=closing. As a belt
+    // on those braces, a lower-repeat run refuses to clobber a
+    // higher-repeat artifact and lands beside it instead.
+    val runKind = sys.env.getOrElse("SPARK_GRAFT_RUN_KIND", "adhoc")
     val detailJson =
-      s"""{"sf":"$sfDir","cpus":$cpus,"repeat":$repeat,"total_sec":${fmt(total)},"n_queries":${results.size},"queries":$detail}"""
+      s"""{"sf":"$sfDir","cpus":$cpus,"repeat":$repeat,"run_kind":"$runKind","total_sec":${fmt(total)},"n_queries":${results.size},"queries":$detail}"""
     val timesFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMES",
-      sys.props.getOrElse("user.dir", ".") + "/bench_times.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(timesFile), detailJson + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] write $timesFile: ${e.getMessage}") }
+      sys.props.getOrElse("user.dir", ".") + "/bench_times_driver.json")
+    val timesPath = {
+      val target = java.nio.file.Paths.get(timesFile)
+      val priorRepeat =
+        try {
+          if (java.nio.file.Files.exists(target))
+            """"repeat":(\d+)""".r
+              .findFirstMatchIn(java.nio.file.Files.readString(target))
+              .map(_.group(1).toInt)
+          else None
+        } catch { case _: Throwable => None }
+      if (priorRepeat.exists(_ > repeat)) {
+        val alt = java.nio.file.Paths.get(timesFile + s".repeat$repeat")
+        System.err.println(s"[bench] $timesFile holds a repeat=${priorRepeat.get} " +
+          s"artifact; this repeat=$repeat run writes $alt instead")
+        alt
+      } else target
+    }
+    try java.nio.file.Files.writeString(timesPath, detailJson + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $timesPath: ${e.getMessage}") }
     spark.stop()
     // Print last, on its own flushed line, after executor shutdown chatter.
     System.out.println(json)

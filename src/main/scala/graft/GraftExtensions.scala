@@ -87,7 +87,9 @@ object GraftRegistry {
     * surface them in SQL as literal-only arguments. */
   private def foldedString(e: Expression): String = {
     require(e.foldable, s"argument must be a string literal, got $e")
-    String.valueOf(e.eval(null))
+    val v = e.eval(null)
+    require(v != null, s"argument must be a non-null string literal, got $e")
+    v.toString
   }
 }
 

@@ -45,6 +45,15 @@ object ScaleUp {
       spark.read.parquet(s"$src/$name.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
 
+    // Key-shift offset: cast to long before max so a future testdata
+    // generation shipping 32-bit key columns (schema drift between
+    // rounds is a known hazard) widens instead of ClassCastException-ing,
+    // and an empty table (null max) falls back to a shift of 1.
+    def shiftOf(df: DataFrame, key: String): Long = {
+      val row = df.agg(max(col(key).cast("long"))).head()
+      (if (row.isNullAt(0)) 0L else row.getLong(0)) + 1
+    }
+
     /** Union `copies` key-shifted images of `df`. */
     def scaled(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until copies).map(i => shift(df, i)).reduce(_ unionByName _)
@@ -58,7 +67,7 @@ object ScaleUp {
     Seq("region", "nation", "customer", "supplier", "part").foreach(copyThrough)
 
     val orders = spark.read.parquet(s"$src/orders.parquet")
-    val oShift = orders.agg(max("o_orderkey")).head().getLong(0) + 1
+    val oShift = shiftOf(orders, "o_orderkey")
     scaled(orders)((d, i) => d.withColumn("o_orderkey", col("o_orderkey") + lit(i * oShift)))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
 
@@ -67,22 +76,22 @@ object ScaleUp {
       .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
 
     val events = Tables.events(spark, src)
-    val eShift = events.agg(max("event_id")).head().getLong(0) + 1
-    val uShift = events.agg(max("user_id")).head().getLong(0) + 1
+    val eShift = shiftOf(events, "event_id")
+    val uShift = shiftOf(events, "user_id")
     scaled(events)((d, i) => d
         .withColumn("event_id", col("event_id") + lit(i * eShift))
         .withColumn("user_id", col("user_id") + lit(i * uShift)))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
-    val dShift = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val dShift = shiftOf(docs, "doc_id")
     scaled(docs)((d, i) => d
         .withColumn("doc_id", col("doc_id") + lit(i * dShift))
         .withColumn("text", rot(col("text"), i)))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    val vShift = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val vShift = shiftOf(emb, "vec_id")
     scaled(emb)((d, i) => d
         .withColumn("vec_id", col("vec_id") + lit(i * vShift))
         .withColumn("embedding",

@@ -349,17 +349,31 @@ object Dedup {
     * The truncation is OBSERVABLE, not silent: TopKPerKey's
     * `droppedRows` SQL metric (visible in the Spark UI / executedPlan
     * metrics; summed across the partial+final pair it equals docs-in −
-    * docs-out) reports exactly how many docs the cap excluded, so a
-    * production caller can alarm on recall loss and re-run the hot
-    * buckets with a higher cap. M8Spec pins the metric on a planted
-    * hot bucket. */
+    * docs-out) reports AT LEAST how many docs the cap excluded — when
+    * the capped chain re-executes per self-join branch (no AQE
+    * exchange reuse) the sum counts each execution, so treat it as a
+    * per-instance-exact lower bound (the telescoping caveat M8Spec
+    * asserts with `>=`). A production caller can still alarm on it for
+    * recall loss and re-run the hot buckets with a higher cap. M8Spec
+    * pins the metric on a planted hot bucket.
+    *
+    * `planes <= 0` (the default) sizes the hyperplane count from the
+    * live corpus via [[choosePlanes]] — one `count()` over `vecs` —
+    * so the linear-scaling config is the default and the measured
+    * quadratic creep of a fixed plane count (BASELINE.md round-11:
+    * 14× work for 10× data at planes=8) is opt-in, not opt-out. Pass
+    * an explicit positive count only when replaying a pinned config
+    * (e.g. an oracle contract). */
   def embeddingPairs(vecs: DataFrame, id: Column, vec: Column,
-                     minCosine: Double = 0.95, planes: Int = 8,
+                     minCosine: Double = 0.95, planes: Int = 0,
                      portable: Boolean = false, dim: Int = 64,
                      maxBucket: Int = 4096): DataFrame = {
+    val nPlanes =
+      if (planes > 0) planes
+      else choosePlanes(math.max(1L, vecs.count()))
     val bucket =
-      if (portable) VectorFns.hyperplane_bucket_portable(vec, planes, dim)
-      else VectorFns.hyperplane_bucket(vec, planes)
+      if (portable) VectorFns.hyperplane_bucket_portable(vec, nPlanes, dim)
+      else VectorFns.hyperplane_bucket(vec, nPlanes)
     val bucketed = vecs.select(id.as("id"), vec.as("v"), bucket.as("bucket"))
     val draw =
       if (portable) md5(col("id").cast("string"))

@@ -203,9 +203,15 @@ object FetchCascade {
     // a hash exchange sends every null-keyed row to ONE partition, so the
     // join stage (and the heavy fusion projection that rides it) would
     // run effectively single-threaded at scale. Joining on a per-row
-    // synthetic key for the null rows (" " + url can never match a
-    // fetched fixture url) spreads them uniformly while the left-outer
-    // still passes them through with null unwrap columns.
+    // synthetic key for the null rows (a NUL-prefixed url) spreads them
+    // uniformly while the left-outer still passes them through with
+    // null unwrap columns. The extra `_ats_url IS NOT NULL` predicate
+    // makes the bypass airtight rather than resting on "no fixture url
+    // starts with the sentinel": Catalyst keeps `_ats_key = u_url` as
+    // the equi key (the exchange still spreads the null rows) and
+    // applies the null guard as a post-match filter, so a pathological
+    // sentinel-prefixed fixture url can never spuriously unwrap a
+    // non-aggregator row.
     val withAts = j1
       .withColumn("_lvl1", lvl1)
       .withColumn("_ats_url",
@@ -213,7 +219,8 @@ object FetchCascade {
       .withColumn("_ats_key",
         coalesce(col("_ats_url"), concat(lit(" "), col("url"))))
       .join(prefixed(side, "u_"),
-        col("_ats_key") === col("u_url"), "left_outer")
+        col("_ats_key") === col("u_url") && col("_ats_url").isNotNull,
+        "left_outer")
       .drop("_ats_key")
 
     val lvl2 = level(col("_ats_url"), "u_")

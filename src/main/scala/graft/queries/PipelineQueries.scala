@@ -575,13 +575,15 @@ object PipelineQueries extends QueryModule {
       |),
       |l2 AS (
       |  -- null-skew bypass (same as FetchCascade): null _ats_url rows get
-      |  -- per-row never-matching keys so the hash exchange stays uniform
+      |  -- per-row never-matching keys so the hash exchange stays uniform;
+      |  -- the IS NOT NULL guard makes the bypass sentinel-independent
       |  SELECT l1.*, u.direct_status AS u_direct_status,
       |    u.direct_html AS u_direct_html, u.rendered_html AS u_rendered_html,
       |    u.api_role AS u_api_role, u.direct_useful AS u_direct_useful,
       |    u.rendered_useful AS u_rendered_useful
       |  FROM l1 LEFT JOIN fx u
       |    ON coalesce(l1._ats_url, concat(' ', l1.url)) = u.url
+      |      AND l1._ats_url IS NOT NULL
       |),
       |cascaded AS (
       |  SELECT sheet_name, row_index, url,
