@@ -579,6 +579,59 @@ object DedupQueries extends QueryModule {
        |WHERE cosine >= 0.4""".stripMargin
   }
 
+  /** The SIZED embedding near-dup path: the hyperplane count comes from
+    * the live corpus via [[Dedup.choosePlanes]] (the `planes <= 0`
+    * default of [[Dedup.embeddingPairs]]) instead of a pinned constant,
+    * so expected bucket population stays ≤ targetBucket and scored
+    * pairs stay ~n × targetBucket (linear) as the corpus grows — the
+    * production config for the quadratic-creep tail BASELINE.md
+    * measured at fixed planes=8. The oracle replays the DERIVATION, not
+    * a frozen constant: count(*) → clamp(ceil(log₂(n/512)), 4, 30) →
+    * the first `planes` hyperplane bits — so the gate proves the sizing
+    * rule itself, and the emitted `planes` column pins it per scale
+    * (sf0.01 → 4, sf0.1 → 6, the 10× image → 9). */
+  private def embeddingSized(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.spread(Tables.embeddings(s, dir))
+    val planes = Dedup.choosePlanes(math.max(1L, emb.count()))
+    Dedup.embeddingPairs(emb, col("vec_id"), col("embedding"),
+        minCosine = 0.4, portable = true, dim = 64,
+        maxBucket = Int.MaxValue) // planes omitted: the sized default
+      .select(lit(planes).as("planes"), col("id_a"), col("id_b"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
+  private val embeddingSizedSql = {
+    // Enough bit terms for any corpus this gate will see (16 planes
+    // covers 512 × 2^16 ≈ 33.5 M vectors); each term self-disables
+    // beyond the derived plane count.
+    val bits = (0 until 16).map { p =>
+      s"(CASE WHEN $p < planes AND list_inner_product(v, " +
+        s"${OracleVectors.weightsSql(p, 64)}) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", "\n      + ", ")")
+    s"""WITH p AS (
+       |  SELECT LEAST(30, GREATEST(4,
+       |    CAST(ceil(log2(count(*) / 512.0)) AS INT))) AS planes
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, v, planes, $bits AS bucket
+       |      FROM e CROSS JOIN p),
+       |cand AS (
+       |  SELECT a.planes, a.vec_id AS id_a, b2.vec_id AS id_b,
+       |    a.v AS v_a, b2.v AS v_b
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+       |scored AS (
+       |  SELECT planes, id_a, id_b,
+       |    list_inner_product(v_a, v_b) /
+       |      (sqrt(list_inner_product(v_a, v_a)) *
+       |       sqrt(list_inner_product(v_b, v_b))) AS cosine
+       |  FROM cand)
+       |SELECT CAST(planes AS INT) AS planes, id_a, id_b,
+       |  round(cosine, 4) AS cosine FROM scored
+       |WHERE cosine >= 0.4""".stripMargin
+  }
+
   /** SemDeDup-style SEMANTIC dedup end-to-end: embedding near-dup pairs
     * (portable hyperplane LSH + cosine ≥ 0.4) → connected components →
     * exactly one survivor per semantic cluster. The quality proxy is a
@@ -670,6 +723,7 @@ object DedupQueries extends QueryModule {
     "m8_dedup_minhash"       -> minhash _,
     "m8_dedup_simhash"       -> simhash _,
     "m8_dedup_embedding"     -> embedding _,
+    "m8_dedup_embedding_sized" -> embeddingSized _,
     "m8_dedup_incremental"   -> incremental _,
     "m8_signature_store"     -> signatureStore _,
     "m8_semantic_dedup"      -> semanticDedup _,
@@ -688,6 +742,7 @@ object DedupQueries extends QueryModule {
     "m8_dedup_minhash"       -> minhashSql,
     "m8_dedup_simhash"       -> simhashSql,
     "m8_dedup_embedding"     -> embeddingSql,
+    "m8_dedup_embedding_sized" -> embeddingSizedSql,
     "m8_dedup_incremental"   -> incrementalSql,
     "m8_signature_store"     -> incrementalSql,
     "m8_semantic_dedup"      -> semanticDedupSql,

@@ -173,17 +173,81 @@ object HygieneQueries extends QueryModule {
       |c AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY 1)
       |SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 
+  /** The BPE TRAINER's rule table on the oracle gate: 6 merge rounds
+    * over the [a-z]-word sub-corpus of `documents`. The merge loop is
+    * SQL-inexpressible as a loop, but its OUTPUT for a fixed corpus and
+    * numMerges is a deterministic 5-column frame — so the oracle unrolls
+    * the 6 rounds as CTEs. Words are restricted to ASCII lowercase so
+    * char-splitting is engine-identical (Spark splits UTF-16 units,
+    * DuckDB codepoints — equal on ASCII). */
+  private def bpeRules(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .select(concat_ws(" ",
+        filter(split(trim(coalesce(col("text"), lit(""))), "\\s+"),
+          w => w.rlike("^[a-z]+$"))).as("text"))
+    TextCorpus.trainBpe(docs, col("text"), numMerges = 6)
+  }
+
+  /** Oracle replay of [[bpeRules]]: each word's symbol sequence is a
+    * string with DOUBLE-space separators and single-space wrapping
+    * (" n  e  w "), so `replace(s, ' l  r ', ' lr ')` IS greedy
+    * left-to-right non-overlapping pair fusion — the match consumes one
+    * boundary space on each side, leaving the shared separator space
+    * for an immediately-adjacent next match, and token-boundary false
+    * positives are impossible because every symbol is space-delimited.
+    * An early-stopped round yields an empty rule CTE whose CROSS JOIN
+    * empties every later vocabulary — the same truncation the trainer's
+    * early stop produces. */
+  private val bpeRulesSql = {
+    val numMerges = 6
+    val rounds = (0 until numMerges).map { r =>
+      s"""t$r AS (SELECT string_split(trim(s, ' '), '  ') AS toks, cnt FROM v$r),
+         |p$r AS (
+         |  SELECT pr.l AS lft, pr.r AS rgt, CAST(SUM(cnt) AS BIGINT) AS n
+         |  FROM (SELECT unnest([{'l': toks[i], 'r': toks[i+1]}
+         |                       for i in generate_series(1, len(toks) - 1)]) AS pr,
+         |               cnt
+         |        FROM t$r)
+         |  GROUP BY 1, 2 HAVING SUM(cnt) >= 2),
+         |rule$r AS (
+         |  SELECT $r AS rank, lft, rgt, lft || rgt AS merged, n
+         |  FROM p$r ORDER BY n DESC, lft, rgt LIMIT 1),
+         |v${r + 1} AS (
+         |  SELECT replace(s, ' ' || lft || '  ' || rgt || ' ',
+         |                 ' ' || merged || ' ') AS s, cnt
+         |  FROM v$r CROSS JOIN rule$r)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until numMerges)
+      .map(r => s"SELECT * FROM rule$r").mkString("\n  UNION ALL ")
+    s"""WITH wf AS (
+       |  SELECT word FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |    FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z]+$$')),
+       |v0 AS (
+       |  SELECT ' ' || array_to_string(
+       |      [word[i] for i in generate_series(1, len(word))], '  ') || ' ' AS s,
+       |    cnt
+       |  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM wf GROUP BY word)),
+       |$rounds
+       |SELECT CAST(rank AS INT) AS rank, lft AS "left", rgt AS "right",
+       |  merged, n AS cnt
+       |FROM ($union)""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_pii_redact"     -> piiRedact _,
     "m8_decontaminate"  -> decontaminate _,
     "m8_line_dedup"     -> lineDedup _,
     "m8_substring_dedup" -> substringDedup _,
-    "m8_bpe_pairs"      -> bpePairs _)
+    "m8_bpe_pairs"      -> bpePairs _,
+    "m8_bpe_rules"      -> bpeRules _)
 
   def oracles: Map[String, String] = Map(
     "m8_pii_redact"     -> piiRedactSql,
     "m8_decontaminate"  -> decontaminateSql,
     "m8_line_dedup"     -> lineDedupSql,
     "m8_substring_dedup" -> substringDedupSql,
-    "m8_bpe_pairs"      -> bpePairsSql)
+    "m8_bpe_pairs"      -> bpePairsSql,
+    "m8_bpe_rules"      -> bpeRulesSql)
 }

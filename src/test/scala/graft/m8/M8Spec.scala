@@ -181,6 +181,41 @@ class M8Spec extends SparkSpec {
     assert(Dedup.choosePlanes(50000) - Dedup.choosePlanes(5000) <= 4)
   }
 
+  test("embeddingPairs default derives planes from the live corpus") {
+    // Two corpus sizes straddling a sizing step: 1 000 vecs size to the
+    // 4-plane floor, 24 000 to 6 planes — the default (planes omitted)
+    // must emit exactly the explicitly-sized config's pairs at BOTH
+    // sizes, and the sized bucketing must keep mean occupied-bucket
+    // population within 2x the 512 target (the linear-scaling invariant
+    // the sizing rule exists for).
+    val rnd = new scala.util.Random(11)
+    def corpus(n: Int) =
+      (1L to n.toLong).map(i => (i, Array.fill(4)(rnd.nextFloat() * 2 - 1)))
+        .toDF("vec_id", "embedding")
+    for (n <- Seq(1000, 24000)) {
+      val vecs = corpus(n).persist()
+      val sized = Dedup.choosePlanes(n)
+      assert(sized == (if (n == 1000) 4 else 6))
+      val byDefault = Dedup.embeddingPairs(vecs, col("vec_id"),
+          col("embedding"), minCosine = 0.99, maxBucket = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val explicit = Dedup.embeddingPairs(vecs, col("vec_id"),
+          col("embedding"), minCosine = 0.99, planes = sized,
+          maxBucket = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(byDefault == explicit,
+        s"n=$n: default path diverged from explicit planes=$sized")
+      val pops = vecs
+        .select(graft.functions.VectorFns
+          .hyperplane_bucket(col("embedding"), sized).as("b"))
+        .groupBy("b").count().collect().map(_.getLong(1))
+      val mean = pops.sum.toDouble / pops.length
+      assert(mean <= 2 * 512,
+        s"n=$n planes=$sized mean occupied bucket population $mean")
+      vecs.unpersist()
+    }
+  }
+
   test("embedding pairs: the hot-bucket cap reports its truncation") {
     // same planted hot bucket as above: 100 docs collapse into one
     // hyperplane bucket, maxBucket=10 keeps 10 — the TopKPerKey
