@@ -66,13 +66,30 @@ object FetchCascade {
   def liveFixtures(links: DataFrame, client: FetchClient): DataFrame = {
     val spark = links.sparkSession
     import spark.implicits._
+    // Per-url guard, reference lines 915-917: a client that THROWS
+    // mid-wave (timeout, connection reset) yields an all-null fixture
+    // row carrying `fetch_error` (message truncated to the reference's
+    // 300) instead of killing the wave — the other urls' fixtures land
+    // intact, the cascade degrades that one row to no-provider, and the
+    // caller maps the error to a V3 row status. The cascade's own
+    // fixtureSide projection drops the extra column.
     def fetchWave(urls: Dataset[String]): DataFrame =
       urls.mapPartitions { it =>
         it.map { u =>
-          val d = client.direct(u)
-          (u, d.map(_._1), d.map(_._2), client.rendered(u), client.apiRole(u))
+          try {
+            val d = client.direct(u)
+            (u, d.map(_._1), d.map(_._2), client.rendered(u),
+              client.apiRole(u), null: String)
+          } catch { case e: Throwable =>
+            (u, None: Option[Int], None: Option[String],
+              None: Option[String], None: Option[String],
+              Option(e.getMessage).getOrElse(e.toString))
+          }
         }
-      }.toDF("url", "direct_status", "direct_html", "rendered_html", "api_role")
+      }.toDF("url", "direct_status", "direct_html", "rendered_html",
+        "api_role", "fetch_error")
+        .withColumn("fetch_error",
+          graft.ops.Provenance.error_message(col("fetch_error"), 300))
     val wave1 = fetchWave(links.select(col("url")).distinct().as[String])
       .persist(StorageLevel.MEMORY_AND_DISK)
     // wave 2: first ATS href inside aggregator pages, minus already-fetched

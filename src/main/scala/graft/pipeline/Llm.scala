@@ -54,20 +54,37 @@ object Llm {
     * role is generic. Fill blanks only (manual/parsed values win), bump
     * conf to ≥ 0.6 on success, token `extract:{mode=llm}` (or with
     * `err=no-output` when the model returned nothing usable). */
+  /** Call the transport, catching throwables at the call site the way
+    * the reference catches its fetch/LLM errors (lines 915-917,
+    * 1176-1178): a THROWING transport (network timeout, HTTP 5xx client
+    * raising) must degrade per-row, never kill the stage. Returns
+    * (completion, error) — exactly one side non-null on a needs-rescue
+    * row. */
+  private def guardedCall(transport: LlmTransport) =
+    udf((p: String) =>
+      try (transport.complete(p).orNull, null: String)
+      catch { case e: Throwable =>
+        (null: String, Option(e.getMessage).getOrElse(e.toString))
+      }).asNondeterministic()
+
   def extractRescue(df: DataFrame, transport: LlmTransport,
                     promptCol: Column): DataFrame = {
     // nondeterministic pin: stops Catalyst from duplicating the transport
     // call when downstream projections reference _llm_raw several times —
     // with a real endpoint a duplicated UDF means duplicate model calls.
-    val callUdf = udf((p: String) => transport.complete(p).orNull)
-      .asNondeterministic()
+    val callUdf = guardedCall(transport)
     val needs = col("company") === "" || HtmlFns.is_generic_title(col("role"))
     val parsed = from_json(brace_slice(col("_llm_raw")), extractSchema)
     val gotAny = parsed.isNotNull &&
       (coalesce(parsed.getField("company"), lit("")) =!= "" ||
        coalesce(parsed.getField("role"), lit("")) =!= "")
     df.withColumn("_needs_rescue", needs)
-      .withColumn("_llm_raw", when(needs, callUdf(promptCol)))
+      .withColumn("_llm_res", when(needs, callUdf(promptCol)))
+      .withColumn("_llm_raw", col("_llm_res._1"))
+      // V3 shape: the caller maps a non-empty llm_error to a row-level
+      // error status, message pre-truncated to the reference's 300
+      .withColumn("llm_error",
+        Provenance.error_message(col("_llm_res._2"), 300))
       .withColumn("_llm_ok", needs && gotAny)
       .withColumn("company",
         when(col("_llm_ok") && col("company") === "",
@@ -84,7 +101,7 @@ object Llm {
       .withColumn("extract_token",
         when(col("_llm_ok"), lit("extract:{mode=llm}"))
         .when(col("_needs_rescue"), lit("extract:{mode=llm, err=no-output}")))
-      .drop("_llm_raw", "_llm_ok", "_needs_rescue")
+      .drop("_llm_res", "_llm_raw", "_llm_ok", "_needs_rescue")
   }
 
   /** R5+R7 notes generation with template fallback: LLM first (when
@@ -93,14 +110,23 @@ object Llm {
   def notesWithFallback(df: DataFrame, transport: LlmTransport,
                         promptCol: Column, useLlm: Boolean = true): DataFrame = {
     // nondeterministic pin — same rationale as extractRescue's transport.
-    val callUdf = udf((p: String) => transport.complete(p).orNull)
-      .asNondeterministic()
+    val callUdf = guardedCall(transport)
     val parsed = from_json(brace_slice(col("_notes_raw")), notesSchema)
     val ok = parsed.isNotNull &&
       coalesce(parsed.getField("invite"), lit("")) =!= "" &&
       coalesce(parsed.getField("followup"), lit("")) =!= ""
-    val base = if (useLlm) df.withColumn("_notes_raw", callUdf(promptCol))
-               else df.withColumn("_notes_raw", lit(null).cast("string"))
+    val base =
+      if (useLlm) df.withColumn("_notes_res", callUdf(promptCol))
+        .withColumn("_notes_raw", col("_notes_res._1"))
+        // reference lines 1176-1178: the LLM error is LOGGED (sliced to
+        // 300) and the row still falls back to template — a transport
+        // throw must not lose the note
+        .withColumn("llm_error",
+          Provenance.error_message(col("_notes_res._2"), 300))
+      else df.withColumn("_notes_res",
+          lit(null).cast("struct<_1:string,_2:string>"))
+        .withColumn("_notes_raw", lit(null).cast("string"))
+        .withColumn("llm_error", lit(""))
     base
       .withColumn("_llm_ok", ok)
       .withColumn("li_invite",
@@ -113,6 +139,6 @@ object Llm {
         when(col("_llm_ok"), lit("llm")).otherwise(lit("template")))
       .withColumn("source", Provenance.source_token_upsert(col("source"), "notes",
         Provenance.render_token("notes", Seq("mode" -> col("notes_mode")))))
-      .drop("_notes_raw", "_llm_ok")
+      .drop("_notes_res", "_notes_raw", "_llm_ok")
   }
 }

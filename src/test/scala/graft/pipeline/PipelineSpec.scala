@@ -4,6 +4,28 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Row
 
+/** Top-level (no `$outer` capture — the client ships to executors): a
+  * FetchClient whose failure modes are keyed by host — timeout throw,
+  * long-message reset throw, garbage body, and one healthy url. */
+private class AdversarialFetchClient(richHtml: String)
+    extends FetchCascade.FetchClient {
+  def direct(url: String): Option[(Int, String)] = url match {
+    case "https://hangs.example/job" =>
+      throw new java.util.concurrent.TimeoutException("read timed out after 30000 ms")
+    case "https://reset.example/job" =>
+      throw new RuntimeException(AdversarialFetchClient.longResetMsg)
+    case "https://garbage.example/job" => Some((200, " <<<not_html>>>"))
+    case "https://direct.example/job" => Some((200, richHtml))
+    case _ => None
+  }
+  def rendered(url: String): Option[String] = None
+  def apiRole(url: String): Option[String] = None
+}
+
+private object AdversarialFetchClient {
+  val longResetMsg: String = "connection reset by peer: " + ("x" * 400)
+}
+
 /** End-to-end pipeline tests against FIXTURES.md §B5-style fixtures:
   * every cascade path, escalation, idempotent enqueue, write-back,
   * template notes + LLM fallback. */
@@ -257,6 +279,100 @@ class PipelineSpec extends SparkSpec {
     assert(live.map(t => (t._1, t._2, t._3, t._4)) ==
       viaFixtures.map(t => (t._1, t._2, t._3, t._4)),
       s"live vs fixtures diverged:\n$live\n$viaFixtures")
+  }
+
+  test("live mode: a client that throws mid-wave degrades per-row, not per-wave") {
+    // reference lines 915-917: any runtime/network error marks THAT row
+    // error with the message sliced to 300 — the rest of the batch keeps
+    // going. The adversarial client: one url times out (throws), one
+    // resets mid-transfer (throws with a >300-char message), one returns
+    // garbage bytes; the healthy urls must route exactly as fixtures-mode.
+    val longMsg = AdversarialFetchClient.longResetMsg
+    val client = new AdversarialFetchClient(richHtml)
+    val urls = Seq("https://hangs.example/job", "https://reset.example/job",
+      "https://garbage.example/job", "https://direct.example/job")
+    val fx = FetchCascade.liveFixtures(links(urls: _*), client)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(fx.size == 4, "a throwing url must not kill the wave")
+    // V3 capture: message present, 300-char truncation applied
+    assert(fx("https://hangs.example/job").getAs[String]("fetch_error")
+      == "read timed out after 30000 ms")
+    val captured = fx("https://reset.example/job").getAs[String]("fetch_error")
+    assert(captured.length == 300 && captured == longMsg.take(300))
+    assert(fx("https://hangs.example/job").isNullAt(1) &&
+      fx("https://hangs.example/job").isNullAt(2), "errored url must carry no payload")
+    assert(fx("https://direct.example/job").getAs[String]("fetch_error") == "")
+    // cascade completes over the poisoned wave; provider tags per policy
+    val out = FetchCascade.live(links(urls: _*), client)
+      .select("url", "provider").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    assert(out("https://direct.example/job") == "direct")
+    // garbage html: status 200 but no useful signal and nothing rendered
+    // → last-resort direct (reference cascade step 5)
+    assert(out("https://garbage.example/job") == "direct")
+    // thrown urls: nothing fetched at any level → no provider; the row
+    // survives for the caller's status='error' write
+    assert(out("https://hangs.example/job") == null)
+    assert(out("https://reset.example/job") == null)
+  }
+
+  test("llm extract: a throwing transport captures the error and fills nothing") {
+    val longMsg = "HTTP 529 overloaded: " + ("y" * 500)
+    val rows = Seq(
+      ("p-throw", "", "Job Details", 0.15, ""),
+      ("p-ok", "", "Job Details", 0.15, ""),
+      ("p-skip", "Kept Co", "Real Role", 0.7, ""))
+      .toDF("prompt", "company", "role", "conf", "source")
+    val transport = Llm.FixtureTransport {
+      case "p-throw" => throw new RuntimeException(longMsg)
+      case "p-ok" => Some("""{"company":"LLM Co","role":"LLM Role"}""")
+      case _ => Some("""{"company":"MUST NOT CALL","role":"x"}""")
+    }
+    val out = Llm.extractRescue(rows, transport, col("prompt"))
+      .select("prompt", "company", "role", "conf", "extract_token", "llm_error")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // the throwing row: untouched values, no-output token, sliced error
+    assert(out("p-throw").getString(1) == "" &&
+      out("p-throw").getString(2) == "Job Details" &&
+      out("p-throw").getDouble(3) == 0.15)
+    assert(out("p-throw").getString(4) == "extract:{mode=llm, err=no-output}")
+    assert(out("p-throw").getString(5) == longMsg.take(300) &&
+      out("p-throw").getString(5).length == 300)
+    // its neighbor in the same batch is rescued normally
+    assert(out("p-ok").getString(1) == "LLM Co" &&
+      out("p-ok").getDouble(3) == 0.6 &&
+      out("p-ok").getString(5) == "")
+    // no-rescue rows never reach the transport
+    assert(out("p-skip").getString(1) == "Kept Co" &&
+      out("p-skip").getString(5) == "")
+  }
+
+  test("llm notes: a throwing transport still falls back to template (R7)") {
+    // reference lines 1176-1178: the LLM error is logged (sliced 300)
+    // and the note is STILL produced from the template — an outage must
+    // not lose notes
+    val rows = Seq(("p-throw", "Acme", "SWE", "", ""), ("p-ok", "Beta", "PM", "", ""))
+      .toDF("prompt", "company", "role", "li_invite", "li_followup")
+      .withColumn("source", lit(""))
+    val profile = Seq(("one-line hook", "builder")).toDF("key", "value")
+    val prepped = Notes.withTemplateNotes(Notes.withProfile(rows, profile))
+    val longMsg = "model endpoint 503: " + ("z" * 350)
+    val transport = Llm.FixtureTransport {
+      case "p-throw" => throw new IllegalStateException(longMsg)
+      case _ => Some("""{"invite":"llm invite","followup":"llm followup","meta":"m"}""")
+    }
+    val out = Llm.notesWithFallback(prepped, transport, col("prompt"))
+      .select("prompt", "li_invite", "notes_mode", "source", "llm_error")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("p-throw").getString(2) == "template")
+    assert(out("p-throw").getString(1).startsWith("Hi there — I applied for SWE at Acme."))
+    assert(out("p-throw").getString(3) == "notes:{mode=template}")
+    assert(out("p-throw").getString(4) == longMsg.take(300) &&
+      out("p-throw").getString(4).length == 300)
+    assert(out("p-ok").getString(2) == "llm" &&
+      out("p-ok").getString(1) == "llm invite" &&
+      out("p-ok").getString(4) == "")
   }
 
   test("retry/backoff: eligibility, exponential delay, max-tries park") {

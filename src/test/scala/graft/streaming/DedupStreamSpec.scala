@@ -110,4 +110,80 @@ class DedupStreamSpec extends SparkSpec {
     assert(storeRows.length == 4, "replayed batch must not duplicate signatures")
     assert(storeRows.map(_.getLong(0)).toSet == Set(1L, 2L, 4L, 6L))
   }
+
+  test("continuous mode: stop mid-stream, restart, verdict parity with AvailableNow") {
+    // The long-running shape (continuous = true, no AvailableNow
+    // trigger): batches arrive while the query runs, the process stops
+    // BETWEEN deliveries (deploy restart, not crash — the crash path is
+    // covered above), a fresh query resumes from the checkpoint, and the
+    // final verdicts must equal a one-shot AvailableNow drain of the
+    // same files — plus no batch may own two store partitions.
+    val b0 = Seq(
+      11L -> "the quick brown fox jumps over the lazy dog every single day",
+      12L -> "completely different words about spark streaming state and time")
+    val b1 = Seq(
+      13L -> "the quick brown fox jumps over the lazy dog every single day", // dup of 11
+      14L -> "a third topic entirely involving parquet files and bucket joins")
+    val b2 = Seq(
+      15L -> "a third topic entirely involving parquet files and bucket joins", // dup of 14
+      16L -> "twins inside one batch share their text word for word exactly",
+      17L -> "twins inside one batch share their text word for word exactly") // dup of 16
+
+    def readVerdicts(dir: String): Map[Long, (String, Long)] =
+      spark.read.parquet(dir).select("doc_id", "verdict", "dup_of")
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+
+    def mkStream(watch: String) = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+
+    // continuous run with a mid-stream restart
+    val rootC = Files.createTempDirectory("dedup_cont").toString
+    val watchC = s"$rootC/in"; Files.createDirectories(Paths.get(watchC))
+    val storeC = s"$rootC/store"; val verdictsC = s"$rootC/verdicts"
+    val ckptC = s"$rootC/ckpt"
+    writeBatch(watchC, "b0.parquet", b0)
+    val q1 = DedupStream.admitDocuments(mkStream(watchC), storeC, verdictsC,
+      ckptC, continuous = true)
+    q1.processAllAvailable()
+    Thread.sleep(20)
+    writeBatch(watchC, "b1.parquet", b1)
+    q1.processAllAvailable()
+    q1.stop() // b2 has not been delivered yet: a true mid-stream stop
+    Thread.sleep(20)
+    writeBatch(watchC, "b2.parquet", b2)
+    val q2 = DedupStream.admitDocuments(mkStream(watchC), storeC, verdictsC,
+      ckptC, continuous = true)
+    q2.processAllAvailable()
+    q2.stop()
+
+    // one-shot AvailableNow drain of the same three files, fresh state
+    val rootA = Files.createTempDirectory("dedup_avail").toString
+    val watchA = s"$rootA/in"; Files.createDirectories(Paths.get(watchA))
+    writeBatch(watchA, "b0.parquet", b0)
+    Thread.sleep(20)
+    writeBatch(watchA, "b1.parquet", b1)
+    Thread.sleep(20)
+    writeBatch(watchA, "b2.parquet", b2)
+    DedupStream.admitDocuments(mkStream(watchA), s"$rootA/store",
+      s"$rootA/verdicts", s"$rootA/ckpt").awaitTermination()
+
+    val gotC = readVerdicts(verdictsC)
+    assert(gotC.size == 7)
+    assert(gotC == readVerdicts(s"$rootA/verdicts"),
+      "continuous-with-restart verdicts diverged from the AvailableNow drain")
+
+    // replay-idempotence across the restart: every store partition is a
+    // distinct batch, and the store holds exactly the admitted set once
+    val parts = new java.io.File(storeC).listFiles()
+      .map(_.getName).filter(_.startsWith("graft_batch="))
+    assert(parts.length == parts.distinct.length && parts.nonEmpty)
+    val ids = spark.read.parquet(storeC).select("id")
+      .collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length,
+      s"duplicate signatures in the store: ${ids.toSeq}")
+    assert(ids.toSet == Set(11L, 12L, 14L, 16L))
+  }
 }
