@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** At-scale correctness gate for the LSH/dedup families — the families
+  * whose DuckDB oracle replicas explode (>50 GB of spill) on a full 10×
+  * image, which left them skip rows in the round-11 scale artifact.
+  *
+  * Mechanism: the image carries a planted, enumerable near-dup STRATUM
+  * (ids ≥ [[StratumBase]], disjoint token alphabet — see
+  * [[ScaleUp.plantStratum]]). Every gated pair generator is
+  * pairwise-local (a pair (a,b) is emitted iff a predicate of a and b
+  * alone holds: shared band key, shared simhash block + Hamming bound,
+  * shared shingles, shared hyperplane bucket + cosine), and the
+  * stratum's token/id space is structurally unlinkable to the organic
+  * corpus — so the FULL-image output restricted to stratum×stratum
+  * pairs equals the same operator run on the stratum alone. The engine
+  * therefore runs at full 10× scale (the thing being certified), while
+  * the oracle replays only the ~600-doc stratum replica — explicit
+  * hash-compared pass rows instead of skips, with DuckDB never touching
+  * the organic pair space.
+  *
+  * Cluster-level text queries (connected components, survivors) stay
+  * full-scale too: no cross-stratum edge can exist, so stratum
+  * components and their min-id labels are identical in both runs. The
+  * EMBEDDING cluster query is the one exception — an organic vector CAN
+  * sit within cosine 0.4 of a planted one, bridging clusters — so
+  * `m8_semantic_dedup` runs its pair stage at full scale, restricts the
+  * pair set to the stratum, and runs the (separately sf-gated)
+  * clustering tail on the restricted pairs. `m8_dedup_embedding_sized`
+  * is excluded: its plane count derives from corpus size, which differs
+  * by construction between image and stratum replica.
+  *
+  * Output layout matches [[Verify]] (per-query parquet +
+  * oracle_sql.json + fail-closed sentinels and exit code), so
+  * `scripts/oracle_check.py <out> <out>/_stratum <names>` is the
+  * compare step.
+  *
+  * Usage: runMain graft.ScaleGate <imageDir> <outDir>
+  */
+object ScaleGate {
+
+  /** Planted ids start here: far above any organic key at any copy
+    * count (a 1000× image of sf0.1 stays under 10^9 doc_ids). */
+  val StratumBase = 1000000000L
+
+  /** Gated query → the stratum restriction of its full-image output. */
+  private val pairCols: DataFrame => DataFrame = df =>
+    df.filter(col("id_a") >= StratumBase && col("id_b") >= StratumBase)
+  private val docCol: DataFrame => DataFrame = df =>
+    df.filter(col("doc_id") >= StratumBase)
+  val gated: Seq[(String, DataFrame => DataFrame)] = Seq(
+    "m8_dedup_exact" -> (df => df.filter(col("survivor_id") >= StratumBase)),
+    "m8_dedup_minhash" -> pairCols,
+    "m8_dedup_simhash" -> pairCols,
+    "m8_dedup_ngram_jaccard" -> pairCols,
+    "m8_dedup_embedding" -> pairCols,
+    "m8_dedup_incremental" -> docCol,
+    "m8_signature_store" -> docCol,
+    "m8_dedup_clusters" -> docCol,
+    "m8_dedup_survivors" -> docCol)
+
+  /** `m8_semantic_dedup` with the pair set restricted to the stratum
+    * between the full-scale pair stage and the clustering tail (see
+    * class doc for why the embedding family needs this). */
+  private def semanticDedupStratum(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val emb = Tables.spread(Tables.embeddings(s, dir))
+    val pairs = Dedup.embeddingPairs(emb, col("vec_id"), col("embedding"),
+        minCosine = 0.4, planes = 8, portable = true, dim = 64,
+        maxBucket = Int.MaxValue)
+      .filter(col("id_a") >= StratumBase && col("id_b") >= StratumBase)
+      .select(col("id_a"), col("id_b"))
+    val stratumEmb = emb.filter(col("vec_id") >= StratumBase)
+    val cc = graft.ops.ConnectedComponents.run(pairs)
+    val clusters = stratumEmb.select(col("vec_id").as("doc_id"))
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val quality = stratumEmb.select(col("vec_id").as("doc_id"),
+      (col("vec_id") % 97).as("score"))
+    Dedup.clusterSurvivors(clusters, quality)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(imageDir, outDir) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+
+    // Stratum-only replica tables for the oracle side. The gated oracles
+    // read only documents/embeddings; the other tables ship as 1-row
+    // heads so the compare harness can still create all of its views.
+    val stratumDir = s"$outDir/_stratum"
+    Tables.documents(spark, imageDir)
+      .filter(col("doc_id") >= StratumBase)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$stratumDir/documents.parquet")
+    Tables.embeddings(spark, imageDir)
+      .filter(col("vec_id") >= StratumBase)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$stratumDir/embeddings.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events").foreach { t =>
+      spark.read.parquet(s"$imageDir/$t.parquet").limit(1)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$stratumDir/$t.parquet")
+    }
+    val planted = spark.read.parquet(s"$stratumDir/documents.parquet").count()
+    require(planted > 0,
+      s"$imageDir carries no planted stratum — build it with " +
+        "`runMain graft.ScaleUp <src> <image> <copies> plant`")
+
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    def dump(name: String, df: => DataFrame): Unit =
+      try df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[scalegate] $name failed: ${e.getMessage}")
+        val stale = Paths.get(s"$outDir/$name")
+        if (Files.exists(stale)) {
+          val walk = Files.walk(stale)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        try {
+          import org.apache.spark.sql.types.{StringType, StructField, StructType}
+          val sentinel = StructType(Seq(
+            StructField("__graft_scalegate_error", StringType)))
+          spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sentinel)
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[scalegate] $name sentinel failed: ${e2.getMessage}")
+        }
+        failed += name
+      }
+
+    gated.foreach { case (name, restrict) =>
+      dump(name, restrict(SparkEntry.queries(name)(spark, imageDir)))
+    }
+    dump("m8_semantic_dedup", semanticDedupStratum(spark, imageDir))
+
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val names = gated.map(_._1) :+ "m8_semantic_dedup"
+    val json = names
+      .map(n => s"${q(n)}: ${q(SparkEntry.oracleSql(n))}")
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/scalegate_errors.json"),
+      failed.map(q).mkString("[", ",", "]"))
+    spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[scalegate] ${failed.size} failed: " +
+        failed.mkString(", "))
+      sys.exit(1)
+    }
+  }
+}

@@ -22,12 +22,23 @@ import org.apache.spark.sql.functions._
   *    the same reason (bucket populations grow ~linearly, not N identical
   *    echoes of each vector).
   *
-  * Usage: runMain graft.ScaleUp <srcDir> <outDir> <copies>
+  * A 4th arg `plant` additionally appends the CORRECTNESS STRATUM: a
+  * small, enumerable near-dup subpopulation (ids ≥ [[ScaleGate
+  * .StratumBase]]) whose token alphabet (uppercase+digit tokens, which
+  * no organic document or Caesar rotation of one can produce) keeps it
+  * structurally unlinkable to the organic corpus — so any pairwise-local
+  * dedup operator's FULL-image output restricted to the stratum equals
+  * the same operator run on the stratum alone. [[ScaleGate]] exploits
+  * exactly that identity to oracle-gate the LSH families at scale
+  * without DuckDB ever materializing the organic pair space.
+  *
+  * Usage: runMain graft.ScaleUp <srcDir> <outDir> <copies> [plant]
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(src, out, copiesStr) = args.take(3)
     val copies = copiesStr.toInt
+    val plant = args.length > 3 && args(3) == "plant"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -98,6 +109,85 @@ object ScaleUp {
           transform(col("embedding"), x => x + lit(i * 0.013f))))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
 
+    if (plant) plantStratum(spark, out)
+
     spark.stop()
+  }
+
+  /** Append the enumerable correctness stratum (see class doc). All
+    * content comes from one fixed LCG, so every image plants the same
+    * stratum bit-for-bit. Planted rows are built against the freshly
+    * written organic schema (same column order and nullability), so the
+    * image never carries two parquet schema variants. */
+  private def plantStratum(spark: SparkSession, out: String): Unit = {
+    val B = ScaleGate.StratumBase
+    var seed = 0x5DEECE66DL
+    def nextInt(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n).toInt + n) % n
+    }
+    // Token space: "Q<i>X" — uppercase+digits survive the organic
+    // corpus's lowercase [a-z] rotation untouched and can never equal an
+    // organic token, so no shingle, simhash block, minhash band, or
+    // exact-hash key is shared between strata.
+    val vocab = (0 until 400).map(i => s"Q${i}X")
+    def draw(k: Int): Seq[String] = Seq.fill(k)(vocab(nextInt(400)))
+
+    import org.apache.spark.sql.Row
+    val docRows = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    for (b <- 0 until 120) {
+      val base = draw(60)
+      val near = base.zipWithIndex.map { case (t, i) =>
+        if (i % 10 == 0) vocab(nextInt(400)) else t }
+      val med = base.zipWithIndex.map { case (t, i) =>
+        if (i % 3 == 0) vocab(nextInt(400)) else t }
+      val uniq = draw(60)
+      // ids are B+5b+k and B % 5 == 0, so k IS the id mod 5 — variant 4
+      // lands in the %5==4 "new batch" of the incremental-admission
+      // gates; alternating exact-copy/unique there yields mixed verdicts
+      val texts =
+        if (b % 2 == 0) Seq(base, near, med, uniq, base)
+        else Seq(base, near, med, base, uniq)
+      texts.zipWithIndex.foreach { case (ts, k) =>
+        docRows += ((B + b * 5L + k, ts.mkString(" ")))
+      }
+    }
+    val docSchema = spark.read.parquet(s"$out/documents.parquet").schema
+    val docData = docRows.toSeq.map { case (id, text) =>
+      Row.fromSeq(docSchema.fieldNames.toSeq.map {
+        case "doc_id" => id
+        case "text" => text
+        case "lang" => "xx"
+        case "source" => "stratum"
+        case "n_chars" => text.length.toLong
+        case other => null // future organic columns: planted rows go null
+      })
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(docData, 1), docSchema)
+      .write.mode(SaveMode.Append).parquet(s"$out/documents.parquet")
+
+    def nextFloat(): Float = (nextInt(2000001) / 1000000.0f) - 1.0f
+    val vecRows = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+    for (b <- 0 until 150) {
+      val base = Array.fill(64)(nextFloat())
+      def noisy(eps: Float) = base.map(x => x + eps * nextFloat())
+      vecRows += ((B + b * 4L, base))
+      vecRows += ((B + b * 4L + 1, noisy(0.02f)))
+      vecRows += ((B + b * 4L + 2, noisy(0.4f)))
+      vecRows += ((B + b * 4L + 3, Array.fill(64)(nextFloat())))
+    }
+    val embSchema = spark.read.parquet(s"$out/embeddings.parquet").schema
+    val embData = vecRows.toSeq.map { case (id, v) =>
+      Row.fromSeq(embSchema.fieldNames.toSeq.map {
+        case "vec_id" => id
+        case "embedding" => v.toSeq
+        case "label" => 999
+        case other => null
+      })
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(embData, 1), embSchema)
+      .write.mode(SaveMode.Append).parquet(s"$out/embeddings.parquet")
   }
 }
