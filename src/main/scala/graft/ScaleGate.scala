@@ -86,6 +86,12 @@ object ScaleGate {
 
   def main(args: Array[String]): Unit = {
     val Array(imageDir, outDir) = args.take(2)
+    // Optional trailing args: gate only these queries — at 100× the
+    // pinned-planes embedding queries (planes=8 is the oracle contract)
+    // are structurally quadratic and stay gated at 10×, while the text
+    // families gate at every decade.
+    val only: Set[String] = args.drop(2).toSet
+    def selected(name: String): Boolean = only.isEmpty || only(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -146,10 +152,11 @@ object ScaleGate {
         failed += name
       }
 
-    gated.foreach { case (name, restrict) =>
+    gated.filter(g => selected(g._1)).foreach { case (name, restrict) =>
       dump(name, restrict(SparkEntry.queries(name)(spark, imageDir)))
     }
-    dump("m8_semantic_dedup", semanticDedupStratum(spark, imageDir))
+    if (selected("m8_semantic_dedup"))
+      dump("m8_semantic_dedup", semanticDedupStratum(spark, imageDir))
 
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
@@ -160,7 +167,7 @@ object ScaleGate {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val names = gated.map(_._1) :+ "m8_semantic_dedup"
+    val names = (gated.map(_._1) :+ "m8_semantic_dedup").filter(selected)
     val json = names
       .map(n => s"${q(n)}: ${q(SparkEntry.oracleSql(n))}")
       .mkString("{", ",", "}")

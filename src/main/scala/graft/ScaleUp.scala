@@ -14,18 +14,21 @@ import org.apache.spark.sql.functions._
   * planted duplicates:
   *  - fact keys shift by copy × (max+1) so joins stay consistent within a
   *    copy and key cardinality grows linearly;
-  *  - document text gets a per-copy Caesar rotation of [a-z] so shingle /
-  *    minhash / fingerprint domains are disjoint across copies (otherwise
-  *    every doc has N-1 planted near-dups and pair counts grow N², which
-  *    measures the corpus, not the engine);
-  *  - embeddings get a small deterministic per-copy component offset for
-  *    the same reason (bucket populations grow ~linearly, not N identical
-  *    echoes of each vector).
+  *  - document text gets a per-copy [a-z] alphabet permutation (seeded
+  *    Fisher-Yates — NOT a 26-state Caesar rotation, see `rot`) so
+  *    shingle / minhash / fingerprint domains are disjoint across copies
+  *    at any copy count (otherwise every doc has planted near-dup twins
+  *    and pair counts grow N², which measures the corpus, not the
+  *    engine);
+  *  - embeddings get a per-copy signed component permutation (see
+  *    `scramble`) — norm-preserving, cross-copy cosines scrambled to
+  *    noise — for the same reason (bucket populations grow ~linearly,
+  *    not N echoes of each vector collapsing into one bucket).
   *
   * A 4th arg `plant` additionally appends the CORRECTNESS STRATUM: a
   * small, enumerable near-dup subpopulation (ids ≥ [[ScaleGate
   * .StratumBase]]) whose token alphabet (uppercase+digit tokens, which
-  * no organic document or Caesar rotation of one can produce) keeps it
+  * no organic document or alphabet permutation of one can produce) keeps it
   * structurally unlinkable to the organic corpus — so any pairwise-local
   * dedup operator's FULL-image output restricted to the stratum equals
   * the same operator run on the stratum alone. [[ScaleGate]] exploits
@@ -69,11 +72,28 @@ object ScaleUp {
     def scaled(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until copies).map(i => shift(df, i)).reduce(_ unionByName _)
 
-    // Caesar-rotate lowercase letters by i so cross-copy shingles diverge
-    def rot(c: org.apache.spark.sql.Column, i: Int) =
-      translate(c, "abcdefghijklmnopqrstuvwxyz",
-        "abcdefghijklmnopqrstuvwxyz".drop(i % 26) +
-          "abcdefghijklmnopqrstuvwxyz".take(i % 26))
+    // Per-copy alphabet PERMUTATION so cross-copy shingles diverge. A
+    // plain Caesar rotation has only 26 distinct states, so a >26-copy
+    // image would hand copies i and i+26 IDENTICAL text — every doc
+    // gains ⌊copies/26⌋ planted exact twins and the pair space (and the
+    // oracle/engine shuffle volume riding it) grows quadratically in
+    // the twin count; the round-12 100× build hit exactly that (ngram
+    // join spilled past the disk). A seeded Fisher-Yates permutation
+    // per copy (copy 0 = identity) has 26! states; two permutations
+    // agree on a whole word only at shared fixed points (~1 letter on
+    // average), so whole-token — and hence shingle — collisions across
+    // copies are negligible at any copy count.
+    def rot(c: org.apache.spark.sql.Column, i: Int) = {
+      val alphabet = "abcdefghijklmnopqrstuvwxyz"
+      val perm = alphabet.toCharArray
+      var s = i.toLong * 2862933555777941757L + 3037000493L
+      for (k <- perm.length - 1 to 1 by -1) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        val j = (((s >>> 33) % (k + 1)).toInt + (k + 1)) % (k + 1)
+        val t = perm(k); perm(k) = perm(j); perm(j) = t
+      }
+      translate(c, alphabet, if (i == 0) alphabet else new String(perm))
+    }
 
     Seq("region", "nation", "customer", "supplier", "part").foreach(copyThrough)
 
@@ -101,12 +121,39 @@ object ScaleUp {
         .withColumn("text", rot(col("text"), i)))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
 
+    // Per-copy SIGNED COMPONENT PERMUTATION of the embedding vectors:
+    // norms and within-copy cosines are preserved exactly, cross-copy
+    // cosines are scrambled to noise. The previous constant offset
+    // (+0.013·i per component) drifted every high-copy vector toward
+    // the all-ones direction — by copy ~50 the offset dominates the
+    // [-1,1] components, so all high-copy vectors collapse into ONE
+    // hyperplane bucket and pairwise cosines saturate near 1, which
+    // turns every embedding operator quadratic (the round-12 100×
+    // build measured exactly that as a multi-minute one-bucket
+    // straggler). Assumes the testdata's fixed dim = 64.
+    def scramble(c: org.apache.spark.sql.Column, i: Int) = {
+      if (i == 0) c
+      else {
+        val dim = 64
+        var s = i.toLong * 0x9E3779B97F4A7C15L + 0xD1B54A32D192ED03L
+        def nxt(n: Int): Int = {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          (((s >>> 33) % n).toInt + n) % n
+        }
+        val perm = (0 until dim).toArray
+        for (k <- dim - 1 to 1 by -1) {
+          val j = nxt(k + 1); val t = perm(k); perm(k) = perm(j); perm(j) = t
+        }
+        val signs = Array.fill(dim)(if (nxt(2) == 0) -1.0f else 1.0f)
+        array((0 until dim).map(k =>
+          (element_at(c, perm(k) + 1) * lit(signs(k))).cast("float")): _*)
+      }
+    }
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val vShift = shiftOf(emb, "vec_id")
     scaled(emb)((d, i) => d
         .withColumn("vec_id", col("vec_id") + lit(i * vShift))
-        .withColumn("embedding",
-          transform(col("embedding"), x => x + lit(i * 0.013f))))
+        .withColumn("embedding", scramble(col("embedding"), i)))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
 
     if (plant) plantStratum(spark, out)
