@@ -318,6 +318,49 @@ object TextCorpus {
       spark.sparkContext.parallelize(rules.toSeq, 1), outSchema)
   }
 
+  /** BPE ENCODER — the apply side of [[trainBpe]]: tokenize every
+    * document with a learned rule table. At corpus scale this is THE
+    * big map job of a training-data pipeline (every byte of 100 TB
+    * flows through it), so the implementation is a pure codegen'd
+    * projection: no shuffle, no UDF, no explode — each document row is
+    * tokenized in place and reduced to its token count and stream
+    * digest.
+    *
+    * Mechanics: the rule table is driver-side config (≤ numMerges rows
+    * — the artifact a tokenizer ships, the same scale as the hyperplane
+    * seeds), folded into a static expression tree. Each word is spread
+    * into the double-space symbol form `" c  a  t "` and every rule
+    * becomes one `replace(s, " l  r ", " lr ")`: the match consumes one
+    * boundary space per side, leaving the shared separator for an
+    * immediately-adjacent next match, so string replace IS greedy
+    * left-to-right non-overlapping pair fusion — exactly the trainer's
+    * `aggregate` fold, and exactly replayable by any engine with
+    * `replace` (the oracle). Words are restricted to ASCII lowercase
+    * for cross-engine char-split parity (same contract as the trained
+    * rule gate); other words pass through untokenized and uncounted.
+    *
+    * Returns (doc_id, n_words, n_tokens, tokens_md5) — the compression
+    * ratio n_tokens/n_words is the tokenizer-quality headline, and the
+    * digest pins the full token stream for the gate. */
+  def bpeEncode(docs: DataFrame, id: Column, text: Column,
+                rules: Seq[(String, String, String)]): DataFrame = {
+    val words = filter(split(trim(coalesce(text, lit(""))), "\\s+"),
+      w => w.rlike("^[a-z]+$"))
+    def encodeWord(w: Column): Column = {
+      val spread = concat(lit(" "), array_join(split(w, ""), "  "), lit(" "))
+      rules.foldLeft(spread) { case (s, (l, r, m)) =>
+        call_function("replace", s, lit(s" $l  $r "), lit(s" $m "))
+      }
+    }
+    val toks = flatten(transform(words,
+      w => split(trim(encodeWord(w)), "  ")))
+    docs.select(id.as("doc_id"), words.as("_w"), toks.as("_t"))
+      .select(col("doc_id"),
+        size(col("_w")).as("n_words"),
+        size(col("_t")).as("n_tokens"),
+        md5(concat_ws(" ", col("_t")).cast("binary")).as("tokens_md5"))
+  }
+
   /** Overlapping token-window chunking — the document → training-sample
     * (or RAG-passage) splitter: each doc yields windows of `chunkTokens`
     * tokens starting every `strideTokens` (stride < chunk ⇒ overlap;

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{Privacy, TextCorpus}
+import graft.similarity.Similarity
 
 /** Corpus-hygiene operator demos over `documents` (north-star M8 scope):
   * PII redaction, benchmark decontamination, C4-style line-level dedup,
@@ -198,8 +199,13 @@ object HygieneQueries extends QueryModule {
     * An early-stopped round yields an empty rule CTE whose CROSS JOIN
     * empties every later vocabulary — the same truncation the trainer's
     * early stop produces. */
-  private val bpeRulesSql = {
-    val numMerges = 6
+  private val BpeMerges = 6
+
+  /** The shared CTE prolog both BPE oracles build on: the [a-z] word
+    * frequencies (`wf`), the char-split vocabulary (`v0`), and one
+    * (pair-count → argmax rule → fused vocabulary) block per round —
+    * `rule0..rule{n-1}` hold the learned table. */
+  private def bpeOracleProlog(numMerges: Int): String = {
     val rounds = (0 until numMerges).map { r =>
       s"""t$r AS (SELECT string_split(trim(s, ' '), '  ') AS toks, cnt FROM v$r),
          |p$r AS (
@@ -217,9 +223,7 @@ object HygieneQueries extends QueryModule {
          |                 ' ' || merged || ' ') AS s, cnt
          |  FROM v$r CROSS JOIN rule$r)""".stripMargin
     }.mkString(",\n")
-    val union = (0 until numMerges)
-      .map(r => s"SELECT * FROM rule$r").mkString("\n  UNION ALL ")
-    s"""WITH wf AS (
+    s"""wf AS (
        |  SELECT word FROM (
        |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
        |    FROM documents)
@@ -229,11 +233,98 @@ object HygieneQueries extends QueryModule {
        |      [word[i] for i in generate_series(1, len(word))], '  ') || ' ' AS s,
        |    cnt
        |  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM wf GROUP BY word)),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private val bpeRulesSql = {
+    val union = (0 until BpeMerges)
+      .map(r => s"SELECT * FROM rule$r").mkString("\n  UNION ALL ")
+    s"""WITH ${bpeOracleProlog(BpeMerges)}
        |SELECT CAST(rank AS INT) AS rank, lft AS "left", rgt AS "right",
        |  merged, n AS cnt
        |FROM ($union)""".stripMargin
   }
+
+  /** The ENCODER on the gate: train the same 6 rules, then tokenize
+    * every document. The rule table rides the driver (tokenizer-artifact
+    * scale) into a codegen'd replace chain; the encode is a shuffle-free
+    * scan — see [[TextCorpus.bpeEncode]]. */
+  private def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val sub = Tables.spread(Tables.documents(s, dir))
+      .select(concat_ws(" ",
+        filter(split(trim(coalesce(col("text"), lit(""))), "\\s+"),
+          w => w.rlike("^[a-z]+$"))).as("text"))
+    val rules = TextCorpus.trainBpe(sub, col("text"), numMerges = BpeMerges)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSeq
+    TextCorpus.bpeEncode(Tables.spread(Tables.documents(s, dir)),
+      col("doc_id"), col("text"), rules)
+  }
+
+  /** Oracle replay of [[bpeEncode]]: the learned `rule0..rule5` rows are
+    * cross-joined flat (each is exactly one row on this corpus — the
+    * trainer never early-stops here, the same precondition
+    * [[bpeRulesSql]] already relies on) and applied innermost-first in
+    * rank order inside a per-word lambda; the double-space replace
+    * trick makes each application identical to the engine's. */
+  private val bpeEncodeSql = {
+    val ruleCols = (0 until BpeMerges).map(r =>
+      s"r$r.lft AS l$r, r$r.rgt AS g$r, r$r.merged AS m$r").mkString(", ")
+    val ruleFrom = (0 until BpeMerges).map(r => s"rule$r r$r").mkString(", ")
+    val spread = "' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g'), ' ') || ' '"
+    val chain = (0 until BpeMerges).foldLeft(spread) { (s, r) =>
+      s"replace($s,\n          ' ' || l$r || '  ' || g$r || ' ', ' ' || m$r || ' ')"
+    }
+    s"""WITH ${bpeOracleProlog(BpeMerges)},
+       |r AS (SELECT $ruleCols FROM $ruleFrom),
+       |words AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'),
+       |                w -> regexp_matches(w, '^[a-z]+$$')) AS ws
+       |  FROM documents),
+       |enc AS (
+       |  SELECT doc_id, ws,
+       |    flatten(list_transform(ws, w ->
+       |      string_split(trim(
+       |        $chain, ' '), '  '))) AS toks
+       |  FROM words CROSS JOIN r)
+       |SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+       |  CAST(len(toks) AS INT) AS n_tokens,
+       |  md5(array_to_string(toks, ' ')) AS tokens_md5
+       |FROM enc""".stripMargin
+  }
+
+  /** Embedding-space decontamination: vectors `vec_id % 97 == 0` act as
+    * the held-out benchmark (the same held-out convention as the n-gram
+    * [[decontaminate]]); every other vector reports its rounded max
+    * cosine against that set and a `>= 0.3` contamination flag. The
+    * engine side is a broadcast-benchmark map — no corpus shuffle.
+    *
+    * Scale note: the `% 97` convention makes the GATED benchmark grow
+    * with the corpus (an oracle convenience, like the embedding gate's
+    * pinned planes). A production benchmark is a FIXED eval set, and
+    * for fixed `|bench|` the screen is strictly linear in the corpus —
+    * one broadcast, one scan, no shuffle. */
+  private def semanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.spread(Tables.embeddings(s, dir))
+    Similarity.screenAgainst(
+      emb.filter(col("vec_id") % 97 =!= 0),
+      emb.filter(col("vec_id") % 97 === 0), tau = 0.3)
+  }
+
+  private val semanticDecontaminateSql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |b AS (SELECT v AS bv FROM e WHERE vec_id % 97 = 0),
+      |c AS (SELECT vec_id, v FROM e WHERE vec_id % 97 <> 0),
+      |s AS (
+      |  SELECT c.vec_id,
+      |    round(max(list_inner_product(c.v, b.bv) /
+      |      (sqrt(list_inner_product(c.v, c.v)) *
+      |       sqrt(list_inner_product(b.bv, b.bv)))), 6) AS max_cosine
+      |  FROM c CROSS JOIN b GROUP BY 1)
+      |SELECT vec_id, max_cosine, max_cosine >= 0.3 AS contaminated FROM s""".stripMargin
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_pii_redact"     -> piiRedact _,
@@ -241,7 +332,9 @@ object HygieneQueries extends QueryModule {
     "m8_line_dedup"     -> lineDedup _,
     "m8_substring_dedup" -> substringDedup _,
     "m8_bpe_pairs"      -> bpePairs _,
-    "m8_bpe_rules"      -> bpeRules _)
+    "m8_bpe_rules"      -> bpeRules _,
+    "m8_bpe_encode"     -> bpeEncode _,
+    "m8_semantic_decontaminate" -> semanticDecontaminate _)
 
   def oracles: Map[String, String] = Map(
     "m8_pii_redact"     -> piiRedactSql,
@@ -249,5 +342,7 @@ object HygieneQueries extends QueryModule {
     "m8_line_dedup"     -> lineDedupSql,
     "m8_substring_dedup" -> substringDedupSql,
     "m8_bpe_pairs"      -> bpePairsSql,
-    "m8_bpe_rules"      -> bpeRulesSql)
+    "m8_bpe_rules"      -> bpeRulesSql,
+    "m8_bpe_encode"     -> bpeEncodeSql,
+    "m8_semantic_decontaminate" -> semanticDecontaminateSql)
 }

@@ -112,6 +112,35 @@ object Similarity {
         (col("q").cast("double") / 1e6 / col("n").cast("double"))
           .as("centroid"))
 
+  /** SEMANTIC decontamination screen: flag every corpus vector whose
+    * max cosine against a held-out benchmark set reaches `tau` — the
+    * embedding-space complement of the n-gram `decontaminate` (surface
+    * overlap misses paraphrased eval leakage; cosine catches it).
+    *
+    * Scale shape — the one that survives a 100 TB corpus: the benchmark
+    * is eval-set-sized (thousands of vectors, never corpus-sized), so it
+    * is packed into a SINGLE broadcast row of (bid, bv) structs and the
+    * screen becomes a pure map over the corpus — `aggregate` folds the
+    * benchmark array per corpus row, keeping the max cosine as it goes.
+    * No corpus shuffle, no pair materialization, no groupBy: the only
+    * exchange in the plan is the one-row benchmark aggregate. max() is
+    * order-insensitive, so the non-deterministic collect_list order
+    * cannot leak into the result.
+    *
+    * The flag compares on the ROUNDED cosine (6 dp) so engine/oracle
+    * float drift (~1e-12 on the sequential fold) can never straddle the
+    * threshold; callers pick `tau` away from the rounded grid edge. */
+  def screenAgainst(corpus: DataFrame, bench: DataFrame, tau: Double): DataFrame = {
+    val b = bench.agg(collect_list(struct(
+      col("vec_id").as("bid"), col("embedding").as("bv"))).as("bset"))
+    val maxCos = aggregate(col("bset"), lit(-1.0d),
+      (acc, x) => greatest(acc, VectorFns.cosine(col("embedding"),
+        x.getField("bv"))))
+    corpus.crossJoin(broadcast(b))
+      .select(col("vec_id"), round(maxCos, 6).as("max_cosine"))
+      .withColumn("contaminated", col("max_cosine") >= tau)
+  }
+
   /** Recall@k of an approximate top-k result against the exact one — the
     * eval harness an ANN index ships with. Both inputs are
     * (query_id, rank, cand_id, …) frames as produced by the top-k

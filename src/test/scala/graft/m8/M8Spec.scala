@@ -276,6 +276,33 @@ class M8Spec extends SparkSpec {
     assert(lsh.size <= brute.size)
   }
 
+  test("screenAgainst: hand-computed cosines, rounded-threshold flag") {
+    def row(id: Long, v: Seq[Float]) = (id, v)
+    val bench = Seq(row(0L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      row(1L, Seq(2f, 0f)),              // cos  1.0
+      row(2L, Seq(0f, 3f)),              // cos  0.0
+      row(3L, Seq(-1f, 0f)),             // cos -1.0
+      row(4L, Seq(1f, 1f)),              // cos  0.707107
+      row(5L, Seq(0f, 0f))               // zero vector -> cos 0.0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.screenAgainst(corpus, bench, tau = 0.5)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    assert(got == Seq(
+      (1L, 1.0, true), (2L, 0.0, false), (3L, -1.0, false),
+      (4L, 0.707107, true), (5L, 0.0, false)))
+  }
+
+  test("screenAgainst: max over the benchmark set, not the first hit") {
+    val bench = Seq((0L, Seq(1f, 0f)), (10L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    // vector aligned with the SECOND benchmark row must still flag
+    val corpus = Seq((1L, Seq(0f, 5f))).toDF("vec_id", "embedding")
+    val got = Similarity.screenAgainst(corpus, bench, tau = 0.9).collect()(0)
+    assert(got.getDouble(1) == 1.0 && got.getBoolean(2))
+  }
+
   test("ivf topk: candidate reduction with recall against brute force") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 8)

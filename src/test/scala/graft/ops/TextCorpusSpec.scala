@@ -198,6 +198,67 @@ class TextCorpusSpec extends SparkSpec {
     assert(got.count() == 0) // every pair occurs once: nothing to merge
   }
 
+  /** Reference BPE encoder: one greedy left-to-right non-overlapping
+    * pass per rule, rules in rank order — the trainer's own fusion. */
+  private def refEncode(word: String,
+                        rules: Seq[(String, String, String)]): Seq[String] =
+    rules.foldLeft(word.map(_.toString): Seq[String]) {
+      case (syms, (l, r, m)) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += m; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toSeq
+    }
+
+  test("bpeEncode: trained rules tokenize the classic corpus exactly") {
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq((1L, corpus.mkString(" ")), (2L, "newest Widow7 low"),
+      (3L, ""), (4L, "UPPER 123")).toDF("doc_id", "text")
+    val rules = graft.ops.TextCorpus.trainBpe(
+        docs.select(col("text")), col("text"), 6)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSeq
+    val got = graft.ops.TextCorpus.bpeEncode(docs, col("doc_id"),
+        col("text"), rules)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    def expect(ws: Seq[String]): (Int, Int, String) = {
+      val toks = ws.flatMap(refEncode(_, rules))
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(toks.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (ws.length, toks.length, md)
+    }
+    // doc 2: non-[a-z] words (Widow7) are excluded from words AND tokens
+    val want = Seq(
+      (1L, expect(corpus)),
+      (2L, expect(Seq("newest", "low"))),
+      (3L, expect(Seq())),
+      (4L, expect(Seq())))
+    assert(got.toSeq == want.map { case (id, (w, t, m)) => (id, w, t, m) })
+    // compression happened: the classic corpus tokenizes below char count
+    assert(got(0)._3 < corpus.map(_.length).sum)
+  }
+
+  test("bpeEncode: greedy pass per rule, rank order chains new adjacencies") {
+    // rule0 (a,b)->ab then rule1 (ab,c)->abc: 'abc' collapses fully;
+    // 'aaa' under (a,a) fuses non-overlapping -> [aa, a]
+    val docs = Seq((1L, "abc aaa")).toDF("doc_id", "text")
+    val rules = Seq(("a", "b", "ab"), ("ab", "c", "abc"), ("a", "a", "aa"))
+    val got = graft.ops.TextCorpus.bpeEncode(docs, col("doc_id"),
+        col("text"), rules).collect()(0)
+    assert(got.getInt(1) == 2)
+    assert(got.getInt(2) == 3) // [abc] ++ [aa, a]
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("abc aa a".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.getString(3) == md)
+  }
+
   test("heavyHitters: two-pass MG equals brute-force top-k, tiny capacity") {
     // skewed corpus: 'the' ×300, 'of' ×200, 'and' ×120 spread across many
     // docs, plus 500 unique noise tokens — capacity 8 forces constant

@@ -81,7 +81,13 @@ class PlanAuditSpec extends SparkSpec {
     ("m8_semantic_dedup", 3, false),
     ("pipeline_end_to_end_sql", 4, false),
     ("m8_sim_topk_ivf_q", 4, true),
-    ("m8_pagerank_converged", 0, false))
+    ("m8_pagerank_converged", 0, false),
+    // round-12 additions: the BPE encoder is a shuffle-free codegen'd
+    // scan (training runs before the served plan is built); the semantic
+    // screen's only exchange is the 1-row benchmark collect, which then
+    // rides the sanctioned broadcast cross join over the corpus
+    ("m8_bpe_encode", 0, false),
+    ("m8_semantic_decontaminate", 1, true))
 
   expected.foreach { case (name, maxExchanges, allowBnlj) =>
     test(s"$name: no cartesian, bounded shuffles (≤$maxExchanges)") {
