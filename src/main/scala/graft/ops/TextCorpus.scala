@@ -179,6 +179,59 @@ object TextCorpus {
           col("n_windows").cast("double"), 6))
   }
 
+  /** Exact-substring dedup REWRITE (the removal side of
+    * [[substringDupFraction]], after Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): every occurrence of a
+    * `windowWords`-token window other than its globally FIRST one —
+    * canonical = lexicographic min (doc_id, start) — marks its token
+    * span for removal, and each document is rebuilt from the surviving
+    * tokens in order. Docs shorter than a window are untouchable;
+    * removal is span-UNION, so overlapping duplicated windows never
+    * double-count a token.
+    *
+    * Scale shape: window occurrences shuffle as (16-byte md5, id, int)
+    * rows; the canonical pick is a `min(struct(doc_id, start))` with
+    * map-side partial min, so a window duplicated a million times costs
+    * one struct per map task — never a per-key sort. The removal set
+    * folds back per doc (bounded by doc length) and the rebuild is a
+    * codegen'd position filter. Every exchange is key-hashed; nothing
+    * driver-side.
+    *
+    * Returns (doc_id, n_tokens, n_removed, rebuilt_md5) for every doc. */
+  def removeDuplicateWindows(docs: DataFrame, id: Column, text: Column,
+                             windowWords: Int = 8): DataFrame = {
+    require(windowWords > 0, s"windowWords: $windowWords")
+    val t = trim(coalesce(text, lit("")))
+    val toks = split(t, "\\s+")
+    val n = when(t === "", lit(0)).otherwise(size(toks))
+    val d = docs.select(id.as("doc_id"), toks.as("_t"), n.as("_n"))
+    val wins = d.filter(col("_n") >= windowWords)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), col("_n") - (windowWords - 1)),
+          i => md5(array_join(slice(col("_t"), i, lit(windowWords)), " ")
+            .cast("binary")))))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("wh"))
+    val canon = wins.groupBy("wh")
+      .agg(min(struct(col("doc_id"), col("i"))).as("first"))
+    val rem = wins.join(canon, Seq("wh"))
+      .filter(struct(col("doc_id"), col("i")) =!= col("first"))
+      .groupBy("doc_id")
+      .agg(array_distinct(flatten(collect_list(
+        sequence(col("i"), col("i") + (windowWords - 1))))).as("_rem"))
+    val joined = d.join(rem, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("_t"), col("_n"),
+        coalesce(col("_rem"), array().cast("array<int>")).as("_rem"))
+    val posSeq = when(col("_n") === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), col("_n")))
+    val kept = filter(posSeq, p => !array_contains(col("_rem"), p))
+    joined.select(col("doc_id"),
+      col("_n").as("n_tokens"),
+      (col("_n") - size(kept)).as("n_removed"),
+      md5(concat_ws(" ", transform(kept, p => element_at(col("_t"), p)))
+        .cast("binary")).as("rebuilt_md5"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * `w`-shingle with a benchmark/eval set (the n-gram-overlap test used
     * before training on scraped corpora). Returns one row per corpus

@@ -160,6 +160,55 @@ object HygieneQueries extends QueryModule {
       |  round(n_dup_windows / CAST(n_windows AS DOUBLE), 6) AS dup_fraction
       |FROM perdoc""".stripMargin
 
+  /** The substring-dedup REWRITE at 8-token windows: per-doc removed
+    * span accounting plus the rebuilt text's digest (the removal side of
+    * [[substringDedup]]'s scorer). */
+  private def substringRewrite(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.removeDuplicateWindows(Tables.spread(Tables.documents(s, dir)),
+      col("doc_id"), col("text"), windowWords = 8)
+
+  /** Oracle replay of [[substringRewrite]]: the canonical occurrence is
+    * lexicographic min (doc_id, start); DuckDB can't MIN a struct, so
+    * the oracle encodes it as `doc_id * 100000 + i` — identical ordering
+    * while every doc stays under 100k tokens (the gate corpora are ~100s
+    * of tokens; the ENGINE's struct-min is exact at any length). */
+  private val substringRewriteSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+      |    CASE WHEN trim(text) = '' THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+      |  FROM documents),
+      |w0 AS (
+      |  SELECT doc_id, toks, unnest(generate_series(1, n - 7)) AS i
+      |  FROM d WHERE n >= 8),
+      |wins AS (
+      |  SELECT doc_id, i,
+      |    md5(array_to_string(toks[i : i + 7], ' ')) AS wh
+      |  FROM w0),
+      |canon AS (
+      |  SELECT wh, min(doc_id * 100000 + i) AS fk FROM wins GROUP BY 1),
+      |nonc AS (
+      |  SELECT w.doc_id, w.i
+      |  FROM wins w JOIN canon c USING (wh)
+      |  WHERE w.doc_id * 100000 + w.i <> c.fk),
+      |rem AS (
+      |  SELECT doc_id, list(DISTINCT p) AS rl
+      |  FROM (SELECT doc_id, unnest(generate_series(i, i + 7)) AS p FROM nonc)
+      |  GROUP BY 1),
+      |f AS (
+      |  SELECT d.doc_id, d.n, d.toks,
+      |    list_filter(generate_series(1, d.n),
+      |      p -> NOT list_contains(coalesce(r.rl, []), p)) AS kept
+      |  FROM d LEFT JOIN rem r USING (doc_id))
+      |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+      |  CAST(n - len(kept) AS INT) AS n_removed,
+      |  -- array_to_string([]) is NULL in DuckDB where Spark's concat_ws
+      |  -- gives '' — coalesce so fully-removed docs hash like empty ones
+      |  md5(coalesce(
+      |    array_to_string(list_transform(kept, p -> toks[p]), ' '), ''))
+      |    AS rebuilt_md5
+      |FROM f""".stripMargin
+
   /** Global top-20 adjacent-token pairs (one BPE merge-step scan). */
   private def bpePairs(s: SparkSession, dir: String): DataFrame =
     TextCorpus.bpePairCounts(Tables.spread(Tables.documents(s, dir)), col("text"), k = 20)
@@ -290,7 +339,9 @@ object HygieneQueries extends QueryModule {
        |  FROM words CROSS JOIN r)
        |SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
        |  CAST(len(toks) AS INT) AS n_tokens,
-       |  md5(array_to_string(toks, ' ')) AS tokens_md5
+       |  -- coalesce: array_to_string([]) is NULL in DuckDB, '' in Spark's
+       |  -- concat_ws — keeps no-[a-z]-word docs engine-identical
+       |  md5(coalesce(array_to_string(toks, ' '), '')) AS tokens_md5
        |FROM enc""".stripMargin
   }
 
@@ -334,6 +385,7 @@ object HygieneQueries extends QueryModule {
     "m8_bpe_pairs"      -> bpePairs _,
     "m8_bpe_rules"      -> bpeRules _,
     "m8_bpe_encode"     -> bpeEncode _,
+    "m8_substring_rewrite" -> substringRewrite _,
     "m8_semantic_decontaminate" -> semanticDecontaminate _)
 
   def oracles: Map[String, String] = Map(
@@ -344,5 +396,6 @@ object HygieneQueries extends QueryModule {
     "m8_bpe_pairs"      -> bpePairsSql,
     "m8_bpe_rules"      -> bpeRulesSql,
     "m8_bpe_encode"     -> bpeEncodeSql,
+    "m8_substring_rewrite" -> substringRewriteSql,
     "m8_semantic_decontaminate" -> semanticDecontaminateSql)
 }

@@ -198,6 +198,43 @@ class TextCorpusSpec extends SparkSpec {
     assert(got.count() == 0) // every pair occurs once: nothing to merge
   }
 
+  test("removeDuplicateWindows: canonical stays, later spans removed") {
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "p q r s"),      // canonical holder of [p q r]
+      (2L, "z p q r"),      // window at 2 duplicates doc1's -> remove 2-4
+      (3L, "m m m m m"),    // in-doc dups: keep window at 1, remove 2-5
+      (4L, "u v"),          // shorter than a window: untouched
+      (5L, "")              // empty: 0 tokens, md5("")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextCorpus.removeDuplicateWindows(
+        docs, col("doc_id"), col("text"), windowWords = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 4, 0, md5("p q r s")),
+      (2L, 4, 3, md5("z")),
+      (3L, 5, 4, md5("m")),
+      (4L, 2, 0, md5("u v")),
+      (5L, 0, 0, md5(""))))
+  }
+
+  test("removeDuplicateWindows: overlapping dup spans union, not double-count") {
+    // doc2 repeats doc1's text twice with overlap at the seam: every
+    // position of doc2 is covered by some duplicated window, so the
+    // whole doc empties — and n_removed is exactly n_tokens, proving
+    // span-union accounting
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d a b c d")).toDF("doc_id", "text")
+    val got = graft.ops.TextCorpus.removeDuplicateWindows(
+        docs, col("doc_id"), col("text"), windowWords = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 4, 0), (2L, 8, 8)))
+  }
+
   /** Reference BPE encoder: one greedy left-to-right non-overlapping
     * pass per rule, rules in rank order — the trainer's own fusion. */
   private def refEncode(word: String,

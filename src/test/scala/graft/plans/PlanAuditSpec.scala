@@ -87,7 +87,10 @@ class PlanAuditSpec extends SparkSpec {
     // screen's only exchange is the 1-row benchmark collect, which then
     // rides the sanctioned broadcast cross join over the corpus
     ("m8_bpe_encode", 0, false),
-    ("m8_semantic_decontaminate", 1, true))
+    ("m8_semantic_decontaminate", 1, true),
+    // window-hash agg (canon join reuses its partitioning) + per-doc
+    // removal agg; the rebuild join broadcasts — both exchanges keyed
+    ("m8_substring_rewrite", 2, false))
 
   expected.foreach { case (name, maxExchanges, allowBnlj) =>
     test(s"$name: no cartesian, bounded shuffles (≤$maxExchanges)") {
