@@ -179,6 +179,47 @@ object TextCorpus {
           col("n_windows").cast("double"), 6))
   }
 
+  /** Unigram-LM quality score (the CCNet-style "perplexity" filter,
+    * Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+    * from Web Crawl Data", reduced to an ENGINE-EXACT statistic): each
+    * token's surprisal is `floor(log2(N / count(token)))` BITS — computed
+    * as integer division plus binary-string length, so there is no
+    * floating log anywhere and the score hash-compares across engines.
+    * Rare-token-heavy documents (gibberish, mojibake) score high;
+    * boilerplate scores low — cut both tails with the sampling family's
+    * quantile gates.
+    *
+    * Scale shape: one vocabulary aggregate (map-side partial counts — the
+    * classic word-count), one corpus-total 1-row broadcast, one keyed
+    * join of the exploded tokens back to their counts, one per-doc
+    * reduce. Every exchange is token- or doc-keyed; the Zipf-bounded
+    * vocabulary is the only state.
+    *
+    * Returns (doc_id, n_tokens, total_bits, mean_bits) for every doc;
+    * `mean_bits` is the one derived double (rounded 6dp; 0.0 for empty
+    * docs) — the exact fields carry the gate. */
+  def unigramSurprisal(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val t = trim(coalesce(text, lit("")))
+    val d = docs.select(id.as("doc_id"), t.as("_t"))
+    val toks = d.filter(col("_t") =!= "")
+      .select(col("doc_id"), explode(split(col("_t"), "\\s+")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val bits = toks.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (length(bin(expr("total div cnt"))) - 1).as("bits"))
+    val perDoc = bits.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("total_bits"))
+    d.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("total_bits"), lit(0L)).as("total_bits"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("total_bits").cast("double") /
+            col("n_tokens").cast("double"), 6)).as("mean_bits"))
+  }
+
   /** Exact-substring dedup REWRITE (the removal side of
     * [[substringDupFraction]], after Lee et al., "Deduplicating Training
     * Data Makes Language Models Better"): every occurrence of a

@@ -160,6 +160,33 @@ object HygieneQueries extends QueryModule {
       |  round(n_dup_windows / CAST(n_windows AS DOUBLE), 6) AS dup_fraction
       |FROM perdoc""".stripMargin
 
+  /** The unigram-LM quality scorer over the corpus: per-doc integer
+    * surprisal bits plus the derived 6dp mean. */
+  private def lmSurprisal(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.unigramSurprisal(Tables.spread(Tables.documents(s, dir)),
+      col("doc_id"), col("text"))
+
+  private val lmSurprisalSql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents WHERE trim(text) <> ''),
+      |v AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS total FROM t),
+      |b AS (
+      |  SELECT t.doc_id, length(bin(total // cnt)) - 1 AS bits
+      |  FROM t JOIN v USING (tok) CROSS JOIN n),
+      |p AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |    CAST(SUM(bits) AS BIGINT) AS total_bits
+      |  FROM b GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(p.n_tokens, 0) AS n_tokens,
+      |  COALESCE(p.total_bits, 0) AS total_bits,
+      |  CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0.0
+      |       ELSE round(p.total_bits / CAST(p.n_tokens AS DOUBLE), 6)
+      |  END AS mean_bits
+      |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin
+
   /** The substring-dedup REWRITE at 8-token windows: per-doc removed
     * span accounting plus the rebuilt text's digest (the removal side of
     * [[substringDedup]]'s scorer). */
@@ -386,6 +413,7 @@ object HygieneQueries extends QueryModule {
     "m8_bpe_rules"      -> bpeRules _,
     "m8_bpe_encode"     -> bpeEncode _,
     "m8_substring_rewrite" -> substringRewrite _,
+    "m8_lm_surprisal"   -> lmSurprisal _,
     "m8_semantic_decontaminate" -> semanticDecontaminate _)
 
   def oracles: Map[String, String] = Map(
@@ -397,5 +425,6 @@ object HygieneQueries extends QueryModule {
     "m8_bpe_rules"      -> bpeRulesSql,
     "m8_bpe_encode"     -> bpeEncodeSql,
     "m8_substring_rewrite" -> substringRewriteSql,
+    "m8_lm_surprisal"   -> lmSurprisalSql,
     "m8_semantic_decontaminate" -> semanticDecontaminateSql)
 }

@@ -198,6 +198,20 @@ class TextCorpusSpec extends SparkSpec {
     assert(got.count() == 0) // every pair occurs once: nothing to merge
   }
 
+  test("unigramSurprisal: hand-computed floor-log2 bits, empty doc zeroes") {
+    // corpus tokens: a×5, b×1, c×1 -> N=7
+    // bits(a)=floor(log2(7 div 5))=0, bits(b)=bits(c)=floor(log2(7))=2
+    val docs = Seq((1L, "a a a a"), (2L, "a b"), (3L, "c"), (4L, " "))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextCorpus.unigramSurprisal(
+        docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 0L, 0.0), (2L, 2L, 2L, 1.0),
+      (3L, 1L, 2L, 2.0), (4L, 0L, 0L, 0.0)))
+  }
+
   test("removeDuplicateWindows: canonical stays, later spans removed") {
     def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

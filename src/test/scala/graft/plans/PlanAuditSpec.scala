@@ -90,7 +90,10 @@ class PlanAuditSpec extends SparkSpec {
     ("m8_semantic_decontaminate", 1, true),
     // window-hash agg (canon join reuses its partitioning) + per-doc
     // removal agg; the rebuild join broadcasts — both exchanges keyed
-    ("m8_substring_rewrite", 2, false))
+    ("m8_substring_rewrite", 2, false),
+    // vocab word-count + token-keyed count join + per-doc reduce + the
+    // 1-row corpus total riding the sanctioned broadcast cross join
+    ("m8_lm_surprisal", 3, true))
 
   expected.foreach { case (name, maxExchanges, allowBnlj) =>
     test(s"$name: no cartesian, bounded shuffles (≤$maxExchanges)") {
