@@ -17,7 +17,7 @@ object SparkEntry {
     MultimodalQueries, StreamingQueries, PipelineQueries, FunctionQueries,
     TemporalQueries, SamplingQueries, HygieneQueries, IngestQueries,
     SinkQueries, GraphQueries, ProbeQueries, IncrementalQueries,
-    StreamGateQueries)
+    StreamGateQueries, SelectionQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference lifecycle end-to-end: validity-gated idempotent

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Selection
+
+/** Training-data SELECTION demos over `documents` (north-star M8 scope):
+  * the Gopher-style composite quality-rule filter and DSIR-style
+  * importance resampling. Both are integer-exact end to end (cross-
+  * multiplied ratio thresholds; floor-log2 bit-score weights), so the
+  * DuckDB oracle hash-compares every counter, rule verdict, weight, and
+  * the resampled set bit-for-bit. */
+object SelectionQueries extends QueryModule {
+
+  /** The synthetic corpus's function words (the published Gopher stop
+    * set is English prose; this corpus's common tokens differ). The
+    * rule stays "≥2 distinct function words present". */
+  private val Stop = Seq("the", "a", "and", "of", "to", "is", "that", "with")
+
+  private val StopSqlList = Stop.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def qualityRules(s: SparkSession, dir: String): DataFrame =
+    Selection.qualityRules(Tables.spread(Tables.documents(s, dir)),
+      col("doc_id"), col("text"), Stop)
+
+  private val qualityRulesSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, trim(text) AS t,
+       |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+       |         ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+       |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+       |         ELSE string_split(text, chr(10)) END AS lns
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(length(regexp_replace(t, '\\s+', '', 'g')) AS BIGINT) AS n_word_chars,
+       |    CAST(len(regexp_extract_all(t, '#|\\.\\.\\.')) AS BIGINT) AS n_symbols,
+       |    CAST(len(lns) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(lns, x -> starts_with(ltrim(x), '-')
+       |      OR starts_with(ltrim(x), '*')
+       |      OR starts_with(ltrim(x), '•'))) AS BIGINT) AS n_bullet_lines,
+       |    CAST(len(list_filter(lns, x -> ends_with(rtrim(x), '...')
+       |      OR ends_with(rtrim(x), '…'))) AS BIGINT) AS n_ellipsis_lines,
+       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+       |      AS BIGINT) AS n_alpha_words,
+       |    CAST(len(list_intersect(list_transform(toks, x -> lower(x)),
+       |      $StopSqlList)) AS BIGINT) AS n_stop_hits
+       |  FROM d)
+       |SELECT doc_id, n_words, n_word_chars, n_symbols, n_lines,
+       |  n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stop_hits,
+       |  (n_words BETWEEN 50 AND 100000) AS r_word_count,
+       |  (n_words > 0 AND n_word_chars >= 3*n_words
+       |     AND n_word_chars <= 10*n_words) AS r_mean_word_len,
+       |  (10*n_symbols <= n_words) AS r_symbol_ratio,
+       |  (10*n_bullet_lines <= 9*n_lines) AS r_bullet_lines,
+       |  (10*n_ellipsis_lines <= 3*n_lines) AS r_ellipsis_lines,
+       |  (5*n_alpha_words >= 4*n_words) AS r_alpha_words,
+       |  (n_stop_hits >= 2) AS r_stop_words,
+       |  ((n_words BETWEEN 50 AND 100000)
+       |    AND (n_words > 0 AND n_word_chars >= 3*n_words
+       |         AND n_word_chars <= 10*n_words)
+       |    AND (10*n_symbols <= n_words)
+       |    AND (10*n_bullet_lines <= 9*n_lines)
+       |    AND (10*n_ellipsis_lines <= 3*n_lines)
+       |    AND (5*n_alpha_words >= 4*n_words)
+       |    AND (n_stop_hits >= 2)) AS pass
+       |FROM c""".stripMargin
+
+  private val Buckets = 512
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+
+  private def target(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).filter(col("lang") === "en")
+
+  private def importanceWeights(s: SparkSession, dir: String): DataFrame =
+    Selection.importanceWeights(docs(s, dir), target(s, dir),
+      col("doc_id"), col("text"), Buckets)
+
+  /** Shared CTE chain: hashed unigram+bigram buckets (`bg` with `lang`
+    * carried for the target restriction), the per-bucket bit-score
+    * scorecard, and per-doc weights — the oracle replica of
+    * [[Selection.importanceWeights]] with target = lang='en'. */
+  private val weightsCtes = {
+    val h = Dsl.hex60Sql("gram")
+    s"""d AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+       |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang, unnest(
+       |    toks || CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+       |      ELSE [array_to_string(toks[i:i+1], ' ')
+       |            for i in generate_series(1, len(toks) - 1)] END
+       |  ) AS gram FROM d),
+       |bg AS (SELECT doc_id, lang, $h % $Buckets AS b FROM g),
+       |rc AS (SELECT b, COUNT(*) AS craw FROM bg GROUP BY 1),
+       |tc AS (SELECT b, COUNT(*) AS ctgt FROM bg WHERE lang = 'en' GROUP BY 1),
+       |nr AS (SELECT COUNT(*) AS nraw FROM bg),
+       |nt AS (SELECT COUNT(*) AS ntgt FROM bg WHERE lang = 'en'),
+       |sc AS (
+       |  SELECT b, CAST(
+       |      (length(bin((nraw + $Buckets) // (COALESCE(craw, 0) + 1))) - 1)
+       |    - (length(bin((ntgt + $Buckets) // (COALESCE(ctgt, 0) + 1))) - 1)
+       |    AS BIGINT) AS score
+       |  FROM rc FULL JOIN tc USING (b) CROSS JOIN nr CROSS JOIN nt),
+       |p AS (
+       |  SELECT doc_id, COUNT(*) AS n_grams,
+       |    CAST(SUM(score) AS BIGINT) AS weight
+       |  FROM bg JOIN sc USING (b) GROUP BY 1),
+       |w AS (
+       |  SELECT d2.doc_id, COALESCE(p.n_grams, 0) AS n_grams,
+       |    COALESCE(p.weight, 0) AS weight
+       |  FROM documents d2 LEFT JOIN p USING (doc_id))""".stripMargin
+  }
+
+  private val importanceWeightsSql =
+    s"""WITH $weightsCtes
+       |SELECT doc_id, n_grams, weight FROM w""".stripMargin
+
+  private def importanceResample(s: SparkSession, dir: String): DataFrame =
+    Selection.importanceResample(docs(s, dir), target(s, dir),
+      col("doc_id"), col("text"), Buckets, keepNum = 1, keepDen = 4)
+
+  /** The oracle states the top-k semantics directly (rank by weight
+    * DESC, doc_id); the engine's histogram-threshold mechanics must land
+    * on the identical set. */
+  private val importanceResampleSql =
+    s"""WITH $weightsCtes,
+       |n AS (SELECT COUNT(*) AS n FROM w),
+       |k AS (SELECT (n * 1 + 3) // 4 AS k FROM n),
+       |r AS (
+       |  SELECT doc_id, n_grams, weight,
+       |    ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id) AS rn
+       |  FROM w)
+       |SELECT doc_id, n_grams, weight FROM r CROSS JOIN k WHERE rn <= k""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_quality_rules"       -> qualityRules _,
+    "m8_importance_weights"  -> importanceWeights _,
+    "m8_importance_resample" -> importanceResample _)
+
+  def oracles: Map[String, String] = Map(
+    "m8_quality_rules"       -> qualityRulesSql,
+    "m8_importance_weights"  -> importanceWeightsSql,
+    "m8_importance_resample" -> importanceResampleSql)
+}

@@ -26,7 +26,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "Graph" -> graft.queries.GraphQueries,
     "Probe" -> graft.queries.ProbeQueries,
     "Incremental" -> graft.queries.IncrementalQueries,
-    "StreamGate" -> graft.queries.StreamGateQueries)
+    "StreamGate" -> graft.queries.StreamGateQueries,
+    "Selection" -> graft.queries.SelectionQueries)
 
   test("no query name is defined by two modules") {
     val names = modules.flatMap { case (m, q) => q.all.keys.map(_ -> m) }
