@@ -180,7 +180,10 @@ object Selection {
                          buckets: Int = 512,
                          keepNum: Int = 1, keepDen: Int = 4): DataFrame = {
     require(keepNum >= 0 && keepDen > 0, s"keep: $keepNum/$keepDen")
+    // four consumers (k, histogram, full-keep join, boundary join) —
+    // without the persist the whole gram pipeline would replay per branch
     val w = importanceWeights(raw, target, id, text, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kRow = w.agg(
       expr(s"(count(1) * $keepNum + ${keepDen - 1}) div $keepDen").as("k"))
     val hist = w.groupBy("weight").agg(count(lit(1)).as("cnt"))
@@ -201,6 +204,12 @@ object Selection {
         Window.partitionBy(col("weight")).orderBy(col("doc_id"))))
       .filter(col("rn") <= col("rem"))
       .select("weight", "doc_id", "n_grams")
-    kept.unionByName(tie).select("doc_id", "n_grams", "weight")
+    // materialize the (selected-set-sized) result eagerly so the weight
+    // cache can be released before return — no relation leaks into a
+    // long-lived session
+    val out = kept.unionByName(tie)
+      .select("doc_id", "n_grams", "weight").localCheckpoint()
+    w.unpersist()
+    out
   }
 }

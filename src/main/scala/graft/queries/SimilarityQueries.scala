@@ -312,6 +312,149 @@ object SimilarityQueries extends QueryModule {
        |    AS recall
        |FROM ne LEFT JOIN na USING (query_id) LEFT JOIN h USING (query_id)""".stripMargin
 
+  private val PqM = 8
+  private val PqKsub = 32
+  private val PqIters = 2
+  private val PqRescoreK = 50
+  private val PqDim = 64
+
+  /** Product-quantization ADC top-5: per-subspace Lloyd codebooks
+    * (md5-sampled seeds, fixed-point M-step), each corpus vector reduced
+    * to 8 codes, queries scoring codes through an integer-quantized
+    * lookup table, 50-deep exact rescore. Training, encoding, the ADC
+    * sum (exact longs — order-free), the shortlist cut, and the rescore
+    * all replay in the oracle. */
+  private def topkPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.spread(Tables.embeddings(s, dir))
+    Similarity.pqTopK(emb.filter(col("vec_id") < 8), emb, K,
+      m = PqM, ksub = PqKsub, iters = PqIters, rescoreK = PqRescoreK,
+      dim = PqDim)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Portable squared-L2 with PINNED association, mirroring
+    * [[Similarity.l2sqPortable]]: the three inner products fold exactly
+    * like the engine's `dot`, and the scalar combination order is fixed,
+    * so the double is bit-identical across engines. */
+  private def d2Sql(a: String, b: String) =
+    s"((list_inner_product($a, $a) - 2 * list_inner_product($a, $b))" +
+      s" + list_inner_product($b, $b))"
+
+  /** CTE block replaying [[Similarity.trainPqCodebooks]] + encoding +
+    * the ADC scan: subvector slices `sv`, seed codebooks `pcb0`, one
+    * (E-step `pa{n}`, M-step `pcb{n}`) pair per Lloyd round (the M-step
+    * is the proven fixed-point recipe, keyed by (sub, cent_id)), corpus
+    * codes, the per-(query, sub, centroid) integer LUT, and the ADC sum
+    * — exact longs, so SQL's unordered SUM equals the engine's m-term
+    * fold. Emits everything up to `papprox(query_id, cand_id, aq)`. */
+  private def pqCtes(m: Int, ksub: Int, iters: Int, dim: Int): String = {
+    val w = dim / m
+    val slice = s"v[sub * $w + 1 : sub * $w + $w]"
+    val head =
+      s"""sv AS (
+         |  SELECT vec_id, sub, $slice AS s FROM (
+         |    SELECT vec_id, unnest(generate_series(0, ${m - 1})) AS sub, v
+         |    FROM e)),
+         |pseed AS (
+         |  SELECT vec_id AS cent_id, v FROM e
+         |  ORDER BY md5(vec_id::VARCHAR) LIMIT $ksub),
+         |pcb0 AS (
+         |  SELECT sub, cent_id, $slice AS cvec FROM (
+         |    SELECT cent_id, unnest(generate_series(0, ${m - 1})) AS sub, v
+         |    FROM pseed))""".stripMargin
+    val steps = (1 to iters).map { n =>
+      s"""pa$n AS (
+         |  SELECT vec_id, sub, s, cent_id FROM (
+         |    SELECT sv.vec_id, sv.sub, sv.s, c.cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+         |        ORDER BY ${d2Sql("sv.s", "c.cvec")} ASC, c.cent_id) AS rn
+         |    FROM sv JOIN pcb${n - 1} c ON c.sub = sv.sub) WHERE rn = 1),
+         |pcb$n AS (
+         |  SELECT sub, cent_id, list(centroid ORDER BY pos) AS cvec FROM (
+         |    SELECT sub, cent_id, CAST(i - 1 AS INT) AS pos,
+         |      CAST(SUM(CAST(round(s[i] * 1000000) AS BIGINT)) AS DOUBLE)
+         |        / 1000000 / COUNT(*) AS centroid
+         |    FROM (SELECT sub, cent_id, unnest(generate_series(1, len(s))) AS i, s
+         |          FROM pa$n)
+         |    GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    val cb = s"pcb$iters"
+    val tail =
+      s"""pcodes AS (
+         |  SELECT vec_id, sub, cent_id FROM (
+         |    SELECT sv.vec_id, sv.sub, c.cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+         |        ORDER BY ${d2Sql("sv.s", "c.cvec")} ASC, c.cent_id) AS rn
+         |    FROM sv JOIN $cb c ON c.sub = sv.sub) WHERE rn = 1),
+         |plut AS (
+         |  SELECT q.vec_id AS query_id, c.sub, c.cent_id,
+         |    CAST(round(${d2Sql("q.s", "c.cvec")} * 1000000) AS BIGINT) AS d2q
+         |  FROM sv q JOIN $cb c ON c.sub = q.sub WHERE q.vec_id < 8),
+         |papprox AS (
+         |  SELECT l.query_id, co.vec_id AS cand_id,
+         |    CAST(SUM(l.d2q) AS BIGINT) AS aq
+         |  FROM pcodes co
+         |  JOIN plut l ON l.sub = co.sub AND l.cent_id = co.cent_id
+         |  WHERE co.vec_id <> l.query_id
+         |  GROUP BY 1, 2)""".stripMargin
+    (head +: steps :+ tail).mkString(",\n")
+  }
+
+  private val topkPqSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |${pqCtes(PqM, PqKsub, PqIters, PqDim)},
+       |pshort AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY aq ASC, cand_id) AS rn
+       |    FROM papprox) WHERE rn <= $PqRescoreK),
+       |prescored AS (
+       |  SELECT p.query_id, p.cand_id, ${cosSql("qe.v", "ce.v")} AS cosine
+       |  FROM pshort p
+       |  JOIN e qe ON qe.vec_id = p.query_id
+       |  JOIN e ce ON ce.vec_id = p.cand_id),
+       |pranked AS (
+       |  SELECT query_id, cand_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM prescored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, cand_id,
+       |  round(cosine, 6) AS cosine
+       |FROM pranked WHERE rank <= $K""".stripMargin
+
+  /** Recall@5 of the PQ path against brute force — gates the codebook
+    * quality and the ADC shortlist, not just determinism. */
+  private def pqRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.spread(Tables.embeddings(s, dir))
+    val queries = emb.filter(col("vec_id") < 8)
+    Similarity.recallAtK(
+      Similarity.pqTopK(queries, emb, K, m = PqM, ksub = PqKsub,
+        iters = PqIters, rescoreK = PqRescoreK, dim = PqDim),
+      Similarity.bruteForceTopK(queries, emb, K))
+  }
+
+  private val pqRecallSql =
+    s"""WITH exact AS ($topkBruteSql),
+       |approx AS ($topkPqSql),
+       |ne AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1),
+       |na AS (SELECT query_id, COUNT(*) AS n_approx FROM approx GROUP BY 1),
+       |h AS (
+       |  SELECT e.query_id, COUNT(*) AS n_hits
+       |  FROM exact e JOIN approx a
+       |    ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+       |  GROUP BY 1)
+       |SELECT ne.query_id, ne.n_exact,
+       |  COALESCE(na.n_approx, 0) AS n_approx,
+       |  COALESCE(h.n_hits, 0) AS n_hits,
+       |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(ne.n_exact AS DOUBLE)
+       |    AS recall
+       |FROM ne LEFT JOIN na USING (query_id) LEFT JOIN h USING (query_id)""".stripMargin
+
   /** Per-label centroids (k-means M-step / IVF training step) with
     * fixed-point accumulation — order-independent, so the distributed sum
     * hash-matches the oracle's exactly with no rounding slack. */
@@ -380,6 +523,8 @@ object SimilarityQueries extends QueryModule {
     "m8_ann_recall"          -> annRecall _,
     "m8_ivf_recall"          -> ivfRecall _,
     "m8_ivf_q_recall"        -> ivfQRecall _,
+    "m8_sim_topk_pq"         -> topkPq _,
+    "m8_pq_recall"           -> pqRecall _,
     "m8_embedding_centroids" -> centroids _)
 
   def oracles: Map[String, String] = Map(
@@ -391,5 +536,7 @@ object SimilarityQueries extends QueryModule {
     "m8_ann_recall"          -> annRecallSql,
     "m8_ivf_recall"          -> ivfRecallSql,
     "m8_ivf_q_recall"        -> ivfQRecallSql,
+    "m8_sim_topk_pq"         -> topkPqSql,
+    "m8_pq_recall"           -> pqRecallSql,
     "m8_embedding_centroids" -> centroidsSql)
 }

@@ -301,4 +301,149 @@ object Similarity {
     ranked(GraftOps.topKPerKey(rescored, Seq(col("query_id")),
       Seq(col("cosine").desc, col("cand_id")), k), k)
   }
+
+  /** Squared L2 distance in PORTABLE form: `(⟨a,a⟩ − 2⟨a,b⟩) + ⟨b,b⟩`
+    * with pinned scalar association. The three inner products fold
+    * sequentially exactly like DuckDB's `list_inner_product` (parity
+    * proven by the cosine gates), and the fixed parenthesization makes
+    * the combined double bit-identical across engines — which the plain
+    * `Σ(aᵢ−bᵢ)²` fold would not be, since no SQL engine exposes the same
+    * zip-subtract-square fold order. Used by every PQ step that ranks
+    * on distance. */
+  private[graft] def l2sqPortable(a: Column, b: Column): Column =
+    (VectorFns.dot(a, a) - lit(2.0) * VectorFns.dot(a, b)) + VectorFns.dot(b, b)
+
+  /** Subvector explosion: `(id, sub, sv)` with `sub` ∈ [0, m) and `sv`
+    * the (dim/m)-wide slice — one codegen'd projection, no exchange. */
+  private def subvectors(df: DataFrame, id: Column, vec: Column,
+                         m: Int, dim: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val w = dim / m
+    df.select(id.as("id"),
+      posexplode(array((0 until m).map(j => slice(vec, j * w + 1, w)): _*)))
+      .select(col("id"), col("pos").as("sub"), col("col").as("sv"))
+  }
+
+  /** Nearest-codebook-entry assignment per (vector, subspace): min
+    * portable-L2, ties on the smaller cent_id — the PQ E-step and the
+    * encoder. Codebooks (`m × ksub` rows) broadcast; the partial top-1
+    * cut keeps the exchange at one row per (vector, subspace). */
+  private def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame =
+    GraftOps.topKPerKey(
+      sv.join(broadcast(cb), Seq("sub"))
+        .withColumn("d2", l2sqPortable(col("sv"), col("cvec"))),
+      Seq(col("id"), col("sub")), Seq(col("d2").asc, col("cent_id")), 1)
+      .select("id", "sub", "sv", "cent_id")
+
+  /** Product-quantization codebooks: `ksub` centroids per subspace,
+    * seeded from the `ksub` corpus vectors with the smallest
+    * md5(vec_id) (sliced per subspace) and refined by `iters` Lloyd
+    * rounds — E-step = [[pqAssign]], M-step = the same fixed-point
+    * component mean as the IVF trainer ([[groupCentroids]]), keyed by
+    * (subspace, centroid). Fully deterministic, so the oracle replays
+    * training bit-for-bit. Returns `(sub, cent_id, cvec)`; like any
+    * k-means, a centroid that captures no vectors in a round drops out.
+    *
+    * At 100 TB, train on a hash-sample (see [[trainIvfCentroids]]) —
+    * the shapes are identical. */
+  def trainPqCodebooks(candidates: DataFrame, m: Int, ksub: Int,
+                       iters: Int, dim: Int): DataFrame = {
+    val seeds = candidates
+      .orderBy(md5(col("vec_id").cast("string")))
+      .limit(ksub)
+      .select(col("vec_id").as("cent_id"), col("embedding"))
+    val cb0 = subvectors(seeds, col("cent_id"), col("embedding"), m, dim)
+      .select(col("sub"), col("id").as("cent_id"), col("sv").as("cvec"))
+    val c = subvectors(
+      candidates.select(col("vec_id"), col("embedding")),
+      col("vec_id"), col("embedding"), m, dim)
+    (1 to iters).foldLeft(cb0) { (cb, _) =>
+      val perDim = groupCentroids(pqAssign(c, cb),
+        struct(col("sub"), col("cent_id")), col("sv"))
+      perDim.groupBy(col("grp"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("centroid"))))
+          .as("pc"))
+        .select(col("grp.sub").as("sub"), col("grp.cent_id").as("cent_id"),
+          transform(col("pc"), p => p.getField("centroid")).as("cvec"))
+    }
+  }
+
+  /** PQ encoder: each corpus vector reduced to `m` codebook ids,
+    * ordered by subspace — `dim × 4` bytes down to `m × 8` (and `m`
+    * bytes once ids are dictionary-compressed at rest). */
+  def pqEncode(candidates: DataFrame, cb: DataFrame,
+               m: Int, dim: Int): DataFrame =
+    pqAssign(subvectors(
+      candidates.select(col("vec_id"), col("embedding")),
+      col("vec_id"), col("embedding"), m, dim), cb)
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("cent_id"))))
+        .as("sc"))
+      .select(col("id").as("cand_id"),
+        transform(col("sc"), s => s.getField("cent_id")).as("codes"))
+
+  /** LUT key space: `sub * 2^32 + cent_id`. Injective while centroid
+    * ids stay below 2^32 — they are corpus vec_ids here; a corpus with
+    * wider ids would renumber seeds 0..ksub-1 at train time. */
+  private val PqKeySpace = 1L << 32
+
+  /** Product-quantization approximate top-k — the asymmetric-distance
+    * (ADC) scan: the corpus is scored against `m`-entry CODES via a
+    * per-query lookup table, and only a `rescoreK`-deep shortlist is
+    * exact-rescored against the float vectors.
+    *
+    * The ADC distance is quantized to integer 1e-6 units AT THE LUT
+    * (same fixed-point recipe as the centroid means), so the per-
+    * candidate sum of `m` lookups is exact long arithmetic — order-free
+    * and engine-portable; float addition order can never reorder the
+    * shortlist. Ranks break ties on the smaller cand_id throughout.
+    *
+    * Plan shape at 100 TB: codebooks are `m × ksub` rows (broadcast);
+    * the per-query LUTs (`|Q| × m × ksub` entries) pack into one map
+    * column per query and broadcast; scoring is then a PURE MAP over
+    * the codes table — `m` long map-lookups plus a long add per
+    * (candidate, query), no float math, no corpus shuffle — cut by the
+    * partial/final TopKPerKey pair at `rescoreK`; the float corpus is
+    * touched for exactly `|Q| × rescoreK` rows through a broadcast
+    * lookup. Memory story: the scan-resident structure is the codes
+    * table at `m` small ints per vector — 32× under the float corpus at
+    * m=8/dim=64 — and composes with the IVF lists the same way the int8
+    * path does. */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+             m: Int = 4, ksub: Int = 8, iters: Int = 1,
+             rescoreK: Int = 15, dim: Int = 64): DataFrame = {
+    val cb0 = trainPqCodebooks(candidates, m, ksub, iters, dim)
+    // m×ksub rows; materialize once so encode + LUT don't replay training
+    val cb = if (iters > 0) cb0.localCheckpoint(true) else cb0
+    val codes = pqEncode(candidates, cb, m, dim)
+    val qsub = subvectors(
+      queries.select(col("vec_id"), col("embedding")),
+      col("vec_id"), col("embedding"), m, dim)
+    val lut = qsub.join(broadcast(cb), Seq("sub"))
+      .select(col("id").as("query_id"),
+        (col("sub").cast("long") * PqKeySpace + col("cent_id")).as("lkey"),
+        round(l2sqPortable(col("sv"), col("cvec")) * 1e6).cast("long")
+          .as("d2q"))
+      .groupBy("query_id")
+      .agg(map_from_entries(collect_list(struct(col("lkey"), col("d2q"))))
+        .as("lut"))
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv")), Seq("query_id"))
+    val approx = codes.crossJoin(broadcast(lut))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("aq", (0 until m).map(j =>
+          element_at(col("lut"),
+            lit(j.toLong * PqKeySpace) +
+              element_at(col("codes"), j + 1).cast("long")))
+        .reduce(_ + _))
+    val shortlist = GraftOps.topKPerKey(approx, Seq(col("query_id")),
+      Seq(col("aq").asc, col("cand_id")), rescoreK)
+      .select("query_id", "qv", "cand_id")
+    val c = candidates.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"))
+    val rescored = c.join(broadcast(shortlist), Seq("cand_id"))
+      .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))
+    ranked(GraftOps.topKPerKey(rescored, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("cand_id")), k), k)
+  }
 }

@@ -93,7 +93,17 @@ class PlanAuditSpec extends SparkSpec {
     ("m8_substring_rewrite", 2, false),
     // vocab word-count + token-keyed count join + per-doc reduce + the
     // 1-row corpus total riding the sanctioned broadcast cross join
-    ("m8_lm_surprisal", 3, true))
+    ("m8_lm_surprisal", 3, true),
+    // round-12 additions: the rule filter is a pure codegen'd projection;
+    // the weight chain is two bucket-keyed gram counts + the per-doc
+    // reduce + the restore join, with 1-row totals riding the sanctioned
+    // broadcast cross join; the resample serves an eager checkpoint of
+    // the selected set (weight cache released inside the operator); the
+    // PQ scan's BNLJ is the broadcast per-query LUT over the codes table
+    ("m8_quality_rules", 0, false),
+    ("m8_importance_weights", 6, true),
+    ("m8_importance_resample", 0, true),
+    ("m8_sim_topk_pq", 5, true))
 
   expected.foreach { case (name, maxExchanges, allowBnlj) =>
     test(s"$name: no cartesian, bounded shuffles (≤$maxExchanges)") {
