@@ -455,6 +455,51 @@ object SimilarityQueries extends QueryModule {
        |    AS recall
        |FROM ne LEFT JOIN na USING (query_id) LEFT JOIN h USING (query_id)""".stripMargin
 
+  private val DivCap = 10
+
+  /** Semantic-diversity sample: assign the corpus to Lloyd-trained
+    * cluster centroids, then keep a hash-ordered cap per cluster — a
+    * cluster-balanced subset (the over-represented semantic modes can't
+    * crowd out the tails, unlike a uniform draw). Composes the IVF
+    * trainer with [[graft.ops.Sampling.capPerGroup]]'s stable draw, so
+    * the whole selection is deterministic and the oracle replays
+    * training, assignment, and the capped draw exactly.
+    *
+    * Scale shape: training + assignment are the audited IVF passes
+    * (centroids broadcast, one (vector, list) row per corpus vector);
+    * the cap is the partial/final TopKPerKey pair keyed by cluster. */
+  private def diversitySample(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sampling
+    val emb = Tables.spread(Tables.embeddings(s, dir))
+    val cent = Similarity.trainIvfCentroids(emb, nlist = 16,
+      iters = IvfIters).localCheckpoint(true)
+    val assigned = Similarity.ivfAssign(
+      emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
+      cent)
+    Sampling.capPerGroup(assigned.select("cand_id", "cent_id"),
+      col("cent_id"), col("cand_id"), DivCap, "div")
+      .select(col("cent_id"), col("cand_id"))
+  }
+
+  private val diversitySampleSql = {
+    val (train, cent) = ivfTrainCtes(nlist = 16, iters = IvfIters)
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |$train,
+       |assigned AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT e.vec_id, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.v", "c.cvec")} DESC, c.cent_id) AS rn
+       |    FROM e CROSS JOIN $cent c) WHERE rn = 1)
+       |SELECT cent_id, cand_id FROM (
+       |  SELECT cent_id, vec_id AS cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY cent_id
+       |      ORDER BY ${Dsl.hex60Sql("'div|' || vec_id::VARCHAR")}) AS rn
+       |  FROM assigned) WHERE rn <= $DivCap""".stripMargin
+  }
+
   /** Per-label centroids (k-means M-step / IVF training step) with
     * fixed-point accumulation — order-independent, so the distributed sum
     * hash-matches the oracle's exactly with no rounding slack. */
@@ -525,6 +570,7 @@ object SimilarityQueries extends QueryModule {
     "m8_ivf_q_recall"        -> ivfQRecall _,
     "m8_sim_topk_pq"         -> topkPq _,
     "m8_pq_recall"           -> pqRecall _,
+    "m8_diversity_sample"    -> diversitySample _,
     "m8_embedding_centroids" -> centroids _)
 
   def oracles: Map[String, String] = Map(
@@ -538,5 +584,6 @@ object SimilarityQueries extends QueryModule {
     "m8_ivf_q_recall"        -> ivfQRecallSql,
     "m8_sim_topk_pq"         -> topkPqSql,
     "m8_pq_recall"           -> pqRecallSql,
+    "m8_diversity_sample"    -> diversitySampleSql,
     "m8_embedding_centroids" -> centroidsSql)
 }

@@ -483,4 +483,15 @@ class M8Spec extends SparkSpec {
     assert(r.getLong(3) == 10000L && r.getLong(4) == 10000L &&
       r.getLong(5) == 10000L)
   }
+
+  test("diversity sample: per-cluster cap holds, clusters covered, rerun stable") {
+    val got = graft.SparkEntry.queries("m8_diversity_sample")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("cent_id"), r.getAs[Long]("cand_id")))
+    val byCluster = got.groupBy(_._1)
+    assert(byCluster.values.forall(_.length <= 10), "per-cluster cap breached")
+    assert(byCluster.size > 1, "sample collapsed to one cluster")
+    val again = graft.SparkEntry.queries("m8_diversity_sample")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("cent_id"), r.getAs[Long]("cand_id")))
+    assert(again.toSet === got.toSet, "hash-ordered draw must be stable")
+  }
 }

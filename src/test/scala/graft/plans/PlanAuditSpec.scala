@@ -103,7 +103,10 @@ class PlanAuditSpec extends SparkSpec {
     ("m8_quality_rules", 0, false),
     ("m8_importance_weights", 6, true),
     ("m8_importance_resample", 0, true),
-    ("m8_sim_topk_pq", 5, true))
+    ("m8_sim_topk_pq", 5, true),
+    // training's nlist-row broadcasts are the sanctioned BNLJ; the cap
+    // is the partial/final TopKPerKey pair keyed by cluster
+    ("m8_diversity_sample", 2, true))
 
   expected.foreach { case (name, maxExchanges, allowBnlj) =>
     test(s"$name: no cartesian, bounded shuffles (≤$maxExchanges)") {
