@@ -124,6 +124,11 @@ object Selection {
     * ≤ `buckets` rows; built once and broadcast by callers. */
   private def bucketScores(rawG: DataFrame, tgtG: DataFrame,
                            buckets: Int): DataFrame = {
+    // ≤`buckets` rows each, LAZY on purpose: the totals below derive
+    // from these frames, and within one job Catalyst reuses the count
+    // exchange (ReusedExchange), so each corpus's gram stream is folded
+    // once — an eager checkpoint here would serialize the plan into
+    // per-frame jobs and forfeit that reuse (measured 10× worse)
     def counts(g: DataFrame, cnt: String): DataFrame =
       g.groupBy("b").agg(count(lit(1)).as(cnt))
     // floor(log2(x)) as integer division + binary-string length — the
@@ -132,8 +137,8 @@ object Selection {
       s"length(bin(($total + ${buckets.toLong}) div (coalesce($c, 0L) + 1L))) - 1"
     val rc = counts(rawG, "craw")
     val tc = counts(tgtG, "ctgt")
-    val nr = rawG.agg(count(lit(1)).as("nraw"))
-    val nt = tgtG.agg(count(lit(1)).as("ntgt"))
+    val nr = rc.agg(coalesce(sum("craw"), lit(0L)).as("nraw"))
+    val nt = tc.agg(coalesce(sum("ctgt"), lit(0L)).as("ntgt"))
     rc.join(tc, Seq("b"), "full")
       .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
       .select(col("b"),
