@@ -455,6 +455,27 @@ object SimilarityQueries extends QueryModule {
        |    AS recall
        |FROM ne LEFT JOIN na USING (query_id) LEFT JOIN h USING (query_id)""".stripMargin
 
+  /** The production index lifecycle the fused demos skip: BUILD the
+    * quantized IVF index, persist it as a lake layout (centroids +
+    * int8-coded inverted lists as plain parquet), read it BACK, and
+    * serve top-k from the STORED side. The oracle is the fused path's
+    * SQL — byte-identical output certifies the store/serve boundary is
+    * lossless (a re-typed column, truncated double, or dropped list row
+    * in the store would flip the ranking). */
+  private def annIndexStore(s: SparkSession, dir: String): DataFrame = {
+    val root = Dsl.tempDir("graft_annindex_")
+    val emb = Tables.spread(Tables.embeddings(s, dir))
+    val (cent, lists) = Similarity.ivfBuildQuantized(emb, nlist = 16,
+      lloydIters = IvfIters)
+    cent.write.mode("overwrite").parquet(root + "/centroids")
+    lists.write.mode("overwrite").parquet(root + "/lists")
+    Similarity.ivfServeQuantized(emb.filter(col("vec_id") < 8),
+      s.read.parquet(root + "/centroids"), s.read.parquet(root + "/lists"),
+      emb, K, nprobe = 4, rescoreK = RescoreK)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   private val DivCap = 10
 
   /** Semantic-diversity sample: assign the corpus to Lloyd-trained
@@ -571,6 +592,7 @@ object SimilarityQueries extends QueryModule {
     "m8_sim_topk_pq"         -> topkPq _,
     "m8_pq_recall"           -> pqRecall _,
     "m8_diversity_sample"    -> diversitySample _,
+    "m8_ann_index_store"     -> annIndexStore _,
     "m8_embedding_centroids" -> centroids _)
 
   def oracles: Map[String, String] = Map(
@@ -585,5 +607,7 @@ object SimilarityQueries extends QueryModule {
     "m8_sim_topk_pq"         -> topkPqSql,
     "m8_pq_recall"           -> pqRecallSql,
     "m8_diversity_sample"    -> diversitySampleSql,
+    // the stored index must serve exactly what the fused path serves
+    "m8_ann_index_store"     -> topkIvfQSql,
     "m8_embedding_centroids" -> centroidsSql)
 }

@@ -275,14 +275,38 @@ object Similarity {
   def ivfTopKQuantized(queries: DataFrame, candidates: DataFrame, k: Int,
                        nlist: Int = 16, nprobe: Int = 4,
                        lloydIters: Int = 2, rescoreK: Int = 15): DataFrame = {
+    val (cent, lists) = ivfBuildQuantized(candidates, nlist, lloydIters)
+    ivfServeQuantized(queries, cent, lists, candidates, k, nprobe, rescoreK)
+  }
+
+  /** The BUILD stage of the quantized IVF index, split out so the index
+    * can be persisted as a lake layout and served later: the trained
+    * coarse quantizer (`(cent_id, cvec)`, nlist rows) and the
+    * int8-coded inverted lists (`(cand_id, cent_id, code)` — no float
+    * payload). Both frames are plain parquet-writable; the store/serve
+    * round trip is lossless (ints and exact doubles only), which the
+    * `m8_ann_index_store` gate certifies. */
+  def ivfBuildQuantized(candidates: DataFrame, nlist: Int = 16,
+                        lloydIters: Int = 2): (DataFrame, DataFrame) = {
     val cent0 = trainIvfCentroids(candidates, nlist, lloydIters)
     val cent = if (lloydIters > 0) cent0.localCheckpoint(true) else cent0
     val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
-    // the inverted lists: (list, id, int8 code) — no float payload
     val lists = ivfAssign(c, cent)
       .withColumn("scale", VectorFns.quantize_scale(col("cv")))
       .withColumn("code", VectorFns.quantize_i8(col("cv"), col("scale")))
       .select("cand_id", "cent_id", "code")
+    (cent, lists)
+  }
+
+  /** The SERVE stage over a (possibly stored-and-reloaded) quantized
+    * index: probe `nprobe` lists per query, score codes, exact-rescore
+    * a `rescoreK`-deep shortlist against the float `corpus`. Identical
+    * math to the fused [[ivfTopKQuantized]] — the split only moves the
+    * index across a storage boundary. */
+  def ivfServeQuantized(queries: DataFrame, cent: DataFrame,
+                        lists: DataFrame, corpus: DataFrame, k: Int,
+                        nprobe: Int = 4, rescoreK: Int = 15): DataFrame = {
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val probes = GraftOps.topKPerKey(
       q.crossJoin(broadcast(cent))

@@ -484,6 +484,31 @@ class M8Spec extends SparkSpec {
       r.getLong(5) == 10000L)
   }
 
+  test("ann index store: serve-from-parquet equals the fused path") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 8)
+    val fused = Similarity.ivfTopKQuantized(q, emb, 5, nlist = 16,
+      nprobe = 4, lloydIters = 2, rescoreK = 15)
+      .select("query_id", "rank", "cand_id").collect().toSet
+    val root = java.nio.file.Files.createTempDirectory("annstore").toString
+    val (cent, lists) = Similarity.ivfBuildQuantized(emb, 16, 2)
+    cent.write.mode("overwrite").parquet(root + "/centroids")
+    lists.write.mode("overwrite").parquet(root + "/lists")
+    // the lists frame must carry no float payload — codes only
+    val listSchema = spark.read.parquet(root + "/lists").schema
+    assert(listSchema.fieldNames.toSet === Set("cand_id", "cent_id", "code"))
+    assert(listSchema("code").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false) ||
+      listSchema("code").dataType.simpleString.startsWith("array<int>"))
+    val served = Similarity.ivfServeQuantized(q,
+      spark.read.parquet(root + "/centroids"),
+      spark.read.parquet(root + "/lists"), emb, 5,
+      nprobe = 4, rescoreK = 15)
+      .select("query_id", "rank", "cand_id").collect().toSet
+    assert(served === fused, "stored index served a different ranking")
+  }
+
   test("diversity sample: per-cluster cap holds, clusters covered, rerun stable") {
     val got = graft.SparkEntry.queries("m8_diversity_sample")(spark, sf)
       .collect().map(r => (r.getAs[Long]("cent_id"), r.getAs[Long]("cand_id")))

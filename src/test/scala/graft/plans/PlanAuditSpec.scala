@@ -106,7 +106,10 @@ class PlanAuditSpec extends SparkSpec {
     ("m8_sim_topk_pq", 5, true),
     // training's nlist-row broadcasts are the sanctioned BNLJ; the cap
     // is the partial/final TopKPerKey pair keyed by cluster
-    ("m8_diversity_sample", 2, true))
+    ("m8_diversity_sample", 2, true),
+    // same bound as the fused m8_sim_topk_ivf_q: the storage boundary
+    // must not add an exchange to the serve plan
+    ("m8_ann_index_store", 4, true))
 
   expected.foreach { case (name, maxExchanges, allowBnlj) =>
     test(s"$name: no cartesian, bounded shuffles (≤$maxExchanges)") {
