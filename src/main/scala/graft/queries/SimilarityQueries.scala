@@ -103,11 +103,14 @@ object SimilarityQueries extends QueryModule {
     * `cent0`, then one (E-step `a{n}`, M-step `cent{n}`) CTE pair per
     * Lloyd iteration — the M-step is the same fixed-point recipe as
     * `centroidsSql`, already proven hash-exact against the engine.
-    * Returns (ctes, finalCentroidRelation). */
-  private def ivfTrainCtes(nlist: Int, iters: Int): (String, String) = {
+    * Returns (ctes, finalCentroidRelation). `base` names the relation
+    * the quantizer trains on — `e` (the whole corpus) for the fused
+    * demos, a standing-subset CTE for the index-maintenance gate. */
+  private def ivfTrainCtes(nlist: Int, iters: Int,
+                           base: String = "e"): (String, String) = {
     val seed =
       s"""cent0 AS (
-         |  SELECT vec_id AS cent_id, v AS cvec FROM e
+         |  SELECT vec_id AS cent_id, v AS cvec FROM $base
          |  ORDER BY md5(vec_id::VARCHAR) LIMIT $nlist)""".stripMargin
     val steps = (1 to iters).map { n =>
       s"""a$n AS (
@@ -115,7 +118,7 @@ object SimilarityQueries extends QueryModule {
          |    SELECT e.vec_id, e.v, c.cent_id,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${cosSql("e.v", "c.cvec")} DESC, c.cent_id) AS rn
-         |    FROM e CROSS JOIN cent${n - 1} c) WHERE rn = 1),
+         |    FROM $base e CROSS JOIN cent${n - 1} c) WHERE rn = 1),
          |cent$n AS (
          |  SELECT cent_id, list(centroid ORDER BY pos) AS cvec FROM (
          |    SELECT cent_id, CAST(i - 1 AS INT) AS pos,
@@ -232,12 +235,23 @@ object SimilarityQueries extends QueryModule {
 
   private val RescoreK = 15
 
-  private val topkIvfQSql = {
-    val (train, cent) = ivfTrainCtes(nlist = 16, iters = IvfIters)
+  /** The full quantized-IVF replay (train → assign → int8 codes → probe
+    * → code-score → shortlist → exact rescore), with the TRAINING corpus
+    * optionally restricted by `trainPred` while assignment/serving still
+    * cover all of `e` — exactly the index-maintenance contract, where
+    * the standing corpus trains the quantizer once and later deltas are
+    * encoded against it unchanged. `None` = the fused demo (train on
+    * everything). */
+  private[queries] def ivfQServeSql(trainPred: Option[String]): String = {
+    val baseCte = trainPred
+      .map(p => s"standing AS (SELECT vec_id, v FROM e WHERE $p),\n")
+      .getOrElse("")
+    val (train, cent) = ivfTrainCtes(nlist = 16, iters = IvfIters,
+      base = if (trainPred.isDefined) "standing" else "e")
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
-       |$train,
+       |$baseCte$train,
        |assigned AS (
        |  SELECT vec_id, v, cent_id FROM (
        |    SELECT e.vec_id, e.v, c.cent_id,
@@ -281,6 +295,8 @@ object SimilarityQueries extends QueryModule {
        |SELECT query_id, CAST(rank AS INT) AS rank, cand_id, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= $K""".stripMargin
   }
+
+  private val topkIvfQSql = ivfQServeSql(None)
 
   /** Recall@5 of the quantized-list IVF against the FLOAT IVF path — the
     * cost of the int8 codes in isolation (coarse-quantizer loss already

@@ -191,13 +191,53 @@ object StreamGateQueries extends QueryModule {
        |SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL
        |SELECT * FROM v2""".stripMargin
 
+  /** T13: incremental ANN-index maintenance. The standing corpus
+    * (vec_id % 5 ≠ 4) trains the quantizer and writes the stored index;
+    * the delta (vec_id % 5 = 4) arrives as three ordered micro-batches
+    * through [[IndexStream.maintainIndex]], each encoded against the
+    * FIXED stored centroids and appended per-batch. Serving from the
+    * end-state store must equal a batch build whose quantizer trained
+    * on the standing corpus — assignment is per-vector against fixed
+    * centroids, so the oracle replays exactly that. */
+  private def t13IndexMaintain(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Similarity
+    import graft.streaming.IndexStream
+    val emb = Tables.embeddings(s, dir)
+    val standing = emb.filter(col("vec_id") % 5 =!= 4)
+    val delta = emb.filter(col("vec_id") % 5 === 4)
+      .select("vec_id", "embedding")
+    val root = Dsl.tempDir("graft_t13_")
+    val (cent, lists0) = Similarity.ivfBuildQuantized(
+      Tables.spread(standing), nlist = 16, lloydIters = 2)
+    cent.write.mode("overwrite").parquet(root + "/centroids")
+    lists0.write.mode("overwrite").parquet(root + "/lists/graft_batch=-1")
+    val watch = writeOrderedBatches(delta, "vec_id", 3)
+    val stream = s.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    IndexStream.maintainIndex(stream, root + "/centroids", root + "/lists",
+        Dsl.tempDir("graft_t13_ckpt_"))
+      .awaitTermination()
+    Similarity.ivfServeQuantized(emb.filter(col("vec_id") < 8),
+      s.read.parquet(root + "/centroids"),
+      s.read.parquet(root + "/lists").select("cand_id", "cent_id", "code"),
+      emb, 5, nprobe = 4, rescoreK = 15)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  private val t13Sql = SimilarityQueries.ivfQServeSql(Some("vec_id % 5 <> 4"))
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_late_split"      -> t11LateSplit _,
     "t12_view_maintain"   -> t12ViewMaintain _,
-    "m8_stream_admission" -> streamAdmission _)
+    "m8_stream_admission" -> streamAdmission _,
+    "t13_index_maintain"  -> t13IndexMaintain _)
 
   def oracles: Map[String, String] = Map(
     "t11_late_split"      -> t11Sql,
     "t12_view_maintain"   -> t12Sql,
-    "m8_stream_admission" -> streamAdmissionSql)
+    "m8_stream_admission" -> streamAdmissionSql,
+    "t13_index_maintain"  -> t13Sql)
 }

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.functions.VectorFns
+import graft.similarity.Similarity
+
+/** Incremental maintenance of a stored quantized ANN index
+  * ([[Similarity.ivfBuildQuantized]]'s lake layout): new embedding
+  * batches are encoded against the FIXED stored coarse quantizer and
+  * appended to the inverted-lists store — the production contract for
+  * index refresh between full rebuilds (retraining the quantizer would
+  * silently re-key every existing list).
+  *
+  * Crash safety mirrors [[DedupStream]]: each batch writes its rows to
+  * its own `graft_batch=<id>` subdir with overwrite, so a batch replayed
+  * after a crash-before-checkpoint-commit REPLACES its previous attempt
+  * instead of appending duplicate list rows. Assignment is per-vector
+  * against fixed centroids, so the end-state store is EXACTLY the batch
+  * build over the full corpus — the property the `t13_index_maintain`
+  * oracle certifies end to end.
+  *
+  * Fail-closed: a missing or unreadable centroid store throws and fails
+  * the batch — encoding against nothing must never fabricate an empty
+  * assignment. */
+object IndexStream {
+
+  /** Start the maintenance stream over a streaming `vecs` frame with
+    * (vec_id, embedding) columns. AvailableNow by default (drain-then-
+    * stop); `continuous = true` for a long-running micro-batch loop. */
+  def maintainIndex(vecs: DataFrame, centroidDir: String, listsDir: String,
+                    checkpointDir: String,
+                    continuous: Boolean = false): StreamingQuery = {
+    val writer = vecs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val centPath = new Path(centroidDir)
+        val fs = centPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fs.exists(centPath),
+          s"centroid store missing at $centroidDir — refusing to encode " +
+            "against an empty quantizer")
+        val cent = spark.read.parquet(centroidDir)
+        val c = batch.select(col("vec_id").as("cand_id"),
+          col("embedding").as("cv"))
+        val lists = Similarity.ivfAssign(c, cent)
+          .withColumn("scale", VectorFns.quantize_scale(col("cv")))
+          .withColumn("code", VectorFns.quantize_i8(col("cv"), col("scale")))
+          .select("cand_id", "cent_id", "code")
+        lists.write.mode("overwrite")
+          .parquet(s"$listsDir/graft_batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+    (if (continuous) writer else writer.trigger(Trigger.AvailableNow()))
+      .start()
+  }
+}

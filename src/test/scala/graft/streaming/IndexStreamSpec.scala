@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import graft.{SparkSpec, Tables}
+import graft.functions.VectorFns
+import graft.similarity.Similarity
+
+/** Contract of the streaming index maintainer: batch parity with the
+  * fixed-centroid encoder, replay idempotence of the per-batch store
+  * layout, and fail-closed behavior on a missing quantizer. */
+class IndexStreamSpec extends SparkSpec {
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  /** Delta rows written as `k` single-file ordered batches. */
+  private def orderedBatches(df: DataFrame, k: Int): String = {
+    val watch = tmp("ixwatch")
+    val base = System.currentTimeMillis() - 3600L * 1000
+    (0 until k).foreach { i =>
+      val stage = tmp("ixstage")
+      df.filter(col("vec_id") % k === i)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(watch, s"b$i.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(base + i * 2000L)
+    }
+    watch
+  }
+
+  private def listsOf(dir: String): Set[(Long, Long, Seq[Int])] =
+    spark.read.parquet(dir).select("cand_id", "cent_id", "code")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Int](2).toSeq)).toSet
+
+  test("maintain: end-state store equals the fixed-centroid batch encode") {
+    val emb = Tables.embeddings(spark, sf)
+    val standing = emb.filter(col("vec_id") % 5 =!= 4)
+    val delta = emb.filter(col("vec_id") % 5 === 4)
+      .select("vec_id", "embedding")
+    val root = tmp("ixroot")
+    val (cent, lists0) = Similarity.ivfBuildQuantized(standing, 16, 2)
+    cent.write.mode("overwrite").parquet(root + "/centroids")
+    lists0.write.mode("overwrite").parquet(root + "/lists/graft_batch=-1")
+    val watch = orderedBatches(delta, 3)
+    val stream = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+    IndexStream.maintainIndex(stream, root + "/centroids", root + "/lists",
+      tmp("ixckpt")).awaitTermination()
+
+    val storedCent = spark.read.parquet(root + "/centroids")
+    val direct = Similarity.ivfAssign(
+        emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
+        storedCent)
+      .withColumn("scale", VectorFns.quantize_scale(col("cv")))
+      .withColumn("code", VectorFns.quantize_i8(col("cv"), col("scale")))
+      .select("cand_id", "cent_id", "code")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toSeq)).toSet
+    assert(listsOf(root + "/lists") === direct,
+      "streamed store diverged from the fixed-centroid batch encode")
+  }
+
+  test("maintain: replay with a fresh checkpoint overwrites, never duplicates") {
+    val emb = Tables.embeddings(spark, sf)
+    val standing = emb.filter(col("vec_id") % 5 =!= 4)
+    val delta = emb.filter(col("vec_id") % 5 === 4)
+      .select("vec_id", "embedding")
+    val root = tmp("ixroot2")
+    val (cent, lists0) = Similarity.ivfBuildQuantized(standing, 16, 2)
+    cent.write.mode("overwrite").parquet(root + "/centroids")
+    lists0.write.mode("overwrite").parquet(root + "/lists/graft_batch=-1")
+    val watch = orderedBatches(delta, 3)
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1").parquet(watch)
+      IndexStream.maintainIndex(stream, root + "/centroids",
+        root + "/lists", tmp("ixckpt2")).awaitTermination()
+    }
+    drain()
+    val first = listsOf(root + "/lists")
+    drain() // full replay: same batch ids, overwrite-by-subdir
+    assert(listsOf(root + "/lists") === first,
+      "replay duplicated or mutated list rows")
+    assert(first.size === emb.count(),
+      "store must hold exactly one row per corpus vector")
+  }
+
+  test("maintain: missing centroid store fails the batch, not silently") {
+    val emb = Tables.embeddings(spark, sf)
+    val delta = emb.filter(col("vec_id") % 5 === 4)
+      .select("vec_id", "embedding")
+    val watch = orderedBatches(delta, 1)
+    val stream = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+    val q = IndexStream.maintainIndex(stream, tmp("ixempty") + "/nope",
+      tmp("ixlists"), tmp("ixckpt3"))
+    val e = intercept[StreamingQueryException](q.awaitTermination())
+    assert(e.getMessage.contains("centroid store missing") ||
+      Option(e.getCause).exists(_.getMessage.contains("centroid store missing")),
+      s"unexpected failure: ${e.getMessage}")
+  }
+}
