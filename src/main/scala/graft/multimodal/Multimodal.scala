@@ -220,4 +220,183 @@ object Multimodal {
       }
     }
   }
+
+  // ---- Perceptual hash (dHash) — image-level near-dup dedup ----
+
+  /** 64-bit difference hash, INTEGER-EXACT end to end: the image is
+    * box-averaged onto a 9×8 luma grid (integer cell boundaries
+    * `⌊i·W/9⌋`, luma kept as the ×1000 numerator `299r+587g+114b` so no
+    * division happens), and bit (row, col) is set when cell (row, col)
+    * outweighs cell (row, col+1) — compared CROSS-MULTIPLIED by the
+    * cells' pixel areas, so unequal cell sizes never need a float mean.
+    * Identical pixels → identical hash on any JVM; a near-duplicate
+    * flips only the few bits whose cell comparison it disturbs.
+    * Requires width ≥ 9 and height ≥ 8 (a thumbnail smaller than the
+    * grid has no meaningful difference structure). */
+  def dHash64(width: Int, height: Int,
+              lumaNum: (Int, Int) => Long): Long = {
+    require(width >= 9 && height >= 8, s"image ${width}x$height under 9x8 grid")
+    val cols = 9; val rows = 8
+    val sum = Array.ofDim[Long](rows, cols)
+    val area = Array.ofDim[Long](rows, cols)
+    var r = 0
+    while (r < rows) {
+      val y0 = r * height / rows; val y1 = (r + 1) * height / rows
+      var c = 0
+      while (c < cols) {
+        val x0 = c * width / cols; val x1 = (c + 1) * width / cols
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += lumaNum(x, y); x += 1 }
+          y += 1
+        }
+        sum(r)(c) = s
+        area(r)(c) = (x1 - x0).toLong * (y1 - y0)
+        c += 1
+      }
+      r += 1
+    }
+    var h = 0L
+    var bit = 0
+    r = 0
+    while (r < rows) {
+      var c = 0
+      while (c < cols - 1) {
+        // mean(r,c) > mean(r,c+1) without dividing
+        if (sum(r)(c) * area(r)(c + 1) > sum(r)(c + 1) * area(r)(c))
+          h |= 1L << bit
+        bit += 1
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Dedup-fixture image spec: ≥ the 9×8 hash grid by construction. */
+  def dedupImageSpec(id: Long): (Int, Int) = {
+    val base = if (id >= 1000) id - 1000 else id
+    ((12 + (base % 4) * 4).toInt, (8 + (base % 3) * 4).toInt)
+  }
+
+  /** 64-bit finalizer mix (splitmix-style): full avalanche, so every
+    * base id gets a statistically independent pixel field — smooth
+    * per-id gradients make every image's difference structure identical
+    * and collapse all dHashes together (measured while building this
+    * fixture); hashing the (x, y, id) triple gives min cross-image
+    * Hamming ≈ 20 at 24 images. */
+  private def mix64(v0: Long): Long = {
+    var v = v0
+    v = (v ^ (v >>> 33)) * 0xff51afd7ed558ccdL
+    v = (v ^ (v >>> 33)) * 0xc4ceb9fe1a85ec53L
+    v ^ (v >>> 33)
+  }
+
+  /** Dedup-fixture pixels: ids < 1000 are distinct id-keyed
+    * pseudo-random images; id 1000+k is a NEAR-DUPLICATE of base k —
+    * the blue channel inverted on 1-3 top-left pixels (`x ≤ k % 3`),
+    * the corner-watermark edit class. The edit stays inside hash cell
+    * (0,0)'s comparisons, so planted pairs land at Hamming ≤ 1 while
+    * distinct bases stay ≥ 20 apart. */
+  def dedupPixel(id: Long, x: Int, y: Int): (Int, Int, Int) = {
+    val base = if (id >= 1000) id - 1000 else id
+    val r = ((base * 37) % 256).toInt
+    val g = (mix64(x * 73856093L + y * 19349663L + base * 83492791L) & 0xFF).toInt
+    val b0 = (mix64(x * 2654435761L + y * 40503L + base * 65537L + 7L) & 0xFF).toInt
+    val b = if (id >= 1000 && y == 0 && x <= (base % 3)) 255 - b0 else b0
+    (r, g, b)
+  }
+
+  /** Closed-form expected dHash for a dedup-fixture id — what the
+    * encode → decode → measure pipeline must land on. */
+  def expectedDHash(id: Long): Long = {
+    val (w, h) = dedupImageSpec(id)
+    dHash64(w, h, (x, y) => {
+      val (r, g, b) = dedupPixel(id, x, y)
+      299L * r + 587L * g + 114L * b
+    })
+  }
+
+  /** Real-PNG dedup fixture: `nBase` distinct images plus a
+    * near-duplicate of each of the first `nDup` (ids 1000+k). */
+  def plantedDedupImages(spark: SparkSession, nBase: Int,
+                         nDup: Int): Dataset[PlantedImage] = {
+    import spark.implicits._
+    val ids = (0 until nBase).map(_.toLong) ++
+      (0 until nDup).map(k => 1000L + k)
+    spark.createDataset(ids).mapPartitions { it =>
+      it.map { id =>
+        val (w, h) = dedupImageSpec(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (r, g, b) = dedupPixel(id, x, y)
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        PlantedImage(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** Near-duplicate image pairs among `(img_id, dhash)` rows at Hamming
+    * distance ≤ `maxHamming` — the pigeonhole block join, never the n²
+    * compare: the 64-bit hash splits into four 16-bit blocks, and two
+    * hashes within Hamming 3 MUST agree on at least one block (3 flips
+    * cannot touch all 4), so candidates come from an equi-join on
+    * (block index, block value) and only candidates pay the exact
+    * `bit_count(xor)`. At corpus scale the shuffle carries
+    * (id, hash, 2-byte key) rows — the same bucketed shape as the
+    * SimHash text family. */
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-block pigeonhole covers Hamming <= 3, got $maxHamming")
+    val blocks = hashes.select(col("img_id"), col("dhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("blk"),
+          shiftright(col("dhash"), i * 16).bitwiseAND(lit(0xFFFFL))
+            .as("key"))): _*)).as("b"))
+      .select(col("img_id"), col("dhash"),
+        col("b.blk").as("blk"), col("b.key").as("key"))
+    val a = blocks.select(col("img_id").as("id_a"), col("dhash").as("ha"),
+      col("blk"), col("key"))
+    val b = blocks.select(col("img_id").as("id_b"), col("dhash").as("hb"),
+      col("blk"), col("key"))
+    a.join(b, Seq("blk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Decode images and MEASURE their dHash from pixels — the engine
+    * side of the perceptual-dedup gate (the oracle holds the closed
+    * forms). Unparseable rows drop, surfacing as a row-count mismatch. */
+  def extractDHashes(spark: SparkSession, imgs: Dataset[PlantedImage]): DataFrame = {
+    import spark.implicits._
+    imgs.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        Option(img).map { im =>
+          val h = dHash64(im.getWidth, im.getHeight, (x, y) => {
+            val p = im.getRGB(x, y)
+            299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) +
+              114L * (p & 0xFF)
+          })
+          (r.img_id, h)
+        }
+      }
+    }.toDF("img_id", "dhash")
+  }
 }

@@ -97,15 +97,48 @@ object MultimodalQueries extends QueryModule {
        |  AS t(img_id, width, height, channels, sum_r, sum_g, sum_b)""".stripMargin
   }
 
+  private val NDedupBase = 24
+  private val NDedupDup = 8
+
+  /** Perceptual-hash image dedup over REAL PNGs: decode → integer-exact
+    * 9×8 dHash measured from pixels → pigeonhole block join at
+    * Hamming ≤ 3. The oracle holds the closed-form hashes as literals
+    * and derives the pair set from them, so a decode defect, a hash-
+    * measurement defect, OR a candidate-generation miss (a pair the
+    * block join should have surfaced) all hash-mismatch. Planted: 24
+    * distinct images (min cross Hamming ≈ 20) + 8 corner-watermarked
+    * near-dups of the first 8. */
+  private def imagePhashDedup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.phashPairs(
+      Multimodal.extractDHashes(s,
+        Multimodal.plantedDedupImages(s, NDedupBase, NDedupDup)),
+      maxHamming = 3)
+
+  private val imagePhashDedupSql = {
+    val ids = (0 until NDedupBase).map(_.toLong) ++
+      (0 until NDedupDup).map(k => 1000L + k)
+    val rows = ids.map(id =>
+      s"(CAST($id AS BIGINT), CAST(${Multimodal.expectedDHash(id)} AS BIGINT))")
+      .mkString(",\n  ")
+    s"""WITH h(img_id, dhash) AS (VALUES
+       |  $rows)
+       |SELECT a.img_id AS id_a, b.img_id AS id_b,
+       |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+       |FROM h a JOIN h b ON a.img_id < b.img_id
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_multimodal_meta"     -> mediaMeta _,
     "m8_multimodal_features" -> mediaFeatures _,
     "m8_multimodal_frames"   -> mediaFrames _,
-    "m8_image_decode"        -> imageDecode _)
+    "m8_image_decode"        -> imageDecode _,
+    "m8_image_phash_dedup"   -> imagePhashDedup _)
 
   def oracles: Map[String, String] = Map(
     "m8_multimodal_meta"     -> mediaMetaSql,
     "m8_multimodal_features" -> mediaFeaturesSql,
     "m8_multimodal_frames"   -> mediaFramesSql,
-    "m8_image_decode"        -> imageDecodeSql)
+    "m8_image_decode"        -> imageDecodeSql,
+    "m8_image_phash_dedup"   -> imagePhashDedupSql)
 }

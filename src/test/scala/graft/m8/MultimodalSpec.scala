@@ -73,4 +73,40 @@ class MultimodalSpec extends SparkSpec {
         s"img $id: ${got(id)} != ${Multimodal.expectedImageStats(id)}")
     }
   }
+
+  test("dHash: measured-from-pixels equals the closed form for every fixture id") {
+    val got = Multimodal.extractDHashes(
+        spark, Multimodal.plantedDedupImages(spark, 12, 4))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 16)
+    got.keys.foreach { id =>
+      assert(got(id) == Multimodal.expectedDHash(id),
+        s"img $id hash ${got(id)} != closed form ${Multimodal.expectedDHash(id)}")
+    }
+  }
+
+  test("phash dedup: exactly the planted near-dup pairs, no cross-base hits") {
+    val pairs = Multimodal.phashPairs(
+        Multimodal.extractDHashes(
+          spark, Multimodal.plantedDedupImages(spark, 24, 8)), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet ===
+      (0 until 8).map(k => (k.toLong, 1000L + k)).toSet,
+      s"unexpected pair set: ${pairs.toSeq}")
+    assert(pairs.forall(_._3 <= 1), "watermark edit moved a pair beyond Hamming 1")
+  }
+
+  test("phash pigeonhole: Hamming exactly 3 is found, 4 is correctly outside") {
+    import spark.implicits._
+    // flip bits 0, 16, 32 (one per block, 3 total) and bit 48 for the 4th
+    val h0 = 0x0123456789abcdefL
+    val h3 = h0 ^ 1L ^ (1L << 16) ^ (1L << 32)
+    val h4 = h3 ^ (1L << 48)
+    val df = Seq((1L, h0), (2L, h3), (3L, h4)).toDF("img_id", "dhash")
+    val got = Multimodal.phashPairs(df, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // (1,2) at Hamming 3 must be found even though 3 of 4 blocks differ;
+    // (2,3) is Hamming 1; (1,3) is Hamming 4 — outside the contract
+    assert(got === Set((1L, 2L, 3), (2L, 3L, 1)))
+  }
 }

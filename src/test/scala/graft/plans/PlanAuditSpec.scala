@@ -109,7 +109,9 @@ class PlanAuditSpec extends SparkSpec {
     ("m8_diversity_sample", 2, true),
     // same bound as the fused m8_sim_topk_ivf_q: the storage boundary
     // must not add an exchange to the serve plan
-    ("m8_ann_index_store", 4, true))
+    ("m8_ann_index_store", 4, true),
+    // block-keyed candidate equi-join + the distinct over matched pairs
+    ("m8_image_phash_dedup", 1, false))
 
   expected.foreach { case (name, maxExchanges, allowBnlj) =>
     test(s"$name: no cartesian, bounded shuffles (≤$maxExchanges)") {
