@@ -101,7 +101,11 @@ class PlanAuditSpec extends SparkSpec {
     // the selected set (weight cache released inside the operator); the
     // PQ scan's BNLJ is the broadcast per-query LUT over the codes table
     ("m8_quality_rules", 0, false),
-    ("m8_importance_weights", 6, true),
+    // 8 after deriving the totals from the count frames: the two 1-row
+    // total aggregates moved from corpus-scale gram folds to (cheap)
+    // single-partition reductions over the ≤buckets-row counts — two
+    // more Exchange nodes in toString, two fewer corpus scans executed
+    ("m8_importance_weights", 8, true),
     ("m8_importance_resample", 0, true),
     ("m8_sim_topk_pq", 5, true),
     // training's nlist-row broadcasts are the sanctioned BNLJ; the cap
