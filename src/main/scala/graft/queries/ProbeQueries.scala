@@ -210,8 +210,49 @@ object ProbeQueries extends QueryModule {
       .mkString("\nUNION ALL\n")
   }
 
+  /** Snapshot diff on synthetic before/after views of `orders`: BEFORE
+    * drops keys ≡3 (mod 11) — they surface as `added`; AFTER drops keys
+    * ≡2 (mod 7) — `removed`; AFTER rewrites o_orderstatus to 'X' for
+    * keys ≡0 (mod 5) — `changed`. The diff compares 60-bit content
+    * hashes, so the full-outer join moves (key, hash) rows only; the
+    * oracle rebuilds both snapshots and every verdict. */
+  private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Integrity
+    val o = Tables.orders(s, dir)
+    val before = o.filter(col("o_orderkey") % 11 =!= 3)
+    val after = o.filter(col("o_orderkey") % 7 =!= 2)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 5 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+    Integrity.snapshotDiff(before, after, col("o_orderkey"),
+      Seq(col("o_custkey"), col("o_orderstatus"), col("o_orderpriority")))
+  }
+
+  private val snapshotDiffSql = {
+    def h(status: String) =
+      Dsl.hex60Sql(s"concat_ws('|', o_custkey, $status, o_orderpriority)")
+    s"""WITH b AS (
+       |  SELECT o_orderkey AS key, ${h("o_orderstatus")} AS h_before
+       |  FROM orders WHERE o_orderkey % 11 <> 3),
+       |a AS (
+       |  SELECT o_orderkey AS key,
+       |    ${h("CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END")}
+       |      AS h_after
+       |  FROM orders WHERE o_orderkey % 7 <> 2),
+       |j AS (SELECT COALESCE(b.key, a.key) AS key, h_before, h_after
+       |      FROM b FULL JOIN a ON a.key = b.key)
+       |SELECT key,
+       |  CASE WHEN h_before IS NULL THEN 'added'
+       |       WHEN h_after IS NULL THEN 'removed'
+       |       WHEN h_before <> h_after THEN 'changed' END AS verdict,
+       |  h_before, h_after
+       |FROM j
+       |WHERE h_before IS NULL OR h_after IS NULL OR h_before <> h_after""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_table_digest" -> tableDigests _,
+    "m8_snapshot_diff" -> snapshotDiff _,
     "m8_outlier_gate" -> outlierGate _,
     "m8_key_skew"     -> keySkew _,
     "m8_join_fanout"  -> joinFanout _,
@@ -220,6 +261,7 @@ object ProbeQueries extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "m8_table_digest" -> tableDigestsSql,
+    "m8_snapshot_diff" -> snapshotDiffSql,
     "m8_outlier_gate" -> outlierGateSql,
     "m8_key_skew"     -> keySkewSql,
     "m8_join_fanout"  -> joinFanoutSql,

@@ -33,4 +33,20 @@ class IntegritySpec extends SparkSpec {
     val b = dig(Seq((1L, "b"), (2L, "a")).toDF("k", "v"))
     assert(a._2 != b._2)
   }
+
+  test("snapshotDiff: each verdict class lands once, unchanged rows drop") {
+    import org.apache.spark.sql.functions.col
+    val before = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val after = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v")
+    val got = Integrity.snapshotDiff(before, after, col("k"), Seq(col("v")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(2L -> "changed", 3L -> "removed", 4L -> "added"),
+      s"diff misclassified: $got")
+  }
+
+  test("snapshotDiff: identical snapshots diff to empty") {
+    import org.apache.spark.sql.functions.col
+    val t = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    assert(Integrity.snapshotDiff(t, t, col("k"), Seq(col("v"))).count() === 0L)
+  }
 }
