@@ -106,15 +106,22 @@ object Selection {
   }
 
   /** Hashed n-gram occurrences: one row per unigram + bigram occurrence,
-    * mapped to `pmod(portable_hash60(gram), buckets)`. Empty docs emit
-    * nothing (restored by the left join in [[importanceWeights]]). */
+    * mapped to `pmod(hash(gram), buckets)`. Empty docs emit nothing
+    * (restored by the left join in [[importanceWeights]]).
+    *
+    * Same hash convention as the dedup signature families: codegen'd
+    * xxhash64 is the scale default (the md5 fold costs ~10× more and
+    * dominates the gram stage at corpus scale); `portable = true` swaps
+    * in [[TextFns.portable_hash60]] so the DuckDB oracle can replay the
+    * bucketing digit-for-digit — the gated queries pin portable mode. */
   private def hashedGrams(df: DataFrame, id: Column, text: Column,
-                          buckets: Int): DataFrame =
+                          buckets: Int, portable: Boolean): DataFrame =
     df.select(id.as("doc_id"),
       explode(concat(TextFns.word_grams(text, 1), TextFns.word_grams(text, 2)))
         .as("gram"))
       .select(col("doc_id"),
-        pmod(TextFns.portable_hash60(col("gram")), lit(buckets.toLong)).as("b"))
+        pmod(if (portable) TextFns.portable_hash60(col("gram"))
+             else xxhash64(col("gram")), lit(buckets.toLong)).as("b"))
 
   /** Per-bucket importance scorecard: for every bucket seen in either
     * corpus, the integer bit-score
@@ -155,10 +162,11 @@ object Selection {
     * and the per-doc reduce is map-side partial. Nothing driver-side. */
   def importanceWeights(raw: DataFrame, target: DataFrame,
                         id: Column, text: Column,
-                        buckets: Int = 512): DataFrame = {
+                        buckets: Int = 512,
+                        portable: Boolean = false): DataFrame = {
     require(buckets > 0, s"buckets: $buckets")
-    val rawG = hashedGrams(raw, id, text, buckets)
-    val tgtG = hashedGrams(target, id, text, buckets)
+    val rawG = hashedGrams(raw, id, text, buckets, portable)
+    val tgtG = hashedGrams(target, id, text, buckets, portable)
     val scores = bucketScores(rawG, tgtG, buckets)
     val perDoc = rawG.join(broadcast(scores), Seq("b"))
       .groupBy("doc_id")
@@ -183,11 +191,12 @@ object Selection {
   def importanceResample(raw: DataFrame, target: DataFrame,
                          id: Column, text: Column,
                          buckets: Int = 512,
-                         keepNum: Int = 1, keepDen: Int = 4): DataFrame = {
+                         keepNum: Int = 1, keepDen: Int = 4,
+                         portable: Boolean = false): DataFrame = {
     require(keepNum >= 0 && keepDen > 0, s"keep: $keepNum/$keepDen")
     // four consumers (k, histogram, full-keep join, boundary join) —
     // without the persist the whole gram pipeline would replay per branch
-    val w = importanceWeights(raw, target, id, text, buckets)
+    val w = importanceWeights(raw, target, id, text, buckets, portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kRow = w.agg(
       expr(s"(count(1) * $keepNum + ${keepDen - 1}) div $keepDen").as("k"))

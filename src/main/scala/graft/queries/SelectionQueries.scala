@@ -78,7 +78,7 @@ object SelectionQueries extends QueryModule {
 
   private def importanceWeights(s: SparkSession, dir: String): DataFrame =
     Selection.importanceWeights(docs(s, dir), target(s, dir),
-      col("doc_id"), col("text"), Buckets)
+      col("doc_id"), col("text"), Buckets, portable = true)
 
   /** Shared CTE chain: hashed unigram+bigram buckets (`bg` with `lang`
     * carried for the target restriction), the per-bucket bit-score
@@ -124,7 +124,8 @@ object SelectionQueries extends QueryModule {
 
   private def importanceResample(s: SparkSession, dir: String): DataFrame =
     Selection.importanceResample(docs(s, dir), target(s, dir),
-      col("doc_id"), col("text"), Buckets, keepNum = 1, keepDen = 4)
+      col("doc_id"), col("text"), Buckets, keepNum = 1, keepDen = 4,
+      portable = true)
 
   /** The oracle states the top-k semantics directly (rank by weight
     * DESC, doc_id); the engine's histogram-threshold mechanics must land
