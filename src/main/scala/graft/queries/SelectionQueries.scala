@@ -140,13 +140,119 @@ object SelectionQueries extends QueryModule {
        |  FROM w)
        |SELECT doc_id, n_grams, weight FROM r CROSS JOIN k WHERE rn <= k""".stripMargin
 
+  /** The SELECTION-pipeline capstone — the composed path a curated
+    * pretraining subset actually takes, each stage one of this round's
+    * operators: Gopher-rule gate (structural quality) → DSIR top-half
+    * resample among survivors (distributional fit to the lang='en'
+    * target) → ≤8 docs per source (stable hash draw, so no source
+    * dominates). Output: the per-source manifest (n docs, total grams,
+    * summed weight) — the counts a training-mix config consumes.
+    *
+    * Every stage is the already-gated machinery (rules verdicts, weight
+    * histogram cut, capPerGroup), so the capstone certifies the
+    * COMPOSITION: rule survivors feed the resample's k (k = ceil(n/2)
+    * of the survivor count, not the corpus), and the cap draws from the
+    * resampled set. */
+  private def selectionExport(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sampling
+    val d = docs(s, dir)
+    val passed = Selection.qualityRules(d, col("doc_id"), col("text"), Stop)
+      .filter(col("pass")).select("doc_id")
+    val survivors = d.join(passed, Seq("doc_id"))
+    val picked = Selection.importanceResample(survivors, target(s, dir),
+      col("doc_id"), col("text"), Buckets, keepNum = 1, keepDen = 2,
+      portable = true)
+    val capped = Sampling.capPerGroup(
+      picked.join(d.select(col("doc_id"), col("source")), Seq("doc_id")),
+      col("source"), col("doc_id"), 8, "selexp")
+    capped.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_grams").as("total_grams"),
+      sum("weight").as("total_weight"))
+  }
+
+  /** Oracle: the rules CTE filtered to pass, the weights CTEs over the
+    * SURVIVOR corpus (raw = survivors; target = lang='en' over the FULL
+    * corpus, matching the engine), rank-select k = ceil(n_survivors/2),
+    * an ≤8-per-source hash draw, and the per-source rollup. */
+  private val selectionExportSql = {
+    val h = Dsl.hex60Sql("gram")
+    val capCoord = Dsl.hex60Sql("'selexp|' || doc_id::VARCHAR")
+    s"""WITH rules AS ($qualityRulesSql),
+       |surv AS (
+       |  SELECT d.doc_id, d.lang, d.source, d.text
+       |  FROM documents d JOIN rules r ON r.doc_id = d.doc_id AND r.pass),
+       |ds AS (
+       |  SELECT doc_id, lang, source,
+       |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+       |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |  FROM surv),
+       |dt AS (
+       |  SELECT doc_id,
+       |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+       |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |  FROM documents WHERE lang = 'en'),
+       |g AS (
+       |  SELECT doc_id, unnest(
+       |    toks || CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+       |      ELSE [array_to_string(toks[i:i+1], ' ')
+       |            for i in generate_series(1, len(toks) - 1)] END
+       |  ) AS gram FROM ds),
+       |gt AS (
+       |  SELECT doc_id, unnest(
+       |    toks || CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+       |      ELSE [array_to_string(toks[i:i+1], ' ')
+       |            for i in generate_series(1, len(toks) - 1)] END
+       |  ) AS gram FROM dt),
+       |bg AS (SELECT doc_id, $h % $Buckets AS b FROM g),
+       |bt AS (SELECT doc_id, $h % $Buckets AS b FROM gt),
+       |rc AS (SELECT b, COUNT(*) AS craw FROM bg GROUP BY 1),
+       |tc AS (SELECT b, COUNT(*) AS ctgt FROM bt GROUP BY 1),
+       |nr AS (SELECT COALESCE(SUM(craw), 0) AS nraw FROM rc),
+       |nt AS (SELECT COALESCE(SUM(ctgt), 0) AS ntgt FROM tc),
+       |sc AS (
+       |  SELECT b, CAST(
+       |      (length(bin((nraw + $Buckets) // (COALESCE(craw, 0) + 1))) - 1)
+       |    - (length(bin((ntgt + $Buckets) // (COALESCE(ctgt, 0) + 1))) - 1)
+       |    AS BIGINT) AS score
+       |  FROM rc FULL JOIN tc USING (b) CROSS JOIN nr CROSS JOIN nt),
+       |p AS (
+       |  SELECT doc_id, COUNT(*) AS n_grams,
+       |    CAST(SUM(score) AS BIGINT) AS weight
+       |  FROM bg JOIN sc USING (b) GROUP BY 1),
+       |w AS (
+       |  SELECT s2.doc_id, s2.source, COALESCE(p.n_grams, 0) AS n_grams,
+       |    COALESCE(p.weight, 0) AS weight
+       |  FROM surv s2 LEFT JOIN p USING (doc_id)),
+       |n AS (SELECT COUNT(*) AS n FROM w),
+       |k AS (SELECT (n * 1 + 1) // 2 AS k FROM n),
+       |r AS (
+       |  SELECT doc_id, source, n_grams, weight,
+       |    ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id) AS rn
+       |  FROM w),
+       |picked AS (
+       |  SELECT doc_id, source, n_grams, weight
+       |  FROM r CROSS JOIN k WHERE rn <= k),
+       |capped AS (
+       |  SELECT doc_id, source, n_grams, weight FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY $capCoord) AS crn
+       |    FROM picked) WHERE crn <= 8)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+       |  CAST(SUM(weight) AS BIGINT) AS total_weight
+       |FROM capped GROUP BY 1""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_quality_rules"       -> qualityRules _,
     "m8_importance_weights"  -> importanceWeights _,
-    "m8_importance_resample" -> importanceResample _)
+    "m8_importance_resample" -> importanceResample _,
+    "m8_selection_export"    -> selectionExport _)
 
   def oracles: Map[String, String] = Map(
     "m8_quality_rules"       -> qualityRulesSql,
     "m8_importance_weights"  -> importanceWeightsSql,
-    "m8_importance_resample" -> importanceResampleSql)
+    "m8_importance_resample" -> importanceResampleSql,
+    "m8_selection_export"    -> selectionExportSql)
 }

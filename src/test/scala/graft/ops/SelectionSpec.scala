@@ -117,4 +117,18 @@ class SelectionSpec extends SparkSpec {
       col("doc_id"), col("text"), buckets = 64, keepNum = 1, keepDen = 1)
     assert(kept.count() === 8L)
   }
+
+  test("selection export capstone: cap and survivor-derived k both hold") {
+    val rows = graft.SparkEntry.queries("m8_selection_export")(
+      spark, graft.TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") <= 8L,
+        s"per-source cap breached: $r")
+    }
+    // selected total can never exceed ceil(survivors/2); survivors are
+    // a subset of the corpus, so n_docs total <= ceil(corpus/2)
+    val corpus = graft.Tables.documents(spark, graft.TestSpark.sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum <= (corpus + 1) / 2)
+  }
 }

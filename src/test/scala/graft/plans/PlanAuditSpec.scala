@@ -115,7 +115,9 @@ class PlanAuditSpec extends SparkSpec {
     // must not add an exchange to the serve plan
     ("m8_ann_index_store", 4, true),
     // block-keyed candidate equi-join + the distinct over matched pairs
-    ("m8_image_phash_dedup", 1, false))
+    ("m8_image_phash_dedup", 1, false),
+    // serves from the resample's eager checkpoint + the cap/rollup pair
+    ("m8_selection_export", 1, true))
 
   expected.foreach { case (name, maxExchanges, allowBnlj) =>
     test(s"$name: no cartesian, bounded shuffles (≤$maxExchanges)") {
