@@ -44,7 +44,10 @@ object Integrity {
     * The compare happens on the 60-bit content hash of `cols`, never
     * the columns themselves — the full-outer join shuffles (key, 8-byte
     * hash) rows regardless of row width, and the same float-rendering
-    * caveat as [[tableDigest]] applies to the column choice. */
+    * caveat as [[tableDigest]] applies to the column choice. `key` must
+    * be a candidate key on both sides (check with
+    * [[Quality.duplicateKeys]] first) — duplicate keys would fan out
+    * the join and classify the cross-matches. */
   def snapshotDiff(before: DataFrame, after: DataFrame, key: Column,
                    cols: Seq[Column]): DataFrame = {
     def hashed(df: DataFrame, h: String) =

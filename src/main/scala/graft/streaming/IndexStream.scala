@@ -29,7 +29,13 @@ object IndexStream {
 
   /** Start the maintenance stream over a streaming `vecs` frame with
     * (vec_id, embedding) columns. AvailableNow by default (drain-then-
-    * stop); `continuous = true` for a long-running micro-batch loop. */
+    * stop); `continuous = true` for a long-running micro-batch loop.
+    *
+    * Caller contract: vec_ids are unique across the standing corpus and
+    * all deltas (the upstream admission stream is what enforces
+    * at-most-once ingest) — a re-ingested id would append a second list
+    * row, and the serve path would score it twice. Within one batch
+    * duplicates collapse naturally (assignment is keyed per (id, sub)). */
   def maintainIndex(vecs: DataFrame, centroidDir: String, listsDir: String,
                     checkpointDir: String,
                     continuous: Boolean = false): StreamingQuery = {
