@@ -93,6 +93,57 @@ class IndexStreamSpec extends SparkSpec {
       "store must hold exactly one row per corpus vector")
   }
 
+  test("continuous mode: mid-stream restart lands the same store as a drain") {
+    val emb = Tables.embeddings(spark, sf)
+    val standing = emb.filter(col("vec_id") % 5 =!= 4)
+    val delta = emb.filter(col("vec_id") % 5 === 4)
+      .select("vec_id", "embedding")
+    def prep(tag: String): String = {
+      val root = tmp(tag)
+      val (cent, lists0) = Similarity.ivfBuildQuantized(standing, 16, 2)
+      cent.write.mode("overwrite").parquet(root + "/centroids")
+      lists0.write.mode("overwrite").parquet(root + "/lists/graft_batch=-1")
+      root
+    }
+    def mkStream(watch: String) = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+    def writeSlice(watch: String, name: String, i: Int): Unit = {
+      val stage = tmp("ixslice")
+      delta.filter(col("vec_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(watch, name).toPath)
+    }
+
+    // continuous run, stop BETWEEN deliveries, resume from checkpoint
+    val rootC = prep("ixcontC")
+    val watchC = tmp("ixcontWatch"); val ckptC = tmp("ixcontCkpt")
+    writeSlice(watchC, "b0.parquet", 0)
+    val q1 = IndexStream.maintainIndex(mkStream(watchC), rootC + "/centroids",
+      rootC + "/lists", ckptC, continuous = true)
+    q1.processAllAvailable()
+    q1.stop()
+    writeSlice(watchC, "b1.parquet", 1)
+    writeSlice(watchC, "b2.parquet", 2)
+    val q2 = IndexStream.maintainIndex(mkStream(watchC), rootC + "/centroids",
+      rootC + "/lists", ckptC, continuous = true)
+    q2.processAllAvailable()
+    q2.stop()
+
+    // one-shot AvailableNow drain of the same slices, fresh state
+    val rootA = prep("ixcontA")
+    val watchA = tmp("ixcontWatchA")
+    (0 until 3).foreach(i => writeSlice(watchA, s"b$i.parquet", i))
+    IndexStream.maintainIndex(mkStream(watchA), rootA + "/centroids",
+      rootA + "/lists", tmp("ixcontCkptA")).awaitTermination()
+
+    assert(listsOf(rootC + "/lists") === listsOf(rootA + "/lists"),
+      "continuous-with-restart store diverged from the AvailableNow drain")
+  }
+
   test("maintain: missing centroid store fails the batch, not silently") {
     val emb = Tables.embeddings(spark, sf)
     val delta = emb.filter(col("vec_id") % 5 === 4)
