@@ -80,28 +80,38 @@ object SelectionQueries extends QueryModule {
     Selection.importanceWeights(docs(s, dir), target(s, dir),
       col("doc_id"), col("text"), Buckets, portable = true)
 
-  /** Shared CTE chain: hashed unigram+bigram buckets (`bg` with `lang`
-    * carried for the target restriction), the per-bucket bit-score
-    * scorecard, and per-doc weights — the oracle replica of
-    * [[Selection.importanceWeights]] with target = lang='en'. */
-  private val weightsCtes = {
+  /** ONE builder for the DSIR oracle CTE chain, shared by the weights,
+    * resample, and capstone oracles so the replica can never drift
+    * between them: token/gram/bucket streams for the RAW (`rawFrom`)
+    * and TARGET (`tgtFrom`) corpora, the per-bucket bit-score
+    * scorecard, the per-doc reduce, and `w` — weights restored over
+    * `restoreFrom` (alias `s2`) with `restoreExtra` columns carried. */
+  private def dsirCtes(rawFrom: String, tgtFrom: String,
+                       restoreFrom: String, restoreExtra: String): String = {
     val h = Dsl.hex60Sql("gram")
-    s"""d AS (
-       |  SELECT doc_id, lang,
-       |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-       |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
-       |  FROM documents),
-       |g AS (
-       |  SELECT doc_id, lang, unnest(
-       |    toks || CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
-       |      ELSE [array_to_string(toks[i:i+1], ' ')
-       |            for i in generate_series(1, len(toks) - 1)] END
-       |  ) AS gram FROM d),
-       |bg AS (SELECT doc_id, lang, $h % $Buckets AS b FROM g),
+    def toks(out: String, from: String) =
+      s"""$out AS (
+         |  SELECT doc_id,
+         |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         |  FROM ($from))""".stripMargin
+    def grams(out: String, rel: String) =
+      s"""$out AS (
+         |  SELECT doc_id, unnest(
+         |    toks || CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+         |      ELSE [array_to_string(toks[i:i+1], ' ')
+         |            for i in generate_series(1, len(toks) - 1)] END
+         |  ) AS gram FROM $rel)""".stripMargin
+    s"""${toks("ds", rawFrom)},
+       |${toks("dt", tgtFrom)},
+       |${grams("g", "ds")},
+       |${grams("gt", "dt")},
+       |bg AS (SELECT doc_id, $h % $Buckets AS b FROM g),
+       |bt AS (SELECT doc_id, $h % $Buckets AS b FROM gt),
        |rc AS (SELECT b, COUNT(*) AS craw FROM bg GROUP BY 1),
-       |tc AS (SELECT b, COUNT(*) AS ctgt FROM bg WHERE lang = 'en' GROUP BY 1),
-       |nr AS (SELECT COUNT(*) AS nraw FROM bg),
-       |nt AS (SELECT COUNT(*) AS ntgt FROM bg WHERE lang = 'en'),
+       |tc AS (SELECT b, COUNT(*) AS ctgt FROM bt GROUP BY 1),
+       |nr AS (SELECT COALESCE(SUM(craw), 0) AS nraw FROM rc),
+       |nt AS (SELECT COALESCE(SUM(ctgt), 0) AS ntgt FROM tc),
        |sc AS (
        |  SELECT b, CAST(
        |      (length(bin((nraw + $Buckets) // (COALESCE(craw, 0) + 1))) - 1)
@@ -113,10 +123,17 @@ object SelectionQueries extends QueryModule {
        |    CAST(SUM(score) AS BIGINT) AS weight
        |  FROM bg JOIN sc USING (b) GROUP BY 1),
        |w AS (
-       |  SELECT d2.doc_id, COALESCE(p.n_grams, 0) AS n_grams,
+       |  SELECT s2.doc_id$restoreExtra, COALESCE(p.n_grams, 0) AS n_grams,
        |    COALESCE(p.weight, 0) AS weight
-       |  FROM documents d2 LEFT JOIN p USING (doc_id))""".stripMargin
+       |  FROM $restoreFrom s2 LEFT JOIN p USING (doc_id))""".stripMargin
   }
+
+  /** The weights/resample instantiation: raw = the whole corpus,
+    * target = lang='en'. */
+  private val weightsCtes = dsirCtes(
+    "SELECT doc_id, text FROM documents",
+    "SELECT doc_id, text FROM documents WHERE lang = 'en'",
+    "documents", "")
 
   private val importanceWeightsSql =
     s"""WITH $weightsCtes
@@ -176,54 +193,14 @@ object SelectionQueries extends QueryModule {
     * corpus, matching the engine), rank-select k = ceil(n_survivors/2),
     * an ≤8-per-source hash draw, and the per-source rollup. */
   private val selectionExportSql = {
-    val h = Dsl.hex60Sql("gram")
     val capCoord = Dsl.hex60Sql("'selexp|' || doc_id::VARCHAR")
     s"""WITH rules AS ($qualityRulesSql),
        |surv AS (
        |  SELECT d.doc_id, d.lang, d.source, d.text
        |  FROM documents d JOIN rules r ON r.doc_id = d.doc_id AND r.pass),
-       |ds AS (
-       |  SELECT doc_id, lang, source,
-       |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-       |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
-       |  FROM surv),
-       |dt AS (
-       |  SELECT doc_id,
-       |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-       |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
-       |  FROM documents WHERE lang = 'en'),
-       |g AS (
-       |  SELECT doc_id, unnest(
-       |    toks || CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
-       |      ELSE [array_to_string(toks[i:i+1], ' ')
-       |            for i in generate_series(1, len(toks) - 1)] END
-       |  ) AS gram FROM ds),
-       |gt AS (
-       |  SELECT doc_id, unnest(
-       |    toks || CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
-       |      ELSE [array_to_string(toks[i:i+1], ' ')
-       |            for i in generate_series(1, len(toks) - 1)] END
-       |  ) AS gram FROM dt),
-       |bg AS (SELECT doc_id, $h % $Buckets AS b FROM g),
-       |bt AS (SELECT doc_id, $h % $Buckets AS b FROM gt),
-       |rc AS (SELECT b, COUNT(*) AS craw FROM bg GROUP BY 1),
-       |tc AS (SELECT b, COUNT(*) AS ctgt FROM bt GROUP BY 1),
-       |nr AS (SELECT COALESCE(SUM(craw), 0) AS nraw FROM rc),
-       |nt AS (SELECT COALESCE(SUM(ctgt), 0) AS ntgt FROM tc),
-       |sc AS (
-       |  SELECT b, CAST(
-       |      (length(bin((nraw + $Buckets) // (COALESCE(craw, 0) + 1))) - 1)
-       |    - (length(bin((ntgt + $Buckets) // (COALESCE(ctgt, 0) + 1))) - 1)
-       |    AS BIGINT) AS score
-       |  FROM rc FULL JOIN tc USING (b) CROSS JOIN nr CROSS JOIN nt),
-       |p AS (
-       |  SELECT doc_id, COUNT(*) AS n_grams,
-       |    CAST(SUM(score) AS BIGINT) AS weight
-       |  FROM bg JOIN sc USING (b) GROUP BY 1),
-       |w AS (
-       |  SELECT s2.doc_id, s2.source, COALESCE(p.n_grams, 0) AS n_grams,
-       |    COALESCE(p.weight, 0) AS weight
-       |  FROM surv s2 LEFT JOIN p USING (doc_id)),
+       |${dsirCtes("SELECT doc_id, text FROM surv",
+                   "SELECT doc_id, text FROM documents WHERE lang = 'en'",
+                   "surv", ", s2.source")},
        |n AS (SELECT COUNT(*) AS n FROM w),
        |k AS (SELECT (n * 1 + 1) // 2 AS k FROM n),
        |r AS (
