@@ -275,9 +275,15 @@ object Multimodal {
     h
   }
 
+  /** Near-duplicate ids live at `DedupDupOffset + k` — far above any
+    * realistic base count, so base and dup id ranges can never collide
+    * (a 1000-offset variant silently rendered base ids ≥ 1000 as dups
+    * of id−1000 — caught by a 10k-image scale probe). */
+  val DedupDupOffset: Long = 1000000000L
+
   /** Dedup-fixture image spec: ≥ the 9×8 hash grid by construction. */
   def dedupImageSpec(id: Long): (Int, Int) = {
-    val base = if (id >= 1000) id - 1000 else id
+    val base = if (id >= DedupDupOffset) id - DedupDupOffset else id
     ((12 + (base % 4) * 4).toInt, (8 + (base % 3) * 4).toInt)
   }
 
@@ -294,18 +300,19 @@ object Multimodal {
     v ^ (v >>> 33)
   }
 
-  /** Dedup-fixture pixels: ids < 1000 are distinct id-keyed
-    * pseudo-random images; id 1000+k is a NEAR-DUPLICATE of base k —
+  /** Dedup-fixture pixels: ids below [[DedupDupOffset]] are distinct
+    * id-keyed pseudo-random images; id DedupDupOffset+k is a
+    * NEAR-DUPLICATE of base k —
     * the blue channel inverted on 1-3 top-left pixels (`x ≤ k % 3`),
     * the corner-watermark edit class. The edit stays inside hash cell
     * (0,0)'s comparisons, so planted pairs land at Hamming ≤ 1 while
     * distinct bases stay ≥ 20 apart. */
   def dedupPixel(id: Long, x: Int, y: Int): (Int, Int, Int) = {
-    val base = if (id >= 1000) id - 1000 else id
+    val base = if (id >= DedupDupOffset) id - DedupDupOffset else id
     val r = ((base * 37) % 256).toInt
     val g = (mix64(x * 73856093L + y * 19349663L + base * 83492791L) & 0xFF).toInt
     val b0 = (mix64(x * 2654435761L + y * 40503L + base * 65537L + 7L) & 0xFF).toInt
-    val b = if (id >= 1000 && y == 0 && x <= (base % 3)) 255 - b0 else b0
+    val b = if (id >= DedupDupOffset && y == 0 && x <= (base % 3)) 255 - b0 else b0
     (r, g, b)
   }
 
@@ -320,12 +327,12 @@ object Multimodal {
   }
 
   /** Real-PNG dedup fixture: `nBase` distinct images plus a
-    * near-duplicate of each of the first `nDup` (ids 1000+k). */
+    * near-duplicate of each of the first `nDup` (ids DedupDupOffset+k). */
   def plantedDedupImages(spark: SparkSession, nBase: Int,
                          nDup: Int): Dataset[PlantedImage] = {
     import spark.implicits._
     val ids = (0 until nBase).map(_.toLong) ++
-      (0 until nDup).map(k => 1000L + k)
+      (0 until nDup).map(k => DedupDupOffset + k)
     spark.createDataset(ids).mapPartitions { it =>
       it.map { id =>
         val (w, h) = dedupImageSpec(id)

@@ -116,7 +116,7 @@ object MultimodalQueries extends QueryModule {
 
   private val imagePhashDedupSql = {
     val ids = (0 until NDedupBase).map(_.toLong) ++
-      (0 until NDedupDup).map(k => 1000L + k)
+      (0 until NDedupDup).map(k => Multimodal.DedupDupOffset + k)
     val rows = ids.map(id =>
       s"(CAST($id AS BIGINT), CAST(${Multimodal.expectedDHash(id)} AS BIGINT))")
       .mkString(",\n  ")

@@ -91,7 +91,7 @@ class MultimodalSpec extends SparkSpec {
           spark, Multimodal.plantedDedupImages(spark, 24, 8)), 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.map(p => (p._1, p._2)).toSet ===
-      (0 until 8).map(k => (k.toLong, 1000L + k)).toSet,
+      (0 until 8).map(k => (k.toLong, Multimodal.DedupDupOffset + k)).toSet,
       s"unexpected pair set: ${pairs.toSeq}")
     assert(pairs.forall(_._3 <= 1), "watermark edit moved a pair beyond Hamming 1")
   }
