@@ -180,6 +180,40 @@ object Selection {
         coalesce(col("weight"), lit(0L)).as("weight"))
   }
 
+  /** Distribution DRIFT between two corpus snapshots — the monitoring
+    * complement of [[graft.ops.Integrity.snapshotDiff]] (which finds
+    * changed ROWS; this finds changed LANGUAGE): hashed-gram bucket
+    * frequencies for both snapshots plus the integer bit-score
+    * `floorlog2((Nb+B) div (cb+1)) − floorlog2((Na+B) div (ca+1))` per
+    * bucket — positive = the bucket got more common, and |score| ≥ 1
+    * means its add-one-smoothed frequency moved by ≥ 2×. Returns one
+    * row per bucket seen in either snapshot: `(b, c_before, c_after,
+    * drift_bits)` — ≤ `buckets` rows, so the monitoring output is
+    * fixed-size no matter the corpus. Same scale shape as
+    * [[importanceWeights]]: one bucket-keyed exchange per snapshot,
+    * totals derived from the count frames. */
+  def distributionDrift(before: DataFrame, after: DataFrame,
+                        id: Column, text: Column,
+                        buckets: Int = 512,
+                        portable: Boolean = false): DataFrame = {
+    require(buckets > 0, s"buckets: $buckets")
+    val bg = hashedGrams(before, id, text, buckets, portable)
+    val ag = hashedGrams(after, id, text, buckets, portable)
+    def bits(total: String, c: String): String =
+      s"length(bin(($total + ${buckets.toLong}) div (coalesce($c, 0L) + 1L))) - 1"
+    val bc = bg.groupBy("b").agg(count(lit(1)).as("c_before"))
+    val ac = ag.groupBy("b").agg(count(lit(1)).as("c_after"))
+    val nb = bc.agg(coalesce(sum("c_before"), lit(0L)).as("nb"))
+    val na = ac.agg(coalesce(sum("c_after"), lit(0L)).as("na"))
+    bc.join(ac, Seq("b"), "full")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(na))
+      .select(col("b"),
+        coalesce(col("c_before"), lit(0L)).as("c_before"),
+        coalesce(col("c_after"), lit(0L)).as("c_after"),
+        (expr(bits("nb", "c_before")) - expr(bits("na", "c_after")))
+          .cast("long").as("drift_bits"))
+  }
+
   /** Top-`keepNum/keepDen` resample of the raw corpus by importance
     * weight, ties broken by the smaller doc_id — the deterministic
     * variant of DSIR's Gumbel-top-k draw. `k = ceil(n * keepNum /

@@ -86,22 +86,27 @@ object SelectionQueries extends QueryModule {
     * and TARGET (`tgtFrom`) corpora, the per-bucket bit-score
     * scorecard, the per-doc reduce, and `w` — weights restored over
     * `restoreFrom` (alias `s2`) with `restoreExtra` columns carried. */
+  /** Token-array CTE over a doc-producing SELECT (engine replica of
+    * the trim/split word_grams precondition). */
+  private def toks(out: String, from: String) =
+    s"""$out AS (
+       |  SELECT doc_id,
+       |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+       |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |  FROM ($from))""".stripMargin
+
+  /** Unigram+bigram stream CTE (engine replica of word_grams(1)++(2)). */
+  private def grams(out: String, rel: String) =
+    s"""$out AS (
+       |  SELECT doc_id, unnest(
+       |    toks || CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+       |      ELSE [array_to_string(toks[i:i+1], ' ')
+       |            for i in generate_series(1, len(toks) - 1)] END
+       |  ) AS gram FROM $rel)""".stripMargin
+
   private def dsirCtes(rawFrom: String, tgtFrom: String,
                        restoreFrom: String, restoreExtra: String): String = {
     val h = Dsl.hex60Sql("gram")
-    def toks(out: String, from: String) =
-      s"""$out AS (
-         |  SELECT doc_id,
-         |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-         |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
-         |  FROM ($from))""".stripMargin
-    def grams(out: String, rel: String) =
-      s"""$out AS (
-         |  SELECT doc_id, unnest(
-         |    toks || CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
-         |      ELSE [array_to_string(toks[i:i+1], ' ')
-         |            for i in generate_series(1, len(toks) - 1)] END
-         |  ) AS gram FROM $rel)""".stripMargin
     s"""${toks("ds", rawFrom)},
        |${toks("dt", tgtFrom)},
        |${grams("g", "ds")},
@@ -221,15 +226,51 @@ object SelectionQueries extends QueryModule {
        |FROM capped GROUP BY 1""".stripMargin
   }
 
+  /** Corpus-drift monitor on synthetic snapshots: BEFORE = doc_id%3≠0,
+    * AFTER = doc_id%5≠0 — overlapping populations with different source
+    * mixes, so both count columns and the bit-score move. Output is the
+    * fixed-size per-bucket scorecard (≤512 rows at any corpus size). */
+  private def corpusDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    Selection.distributionDrift(
+      d.filter(col("doc_id") % 3 =!= 0),
+      d.filter(col("doc_id") % 5 =!= 0),
+      col("doc_id"), col("text"), Buckets, portable = true)
+  }
+
+  private val corpusDriftSql = {
+    val h = Dsl.hex60Sql("gram")
+    s"""WITH ${toks("db", "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0")},
+       |${toks("da", "SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0")},
+       |${grams("gb", "db")},
+       |${grams("ga", "da")},
+       |bb AS (SELECT $h % $Buckets AS b FROM gb),
+       |ba AS (SELECT $h % $Buckets AS b FROM ga),
+       |bc AS (SELECT b, COUNT(*) AS c_before FROM bb GROUP BY 1),
+       |ac AS (SELECT b, COUNT(*) AS c_after FROM ba GROUP BY 1),
+       |nb AS (SELECT COALESCE(SUM(c_before), 0) AS nb FROM bc),
+       |na AS (SELECT COALESCE(SUM(c_after), 0) AS na FROM ac)
+       |SELECT b,
+       |  COALESCE(c_before, 0) AS c_before,
+       |  COALESCE(c_after, 0) AS c_after,
+       |  CAST(
+       |      (length(bin((nb + $Buckets) // (COALESCE(c_before, 0) + 1))) - 1)
+       |    - (length(bin((na + $Buckets) // (COALESCE(c_after, 0) + 1))) - 1)
+       |    AS BIGINT) AS drift_bits
+       |FROM bc FULL JOIN ac USING (b) CROSS JOIN nb CROSS JOIN na""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_quality_rules"       -> qualityRules _,
     "m8_importance_weights"  -> importanceWeights _,
     "m8_importance_resample" -> importanceResample _,
-    "m8_selection_export"    -> selectionExport _)
+    "m8_selection_export"    -> selectionExport _,
+    "m8_corpus_drift"        -> corpusDrift _)
 
   def oracles: Map[String, String] = Map(
     "m8_quality_rules"       -> qualityRulesSql,
     "m8_importance_weights"  -> importanceWeightsSql,
     "m8_importance_resample" -> importanceResampleSql,
-    "m8_selection_export"    -> selectionExportSql)
+    "m8_selection_export"    -> selectionExportSql,
+    "m8_corpus_drift"        -> corpusDriftSql)
 }

@@ -118,6 +118,33 @@ class SelectionSpec extends SparkSpec {
     assert(kept.count() === 8L)
   }
 
+  test("distribution drift: identical snapshots drift zero everywhere") {
+    val d = Selection.distributionDrift(skewedCorpus, skewedCorpus,
+      col("doc_id"), col("text"), buckets = 64).collect()
+    assert(d.nonEmpty)
+    d.foreach { r =>
+      assert(r.getAs[Long]("c_before") === r.getAs[Long]("c_after"))
+      assert(r.getAs[Long]("drift_bits") === 0L, s"phantom drift: $r")
+    }
+  }
+
+  test("distribution drift: a vanished dialect drifts negative, fixed-size output") {
+    // before: both dialects; after: the omega dialect only
+    val before = skewedCorpus
+    val after = skewedCorpus.filter(col("doc_id") >= 5L)
+    val d = Selection.distributionDrift(before, after,
+      col("doc_id"), col("text"), buckets = 64).collect()
+    assert(d.length <= 64, "scorecard must stay bucket-bounded")
+    // a HIGH-MASS bucket that lost everything must drift < 0; a
+    // single-occurrence bucket legitimately may not move a whole bit
+    // under add-one smoothing, so the assertion keys on real mass
+    val vanished = d.filter(r => r.getAs[Long]("c_before") >= 4L &&
+      r.getAs[Long]("c_after") === 0L)
+    assert(vanished.nonEmpty, "fixture lost no high-mass bucket")
+    vanished.foreach(r => assert(r.getAs[Long]("drift_bits") < 0L,
+      s"vanished bucket did not drift negative: $r"))
+  }
+
   test("selection export capstone: cap and survivor-derived k both hold") {
     val rows = graft.SparkEntry.queries("m8_selection_export")(
       spark, graft.TestSpark.sf).collect()

@@ -117,7 +117,10 @@ class PlanAuditSpec extends SparkSpec {
     // block-keyed candidate equi-join + the distinct over matched pairs
     ("m8_image_phash_dedup", 1, false),
     // serves from the resample's eager checkpoint + the cap/rollup pair
-    ("m8_selection_export", 1, true))
+    ("m8_selection_export", 1, true),
+    // two bucket-keyed gram counts + the bucket-keyed full join; 1-row
+    // totals ride the sanctioned broadcast cross join
+    ("m8_corpus_drift", 6, true))
 
   expected.foreach { case (name, maxExchanges, allowBnlj) =>
     test(s"$name: no cartesian, bounded shuffles (≤$maxExchanges)") {
