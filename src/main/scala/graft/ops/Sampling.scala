@@ -118,6 +118,35 @@ object Sampling {
     df.join(broadcast(thr), score >= col("_thr")).drop("_thr")
   }
 
+  /** Deterministic weighted sample WITHOUT replacement (priority
+    * sampling, after Duffield/Lund/Thorup): each row draws the salted
+    * uniform coordinate and gets priority `coord / weight` — the k
+    * SMALLEST priorities win, so a row's inclusion probability grows
+    * with its weight while the draw stays stable, engine-portable, and
+    * re-runnable (the same properties every sampler in this module
+    * trades `rand()` away for).
+    *
+    * The priority is the double division of two exact integers — both
+    * engines compute the identical IEEE quotient, so the ranking needs
+    * no rational arithmetic; ties (astronomically unlikely, but
+    * engine-identical when they happen) break on the key. The cut is
+    * the partial/final TopKPerKey pair under a constant key: each task
+    * keeps its local k, the final reduce sees tasks×k rows — never a
+    * global sort, never a driver merge. Non-positive weights fail the
+    * job loudly (a zero/negative weight would otherwise win every
+    * draw). */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
+                     salt: String): DataFrame = {
+    require(k > 0, s"k: $k")
+    val w = when(weight <= 0, raise_error(concat(
+        lit("weightedSample: non-positive weight "), weight.cast("string"))))
+      .otherwise(weight.cast("double"))
+    graft.plans.GraftOps.topKPerKey(
+      df.withColumn("_wprio", coord(key, salt).cast("double") / w),
+      Seq(lit(1)), Seq(col("_wprio").asc, key), k)
+      .drop("_wprio")
+  }
+
   /** Token-budget sequence packing: assign each document to a training
     * pack (context-window shard) of ~`budgetTokens` tokens. Documents
     * spread over `shards` independent streams by hash, order within a

@@ -112,6 +112,26 @@ object SamplingQueries extends QueryModule {
        |                       ORDER BY ${coordSql("cap")}) AS rn
        |  FROM documents) WHERE rn <= 10""".stripMargin
 
+  /** Weighted sample without replacement (priority sampling): 50 docs
+    * drawn with probability growing in n_chars — longer documents
+    * (more tokens) get proportionally more draw mass, the standard
+    * corpus-sampling weight. Priority = salted-hash coordinate divided
+    * by the weight; both engines compute the identical IEEE quotient,
+    * so the ranking replays exactly. */
+  private def weighted(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(
+      Tables.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      col("doc_id"), col("n_chars"), k = 50, salt = "wsam")
+
+  private val weightedSql =
+    s"""SELECT doc_id, source, n_chars FROM (
+       |  SELECT doc_id, source, n_chars,
+       |    ROW_NUMBER() OVER (ORDER BY
+       |      CAST(${coordSql("wsam")} AS DOUBLE) / CAST(n_chars AS DOUBLE) ASC,
+       |      doc_id) AS rn
+       |  FROM documents) WHERE rn <= 50""".stripMargin
+
   /** M8 capstone — the composed corpus-preparation pipeline a training
     * run needs, each stage one of this engine's operators:
     * top-quartile quality gate → exact dedup (min doc_id survives per
@@ -198,7 +218,8 @@ object SamplingQueries extends QueryModule {
     "m8_split_assign"      -> split _,
     "m8_sample_mix"        -> mix _,
     "m8_temperature_mix"   -> temperature _,
-    "m8_cap_per_source"    -> cap _)
+    "m8_cap_per_source"    -> cap _,
+    "m8_weighted_sample"   -> weighted _)
 
   def oracles: Map[String, String] = Map(
     "m8_pack_sequences"    -> packSql,
@@ -207,5 +228,6 @@ object SamplingQueries extends QueryModule {
     "m8_split_assign"      -> splitSql,
     "m8_sample_mix"        -> mixSql,
     "m8_temperature_mix"   -> temperatureSql,
-    "m8_cap_per_source"    -> capSql)
+    "m8_cap_per_source"    -> capSql,
+    "m8_weighted_sample"   -> weightedSql)
 }

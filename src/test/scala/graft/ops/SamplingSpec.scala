@@ -120,6 +120,48 @@ class SamplingSpec extends SparkSpec {
     assert(all == 1290L)
   }
 
+  test("weightedSample: k >= n keeps everything; rerun is identical") {
+    val df = (0L until 20L).toDF("id").withColumn("w", col("id") + 1)
+    assert(Sampling.weightedSample(df, col("id"), col("w"), 50, "ws").count() == 20L)
+    val a = Sampling.weightedSample(df, col("id"), col("w"), 5, "ws")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedSample(df, col("id"), col("w"), 5, "ws")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.size == 5)
+  }
+
+  test("weightedSample: an overwhelming weight wins the draw across salts") {
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 1000000000L)).toDF("id", "w")
+    Seq("s1", "s2", "s3", "s4").foreach { salt =>
+      val got = Sampling.weightedSample(df, col("id"), col("w"), 1, salt)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(3L), s"salt $salt picked $got over the 1e9 weight")
+    }
+  }
+
+  test("weightedSample: biased toward heavier rows over many draws") {
+    // ids 0-9 weight 1, ids 10-19 weight 20: across 40 independent
+    // salted draws of k=4, heavy picks must dominate decisively
+    val df = (0L until 20L).toDF("id")
+      .withColumn("w", when(col("id") >= 10, 20L).otherwise(1L))
+    val picks = (0 until 40).flatMap { i =>
+      Sampling.weightedSample(df, col("id"), col("w"), 4, s"wbias$i")
+        .collect().map(_.getLong(0))
+    }
+    val heavy = picks.count(_ >= 10)
+    assert(heavy > picks.length * 2 / 3,
+      s"heavy rows won only $heavy of ${picks.length}")
+  }
+
+  test("weightedSample: non-positive weight fails the job loudly") {
+    val df = Seq((1L, 5L), (2L, 0L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedSample(df, col("id"), col("w"), 1, "ws").collect()
+    }
+    assert(e.getMessage.contains("non-positive weight") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-positive weight")))
+  }
+
   test("weightedMix caps rates at 1, tags provenance, never duplicates") {
     val s1 = (0L until 500L).toDF("id")
     val s2 = (500L until 1000L).toDF("id")
