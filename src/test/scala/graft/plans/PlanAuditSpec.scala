@@ -120,7 +120,9 @@ class PlanAuditSpec extends SparkSpec {
     ("m8_selection_export", 1, true),
     // two bucket-keyed gram counts + the bucket-keyed full join; 1-row
     // totals ride the sanctioned broadcast cross join
-    ("m8_corpus_drift", 6, true))
+    ("m8_corpus_drift", 6, true),
+    // one partial/final TopKPerKey cut under a constant key
+    ("m8_weighted_sample", 1, false))
 
   expected.foreach { case (name, maxExchanges, allowBnlj) =>
     test(s"$name: no cartesian, bounded shuffles (≤$maxExchanges)") {
