@@ -224,6 +224,56 @@ object TemporalQueries extends QueryModule {
     * an event-time bound (the batch analog of the stream-stream interval
     * join, which is its streaming twin in EventStreams.attributionJoin),
     * aggregated to daily conversion rates. */
+  /** Cohort retention — the classic growth-analytics matrix: users
+    * cohorted by FIRST-ACTIVITY week (weeks = integer 7-day bins from
+    * the corpus's min event date, anchored by a 1-row broadcast so the
+    * query is a pure function of the data), and each (cohort, offset)
+    * cell counts the cohort members active `offset` weeks later.
+    * Retention is the one derived double, rounded 6dp; all counters are
+    * exact. Shape: one distinct over (user, week), one per-user min,
+    * one cell aggregate — user- and cohort-keyed exchanges only. */
+  private def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    // purchase events: the rare action whose first occurrence staggers
+    // across weeks (every user is ACTIVE from week 0 in this corpus, so
+    // an all-events cohort would collapse to one row of 1.0s)
+    val ev = Tables.events(s, dir).filter(col("event_type") === "purchase")
+    val d0 = ev.agg(min(to_date(col("ts"))).as("d0"))
+    val weeks = ev.crossJoin(broadcast(d0))
+      .select(col("user_id"),
+        expr("datediff(CAST(ts AS DATE), d0) div 7").as("week"))
+      .distinct()
+    val cohort = weeks.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    weeks.join(cohort, Seq("user_id"))
+      .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") /
+          col("cohort_size").cast("double"), 6).as("retention"))
+  }
+
+  private val cohortRetentionSql =
+    """WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+      |d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM p),
+      |uw AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(datediff('day', d0, CAST(ts AS DATE)) AS BIGINT) // 7 AS week
+      |  FROM p CROSS JOIN d0),
+      |c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1),
+      |sz AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM c GROUP BY 1),
+      |cell AS (
+      |  SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+      |    COUNT(DISTINCT uw.user_id) AS n_active
+      |  FROM uw JOIN c USING (user_id) GROUP BY 1, 2)
+      |SELECT cell.cohort_week, week_offset, n_active, cohort_size,
+      |  round(n_active / CAST(cohort_size AS DOUBLE), 6) AS retention
+      |FROM cell JOIN sz USING (cohort_week)""".stripMargin
+
   private def funnel(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val signups = ev.filter(col("event_type") === "signup")
@@ -269,7 +319,8 @@ object TemporalQueries extends QueryModule {
     "w4_asof_forward" -> asofForward _,
     "w5_range_join"   -> rangeJoin _,
     "w6_scd2"         -> scd2 _,
-    "w7_gap_fill"     -> gapFill _)
+    "w7_gap_fill"     -> gapFill _,
+    "agg_cohort_retention" -> cohortRetention _)
 
   def oracles: Map[String, String] = Map(
     "w8_moving_avg"   -> movingAvgSql,
@@ -278,5 +329,6 @@ object TemporalQueries extends QueryModule {
     "w4_asof_forward" -> asofForwardSql,
     "w5_range_join"   -> rangeSql,
     "w6_scd2"         -> scd2Sql,
-    "w7_gap_fill"     -> gapFillSql)
+    "w7_gap_fill"     -> gapFillSql,
+    "agg_cohort_retention" -> cohortRetentionSql)
 }
