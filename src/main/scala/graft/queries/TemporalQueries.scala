@@ -274,6 +274,58 @@ object TemporalQueries extends QueryModule {
       |  round(n_active / CAST(cohort_size AS DOUBLE), 6) AS retention
       |FROM cell JOIN sz USING (cohort_week)""".stripMargin
 
+  /** RFM segmentation — the classic customer-value cube: per user,
+    * Recency (days since last purchase, vs the corpus max date),
+    * Frequency (purchase count) and Monetary (exact decimal purchase
+    * value), each cut into quartiles by `ntile(4)` with the user id as
+    * the deterministic tie-break, rolled up to segment counts. All
+    * metrics are exact (decimal money, integer days); the three ntile
+    * windows are global by design — the frame is one row PER USER
+    * (already aggregated), which is the cardinality class where a
+    * single-partition window is the correct tool, not a scale hazard. */
+  private def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.events(s, dir).filter(col("event_type") === "purchase")
+    val maxd = p.agg(max(to_date(col("ts"))).as("dmax"))
+    val perUser = p.crossJoin(broadcast(maxd))
+      .groupBy("user_id")
+      .agg(min(expr("datediff(dmax, CAST(ts AS DATE))")).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        Dsl.dsum2d(col("value")).as("monetary"))
+    val seg = perUser
+      .withColumn("r", ntile(4).over(
+        Window.orderBy(col("recency_days").asc, col("user_id"))))
+      .withColumn("f", ntile(4).over(
+        Window.orderBy(col("frequency").desc, col("user_id"))))
+      .withColumn("m", ntile(4).over(
+        Window.orderBy(col("monetary").desc, col("user_id"))))
+    seg.groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_users"),
+        Dsl.dsum2d(col("monetary")).as("segment_value"))
+  }
+
+  private val rfmSegmentsSql =
+    """WITH p AS (SELECT user_id, ts, value FROM events
+      |           WHERE event_type = 'purchase'),
+      |dmax AS (SELECT MAX(CAST(ts AS DATE)) AS dmax FROM p),
+      |u AS (
+      |  SELECT user_id,
+      |    MIN(CAST(datediff('day', CAST(ts AS DATE), dmax) AS INT))
+      |      AS recency_days,
+      |    COUNT(*) AS frequency,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      |  FROM p CROSS JOIN dmax GROUP BY 1),
+      |seg AS (
+      |  SELECT user_id, monetary,
+      |    CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id) AS INT) AS r,
+      |    CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f,
+      |    CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS INT) AS m
+      |  FROM u)
+      |SELECT r, f, m, COUNT(*) AS n_users,
+      |  CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS segment_value
+      |FROM seg GROUP BY 1, 2, 3""".stripMargin
+
   private def funnel(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val signups = ev.filter(col("event_type") === "signup")
@@ -320,7 +372,8 @@ object TemporalQueries extends QueryModule {
     "w5_range_join"   -> rangeJoin _,
     "w6_scd2"         -> scd2 _,
     "w7_gap_fill"     -> gapFill _,
-    "agg_cohort_retention" -> cohortRetention _)
+    "agg_cohort_retention" -> cohortRetention _,
+    "agg_rfm_segments" -> rfmSegments _)
 
   def oracles: Map[String, String] = Map(
     "w8_moving_avg"   -> movingAvgSql,
@@ -330,5 +383,6 @@ object TemporalQueries extends QueryModule {
     "w5_range_join"   -> rangeSql,
     "w6_scd2"         -> scd2Sql,
     "w7_gap_fill"     -> gapFillSql,
-    "agg_cohort_retention" -> cohortRetentionSql)
+    "agg_cohort_retention" -> cohortRetentionSql,
+    "agg_rfm_segments" -> rfmSegmentsSql)
 }
