@@ -32,8 +32,44 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Every timed action drains the FULL result through the noop sink:
+    // all output columns are consumed, so Catalyst cannot prune columns
+    // or eliminate the joins that produce them. `count()` was measurably
+    // wrong here — m8_importance_weights' weights left-join was join-
+    // eliminated under count() and the artifact timed a bare scan
+    // (BASELINE.md round-12 honesty note); noop pays the same plan the
+    // correctness gate (a real parquet write) pays, minus the disk.
+    def drain(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     // Warm-up: touch codegen + parquet reader once (not timed).
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try drain(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+
+    // Host-speed calibration: a pinned synthetic workload (no testdata,
+    // no disk — range → hash → 1024-key shuffle → noop) timed at artifact
+    // start AND end. Two rounds of totals moved for purely environmental
+    // reasons (95.9 → 157.0 s on unchanged plans, r11→r12); this figure
+    // makes cross-round comparisons arithmetic: calibrated_total =
+    // total × (CALIB_REF / calib_sec). CALIB_REF pins the reference
+    // host speed the round-13 closing artifact was measured at
+    // (0.147 s on an otherwise-idle local[32], 2026-08-14) — on that
+    // host calibrated == raw, and any future artifact's deviation is
+    // pure host-speed drift, readable without prose.
+    val CalibRef = sys.env.getOrElse("SPARK_GRAFT_CALIB_REF", "0.147").toDouble
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 4L * 1000 * 1000, 1L, 8)
+        .selectExpr("id", "xxhash64(id) AS h")
+        .groupBy(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("h"),
+          org.apache.spark.sql.functions.lit(1024L)).as("b"))
+        .agg(org.apache.spark.sql.functions.sum("id").as("s"),
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // warm the calibration plan itself (not recorded)
+    val calibStart = (1 to 3).map(_ => calibrate()).min
 
     // Iteration knobs (unset = the driver contract: every query, once):
     // SPARK_GRAFT_ONLY=a,b,c times a subset; SPARK_GRAFT_REPEAT=n runs
@@ -71,7 +107,7 @@ object Bench {
         spark.catalog.clearCache()
         val load = loadavg()
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        val ok = try { drain(fn(spark, sfDir)); true }
                  catch { case e: Throwable =>
                    System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
                    false }
@@ -101,8 +137,16 @@ object Bench {
     val failed = results.collect { case (k, _, false, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _, _, _) => v }.sum
+    // End-of-artifact calibration: if the host slowed mid-run, start and
+    // end disagree and the artifact says so itself. The calibrated total
+    // normalizes by the FASTER of the two samples (closest to true host
+    // speed; contention only ever inflates).
+    val calibEnd = (1 to 3).map(_ => calibrate()).min
+    val calibSec = math.min(calibStart, calibEnd)
+    val calibratedTotal =
+      if (calibSec > 0) total * (CalibRef / calibSec) else total
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,"calib_ref_sec":$CalibRef,"calibrated_total_sec":$calibratedTotal}"""
     // Durable copy for the driver: sbt interleaves/truncates stdout, so a
     // bare println is not a reliable transport for the one-line contract.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
@@ -132,7 +176,7 @@ object Bench {
     // higher-repeat artifact and lands beside it instead.
     val runKind = sys.env.getOrElse("SPARK_GRAFT_RUN_KIND", "adhoc")
     val detailJson =
-      s"""{"sf":"$sfDir","cpus":$cpus,"repeat":$repeat,"run_kind":"$runKind","total_sec":${fmt(total)},"n_queries":${results.size},"queries":$detail}"""
+      s"""{"sf":"$sfDir","cpus":$cpus,"repeat":$repeat,"run_kind":"$runKind","total_sec":${fmt(total)},"calib_start_sec":${fmt(calibStart)},"calib_end_sec":${fmt(calibEnd)},"calib_ref_sec":${fmt(CalibRef)},"calibrated_total_sec":${fmt(calibratedTotal)},"n_queries":${results.size},"queries":$detail}"""
     val timesFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMES",
       sys.props.getOrElse("user.dir", ".") + "/bench_times_driver.json")
     val timesPath = {

@@ -304,8 +304,11 @@ object Multimodal {
     * id-keyed pseudo-random images; id DedupDupOffset+k is a
     * NEAR-DUPLICATE of base k —
     * the blue channel inverted on 1-3 top-left pixels (`x ≤ k % 3`),
-    * the corner-watermark edit class. The edit stays inside hash cell
-    * (0,0)'s comparisons, so planted pairs land at Hamming ≤ 1 while
+    * the corner-watermark edit class. The edited pixels span up to
+    * three columns, which the 9-col grid can place in three different
+    * cells (width 12 puts x=0,1,2 behind boundaries 0,1,2), so up to 3
+    * dHash bits can flip — planted pairs land at Hamming ≤ 3 (inside
+    * the maxHamming=3 pigeonhole contract, so always found) while
     * distinct bases stay ≥ 20 apart. */
   def dedupPixel(id: Long, x: Int, y: Int): (Int, Int, Int) = {
     val base = if (id >= DedupDupOffset) id - DedupDupOffset else id

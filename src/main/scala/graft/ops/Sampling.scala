@@ -138,8 +138,13 @@ object Sampling {
   def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
                      salt: String): DataFrame = {
     require(k > 0, s"k: $k")
-    val w = when(weight <= 0, raise_error(concat(
-        lit("weightedSample: non-positive weight "), weight.cast("string"))))
+    // NULL must be caught explicitly: `NULL <= 0` is NULL (not true), so
+    // without the isNull arm a NULL weight would slide into the otherwise
+    // branch, produce a NULL priority, and nulls-first ascending ordering
+    // would let the row silently win every draw.
+    val w = when(weight.isNull || weight <= 0, raise_error(concat(
+        lit("weightedSample: non-positive weight "),
+        coalesce(weight.cast("string"), lit("NULL")))))
       .otherwise(weight.cast("double"))
     graft.plans.GraftOps.topKPerKey(
       df.withColumn("_wprio", coord(key, salt).cast("double") / w),

@@ -26,10 +26,10 @@ object SelectionQueries extends QueryModule {
 
   private val qualityRulesSql =
     s"""WITH d AS (
-       |  SELECT doc_id, text, trim(text) AS t,
-       |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+       |  SELECT doc_id, text, coalesce(trim(text), '') AS t,
+       |    CASE WHEN coalesce(trim(text), '') = '' THEN []::VARCHAR[]
        |         ELSE string_split_regex(trim(text), '\\s+') END AS toks,
-       |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+       |    CASE WHEN coalesce(trim(text), '') = '' THEN []::VARCHAR[]
        |         ELSE string_split(text, chr(10)) END AS lns
        |  FROM documents),
        |c AS (
@@ -91,7 +91,7 @@ object SelectionQueries extends QueryModule {
   private def toks(out: String, from: String) =
     s"""$out AS (
        |  SELECT doc_id,
-       |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+       |    CASE WHEN coalesce(trim(text), '') = '' THEN []::VARCHAR[]
        |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
        |  FROM ($from))""".stripMargin
 

@@ -162,6 +162,18 @@ class SamplingSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("non-positive weight")))
   }
 
+  test("weightedSample: NULL weight fails the job loudly (never wins silently)") {
+    // NULL <= 0 is NULL in three-valued logic, so a guard without an
+    // explicit isNull arm lets NULL weights through with NULL priority —
+    // and ascending nulls-first ordering would make them win every draw.
+    val df = Seq((1L, Some(5L)), (2L, None)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedSample(df, col("id"), col("w"), 1, "ws").collect()
+    }
+    assert(e.getMessage.contains("non-positive weight") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-positive weight")))
+  }
+
   test("weightedMix caps rates at 1, tags provenance, never duplicates") {
     val s1 = (0L until 500L).toDF("id")
     val s2 = (500L until 1000L).toDF("id")
