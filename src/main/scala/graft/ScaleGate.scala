@@ -29,9 +29,18 @@ import java.nio.file.{Files, Paths}
   * sit within cosine 0.4 of a planted one, bridging clusters — so
   * `m8_semantic_dedup` runs its pair stage at full scale, restricts the
   * pair set to the stratum, and runs the (separately sf-gated)
-  * clustering tail on the restricted pairs. `m8_dedup_embedding_sized`
-  * is excluded: its plane count derives from corpus size, which differs
-  * by construction between image and stratum replica.
+  * clustering tail on the restricted pairs.
+  *
+  * SIZED-PLANES handling (round 13): the embedding queries derive their
+  * hyperplane count from the LIVE corpus size ([[graft.dedup.Dedup
+  * .choosePlanes]]), which differs by construction between the full
+  * image and the ~600-vector stratum replica — so their oracle SQL is
+  * OVERRIDDEN here with a `p` CTE pinning the plane count computed from
+  * the full image's vector count. Bucketing is per-row (independent of
+  * corpus size once the plane count is fixed) and the cap is disabled
+  * in the gated config, so restricted-full-image pairs equal the
+  * stratum-alone replay at the same plane count — the identity that
+  * lets the sized (production) config certify at 10× AND 100×.
   *
   * Output layout matches [[Verify]] (per-query parquet +
   * oracle_sql.json + fail-closed sentinels and exit code), so
@@ -64,12 +73,14 @@ object ScaleGate {
 
   /** `m8_semantic_dedup` with the pair set restricted to the stratum
     * between the full-scale pair stage and the clustering tail (see
-    * class doc for why the embedding family needs this). */
+    * class doc for why the embedding family needs this). The pair stage
+    * omits `planes` — the sized default derives the count from the FULL
+    * image, exactly what the gated query does. */
   private def semanticDedupStratum(s: SparkSession, dir: String): DataFrame = {
     import graft.dedup.Dedup
     val emb = Tables.spread(Tables.embeddings(s, dir))
     val pairs = Dedup.embeddingPairs(emb, col("vec_id"), col("embedding"),
-        minCosine = 0.4, planes = 8, portable = true, dim = 64,
+        minCosine = 0.4, portable = true, dim = 64,
         maxBucket = Int.MaxValue)
       .filter(col("id_a") >= StratumBase && col("id_b") >= StratumBase)
       .select(col("id_a"), col("id_b"))
@@ -86,10 +97,11 @@ object ScaleGate {
 
   def main(args: Array[String]): Unit = {
     val Array(imageDir, outDir) = args.take(2)
-    // Optional trailing args: gate only these queries — at 100× the
-    // pinned-planes embedding queries (planes=8 is the oracle contract)
-    // are structurally quadratic and stay gated at 10×, while the text
-    // families gate at every decade.
+    // Optional trailing args: gate only these queries. Since round 13
+    // every gated family — text AND embedding — certifies at any decade:
+    // the embedding queries run the corpus-SIZED plane derivation (their
+    // oracle here pins the full-image plane count), so nothing on this
+    // gate is structurally quadratic.
     val only: Set[String] = args.drop(2).toSet
     def selected(name: String): Boolean = only.isEmpty || only(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -167,9 +179,20 @@ object ScaleGate {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The sized-embedding oracles must replay at the FULL image's plane
+    // count, not the count the ~600-vector stratum replica would derive
+    // (choosePlanes(600) = 4 vs e.g. 9 at the 10× image) — pin it.
+    val fullPlanes = graft.dedup.Dedup.choosePlanes(
+      math.max(1L, Tables.embeddings(spark, imageDir).count()))
+    val planesCte = graft.queries.DedupQueries.pinnedPlanesCte(fullPlanes)
+    val oracleOverrides: Map[String, String] = Map(
+      "m8_dedup_embedding" ->
+        graft.queries.DedupQueries.embeddingSqlFrom(planesCte),
+      "m8_semantic_dedup" ->
+        graft.queries.DedupQueries.semanticDedupSqlFrom(planesCte))
     val names = (gated.map(_._1) :+ "m8_semantic_dedup").filter(selected)
     val json = names
-      .map(n => s"${q(n)}: ${q(SparkEntry.oracleSql(n))}")
+      .map(n => s"${q(n)}: ${q(oracleOverrides.getOrElse(n, SparkEntry.oracleSql(n)))}")
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/scalegate_errors.json"),

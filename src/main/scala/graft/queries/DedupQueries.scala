@@ -548,49 +548,27 @@ object DedupQueries extends QueryModule {
        |SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
        |FROM scand WHERE bit_count(xor(sig_a, sig_b)) <= 8""".stripMargin
 
-  /** Embedding-cosine near-dups via portable hyperplane-LSH blocking
-    * (8 md5-derived ±1 hyperplanes over 64 dims). The hot-bucket cap is
-    * explicitly DISABLED here: the oracle enumerates every same-bucket
-    * pair, so a default cap would silently diverge the moment a bucket
-    * exceeds it — the capped scale path is covered by unit specs
-    * instead. */
-  private def embedding(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingPairs(Tables.spread(Tables.embeddings(s, dir)), col("vec_id"),
-      col("embedding"), minCosine = 0.4, planes = 8, portable = true, dim = 64,
-      maxBucket = Int.MaxValue)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
-
-  private val embeddingSql = {
-    val bucket = OracleVectors.bucketSql(planes = 8, dim = 64)
-    s"""WITH e AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
-       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
-       |cand AS (
-       |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.v AS v_a, b2.v AS v_b
-       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
-       |scored AS (
-       |  SELECT id_a, id_b,
-       |    list_inner_product(v_a, v_b) /
-       |      (sqrt(list_inner_product(v_a, v_a)) *
-       |       sqrt(list_inner_product(v_b, v_b))) AS cosine
-       |  FROM cand)
-       |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM scored
-       |WHERE cosine >= 0.4""".stripMargin
-  }
-
-  /** The SIZED embedding near-dup path: the hyperplane count comes from
-    * the live corpus via [[Dedup.choosePlanes]] (the `planes <= 0`
-    * default of [[Dedup.embeddingPairs]]) instead of a pinned constant,
-    * so expected bucket population stays ≤ targetBucket and scored
-    * pairs stay ~n × targetBucket (linear) as the corpus grows — the
-    * production config for the quadratic-creep tail BASELINE.md
-    * measured at fixed planes=8. The oracle replays the DERIVATION, not
-    * a frozen constant: count(*) → clamp(ceil(log₂(n/512)), 4, 30) →
-    * the first `planes` hyperplane bits — so the gate proves the sizing
-    * rule itself, and the emitted `planes` column pins it per scale
-    * (sf0.01 → 4, sf0.1 → 6, the 10× image → 9). */
-  private def embeddingSized(s: SparkSession, dir: String): DataFrame = {
+  /** Embedding-cosine near-dups via portable hyperplane-LSH blocking —
+    * the SIZED config: the hyperplane count comes from the live corpus
+    * via [[Dedup.choosePlanes]] (the `planes <= 0` default of
+    * [[Dedup.embeddingPairs]]) instead of a pinned constant, so expected
+    * bucket population stays ≤ targetBucket and scored pairs stay
+    * ~n × targetBucket (linear) as the corpus grows. Since round 13 this
+    * IS the gate's flagship embedding query (the formerly-gated pinned
+    * planes=8 shape was quadratic by contract — n²/256 pair growth — and
+    * now lives only as an M8Spec case), so no gated query models a
+    * config you wouldn't ship at 100 TB. The oracle replays the
+    * DERIVATION, not a frozen constant: count(*) →
+    * clamp(ceil(log₂(n/512)), 4, 30) → the first `planes` hyperplane
+    * bits — so the gate proves the sizing rule itself, and the emitted
+    * `planes` column pins it per scale (sf0.01 → 4, sf0.1 → 6, the 10×
+    * image → 9).
+    *
+    * The hot-bucket cap is explicitly DISABLED here: the oracle
+    * enumerates every same-bucket pair, so a default cap would silently
+    * diverge the moment a bucket exceeds it — the capped scale path is
+    * covered by unit specs instead. */
+  private def embedding(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.spread(Tables.embeddings(s, dir))
     val planes = Dedup.choosePlanes(math.max(1L, emb.count()))
     Dedup.embeddingPairs(emb, col("vec_id"), col("embedding"),
@@ -600,22 +578,18 @@ object DedupQueries extends QueryModule {
         round(col("cosine"), 4).as("cosine"))
   }
 
-  private val embeddingSizedSql = {
-    // Enough bit terms for any corpus this gate will see (16 planes
-    // covers 512 × 2^16 ≈ 33.5 M vectors); each term self-disables
-    // beyond the derived plane count.
-    val bits = (0 until 16).map { p =>
-      s"(CASE WHEN $p < planes AND list_inner_product(v, " +
-        s"${OracleVectors.weightsSql(p, 64)}) > 0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString("(", "\n      + ", ")")
-    s"""WITH p AS (
-       |  SELECT LEAST(30, GREATEST(4,
-       |    CAST(ceil(log2(count(*) / 512.0)) AS INT))) AS planes
-       |  FROM embeddings),
+  /** Oracle body for the sized embedding pairs, parameterized by the
+    * plane-count CTE (`p(planes)`): the main gate derives planes from
+    * the oracle-visible `embeddings` table; [[graft.ScaleGate]] pins a
+    * literal computed from the FULL image's corpus size, because its
+    * oracle replica holds only the planted stratum whose count would
+    * derive a different (wrong) plane count. */
+  private[graft] def embeddingSqlFrom(planesCte: String): String =
+    s"""WITH $planesCte,
        |e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
-       |b AS (SELECT vec_id, v, planes, $bits AS bucket
+       |b AS (SELECT vec_id, v, planes, ${OracleVectors.sizedBucketSql(64)} AS bucket
        |      FROM e CROSS JOIN p),
        |cand AS (
        |  SELECT a.planes, a.vec_id AS id_a, b2.vec_id AS id_b,
@@ -630,21 +604,38 @@ object DedupQueries extends QueryModule {
        |SELECT CAST(planes AS INT) AS planes, id_a, id_b,
        |  round(cosine, 4) AS cosine FROM scored
        |WHERE cosine >= 0.4""".stripMargin
-  }
+
+  /** `p` CTE deriving the plane count from the corpus the oracle sees —
+    * the SQL replica of [[Dedup.choosePlanes]]. */
+  private[graft] val sizedPlanesCte: String =
+    """p AS (
+      |  SELECT LEAST(30, GREATEST(4,
+      |    CAST(ceil(log2(count(*) / 512.0)) AS INT))) AS planes
+      |  FROM embeddings)""".stripMargin
+
+  /** `p` CTE pinning a plane count computed OUTSIDE the oracle's
+    * corpus (ScaleGate: from the full image). */
+  private[graft] def pinnedPlanesCte(planes: Int): String =
+    s"p AS (SELECT $planes AS planes)"
+
+  private val embeddingSql = embeddingSqlFrom(sizedPlanesCte)
 
   /** SemDeDup-style SEMANTIC dedup end-to-end: embedding near-dup pairs
-    * (portable hyperplane LSH + cosine ≥ 0.4) → connected components →
-    * exactly one survivor per semantic cluster. The quality proxy is a
-    * deterministic integer draw (vec_id mod 97), so survivor choice never
-    * rides a float ordering across engines; the oracle replays LSH
-    * bucketing, the pair threshold, the recursive-CTE closure, and the
-    * arg-max. This is the composition a training corpus runs when "the
-    * same content, re-phrased" must collapse, not just byte twins. */
+    * (portable hyperplane LSH + cosine ≥ 0.4, corpus-SIZED plane count —
+    * the linear-scaling config, same round-13 re-pin as
+    * `m8_dedup_embedding`) → connected components → exactly one survivor
+    * per semantic cluster. The quality proxy is a deterministic integer
+    * draw (vec_id mod 97), so survivor choice never rides a float
+    * ordering across engines; the oracle replays the plane-count
+    * derivation, LSH bucketing, the pair threshold, the recursive-CTE
+    * closure, and the arg-max. This is the composition a training corpus
+    * runs when "the same content, re-phrased" must collapse, not just
+    * byte twins. */
   private def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.spread(Tables.embeddings(s, dir))
     val pairs = Dedup.embeddingPairs(emb, col("vec_id"), col("embedding"),
-        minCosine = 0.4, planes = 8, portable = true, dim = 64,
-        maxBucket = Int.MaxValue)
+        minCosine = 0.4, portable = true, dim = 64,
+        maxBucket = Int.MaxValue) // planes omitted: the sized default
       .select(col("id_a"), col("id_b"))
     val cc = graft.ops.ConnectedComponents.run(pairs)
     val clusters = emb.select(col("vec_id").as("doc_id"))
@@ -656,12 +647,13 @@ object DedupQueries extends QueryModule {
     Dedup.clusterSurvivors(clusters, quality)
   }
 
-  private val semanticDedupSql = {
-    val bucket = OracleVectors.bucketSql(planes = 8, dim = 64)
-    s"""WITH RECURSIVE e AS (
+  private[graft] def semanticDedupSqlFrom(planesCte: String): String =
+    s"""WITH RECURSIVE $planesCte,
+       |e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
-       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |b AS (SELECT vec_id, v, ${OracleVectors.sizedBucketSql(64)} AS bucket
+       |      FROM e CROSS JOIN p),
        |cand AS (
        |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.v AS v_a, b2.v AS v_b
        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
@@ -693,7 +685,8 @@ object DedupQueries extends QueryModule {
        |SELECT cl.doc_id, cl.cluster_id,
        |  cl.doc_id = w.survivor_id AS keep, w.survivor_id, sz.cluster_size
        |FROM cl JOIN win w USING (cluster_id) JOIN sz USING (cluster_id)""".stripMargin
-  }
+
+  private val semanticDedupSql = semanticDedupSqlFrom(sizedPlanesCte)
 
   /** Dedup by canonical URL (the reference's own dedup key, F12+A1):
     * tracking-param variants of the same posting collapse to one survivor. */
@@ -723,7 +716,6 @@ object DedupQueries extends QueryModule {
     "m8_dedup_minhash"       -> minhash _,
     "m8_dedup_simhash"       -> simhash _,
     "m8_dedup_embedding"     -> embedding _,
-    "m8_dedup_embedding_sized" -> embeddingSized _,
     "m8_dedup_incremental"   -> incremental _,
     "m8_signature_store"     -> signatureStore _,
     "m8_semantic_dedup"      -> semanticDedup _,
@@ -742,7 +734,6 @@ object DedupQueries extends QueryModule {
     "m8_dedup_minhash"       -> minhashSql,
     "m8_dedup_simhash"       -> simhashSql,
     "m8_dedup_embedding"     -> embeddingSql,
-    "m8_dedup_embedding_sized" -> embeddingSizedSql,
     "m8_dedup_incremental"   -> incrementalSql,
     "m8_signature_store"     -> incrementalSql,
     "m8_semantic_dedup"      -> semanticDedupSql,
@@ -773,4 +764,14 @@ private[queries] object OracleVectors {
       s"(CASE WHEN list_inner_product(v, ${weightsSql(p, dim)}) > 0" +
         s" THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** Bucket expression for a RUNTIME plane count (column `planes` from
+    * the `p` CTE in scope): enough self-disabling bit terms for any
+    * corpus the gates will see (16 planes covers 512 × 2^16 ≈ 33.5 M
+    * vectors); each term drops out beyond the derived count. */
+  def sizedBucketSql(dim: Int, maxPlanes: Int = 16): String =
+    (0 until maxPlanes).map { p =>
+      s"(CASE WHEN $p < planes AND list_inner_product(v, " +
+        s"${weightsSql(p, dim)}) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", "\n      + ", ")")
 }
