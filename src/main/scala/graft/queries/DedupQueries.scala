@@ -378,6 +378,100 @@ object DedupQueries extends QueryModule {
        |approx AS (SELECT id_a, id_b FROM agree WHERE sig_agreement >= 0.5),
        |$scorecardSql""".stripMargin
 
+  /** [[Dedup.chooseBands]] ON THE GATE: derive the banding for a
+    * 32-hash signature whose S-curve threshold lands closest to a
+    * target Jaccard of 0.35 (recall-leaning — the pipeline wants
+    * candidates well below the 0.5 verification threshold), run
+    * [[Dedup.minhashPairs]] under the DERIVED banding, and grade it
+    * with [[Dedup.pairEval]] against the same exact-Jaccard ≥ 0.5
+    * ground truth the pinned 8×4 config grades against — two scorecard
+    * rows, so the tuner's effect is a measured comparison, not
+    * folklore. The oracle replays the derivation itself (divisors of
+    * 32 → threshold (1/b)^(1/r) → argmin distance, ties prefer more
+    * bands) and emits the derived (bands, rows_per_band) in the hashed
+    * row — a derivation disagreement fails the gate, not just a recall
+    * delta. Target 0.35 derives 16 bands × 2 rows: recall over
+    * candidate volume, exactly the S-curve trade [[Dedup.chooseBands]]
+    * documents. */
+  private val TunedTarget = 0.35
+  private def minhashTuned(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.spread(Tables.documents(s, dir))
+    val (tb, _) = Dedup.chooseBands(32, targetJaccard = TunedTarget)
+    val truth = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"),
+        minJaccard = 0.5).select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def grade(config: String, bands: Int): DataFrame =
+      Dedup.pairEval(truth,
+          Dedup.minhashPairs(d, col("doc_id"), col("text"), numHashes = 32,
+            bands = bands, minAgreement = 0.5, portable = true)
+            .select("id_a", "id_b"))
+        .select(lit(config).as("config"), lit(bands).as("bands"),
+          lit(32 / bands).as("rows_per_band"), col("n_truth"),
+          col("n_candidates"), col("n_hits"), col("precision_bp"),
+          col("recall_bp"), col("f1_bp"))
+    grade("tuned", tb).unionByName(grade("pinned", 8))
+  }
+
+  private lazy val minhashTunedSql = {
+    // The tuned band width is interpolated from the SAME derivation the
+    // engine ran (chooseBands), while the dv CTE re-derives it in SQL
+    // and emits it into the hashed row — the two must agree or the gate
+    // fails on the bands/rows columns.
+    val (tb, tr) = Dedup.chooseBands(32, targetJaccard = TunedTarget)
+    require(tb * tr == 32)
+    s"""WITH $minhashCtes,
+       |$jaccardTruthCtes,
+       |dv AS (
+       |  SELECT CAST(b AS INT) AS bands, CAST(32 // b AS INT) AS rows_per_band
+       |  FROM (SELECT unnest(generate_series(1, 32)) AS b)
+       |  WHERE 32 % b = 0
+       |  ORDER BY abs(pow(1.0 / b, b / 32.0) - $TunedTarget) ASC, b DESC
+       |  LIMIT 1),
+       |band_t AS (
+       |  SELECT doc_id,
+       |    (seed // $tr)::VARCHAR || '|' ||
+       |      string_agg(mh::VARCHAR, '|' ORDER BY seed) AS bk
+       |  FROM sig GROUP BY doc_id, seed // $tr),
+       |cand_t AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM band_t a JOIN band_t b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |agree_t AS (
+       |  SELECT c.id_a, c.id_b,
+       |    SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 AS sig_agreement
+       |  FROM cand_t c
+       |  JOIN sig sa ON sa.doc_id = c.id_a
+       |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+       |  GROUP BY 1, 2),
+       |approx_p AS (SELECT id_a, id_b FROM agree WHERE sig_agreement >= 0.5),
+       |approx_t AS (SELECT id_a, id_b FROM agree_t WHERE sig_agreement >= 0.5),
+       |stats AS (
+       |  SELECT 'tuned' AS config, dv.bands, dv.rows_per_band,
+       |    (SELECT COUNT(*) FROM truth) AS n_truth,
+       |    (SELECT COUNT(*) FROM approx_t) AS n_candidates,
+       |    (SELECT COUNT(*) FROM truth t JOIN approx_t a
+       |       ON t.id_a = a.id_a AND t.id_b = a.id_b) AS n_hits
+       |  FROM dv
+       |  UNION ALL
+       |  SELECT 'pinned', 8, 4,
+       |    (SELECT COUNT(*) FROM truth),
+       |    (SELECT COUNT(*) FROM approx_p),
+       |    (SELECT COUNT(*) FROM truth t JOIN approx_p a
+       |       ON t.id_a = a.id_a AND t.id_b = a.id_b)),
+       |bp AS (
+       |  SELECT config, bands, rows_per_band, n_truth, n_candidates, n_hits,
+       |    CASE WHEN n_candidates = 0 THEN 0
+       |         ELSE (10000 * n_hits) // n_candidates END AS precision_bp,
+       |    CASE WHEN n_truth = 0 THEN 0
+       |         ELSE (10000 * n_hits) // n_truth END AS recall_bp
+       |  FROM stats)
+       |SELECT config, bands, rows_per_band, n_truth, n_candidates, n_hits,
+       |  precision_bp, recall_bp,
+       |  CASE WHEN precision_bp + recall_bp = 0 THEN 0
+       |       ELSE (2 * precision_bp * recall_bp) // (precision_bp + recall_bp)
+       |       END AS f1_bp
+       |FROM bp""".stripMargin
+  }
+
   /** The same scorecard for the SimHash family — [[Dedup.pairEval]] is
     * generator-agnostic, so every approximate family grades against the
     * SAME exact-Jaccard ground truth and configs become comparable
@@ -721,6 +815,7 @@ object DedupQueries extends QueryModule {
     "m8_semantic_dedup"      -> semanticDedup _,
     "m8_dedup_eval"          -> dedupEval _,
     "m8_dedup_eval_simhash"  -> dedupEvalSimhash _,
+    "m8_dedup_minhash_tuned" -> minhashTuned _,
     "m8_leakage_safe_split"  -> leakageSafeSplit _,
     "m8_training_export"     -> trainingExport _,
     "m8_graph_triangles"     -> triangles _,
@@ -739,6 +834,7 @@ object DedupQueries extends QueryModule {
     "m8_semantic_dedup"      -> semanticDedupSql,
     "m8_dedup_eval"          -> dedupEvalSql,
     "m8_dedup_eval_simhash"  -> dedupEvalSimhashSql,
+    "m8_dedup_minhash_tuned" -> minhashTunedSql,
     "m8_leakage_safe_split"  -> leakageSafeSplitSql,
     "m8_training_export"     -> trainingExportSql,
     "m8_graph_triangles"     -> trianglesSql,
