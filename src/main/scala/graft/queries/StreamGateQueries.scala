@@ -148,13 +148,15 @@ object StreamGateQueries extends QueryModule {
   /** One admission stage of the oracle: candidates for batch `i` docs are
     * earlier same-batch docs (any verdict — they're all in the delta) or
     * `admitted` prior-batch docs; agreement over the 32 portable MinHash
-    * slots; hits at ≥ 0.5 reduce to (dup_of = min, best, count). */
-  private def stageSql(i: Int, admitted: String): String =
+    * slots; hits at ≥ 0.5 reduce to (dup_of = min, best, count). `mod`
+    * is the batch-slicing modulus (3 for the admission gate, 4 for the
+    * compaction gate's extra post-compaction wave). */
+  private def stageSql(i: Int, admitted: String, mod: Int = 3): String =
     s"""c$i AS (
        |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS cand_id
        |  FROM band n JOIN band c ON n.bk = c.bk
-       |  WHERE n.doc_id % 3 = $i AND (
-       |        (c.doc_id % 3 = $i AND c.doc_id < n.doc_id)
+       |  WHERE n.doc_id % $mod = $i AND (
+       |        (c.doc_id % $mod = $i AND c.doc_id < n.doc_id)
        |        $admitted)),
        |a$i AS (
        |  SELECT i.new_id, i.cand_id,
@@ -169,14 +171,14 @@ object StreamGateQueries extends QueryModule {
        |  FROM a$i WHERE agreement >= 0.5 GROUP BY 1),
        |adm$i AS (
        |  SELECT doc_id FROM documents
-       |  WHERE doc_id % 3 = $i AND doc_id NOT IN (SELECT new_id FROM h$i)),
+       |  WHERE doc_id % $mod = $i AND doc_id NOT IN (SELECT new_id FROM h$i)),
        |v$i AS (
        |  SELECT d.doc_id,
        |    CASE WHEN h.new_id IS NULL THEN 'admit' ELSE 'reject' END AS verdict,
        |    h.dup_of, h.best_agreement,
        |    CAST(COALESCE(h.n_dups, 0) AS BIGINT) AS n_dups,
        |    CAST($i AS BIGINT) AS batch_id
-       |  FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = $i) d
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id % $mod = $i) d
        |  LEFT JOIN h$i h ON h.new_id = d.doc_id)""".stripMargin
 
   /** The minhash CTE chain is DedupQueries' portable replica (md5 hex
@@ -190,6 +192,70 @@ object StreamGateQueries extends QueryModule {
             "OR c.doc_id IN (SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1)")}
        |SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL
        |SELECT * FROM v2""".stripMargin
+
+  /** M8: signature-store COMPACTION in the admission lifecycle — the
+    * piece that keeps a long-lived streaming store readable at
+    * production batch counts. Three document batches (doc_id % 4 ∈
+    * {0,1,2}) stream through [[DedupStream.admitDocuments]] leaving
+    * three `graft_batch=` dirs; [[graft.streaming.BatchStore.compact]]
+    * (keepBatches=1) folds batches 0-1 into base generation 2 and
+    * garbage-collects them (the query REQUIRES the fold happened and
+    * that exactly base + 1 kept dir remain — a no-op compaction fails
+    * the gate, not just the layout); then a FOURTH wave (doc_id % 4 =
+    * 3) screens batch-mode against the COMPACTED store read. Output:
+    * all four waves' verdicts. Any signature lost or duplicated by the
+    * fold would flip a wave-4 verdict, dup_of, or n_dups — the oracle
+    * replays all four admission stages from raw text and knows nothing
+    * about the fold, so agreement proves the compacted read equals the
+    * never-compacted corpus. */
+  private def storeCompaction(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.streaming.BatchStore
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val streamed = docs.filter(col("doc_id") % 4 =!= 3)
+      .withColumn("slice", col("doc_id") % 4)
+    val watch = writeOrderedBatches(streamed, "slice", 3)
+    val root = Dsl.tempDir("graft_m8cmp_")
+    val stream = s.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    DedupStream.admitDocuments(stream, s"$root/store", s"$root/verdicts",
+      s"$root/ckpt", bands = 8, rowsPerBand = 4, minAgreement = 0.5,
+      portable = true)
+      .awaitTermination()
+    val report = BatchStore.compact(s, s"$root/store", keepBatches = 1)
+    require(report.gen == 2L && report.foldedThrough == 1L &&
+      report.foldedBatches == Seq(0L, 1L),
+      s"compaction did not fold batches 0-1 into gen 2: $report")
+    val live = new java.io.File(s"$root/store").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("graft_batch="))
+    require(live == 2, s"expected base + 1 kept batch dir, found $live dirs")
+    val delta = Dedup.minhashSignatures(docs.filter(col("doc_id") % 4 === 3),
+      col("doc_id"), col("text"), numHashes = 32, portable = true)
+    val wave4 = Dedup.minhashIncremental(
+        BatchStore.read(s, s"$root/store").select("id", "sig"), delta,
+        bands = 8, rowsPerBand = 4, minAgreement = 0.5, portable = true)
+      .withColumn("batch_id", lit(3L))
+    s.read.parquet(s"$root/verdicts")
+      .select("doc_id", "verdict", "dup_of", "best_agreement", "n_dups",
+        "batch_id")
+      .unionByName(wave4.select("doc_id", "verdict", "dup_of",
+        "best_agreement", "n_dups", "batch_id"))
+  }
+
+  private val storeCompactionSql =
+    s"""WITH ${DedupQueries.minhashOracleCtes},
+       |${stageSql(0, "", 4)},
+       |${stageSql(1, "OR c.doc_id IN (SELECT doc_id FROM adm0)", 4)},
+       |${stageSql(2,
+            "OR c.doc_id IN (SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1)",
+            4)},
+       |${stageSql(3,
+            "OR c.doc_id IN (SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1 UNION ALL SELECT doc_id FROM adm2)",
+            4)}
+       |SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL
+       |SELECT * FROM v2 UNION ALL SELECT * FROM v3""".stripMargin
 
   /** T13: incremental ANN-index maintenance. The standing corpus
     * (vec_id % 5 ≠ 4) trains the quantizer and writes the stored index;
@@ -219,9 +285,13 @@ object StreamGateQueries extends QueryModule {
     IndexStream.maintainIndex(stream, root + "/centroids", root + "/lists",
         Dsl.tempDir("graft_t13_ckpt_"))
       .awaitTermination()
+    // The lists store is read through BatchStore: the manual -1 base and
+    // every live batch dir — and after a BatchStore.compact, the folded
+    // generation — resolve through the same pointer-filtered read.
     Similarity.ivfServeQuantized(emb.filter(col("vec_id") < 8),
       s.read.parquet(root + "/centroids"),
-      s.read.parquet(root + "/lists").select("cand_id", "cent_id", "code"),
+      graft.streaming.BatchStore.read(s, root + "/lists")
+        .select("cand_id", "cent_id", "code"),
       emb, 5, nprobe = 4, rescoreK = 15)
       .select(col("query_id"), col("rank"), col("cand_id"),
         round(col("cosine"), 6).as("cosine"))
@@ -233,11 +303,13 @@ object StreamGateQueries extends QueryModule {
     "t11_late_split"      -> t11LateSplit _,
     "t12_view_maintain"   -> t12ViewMaintain _,
     "m8_stream_admission" -> streamAdmission _,
+    "m8_store_compaction" -> storeCompaction _,
     "t13_index_maintain"  -> t13IndexMaintain _)
 
   def oracles: Map[String, String] = Map(
     "t11_late_split"      -> t11Sql,
     "t12_view_maintain"   -> t12Sql,
     "m8_stream_admission" -> streamAdmissionSql,
+    "m8_store_compaction" -> storeCompactionSql,
     "t13_index_maintain"  -> t13Sql)
 }

@@ -28,7 +28,13 @@ import graft.dedup.Dedup
   * re-delivered after a crash-before-checkpoint-commit replaces its own
   * previous attempt (no duplicate verdicts, no duplicate signatures), and
   * the corpus read excludes the replaying batch's own subdir so its rows
-  * never screen against their own first-attempt signatures. */
+  * never screen against their own first-attempt signatures.
+  *
+  * Store lifecycle: run [[BatchStore.compact]] on `sigStoreDir` between
+  * drains to fold old batch subdirs into a base generation — the corpus
+  * read goes through [[BatchStore.read]], so store-read cost stays flat
+  * in lifetime batch count instead of degrading into a small-file
+  * listing problem (gated end-to-end by `m8_store_compaction`). */
 object DedupStream {
 
   /** Signature-store schema: (id, sig[numHashes]) + the per-batch
@@ -57,15 +63,17 @@ object DedupStream {
         // checked explicitly — a missing store means "first batch, empty
         // corpus", but a genuine read failure (FS error, corrupt files)
         // must fail the batch, NOT silently admit everything against an
-        // empty corpus. The store is partitioned graft_batch=<id>; a
-        // replayed batch excludes its own previous attempt so its rows
-        // can't self-collide against their identical signatures.
+        // empty corpus. The store is partitioned graft_batch=<id> and
+        // read through [[BatchStore]] (compacted base generation + live
+        // batch dirs, pointer-filtered); a replayed batch excludes its
+        // own previous attempt so its rows can't self-collide against
+        // their identical signatures.
         val storePath = new Path(sigStoreDir)
         val storeFs =
           storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val corpus =
           if (storeFs.exists(storePath))
-            spark.read.schema(sigSchema).parquet(sigStoreDir)
+            BatchStore.read(spark, sigStoreDir, Some(sigSchema))
               .filter(col("graft_batch") =!= lit(batchId))
               .select(col("id"), col("sig"))
           else

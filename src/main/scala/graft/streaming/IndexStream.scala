@@ -24,7 +24,13 @@ import graft.similarity.Similarity
   *
   * Fail-closed: a missing or unreadable centroid store throws and fails
   * the batch — encoding against nothing must never fabricate an empty
-  * assignment. */
+  * assignment.
+  *
+  * Store lifecycle: run [[BatchStore.compact]] on `listsDir` between
+  * drains; the serve path reads the lists through [[BatchStore.read]],
+  * so an index that has lived through thousands of refresh batches
+  * costs the same to open as a freshly built one (IndexStreamSpec
+  * pins serve parity across compaction). */
 object IndexStream {
 
   /** Start the maintenance stream over a streaming `vecs` frame with

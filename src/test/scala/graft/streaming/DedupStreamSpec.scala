@@ -186,4 +186,68 @@ class DedupStreamSpec extends SparkSpec {
       s"duplicate signatures in the store: ${ids.toSeq}")
     assert(ids.toSet == Set(11L, 12L, 14L, 16L))
   }
+
+  test("store compaction: read parity, crash debris excluded, replay target kept") {
+    // Build a store the streaming writer's way: three admitted-signature
+    // batch dirs.
+    val root = Files.createTempDirectory("dedup_compact").toString
+    val store = s"$root/store"
+    def sigs(rows: Seq[(Long, String)]): DataFrame =
+      Dedup.minhashSignatures(rows.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), numHashes = 32)
+    val batches = Seq(
+      Seq(1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      Seq(2L -> "one two three four five six seven eight nine ten eleven"),
+      Seq(3L -> "red orange yellow green blue indigo violet white black gray"))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      sigs(b).write.mode("overwrite").parquet(s"$store/graft_batch=$i")
+    }
+    def liveIds(): Set[Long] = BatchStore.read(spark, store)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val before = liveIds()
+    assert(before == Set(1L, 2L, 3L))
+
+    // Fold batches 0-1 into generation 2; batch 2 stays the replay target.
+    val rep = BatchStore.compact(spark, store, keepBatches = 1)
+    assert(rep.gen == 2L && rep.foldedThrough == 1L &&
+      rep.foldedBatches == Seq(0L, 1L) && rep.baseRows == 2L)
+    assert(liveIds() == before, "compaction changed the live row set")
+    val dirs = new java.io.File(store).listFiles()
+      .map(_.getName).filter(_.startsWith("graft_batch=")).toSet
+    assert(dirs == Set("graft_batch=-2", "graft_batch=2"),
+      s"unexpected layout after fold: $dirs")
+
+    // Crash debris: a staged-but-unpublished next generation and a
+    // folded-but-not-GC'd batch dir must both be excluded by the read
+    // filter (the pointer, not garbage collection, defines liveness).
+    sigs(Seq(99L -> "stale staged generation from a crashed compaction"))
+      .write.mode("overwrite").parquet(s"$store/graft_batch=-3")
+    sigs(Seq(98L -> "dead folded dir whose delete crashed mid-GC"))
+      .write.mode("overwrite").parquet(s"$store/graft_batch=1")
+    assert(liveIds() == before, "crash debris leaked into the live read")
+
+    // A replayed batch 2 (crash before checkpoint commit) still targets
+    // its live dir: the overwrite replaces, never duplicates.
+    sigs(Seq(3L -> "red orange yellow green blue indigo violet white black gray",
+             4L -> "a second row the replay attempt adds to batch two"))
+      .write.mode("overwrite").parquet(s"$store/graft_batch=2")
+    assert(liveIds() == Set(1L, 2L, 3L, 4L))
+
+    // Second compaction converges: folds the replayed batch 2 + a new
+    // batch 3, GCs ALL debris (stale gen -3, dead dir 1, old gen -2).
+    sigs(Seq(5L -> "an entirely fresh batch three signature row"))
+      .write.mode("overwrite").parquet(s"$store/graft_batch=3")
+    val rep2 = BatchStore.compact(spark, store, keepBatches = 1)
+    assert(rep2.gen == 3L && rep2.foldedThrough == 2L &&
+      rep2.foldedBatches == Seq(2L) && rep2.baseRows == 4L)
+    assert(liveIds() == Set(1L, 2L, 3L, 4L, 5L))
+    val dirs2 = new java.io.File(store).listFiles()
+      .map(_.getName).filter(_.startsWith("graft_batch=")).toSet
+    assert(dirs2 == Set("graft_batch=-3", "graft_batch=3"),
+      s"GC left debris: $dirs2")
+
+    // Nothing new to fold -> explicit no-op, layout untouched.
+    val rep3 = BatchStore.compact(spark, store, keepBatches = 1)
+    assert(rep3.gen == -1L && liveIds() == Set(1L, 2L, 3L, 4L, 5L))
+  }
 }

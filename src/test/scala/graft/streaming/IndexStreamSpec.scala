@@ -144,6 +144,52 @@ class IndexStreamSpec extends SparkSpec {
       "continuous-with-restart store diverged from the AvailableNow drain")
   }
 
+  test("compaction: serve parity before/after, manual base folded in") {
+    // Build the t13 shape: a manual -1 base (batch build of the standing
+    // corpus) plus three streamed delta batches — then fold with
+    // BatchStore.compact and require the SERVE output is identical when
+    // read through the compacted layout.
+    val emb = Tables.embeddings(spark, sf)
+    val standing = emb.filter(col("vec_id") % 5 =!= 4)
+    val delta = emb.filter(col("vec_id") % 5 === 4)
+      .select("vec_id", "embedding")
+    val root = tmp("ixcomp")
+    val (cent, lists0) = Similarity.ivfBuildQuantized(standing, 16, 2)
+    cent.write.mode("overwrite").parquet(root + "/centroids")
+    lists0.write.mode("overwrite").parquet(root + "/lists/graft_batch=-1")
+    val watch = orderedBatches(delta, 3)
+    val stream = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+    IndexStream.maintainIndex(stream, root + "/centroids", root + "/lists",
+      tmp("ixcompckpt")).awaitTermination()
+
+    def serve(): Seq[(Long, Int, Long)] =
+      Similarity.ivfServeQuantized(
+          emb.filter(col("vec_id") < 8),
+          spark.read.parquet(root + "/centroids"),
+          BatchStore.read(spark, root + "/lists")
+            .select("cand_id", "cent_id", "code"),
+          emb, 5, nprobe = 4, rescoreK = 15)
+        .select("query_id", "rank", "cand_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+        .sorted
+    val before = serve()
+    val liveBefore = BatchStore.read(spark, root + "/lists").count()
+
+    // Fold the manual base + batches 0-1 into generation 2; batch 2 is
+    // the kept replay target.
+    val rep = BatchStore.compact(spark, root + "/lists", keepBatches = 1)
+    assert(rep.gen == 2L && rep.foldedBatches == Seq(0L, 1L))
+    val dirs = new java.io.File(root + "/lists").listFiles()
+      .map(_.getName).filter(_.startsWith("graft_batch=")).toSet
+    assert(dirs == Set("graft_batch=-2", "graft_batch=2"),
+      s"manual base not folded: $dirs")
+    assert(BatchStore.read(spark, root + "/lists").count() == liveBefore)
+    assert(serve() == before,
+      "serving from the compacted index diverged from the live layout")
+  }
+
   test("maintain: missing centroid store fails the batch, not silently") {
     val emb = Tables.embeddings(spark, sf)
     val delta = emb.filter(col("vec_id") % 5 === 4)
