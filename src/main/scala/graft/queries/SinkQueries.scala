@@ -135,15 +135,74 @@ object SinkQueries extends QueryModule {
       |WHERE strftime(o_orderdate, '%Y-%m') >= '2000-07'
       |GROUP BY 1""".stripMargin
 
+  /** Backfill EXECUTION — the planner's missing half (round-12 verdict
+    * #8): derive the plan, then rebuild exactly the missing partitions
+    * with a bounded dynamic-partition-overwrite (only partitions present
+    * in the written data are replaced — the already-loaded ones are
+    * proven untouched by a file-listing snapshot), re-derive the plan to
+    * show it converged to zero missing, and run the fill a second time
+    * to show idempotent convergence (an empty plan writes nothing).
+    * The returned per-month manifest reads the COMPLETED sink; the
+    * oracle recomputes it from `orders` alone, so a partition the fill
+    * missed, duplicated, or corrupted fails the gate. */
+  private def backfillExecute(s: SparkSession, dir: String): DataFrame = {
+    val sink = Dsl.tempDir("graft_backfillx_") + "/orders_by_month"
+    val src = graft.Tables.orders(s, dir)
+      .withColumn("part_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    src.filter(col("part_month") < "2000-07")
+      .write.partitionBy("part_month").mode("overwrite").parquet(sink)
+    def missing(): DataFrame = {
+      val have = s.read.parquet(sink).select("part_month").distinct()
+      src.join(have, Seq("part_month"), "left_anti")
+        .select("part_month").distinct()
+    }
+    // Snapshot one pre-loaded partition's physical files: the fill must
+    // not rewrite partitions that were never missing.
+    def filesOf(month: String): Set[(String, Long)] = {
+      val d = new java.io.File(s"$sink/part_month=$month")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length)).toSet
+    }
+    val before = filesOf("2000-01")
+    def fill(): Unit = {
+      val miss = missing()
+      if (!miss.isEmpty)
+        src.join(broadcast(miss), Seq("part_month"))
+          .write.partitionBy("part_month").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(sink)
+    }
+    fill()
+    require(missing().isEmpty, "backfill did not converge to zero missing")
+    fill() // idempotent: empty plan writes nothing
+    require(missing().isEmpty, "re-run diverged")
+    require(filesOf("2000-01") == before,
+      "fill rewrote a partition that was never missing")
+    s.read.parquet(sink)
+      .groupBy("part_month")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_fp"),
+        dsum2d(col("o_totalprice")).as("total"))
+  }
+
+  private val backfillExecuteSql =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS part_month,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_fp,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_partitioned_prune" -> partitionedPrune _,
     "sink_compaction"        -> compaction _,
     "sink_orc_roundtrip"     -> orcRoundtrip _,
-    "sink_backfill_plan"     -> backfillPlan _)
+    "sink_backfill_plan"     -> backfillPlan _,
+    "sink_backfill_execute"  -> backfillExecute _)
 
   def oracles: Map[String, String] = Map(
     "sink_partitioned_prune" -> partitionedPruneSql,
     "sink_compaction"        -> compactionSql,
     "sink_orc_roundtrip"     -> orcRoundtripSql,
-    "sink_backfill_plan"     -> backfillPlanSql)
+    "sink_backfill_plan"     -> backfillPlanSql,
+    "sink_backfill_execute"  -> backfillExecuteSql)
 }
