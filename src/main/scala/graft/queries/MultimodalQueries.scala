@@ -97,17 +97,23 @@ object MultimodalQueries extends QueryModule {
        |  AS t(img_id, width, height, channels, sum_r, sum_g, sum_b)""".stripMargin
   }
 
-  private val NDedupBase = 24
-  private val NDedupDup = 8
+  private val NDedupBase = 10000
+  private val NDedupDup = 1000
 
   /** Perceptual-hash image dedup over REAL PNGs: decode → integer-exact
     * 9×8 dHash measured from pixels → pigeonhole block join at
     * Hamming ≤ 3. The oracle holds the closed-form hashes as literals
-    * and derives the pair set from them, so a decode defect, a hash-
+    * and derives the pair set BRUTE-FORCE (every i<j pair, ~60M Hamming
+    * evaluations — ~2 s in DuckDB), so a decode defect, a hash-
     * measurement defect, OR a candidate-generation miss (a pair the
-    * block join should have surfaced) all hash-mismatch. Planted: 24
-    * distinct images (min cross Hamming ≈ 20) + 8 corner-watermarked
-    * near-dups of the first 8. */
+    * block join should have surfaced but didn't) all hash-mismatch.
+    * Planted at REAL scale (round-13 promotion of the spec-side probe):
+    * 10 000 distinct images + 1 000 corner-watermarked near-dups of the
+    * first 1 000 — the pigeonhole join runs over 44k (block, key) rows,
+    * not 12 fixture rows, and must recover exactly the planted pairs
+    * (id-keyed pseudo-random bases have no organic Hamming-≤3
+    * collisions at this count — measured, not hoped; the 24-image
+    * closed-form parity and boundary cases stay in MultimodalSpec). */
   private def imagePhashDedup(s: SparkSession, dir: String): DataFrame =
     Multimodal.phashPairs(
       Multimodal.extractDHashes(s,
