@@ -211,8 +211,113 @@ object SamplingQueries extends QueryModule {
        |FROM s""".stripMargin
   }
 
+  /** Curriculum-ordered packing capstone (round 13): difficulty-staged
+    * training packs, composed entirely from gated machinery. Per-doc
+    * difficulty = mean surprisal in 1/16-bit integer units (CCNet-style
+    * unigram LM, [[graft.ops.TextCorpus.unigramSurprisal]] — harder
+    * text = rarer tokens = more bits); docs split into 4 curriculum
+    * stages at the quartiles of the ≤1024-class integer histogram
+    * (cum×4 ≥ n×k — a bounded-size window + a 1-row broadcast
+    * threshold, never a global sort over docs, the same scale shape as
+    * the DSIR resample). Equal-difficulty docs share a class and
+    * therefore a stage — on a low-entropy corpus (this synthetic one:
+    * 95% of docs at exactly 4.0 mean bits, a property of the data, not
+    * the operator) the quartiles collapse and most docs land in stage
+    * 1, which is the principled degradation: a curriculum cannot order
+    * what the difficulty signal cannot distinguish. Each stage packs
+    * independently into 2048-token shard-local packs
+    * ([[Sampling.packByTokenBudget]]), so an easy→hard training
+    * schedule reads stages in order while packing parallelism stays
+    * shards × stages. Output: every doc's (difficulty, stage, shard,
+    * pack) assignment — the full curriculum manifest, hash-gated. */
+  private def curriculumPack(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextCorpus
+    val scored = TextCorpus.unigramSurprisal(
+        Tables.spread(Tables.documents(s, dir)), col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_tokens"), col("total_bits"))
+      .withColumn("diff_bits",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr("(total_bits * 16) div n_tokens")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wcum = org.apache.spark.sql.expressions.Window
+      .orderBy("diff_bits")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wtot = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    // The single-partition window runs over the ≤64-row bit histogram,
+    // not the corpus — bounded at any scale.
+    val thresholds = scored.groupBy("diff_bits").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wcum))
+      .withColumn("n", sum("cnt").over(wtot))
+      .agg(
+        min(when(col("cum") * 4 >= col("n") * 1, col("diff_bits"))).as("t1"),
+        min(when(col("cum") * 4 >= col("n") * 2, col("diff_bits"))).as("t2"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("diff_bits"))).as("t3"))
+    val staged = scored.crossJoin(broadcast(thresholds))
+      .withColumn("stage",
+        lit(1) + when(col("diff_bits") > col("t1"), 1).otherwise(0)
+               + when(col("diff_bits") > col("t2"), 1).otherwise(0)
+               + when(col("diff_bits") > col("t3"), 1).otherwise(0))
+      .select("doc_id", "n_tokens", "diff_bits", "stage")
+    (1 to 4).map { st =>
+      Sampling.packByTokenBudget(staged.filter(col("stage") === st),
+        col("doc_id"), col("n_tokens"),
+        budgetTokens = 2048, shards = 2, salt = s"cur$st")
+    }.reduce(_ unionByName _)
+      .select("doc_id", "diff_bits", "stage", "shard", "pack_id", "n_tokens")
+  }
+
+  private val curriculumPackSql = {
+    val c = hex60Sql("'cur' || stage::VARCHAR || '|' || doc_id::VARCHAR")
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents WHERE trim(text) <> ''),
+      |v AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS total FROM t),
+      |b AS (
+      |  SELECT t.doc_id, length(bin(total // cnt)) - 1 AS bits
+      |  FROM t JOIN v USING (tok) CROSS JOIN n),
+      |p AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |    CAST(SUM(bits) AS BIGINT) AS total_bits
+      |  FROM b GROUP BY 1),
+      |sc AS (
+      |  SELECT d.doc_id,
+      |    CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+      |    COALESCE(p.total_bits, 0) AS total_bits,
+      |    CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0
+      |         ELSE (p.total_bits * 16) // p.n_tokens END AS diff_bits
+      |  FROM documents d LEFT JOIN p USING (doc_id)),
+      |h AS (SELECT diff_bits, COUNT(*) AS cnt FROM sc GROUP BY 1),
+      |m AS (
+      |  SELECT diff_bits, SUM(cnt) OVER (ORDER BY diff_bits) AS cum,
+      |    SUM(cnt) OVER () AS nn
+      |  FROM h),
+      |thr AS (SELECT
+      |    MIN(CASE WHEN cum * 4 >= nn * 1 THEN diff_bits END) AS t1,
+      |    MIN(CASE WHEN cum * 4 >= nn * 2 THEN diff_bits END) AS t2,
+      |    MIN(CASE WHEN cum * 4 >= nn * 3 THEN diff_bits END) AS t3
+      |  FROM m),
+      |st AS (
+      |  SELECT sc.doc_id, sc.n_tokens, sc.diff_bits,
+      |    1 + CASE WHEN diff_bits > t1 THEN 1 ELSE 0 END
+      |      + CASE WHEN diff_bits > t2 THEN 1 ELSE 0 END
+      |      + CASE WHEN diff_bits > t3 THEN 1 ELSE 0 END AS stage
+      |  FROM sc CROSS JOIN thr),
+      |s2 AS (
+      |  SELECT doc_id, diff_bits, stage, n_tokens,
+      |    CAST(HEXC % 2 AS INT) AS shard,
+      |    SUM(n_tokens) OVER (PARTITION BY stage, HEXC % 2 ORDER BY HEXC) AS cum
+      |  FROM st)
+      |SELECT doc_id, diff_bits, stage, shard,
+      |  CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id, n_tokens
+      |FROM s2""".stripMargin.replace("HEXC", c)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_pack_sequences"    -> pack _,
+    "m8_curriculum_pack"   -> curriculumPack _,
     "m8_corpus_pipeline"   -> corpusPipeline _,
     "m8_sample_stratified" -> stratified _,
     "m8_split_assign"      -> split _,
@@ -223,6 +328,7 @@ object SamplingQueries extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "m8_pack_sequences"    -> packSql,
+    "m8_curriculum_pack"   -> curriculumPackSql,
     "m8_corpus_pipeline"   -> corpusPipelineSql,
     "m8_sample_stratified" -> stratifiedSql,
     "m8_split_assign"      -> splitSql,
