@@ -98,6 +98,32 @@ class SamplingSpec extends SparkSpec {
     assert(out.map(t => t._1 -> t._4).toMap == again, "stable across runs")
   }
 
+  test("curriculum pack: total, stage-monotone in difficulty, budget-bounded") {
+    // The gated composition's invariants, on the smoke corpus: every doc
+    // packed exactly once; a harder doc never lands in an easier stage;
+    // every (stage, shard, pack) stays within budget + one doc.
+    val out = graft.SparkEntry.queries("m8_curriculum_pack")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5))) // doc_id, diff, stage, shard, pack, toks
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(out.length.toLong == nDocs, "every document packed exactly once")
+    assert(out.map(_._1).distinct.length == out.length)
+    // stage monotone in difficulty class
+    val stagesByDiff = out.groupBy(_._2).view.mapValues(_.map(_._3).distinct)
+    stagesByDiff.foreach { case (d, ss) =>
+      assert(ss.length == 1, s"difficulty class $d split across stages $ss")
+    }
+    val ordered = stagesByDiff.toSeq.sortBy(_._1).map(_._2.head)
+    assert(ordered == ordered.sorted, s"stages not monotone: $ordered")
+    // pack budget: 2048 + (largest member - 1)
+    out.groupBy(t => (t._3, t._4, t._5)).foreach { case (k, docs) =>
+      val total = docs.map(_._6).sum
+      val maxDoc = docs.map(_._6).max
+      assert(total < 2048 + maxDoc, s"pack $k holds $total tokens")
+    }
+  }
+
   test("temperatureMix flattens toward n^alpha, rarest source keeps all") {
     // sources sized 1000 / 250 / 40: at alpha=0.5 expected keep rates are
     // sqrt(40/n) → 0.2, 0.4, 1.0
