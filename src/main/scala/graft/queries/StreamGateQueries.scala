@@ -257,6 +257,41 @@ object StreamGateQueries extends QueryModule {
        |SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL
        |SELECT * FROM v2 UNION ALL SELECT * FROM v3""".stripMargin
 
+  /** M8: streaming weighted-sample maintenance. Three document batches
+    * stream through [[graft.streaming.SampleStream.maintainSample]]
+    * (k=50, weight = n_chars); the maintained state after the drain
+    * must equal [[graft.ops.Sampling.weightedSample]] over the WHOLE
+    * corpus — the mergeability identity of priority sampling (the k
+    * smallest priorities of everything seen equal the k smallest of
+    * previous-winners ∪ new-batch), which is what makes per-batch work
+    * (k + batch)-sized instead of history-sized. The oracle knows
+    * nothing about batching: it ranks the full corpus by
+    * coord/weight. */
+  private def streamSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{SampleStream, ViewMaintenance}
+    val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+    val watch = writeOrderedBatches(docs, "doc_id", 3)
+    val root = Dsl.tempDir("graft_m8ssam_")
+    val stream = s.readStream
+      .schema("doc_id LONG, n_chars LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    SampleStream.maintainSample(stream, s"$root/state", s"$root/ckpt",
+        k = 50, salt = "ssam", idCol = "doc_id", weightCol = "n_chars")
+      .awaitTermination()
+    ViewMaintenance.readLatest(s, s"$root/state").get
+      .select(col("sample_id").as("doc_id"), col("weight"))
+  }
+
+  private val streamSampleSql =
+    s"""SELECT doc_id, CAST(n_chars AS BIGINT) AS weight FROM (
+       |  SELECT doc_id, n_chars,
+       |    ROW_NUMBER() OVER (ORDER BY
+       |      CAST(${Dsl.hex60Sql("'ssam|' || doc_id::VARCHAR")} AS DOUBLE)
+       |        / CAST(n_chars AS DOUBLE) ASC,
+       |      doc_id) AS rn
+       |  FROM documents) WHERE rn <= 50""".stripMargin
+
   /** T13: incremental ANN-index maintenance. The standing corpus
     * (vec_id % 5 ≠ 4) trains the quantizer and writes the stored index;
     * the delta (vec_id % 5 = 4) arrives as three ordered micro-batches
@@ -304,6 +339,7 @@ object StreamGateQueries extends QueryModule {
     "t12_view_maintain"   -> t12ViewMaintain _,
     "m8_stream_admission" -> streamAdmission _,
     "m8_store_compaction" -> storeCompaction _,
+    "m8_stream_sample"    -> streamSample _,
     "t13_index_maintain"  -> t13IndexMaintain _)
 
   def oracles: Map[String, String] = Map(
@@ -311,5 +347,6 @@ object StreamGateQueries extends QueryModule {
     "t12_view_maintain"   -> t12Sql,
     "m8_stream_admission" -> streamAdmissionSql,
     "m8_store_compaction" -> storeCompactionSql,
+    "m8_stream_sample"    -> streamSampleSql,
     "t13_index_maintain"  -> t13Sql)
 }

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ops.Sampling
+
+/** Streaming maintenance of a weighted sample WITHOUT replacement — the
+  * continuous corpus-subsampling loop a training pipeline runs while
+  * documents keep arriving (hold a budget-sized, weight-proportional
+  * sample of everything seen so far, at any moment).
+  *
+  * Correct because priority sampling is MERGEABLE: each row's priority
+  * `coord(salt, id) / weight` is a pure function of the row, so the k
+  * smallest priorities of (everything so far) equal the k smallest of
+  * (previous winners ∪ new batch) — per-batch work is (k + |batch|)
+  * sized, never history-sized, and the maintained sample is EXACTLY
+  * [[Sampling.weightedSample]] over the full corpus (the identity the
+  * `m8_stream_sample` oracle certifies end to end). State stores only
+  * (id, weight); priorities are re-derived on every fold, so the store
+  * carries no floats.
+  *
+  * Snapshots are versioned and published exactly like
+  * [[ViewMaintenance]] (stage `v{batchId}` → atomic `LATEST` pointer →
+  * retire old snapshots, keeping the immediately-superseded one for
+  * in-flight readers); a replayed batch detects its own published
+  * snapshot and skips, and even a double fold would be a no-op — the
+  * pool deduplicates by id before the cut, and min-k(min-k(S) ∪ S') is
+  * min-k(S ∪ S'). Read the current sample with
+  * [[ViewMaintenance.readLatest]] over the same state dir. */
+object SampleStream {
+
+  private def fs(spark: org.apache.spark.sql.SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Start maintaining the sample over streaming `docs` with (`idCol`,
+    * `weightCol`) columns. AvailableNow by default; `continuous = true`
+    * for a long-running loop. Weights must be positive — the fold
+    * inherits [[Sampling.weightedSample]]'s fail-loudly guard. */
+  def maintainSample(docs: DataFrame, stateDir: String, checkpointDir: String,
+                     k: Int, salt: String,
+                     idCol: String = "doc_id", weightCol: String = "weight",
+                     continuous: Boolean = false): StreamingQuery = {
+    require(k > 0, s"k: $k")
+    val writer = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val snap = s"$stateDir/v$batchId"
+        val prior = ViewMaintenance.latestSnapshot(spark, stateDir)
+        // Same replay guard as ViewMaintenance: a re-delivered batch's
+        // snapshot is already the published state — and the merge must
+        // not read the very dir it would overwrite.
+        if (!prior.map(_.split('/').last).contains(s"v$batchId")) {
+          val delta = batch.select(
+            col(idCol).cast("long").as("sample_id"),
+            col(weightCol).cast("long").as("weight"))
+          val pool = prior
+            .map(p => spark.read.parquet(p).unionByName(delta))
+            .getOrElse(delta)
+            .dropDuplicates("sample_id")
+          Sampling.weightedSample(pool, col("sample_id"), col("weight"),
+              k, salt)
+            .write.mode("overwrite").parquet(snap)
+          StatePointer.publish(spark, stateDir, "LATEST", s"v$batchId")
+          val f = fs(spark, stateDir)
+          val keep = Set(snap) ++ prior
+          if (f.exists(new Path(stateDir)))
+            f.listStatus(new Path(stateDir)).foreach { s0 =>
+              val p = s0.getPath
+              if (s0.isDirectory && p.getName.matches("v\\d+") &&
+                !keep.contains(p.toString) &&
+                !keep.exists(_.endsWith("/" + p.getName)))
+                f.delete(p, true)
+            }
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+    (if (continuous) writer else writer.trigger(Trigger.AvailableNow()))
+      .start()
+  }
+}
