@@ -221,6 +221,113 @@ object Multimodal {
     }
   }
 
+  // ---- Real audio decode (WAV / PCM16) — the JDK's other codec ----
+
+  /** One planted audio clip; `payload` is a real RIFF/WAV encoding
+    * (PCM16 mono little-endian, written by `javax.sound.sampled`). */
+  case class PlantedAudio(audio_id: Long, payload: Array[Byte])
+
+  /** Decoded per-clip stats, integer-exact: container metadata the
+    * decoder must parse from the WAV header (rate, samples) plus
+    * waveform statistics measured from the decoded PCM (sign crossings,
+    * total magnitude, peak) — a decoder that drops samples, flips
+    * endianness, or mis-parses the header cannot pass. */
+  case class AudioStats(audio_id: Long, sample_rate: Int, n_samples: Long,
+                        zero_crossings: Long, sum_abs: Long, peak: Int)
+
+  /** Planted clip spec: (sample rate, sample count) from the id. */
+  def audioSpec(id: Long): (Int, Int) =
+    (8000, (400 + (id % 5) * 160).toInt)
+
+  /** Planted PCM sample k of clip id — mixed to pseudo-random in
+    * [-8192, 8191], closed-form on both sides of the oracle. */
+  def audioSample(id: Long, k: Int): Short =
+    ((mix64(k.toLong * 2654435761L + id * 976369L + 11L) & 0x3FFF) - 8192).toShort
+
+  /** Closed-form expected stats — what a correct WAV encode → decode
+    * round trip must measure. Crossing rule: sign(s) = (s < 0), counted
+    * at every k ≥ 1 where sign differs from sample k−1. */
+  def expectedAudioStats(id: Long): AudioStats = {
+    val (rate, n) = audioSpec(id)
+    var crossings = 0L; var sumAbs = 0L; var peak = 0
+    var prevNeg = false
+    for (k <- 0 until n) {
+      val s = audioSample(id, k).toInt
+      val neg = s < 0
+      if (k > 0 && neg != prevNeg) crossings += 1
+      prevNeg = neg
+      val a = math.abs(s)
+      sumAbs += a
+      if (a > peak) peak = a
+    }
+    AudioStats(id, rate, n.toLong, crossings, sumAbs, peak)
+  }
+
+  /** Generate `n` deterministic WAV clips (real `javax.sound.sampled`
+    * encode on the executors — RIFF header + PCM16LE frames). */
+  def plantedAudio(spark: SparkSession, n: Int): Dataset[PlantedAudio] = {
+    import spark.implicits._
+    spark.range(n.toLong).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val (rate, nSamples) = audioSpec(id)
+        val pcm = new Array[Byte](nSamples * 2)
+        var k = 0
+        while (k < nSamples) {
+          val s = audioSample(id, k)
+          pcm(2 * k) = (s & 0xff).toByte
+          pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+          k += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        PlantedAudio(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** Real WAV decode via `javax.sound.sampled`: parse the header for
+    * format metadata, stream the PCM16LE frames, measure integer-exact
+    * waveform stats. Same per-partition batch shape as the image path;
+    * unparseable payloads are dropped (the planted fixture never is — a
+    * drop surfaces as an oracle row-count mismatch). */
+  def extractAudioStats(spark: SparkSession,
+                        clips: Dataset[PlantedAudio]): Dataset[AudioStats] = {
+    import spark.implicits._
+    clips.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian, s"unexpected decoded format: $fmt")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var crossings = 0L; var sumAbs = 0L; var peak = 0
+          var prevNeg = false
+          var k = 0
+          while (k < n) {
+            val s = ((bytes(2 * k) & 0xff) | (bytes(2 * k + 1) << 8)).toShort.toInt
+            val neg = s < 0
+            if (k > 0 && neg != prevNeg) crossings += 1
+            prevNeg = neg
+            val a = math.abs(s)
+            sumAbs += a
+            if (a > peak) peak = a
+            k += 1
+          }
+          Some(AudioStats(r.audio_id, fmt.getSampleRate.toInt, n.toLong,
+            crossings, sumAbs, peak))
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
   // ---- Perceptual hash (dHash) — image-level near-dup dedup ----
 
   /** 64-bit difference hash, INTEGER-EXACT end to end: the image is

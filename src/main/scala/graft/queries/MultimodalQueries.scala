@@ -97,6 +97,38 @@ object MultimodalQueries extends QueryModule {
        |  AS t(img_id, width, height, channels, sum_r, sum_g, sum_b)""".stripMargin
   }
 
+  private val NAudio = 16
+
+  /** REAL audio decode: plant [[NAudio]] WAV clips (PCM16 mono, real
+    * `javax.sound.sampled` encode on the executors), decode them back
+    * through the same JDK codec, and report header metadata + integer-
+    * exact waveform stats (sign crossings, total magnitude, peak). The
+    * oracle holds the closed-form expected values as literals — the
+    * engine must MEASURE them from decoded frames, so a header
+    * mis-parse, endianness flip, or dropped samples hash-mismatch.
+    * Completes the modality coverage: image decode is real
+    * (`m8_image_decode`), audio decode is now real too; video stays the
+    * documented stub (no JDK codec). */
+  private def audioDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractAudioStats(s, Multimodal.plantedAudio(s, NAudio))
+      .toDF()
+
+  private val audioDecodeSql = {
+    val rows = (0 until NAudio).map { id =>
+      val e = Multimodal.expectedAudioStats(id.toLong)
+      s"(${e.audio_id}, ${e.sample_rate}, ${e.n_samples}, " +
+        s"${e.zero_crossings}, ${e.sum_abs}, ${e.peak})"
+    }.mkString(",\n  ")
+    s"""SELECT CAST(audio_id AS BIGINT) AS audio_id,
+       |  CAST(sample_rate AS INT) AS sample_rate,
+       |  CAST(n_samples AS BIGINT) AS n_samples,
+       |  CAST(zero_crossings AS BIGINT) AS zero_crossings,
+       |  CAST(sum_abs AS BIGINT) AS sum_abs, CAST(peak AS INT) AS peak
+       |FROM (VALUES
+       |  $rows)
+       |  AS t(audio_id, sample_rate, n_samples, zero_crossings, sum_abs, peak)""".stripMargin
+  }
+
   private val NDedupBase = 10000
   private val NDedupDup = 1000
 
@@ -139,6 +171,7 @@ object MultimodalQueries extends QueryModule {
     "m8_multimodal_features" -> mediaFeatures _,
     "m8_multimodal_frames"   -> mediaFrames _,
     "m8_image_decode"        -> imageDecode _,
+    "m8_audio_decode"        -> audioDecode _,
     "m8_image_phash_dedup"   -> imagePhashDedup _)
 
   def oracles: Map[String, String] = Map(
@@ -146,5 +179,6 @@ object MultimodalQueries extends QueryModule {
     "m8_multimodal_features" -> mediaFeaturesSql,
     "m8_multimodal_frames"   -> mediaFramesSql,
     "m8_image_decode"        -> imageDecodeSql,
+    "m8_audio_decode"        -> audioDecodeSql,
     "m8_image_phash_dedup"   -> imagePhashDedupSql)
 }

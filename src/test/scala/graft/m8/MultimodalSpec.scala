@@ -74,6 +74,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio: WAV round trip measures the closed form; garbage is dropped") {
+    import spark.implicits._
+    val got = Multimodal.extractAudioStats(
+        spark, Multimodal.plantedAudio(spark, 8))
+      .collect().map(s => s.audio_id -> s).toMap
+    assert(got.size == 8)
+    got.keys.foreach { id =>
+      assert(got(id) == Multimodal.expectedAudioStats(id),
+        s"clip $id: ${got(id)} != ${Multimodal.expectedAudioStats(id)}")
+    }
+    // non-WAV bytes must drop, not crash or fabricate
+    val junk = Seq(Multimodal.PlantedAudio(99L, Array[Byte](1, 2, 3, 4))).toDS()
+    assert(Multimodal.extractAudioStats(spark, junk).count() == 0)
+  }
+
   test("dHash: measured-from-pixels equals the closed form for every fixture id") {
     val got = Multimodal.extractDHashes(
         spark, Multimodal.plantedDedupImages(spark, 12, 4))
