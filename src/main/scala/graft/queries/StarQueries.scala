@@ -271,6 +271,32 @@ object StarQueries extends QueryModule {
         col("running_qty"))
   }
 
+  /** RANGE-interval window frame (the frame class the rows-based demos
+    * can't express): per user, event count and exact-decimal value sum
+    * over the TRAILING HOUR of event time — frame membership is decided
+    * by the ORDER-BY value (epoch seconds), not row position, so
+    * same-second ties contribute symmetrically and the result is
+    * order-independent without a tie-breaking sort key. */
+  private def windowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsec"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(s, dir)
+      .withColumn("tsec", expr("unix_micros(ts) div 1000000"))
+      .withColumn("hour_events", count(lit(1)).over(w))
+      .withColumn("hour_value",
+        dsum2(col("value")).over(w).cast("double"))
+      .select("event_id", "user_id", "tsec", "hour_events", "hour_value")
+  }
+
+  private val windowRangeFrameSql =
+    """SELECT event_id, user_id, epoch_us(ts) // 1000000 AS tsec,
+      |  COUNT(*) OVER w AS hour_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS hour_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin
+
   private val windowRunningSql =
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
@@ -655,6 +681,7 @@ object StarQueries extends QueryModule {
     "window_ntile"        -> windowNtile _,
     "window_rank"         -> windowRank _,
     "window_running"      -> windowRunning _,
+    "window_range_frame"  -> windowRangeFrame _,
     "window_lag"          -> windowLag _,
     "sort_topk"           -> sortTopK _,
     "set_union"           -> setUnion _,
@@ -688,6 +715,7 @@ object StarQueries extends QueryModule {
     "window_ntile"        -> windowNtileSql,
     "window_rank"         -> windowRankSql,
     "window_running"      -> windowRunningSql,
+    "window_range_frame"  -> windowRangeFrameSql,
     "window_lag"          -> windowLagSql,
     "sort_topk"           -> sortTopKSql,
     "set_union"           -> setUnionSql,
