@@ -122,7 +122,19 @@ class PlanAuditSpec extends SparkSpec {
     // totals ride the sanctioned broadcast cross join
     ("m8_corpus_drift", 6, true),
     // one partial/final TopKPerKey cut under a constant key
-    ("m8_weighted_sample", 1, false))
+    ("m8_weighted_sample", 1, false),
+    // round-13 additions. The tuner re-prints the persisted truth/sig
+    // subtrees under BOTH scorecard branches in toString (the
+    // m8_dedup_eval overstatement class; 48 standalone, 56 when the
+    // suite's earlier tests left cache entries that change the printed
+    // subtree) — pinned with that order-sensitivity headroom
+    ("m8_dedup_minhash_tuned", 56, false),
+    // the persisted scored frame re-prints under the 4 stage branches;
+    // the 1-row quartile thresholds ride the sanctioned broadcast cross
+    // join; per-stage packing windows are shard-partitioned
+    ("m8_curriculum_pack", 36, true),
+    // one hash partition by user_id feeding the range-frame window
+    ("window_range_frame", 1, false))
 
   expected.foreach { case (name, maxExchanges, allowBnlj) =>
     test(s"$name: no cartesian, bounded shuffles (≤$maxExchanges)") {
