@@ -95,11 +95,32 @@ object TextQueries extends QueryModule {
        |  COUNT(*) AS n
        |FROM documents GROUP BY 1""".stripMargin
 
-  /** Rolling-hash (winnowing-min) fingerprint per document. */
-  private def fingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  /** Rolling-hash (winnowing-min) fingerprint per document — the
+    * explode/partial-min shape: one codegen'd md5 per k-gram, the
+    * per-doc minimum combined MAP-SIDE, so the shuffle carries one
+    * 32-char value per doc regardless of document length. Semantics
+    * identical to the scalar [[TextFns.doc_fingerprint]] (which stays
+    * for per-row use); the scalar's interpreted HOF pass costs ~75×
+    * more wall at corpus scale — round 13's noop-drain bench exposed
+    * exactly that (11.8 s vs 0.16 s at sf0.1) the moment join/column
+    * elimination stopped hiding it. */
+  private def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val norm = Tables.documents(s, dir).select(col("doc_id"),
+      lower(regexp_replace(trim(coalesce(col("text"), lit(""))), "\\s+", " "))
+        .as("t"))
+    val minHash = norm
+      .filter(length(col("t")) > 8)
       .select(col("doc_id"),
-        TextFns.doc_fingerprint(col("text"), 8).as("fingerprint"))
+        explode(sequence(lit(1), length(col("t")) - 7)).as("i"), col("t"))
+      .select(col("doc_id"),
+        md5(expr("substring(t, i, 8)").cast("binary")).as("h"))
+      .groupBy("doc_id").agg(min("h").as("fp"))
+    norm.join(minHash, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(length(col("t")) === 0, lit(""))
+          .when(length(col("t")) <= 8, md5(col("t").cast("binary")))
+          .otherwise(col("fp")).as("fingerprint"))
+  }
 
   private val fingerprintSql =
     """WITH norm AS (
