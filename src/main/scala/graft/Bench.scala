@@ -46,19 +46,24 @@ object Bench {
     try drain(SparkEntry.entry(spark)) catch { case _: Throwable => () }
 
     // Host-speed calibration: a pinned synthetic workload (no testdata,
-    // no disk — range → hash → 1024-key shuffle → noop) timed at artifact
-    // start AND end. Two rounds of totals moved for purely environmental
-    // reasons (95.9 → 157.0 s on unchanged plans, r11→r12); this figure
-    // makes cross-round comparisons arithmetic: calibrated_total =
-    // total × (CALIB_REF / calib_sec). CALIB_REF pins the reference
-    // host speed the round-13 closing artifact was measured at
-    // (0.147 s on an otherwise-idle local[32], 2026-08-14) — on that
-    // host calibrated == raw, and any future artifact's deviation is
-    // pure host-speed drift, readable without prose.
-    val CalibRef = sys.env.getOrElse("SPARK_GRAFT_CALIB_REF", "0.147").toDouble
+    // no disk — 160M-row range → hash → 1024-key shuffle → noop, ~0.55 s
+    // so scheduler noise amortizes; the original 10×-smaller ruler
+    // spread ±35% within one artifact) timed at artifact start AND end. Two rounds
+    // of totals moved for purely environmental reasons (95.9 → 157.0 s
+    // on unchanged plans, r11→r12); this figure makes cross-round
+    // comparisons arithmetic: calibrated_total = total ×
+    // (CALIB_REF / calib_sec). CALIB_REF pins the reference host speed
+    // the round-13 closing artifact's fully-warmed end sample (0.273 s,
+    // local[32], 2026-08-14). The ruler is JIT-sensitive (~2× between a
+    // cold session and a fully-warmed one — measured while pinning it),
+    // so the comparable figure is min(start, end) of a FULL-suite run,
+    // where the end sample is always warmed; on the reference host
+    // calibrated == raw, and any future artifact's deviation is host
+    // drift, readable without prose.
+    val CalibRef = sys.env.getOrElse("SPARK_GRAFT_CALIB_REF", "0.273").toDouble
     def calibrate(): Double = {
       val t0 = System.nanoTime()
-      spark.range(0L, 4L * 1000 * 1000, 1L, 8)
+      spark.range(0L, 160L * 1000 * 1000, 1L, 32)
         .selectExpr("id", "xxhash64(id) AS h")
         .groupBy(org.apache.spark.sql.functions.pmod(
           org.apache.spark.sql.functions.col("h"),
