@@ -271,6 +271,31 @@ object StarQueries extends QueryModule {
         col("running_qty"))
   }
 
+  /** GROUPING SETS — the general form behind the gated rollup/cube
+    * demos: an explicit, non-prefix set list ((flag, status), (flag),
+    * ()) plus `grouping_id()` so consumers can tell a stored NULL from
+    * an aggregated-out dimension. Both engines define the id as the
+    * same aggregated-column bitmask — hash-compared, not assumed. */
+  private def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_gsets")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  grouping_id() AS gid, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM li_gsets
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())""".stripMargin)
+  }
+
+  private val aggGroupingSetsSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_returnflag), ())""".stripMargin
+
   /** RANGE-interval window frame (the frame class the rows-based demos
     * can't express): per user, event count and exact-decimal value sum
     * over the TRAILING HOUR of event time — frame membership is decided
@@ -668,6 +693,7 @@ object StarQueries extends QueryModule {
     "agg_distinct"        -> aggDistinct _,
     "agg_rollup"          -> aggRollup _,
     "agg_cube"            -> aggCube _,
+    "agg_grouping_sets"   -> aggGroupingSets _,
     "agg_conditional"     -> conditionalAgg _,
     "agg_min_by"          -> aggMinBy _,
     "join_fact_fact"      -> joinFactFact _,
@@ -702,6 +728,7 @@ object StarQueries extends QueryModule {
     "agg_distinct"        -> aggDistinctSql,
     "agg_rollup"          -> aggRollupSql,
     "agg_cube"            -> aggCubeSql,
+    "agg_grouping_sets"   -> aggGroupingSetsSql,
     "agg_conditional"     -> conditionalAggSql,
     "agg_min_by"          -> aggMinBySql,
     "join_fact_fact"      -> joinFactFactSql,
