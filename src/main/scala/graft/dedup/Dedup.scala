@@ -80,17 +80,26 @@ object Dedup {
     * production scale you'd keep that persist or write them to a table.
     *
     * `sig_agreement` is k/numHashes — a dyadic rational, exact in IEEE
-    * doubles on every engine, so it is safe to hash-compare. */
+    * doubles on every engine, so it is safe to hash-compare.
+    *
+    * `bands <= 0` (the default) derives the banding from the agreement
+    * threshold via [[chooseBands]] — the S-curve's 50%-candidate point
+    * lands nearest `minAgreement`, so the candidate net matches the
+    * verification bar by construction (at the 32-hash / 0.5 config this
+    * derives the same 8×4 every pinned caller uses). Pass an explicit
+    * count only when replaying a pinned config. */
   def minhashPairs(docs: DataFrame, id: Column, text: Column,
-                   numHashes: Int = 32, bands: Int = 8,
+                   numHashes: Int = 32, bands: Int = 0,
                    minAgreement: Double = 0.5,
                    portable: Boolean = false): DataFrame = {
-    val rowsPerBand = numHashes / bands
+    val nBands =
+      if (bands > 0) bands else chooseBands(numHashes, minAgreement)._1
+    val rowsPerBand = numHashes / nBands
     val sigs = minhashSignatures(docs, id, text, numHashes, portable)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bandKeys =
-      if (portable) TextFns.minhash_band_strings(col("sig"), bands, rowsPerBand)
-      else TextFns.minhash_bands(col("sig"), bands, rowsPerBand)
+      if (portable) TextFns.minhash_band_strings(col("sig"), nBands, rowsPerBand)
+      else TextFns.minhash_bands(col("sig"), nBands, rowsPerBand)
     val banded = sigs.select(col("id"), explode(bandKeys).as("bk"))
     val pairs = banded.select(col("id").as("id_a"), col("bk"))
       .join(banded.select(col("id").as("id_b"), col("bk")), Seq("bk"))

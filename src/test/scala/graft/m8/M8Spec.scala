@@ -55,6 +55,27 @@ class M8Spec extends SparkSpec {
     assert(!pairs.exists(r => r.getLong(1) == 3 || r.getLong(0) == 3))
   }
 
+  test("minhashPairs default banding derives from the agreement threshold") {
+    // bands <= 0 resolves via chooseBands(numHashes, minAgreement): at
+    // the canonical 32-hash / 0.5 config that is exactly the pinned 8×4
+    // (identical pairs); at a recall-leaning 0.35 it derives 16×2 and
+    // must match the explicitly-tuned call.
+    val docs = (1L to 40L).map { i =>
+      val base = s"alpha beta gamma delta epsilon zeta eta theta iota k$i"
+      (i, if (i % 2 == 0) base else base + " extra tail words here")
+    }.toDF("id", "text")
+    def pairSet(bands: Int, agree: Double) =
+      Dedup.minhashPairs(docs, col("id"), col("text"), numHashes = 32,
+          bands = bands, minAgreement = agree)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Dedup.chooseBands(32, 0.5) == ((8, 4)))
+    assert(pairSet(0, 0.5) == pairSet(8, 0.5),
+      "default at 0.5 must equal the pinned 8x4")
+    assert(Dedup.chooseBands(32, 0.35) == ((16, 2)))
+    assert(pairSet(0, 0.35) == pairSet(16, 0.35),
+      "default at 0.35 must equal the tuned 16x2")
+  }
+
   test("incremental admission: corpus dup rejects, novel admits, first-seen wins") {
     val a = "the quick brown fox jumps over the lazy dog again and again today"
     val novel = "completely different content about spark query engines at scale"
