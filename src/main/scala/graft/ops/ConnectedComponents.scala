@@ -82,6 +82,46 @@ object ConnectedComponents {
     labels
   }
 
+  /** Incremental maintenance: fold NEW edges into an existing labeling
+    * without re-deriving (or even touching) the historical edge set —
+    * the clustering step of the streaming admission lifecycle, where
+    * yesterday's corpus is clustered once and only each delta batch's
+    * pairs arrive as new work.
+    *
+    * `labels` is (vertex, cluster_id) — one row per known vertex,
+    * cluster_id = the component's min id (singletons label themselves).
+    * `newEdges` is the delta pair set and may reference both known and
+    * brand-new vertices.
+    *
+    * Correctness: a labeling is connectivity-equivalent to its STAR
+    * graph (member → label), so CC(star(labels) ∪ newEdges) =
+    * CC(oldEdges ∪ newEdges); min ids survive the star encoding, so
+    * the result is IDENTICAL to a full recompute — the identity the
+    * `m8_dedup_clusters_incremental` gate hash-verifies. Stars have
+    * diameter 2, so propagation converges in ~2-3 rounds no matter how
+    * long the original chains were, and per-batch cost is
+    * (|labels| + |delta|)-sized, never historical-edge-sized. */
+  def incremental(labels: DataFrame, newEdges: DataFrame): DataFrame = {
+    val lid = col(labels.columns(0))
+    val lcl = col(labels.columns(1))
+    val star = labels.select(lid.as("u"), lcl.as("v"))
+      .filter(col("u") =!= col("v"))
+    val e = newEdges.select(col(newEdges.columns(0)).as("u"),
+      col(newEdges.columns(1)).as("v"))
+    val cc = run(star.unionByName(e))
+    val universe = labels.select(lid.as("doc_id"))
+      .unionByName(e.select(col("u").as("doc_id")))
+      .unionByName(e.select(col("v").as("doc_id")))
+      .distinct()
+    universe
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(labels.select(lid.as("doc_id"), lcl.as("_old_cluster")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("_old_cluster"), col("doc_id"))
+          .as("cluster_id"))
+  }
+
   /** Alternating large-star/small-star connected components (Kiveris et
     * al., "Connected Components in MapReduce and Beyond") — the
     * escalation path for graphs with LONG chains, where plain min-label

@@ -553,6 +553,42 @@ object DedupQueries extends QueryModule {
        |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
        |FROM documents d LEFT JOIN cc c USING (doc_id)""".stripMargin
 
+  /** INCREMENTAL clustering — the admission lifecycle's missing tail:
+    * the standing corpus (doc_id % 5 ≠ 4) is clustered once; the delta
+    * batch's pairs (any pair touching a % 5 = 4 doc) then fold into the
+    * stored labeling via [[graft.ops.ConnectedComponents.incremental]]
+    * (star-encode the old labels ∪ new edges — (labels + delta)-sized,
+    * never historical-edge-sized, and stars converge in ~2 rounds). The
+    * result must be IDENTICAL to clustering everything from scratch, so
+    * the oracle is the full recursive-CTE closure over ALL pairs —
+    * byte-for-byte the `m8_dedup_clusters` oracle, blind to the
+    * incremental path. A delta edge bridging two standing clusters is
+    * the hard case this certifies (merged components relabel to the
+    * global min). */
+  private def clustersIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+        numHashes = 32, bands = 8, minAgreement = 0.5, portable = true)
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def isDelta(c: org.apache.spark.sql.Column) = c % 5 === 4
+    val oldPairs = pairs.filter(!isDelta(col("id_a")) && !isDelta(col("id_b")))
+    val newPairs = pairs.filter(isDelta(col("id_a")) || isDelta(col("id_b")))
+    val corpusDocs = docs.filter(!isDelta(col("doc_id"))).select("doc_id")
+    val cc0 = graft.ops.ConnectedComponents.run(oldPairs)
+    val labels0 = corpusDocs
+      .join(cc0.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    // The delta batch's own docs enter through newPairs when paired;
+    // unpaired delta docs must still appear (as singletons) — feed them
+    // into the universe via a zero-information self-labeling.
+    val deltaSingles = docs.filter(isDelta(col("doc_id")))
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    graft.ops.ConnectedComponents.incremental(
+      labels0.unionByName(deltaSingles), newPairs)
+  }
+
   /** Survivor selection over the same near-dup clusters: keep the
     * longest member (token count as the quality proxy; smallest id on
     * ties) of each cluster, flag the rest as drops with provenance
@@ -820,6 +856,7 @@ object DedupQueries extends QueryModule {
     "m8_training_export"     -> trainingExport _,
     "m8_graph_triangles"     -> triangles _,
     "m8_dedup_clusters"      -> clusters _,
+    "m8_dedup_clusters_incremental" -> clustersIncremental _,
     "m8_dedup_survivors"     -> survivors _)
 
   def oracles: Map[String, String] = Map(
@@ -839,6 +876,7 @@ object DedupQueries extends QueryModule {
     "m8_training_export"     -> trainingExportSql,
     "m8_graph_triangles"     -> trianglesSql,
     "m8_dedup_clusters"      -> clustersSql,
+    "m8_dedup_clusters_incremental" -> clustersSql,
     "m8_dedup_survivors"     -> survivorsSql)
 }
 

@@ -87,6 +87,25 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(out(1L) == 1L && out(m - 20) == 1L)
   }
 
+  test("incremental fold equals full recompute, including cluster merges") {
+    // standing labeling: {1,2,3} -> 1, {10,11} -> 10, singleton 20
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L)).toDF("doc_id", "cluster_id")
+    // delta: 30-31 is a brand-new pair; 3-10 BRIDGES the two standing
+    // clusters (the hard case: both must relabel to the global min 1);
+    // 40 attaches to the singleton 20
+    val delta = Seq((30L, 31L), (3L, 10L), (40L, 20L)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.incremental(labels, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = labelsOf(Seq( // the same graph from scratch
+      (1L, 2L), (2L, 3L), (10L, 11L), (30L, 31L), (3L, 10L), (40L, 20L)))
+    assert(got == full, s"incremental $got != full $full")
+    assert(got(10L) == 1L && got(11L) == 1L, "bridged cluster must relabel")
+    assert(got(30L) == 30L && got(31L) == 30L)
+    assert(got(40L) == 20L && got(20L) == 20L)
+    assert(got.size == 9)
+  }
+
   test("non-convergence within maxIter throws instead of returning junk") {
     // a 6-chain needs ~5 propagation rounds; 1 round must fail loudly
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
