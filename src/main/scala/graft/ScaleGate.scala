@@ -69,6 +69,10 @@ object ScaleGate {
     "m8_dedup_incremental" -> docCol,
     "m8_signature_store" -> docCol,
     "m8_dedup_clusters" -> docCol,
+    // incremental fold == full recompute is scale-gateable for free: no
+    // cross-stratum edge exists, so the stratum's labels are identical
+    // whether folded or recomputed (oracle = the clusters closure)
+    "m8_dedup_clusters_incremental" -> docCol,
     "m8_dedup_survivors" -> docCol)
 
   /** `m8_semantic_dedup` with the pair set restricted to the stratum

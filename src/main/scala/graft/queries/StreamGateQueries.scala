@@ -257,6 +257,54 @@ object StreamGateQueries extends QueryModule {
        |SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL
        |SELECT * FROM v2 UNION ALL SELECT * FROM v3""".stripMargin
 
+  /** M8: the streaming duplicate-group LEDGER — admission's queryable
+    * provenance ("where did my rejected document go?"). The same three
+    * admission batches as `m8_stream_admission`, now with `labelsDir`
+    * set: each batch folds its verdict edges (rejected doc → dup_of)
+    * into the maintained (doc_id, cluster_id) labeling via the
+    * star-encoded incremental fold, published through the versioned-
+    * pointer snapshot protocol. The oracle replays the unrolled
+    * three-stage admission and runs the recursive closure over ALL
+    * stages' verdict edges at once — blind to the per-batch fold, so
+    * agreement proves fold-equals-recluster across the whole run. */
+  private def streamClusters(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val watch = writeOrderedBatches(docs, "doc_id", 3)
+    val root = Dsl.tempDir("graft_m8slbl_")
+    val stream = s.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    DedupStream.admitDocuments(stream, s"$root/store", s"$root/verdicts",
+      s"$root/ckpt", bands = 8, rowsPerBand = 4, minAgreement = 0.5,
+      portable = true, labelsDir = Some(s"$root/labels"))
+      .awaitTermination()
+    ViewMaintenance.readLatest(s, s"$root/labels").get
+      .select("doc_id", "cluster_id")
+  }
+
+  private val streamClustersSql =
+    s"""WITH RECURSIVE ${DedupQueries.minhashOracleCtes},
+       |${stageSql(0, "")},
+       |${stageSql(1, "OR c.doc_id IN (SELECT doc_id FROM adm0)")},
+       |${stageSql(2,
+            "OR c.doc_id IN (SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1)")},
+       |ed0 AS (
+       |  SELECT new_id AS u, dup_of AS v FROM h0
+       |  UNION ALL SELECT new_id, dup_of FROM h1
+       |  UNION ALL SELECT new_id, dup_of FROM h2),
+       |e AS (SELECT u, v FROM ed0 UNION ALL SELECT v, u FROM ed0),
+       |reach AS (
+       |  SELECT u, v FROM e
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+       |ccl AS (
+       |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+       |  FROM reach GROUP BY u)
+       |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+       |FROM documents d LEFT JOIN ccl c USING (doc_id)""".stripMargin
+
   /** M8: streaming weighted-sample maintenance. Three document batches
     * stream through [[graft.streaming.SampleStream.maintainSample]]
     * (k=50, weight = n_chars); the maintained state after the drain
@@ -340,6 +388,7 @@ object StreamGateQueries extends QueryModule {
     "m8_stream_admission" -> streamAdmission _,
     "m8_store_compaction" -> storeCompaction _,
     "m8_stream_sample"    -> streamSample _,
+    "m8_stream_clusters"  -> streamClusters _,
     "t13_index_maintain"  -> t13IndexMaintain _)
 
   def oracles: Map[String, String] = Map(
@@ -348,5 +397,6 @@ object StreamGateQueries extends QueryModule {
     "m8_stream_admission" -> streamAdmissionSql,
     "m8_store_compaction" -> storeCompactionSql,
     "m8_stream_sample"    -> streamSampleSql,
+    "m8_stream_clusters"  -> streamClustersSql,
     "t13_index_maintain"  -> t13Sql)
 }

@@ -53,7 +53,8 @@ object DedupStream {
                      bands: Int = 8, rowsPerBand: Int = 4,
                      minAgreement: Double = 0.5,
                      portable: Boolean = false,
-                     continuous: Boolean = false): StreamingQuery = {
+                     continuous: Boolean = false,
+                     labelsDir: Option[String] = None): StreamingQuery = {
     val writer = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -96,6 +97,25 @@ object DedupStream {
             Seq("id"), "left_semi")
           .write.mode("overwrite")
           .parquet(s"$sigStoreDir/graft_batch=$batchId")
+        // Optional duplicate-group LEDGER: fold this batch's verdict
+        // edges (rejected doc → its dup_of) into the maintained
+        // (doc_id, cluster_id) labeling via the star-encoded
+        // incremental fold — (labels + batch)-sized, and identical to
+        // reclustering the full verdict-edge graph from scratch (the
+        // ConnectedComponents.incremental identity). Every doc ever
+        // seen gets a row; a rejected doc's cluster names the standing
+        // twin its content collapsed into — the queryable provenance a
+        // corpus audit needs ("where did my document go?").
+        labelsDir.foreach { ld =>
+          SnapshotStore.fold(spark, ld, batchId) { prior =>
+            val singles = verdicts
+              .select(col("doc_id"), col("doc_id").as("cluster_id"))
+            val edges = verdicts.filter(col("verdict") === "reject")
+              .select(col("doc_id").as("id_a"), col("dup_of").as("id_b"))
+            graft.ops.ConnectedComponents.incremental(
+              prior.map(_.unionByName(singles)).getOrElse(singles), edges)
+          }
+        }
         verdicts.unpersist()
         delta.unpersist()
         ()

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -31,9 +30,6 @@ import graft.ops.Sampling
   * [[ViewMaintenance.readLatest]] over the same state dir. */
 object SampleStream {
 
-  private def fs(spark: org.apache.spark.sql.SparkSession, dir: String): FileSystem =
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   /** Start maintaining the sample over streaming `docs` with (`idCol`,
     * `weightCol`) columns. AvailableNow by default; `continuous = true`
     * for a long-running loop. Weights must be positive — the fold
@@ -46,33 +42,18 @@ object SampleStream {
     val writer = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val snap = s"$stateDir/v$batchId"
-        val prior = ViewMaintenance.latestSnapshot(spark, stateDir)
-        // Same replay guard as ViewMaintenance: a re-delivered batch's
-        // snapshot is already the published state — and the merge must
-        // not read the very dir it would overwrite.
-        if (!prior.map(_.split('/').last).contains(s"v$batchId")) {
+        // The shared snapshot-fold protocol carries the replay guard and
+        // the staged publish ([[SnapshotStore]]).
+        SnapshotStore.fold(spark, stateDir, batchId) { prior =>
           val delta = batch.select(
             col(idCol).cast("long").as("sample_id"),
             col(weightCol).cast("long").as("weight"))
           val pool = prior
-            .map(p => spark.read.parquet(p).unionByName(delta))
+            .map(_.unionByName(delta))
             .getOrElse(delta)
             .dropDuplicates("sample_id")
           Sampling.weightedSample(pool, col("sample_id"), col("weight"),
-              k, salt)
-            .write.mode("overwrite").parquet(snap)
-          StatePointer.publish(spark, stateDir, "LATEST", s"v$batchId")
-          val f = fs(spark, stateDir)
-          val keep = Set(snap) ++ prior
-          if (f.exists(new Path(stateDir)))
-            f.listStatus(new Path(stateDir)).foreach { s0 =>
-              val p = s0.getPath
-              if (s0.isDirectory && p.getName.matches("v\\d+") &&
-                !keep.contains(p.toString) &&
-                !keep.exists(_.endsWith("/" + p.getName)))
-                f.delete(p, true)
-            }
+            k, salt)
         }
         ()
       }
