@@ -106,6 +106,39 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.size == 9)
   }
 
+  test("incremental ≡ full recompute on randomized graphs and splits") {
+    // 12 seeded trials: random graph, random old/new edge split — the
+    // star-fold identity must hold for every shape (chains, merges,
+    // isolated vertices, new-vertex-only edges).
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 12) {
+      val nV = 8 + rnd.nextInt(20)
+      val nE = 5 + rnd.nextInt(25)
+      val edges = Seq.fill(nE)((rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val (oldE, newE) = edges.partition(_ => rnd.nextBoolean())
+        val full = labelsOf(edges)
+        val oldLabels =
+          if (oldE.isEmpty) Map.empty[Long, Long] else labelsOf(oldE)
+        // universe: every vertex the old graph knew, labeled; plus any
+        // vertex only the delta mentions enters through the edges
+        val labelRows = (0L until nV.toLong).map(v =>
+          (v, oldLabels.getOrElse(v, v)))
+        val got = ConnectedComponents.incremental(
+            labelRows.toDF("doc_id", "cluster_id"),
+            newE.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // full recompute only labels vertices that appear in edges;
+        // the incremental result labels the whole universe
+        val expected = (0L until nV.toLong).map(v =>
+          v -> full.getOrElse(v, v)).toMap
+        assert(got == expected, s"trial $trial: $got != $expected " +
+          s"(old=$oldE new=$newE)")
+      }
+    }
+  }
+
   test("non-convergence within maxIter throws instead of returning junk") {
     // a 6-chain needs ~5 propagation rounds; 1 round must fail loudly
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))

@@ -250,4 +250,42 @@ class DedupStreamSpec extends SparkSpec {
     val rep3 = BatchStore.compact(spark, store, keepBatches = 1)
     assert(rep3.gen == -1L && liveIds() == Set(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("store compaction: randomized fold schedules preserve the live set") {
+    // 6 seeded trials: random batch count / row spread / keepBatches /
+    // compaction points — the live row set must be invariant through
+    // every fold, and a final compaction must leave base + kept dirs.
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 6) {
+      val root = Files.createTempDirectory(s"cmp_rand$trial").toString
+      val store = s"$root/store"
+      var nextId = 0L
+      var expected = Set.empty[Long]
+      def writeBatchDir(batch: Int): Unit = {
+        val n = 1 + rnd.nextInt(4)
+        val rows = (0 until n).map { _ =>
+          nextId += 1; expected += nextId
+          (nextId, s"text for row $nextId of trial $trial")
+        }
+        graft.dedup.Dedup.minhashSignatures(rows.toDF("doc_id", "text"),
+            col("doc_id"), col("text"), numHashes = 8)
+          .write.mode("overwrite").parquet(s"$store/graft_batch=$batch")
+      }
+      def live(): Set[Long] = BatchStore.read(spark, store)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val nBatches = 3 + rnd.nextInt(5)
+      for (b <- 0 until nBatches) {
+        writeBatchDir(b)
+        if (rnd.nextInt(3) == 0) {
+          BatchStore.compact(spark, store, keepBatches = 1 + rnd.nextInt(2))
+          assert(live() == expected, s"trial $trial mid-fold divergence")
+        }
+      }
+      BatchStore.compact(spark, store, keepBatches = 1)
+      assert(live() == expected, s"trial $trial final divergence")
+      val dirs = new java.io.File(store).listFiles()
+        .map(_.getName).count(_.startsWith("graft_batch="))
+      assert(dirs <= 3, s"trial $trial left $dirs dirs after final fold")
+    }
+  }
 }
