@@ -46,6 +46,59 @@ object TextQueries extends QueryModule {
       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_subwords
       |FROM documents""".stripMargin
 
+  /** Corpus health REPORT — the one-row dashboard a dataset card leads
+    * with, computed in a single aggregation pass: volume (docs, tokens,
+    * chars), diversity (languages, sources), hygiene (exact-duplicate
+    * and empty-doc counts), and the extreme (longest doc, ties to the
+    * smallest id — argmax via a struct max, since the oracle's engine
+    * lacks struct MAX_BY; it replays with an ORDER BY LIMIT 1
+    * subquery). The mean is one double division of exact integers —
+    * engine-identical IEEE. */
+  private def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"), col("source"),
+      TextFns.token_count(col("text")).cast("long").as("n_tokens"),
+      length(coalesce(col("text"), lit(""))).cast("long").as("n_chars"),
+      md5(coalesce(col("text"), lit("")).cast("binary")).as("ck"))
+    val longest = max(struct(col("n_tokens"), (-col("doc_id")).as("nid")))
+    d.agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum("n_chars").as("total_chars"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        (count(lit(1)) - countDistinct("ck")).as("n_exact_dupes"),
+        coalesce(sum(when(col("n_tokens") === 0, 1L)), lit(0L)).as("n_empty"),
+        longest.getField("n_tokens").as("max_tokens"),
+        (-longest.getField("nid")).as("longest_doc_id"))
+      .withColumn("mean_tokens",
+        round(col("total_tokens").cast("double") / col("n_docs"), 6))
+  }
+
+  private val corpusReportSql =
+    """WITH d AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(CASE WHEN coalesce(trim(text), '') = '' THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+      |      AS n_tokens,
+      |    CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+      |    md5(coalesce(text, '')) AS ck
+      |  FROM documents)
+      |SELECT COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  COUNT(DISTINCT lang) AS n_langs,
+      |  COUNT(DISTINCT source) AS n_sources,
+      |  COUNT(*) - COUNT(DISTINCT ck) AS n_exact_dupes,
+      |  COUNT(CASE WHEN n_tokens = 0 THEN 1 END) AS n_empty,
+      |  (SELECT n_tokens FROM d ORDER BY n_tokens DESC, doc_id LIMIT 1)
+      |    AS max_tokens,
+      |  (SELECT doc_id FROM d ORDER BY n_tokens DESC, doc_id LIMIT 1)
+      |    AS longest_doc_id,
+      |  round(CAST(SUM(n_tokens) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6)
+      |    AS mean_tokens
+      |FROM d""".stripMargin
+
   /** Language-ID heuristic vs the labeled lang column (confusion counts). */
   private def languageId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -298,6 +351,7 @@ object TextQueries extends QueryModule {
     "m8_text_normalize"   -> textNormalize _,
     "m8_length_histogram" -> lengthHistogram _,
     "m8_token_count"      -> tokenCount _,
+    "m8_corpus_report"    -> corpusReport _,
     "m8_language_id"      -> languageId _,
     "m8_quality_score"    -> qualityScore _,
     "m8_quality_filter"   -> qualityFilter _,
@@ -312,6 +366,7 @@ object TextQueries extends QueryModule {
     "m8_text_normalize"   -> textNormalizeSql,
     "m8_length_histogram" -> lengthHistogramSql,
     "m8_token_count"      -> tokenCountSql,
+    "m8_corpus_report"    -> corpusReportSql,
     "m8_language_id"      -> languageIdSql,
     "m8_quality_score"    -> qualityScoreSql,
     "m8_quality_filter"   -> qualityFilterSql,
