@@ -251,6 +251,18 @@ class DedupStreamSpec extends SparkSpec {
     assert(rep3.gen == -1L && liveIds() == Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("store compaction: keepBatches = 0 is refused (replay idempotence)") {
+    // keepBatches >= 1 is what keeps the replay-eligible newest batch
+    // dir unfolded — folding it would let a crash-replay append its
+    // rows beside the base copy
+    val e = intercept[IllegalArgumentException] {
+      BatchStore.compact(spark,
+        Files.createTempDirectory("cmp_k0").toString + "/store",
+        keepBatches = 0)
+    }
+    assert(e.getMessage.contains("replay idempotence"))
+  }
+
   test("store compaction: randomized fold schedules preserve the live set") {
     // 6 seeded trials: random batch count / row spread / keepBatches /
     // compaction points — the live row set must be invariant through
