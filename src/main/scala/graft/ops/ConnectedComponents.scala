@@ -99,27 +99,67 @@ object ConnectedComponents {
     * the result is IDENTICAL to a full recompute — the identity the
     * `m8_dedup_clusters_incremental` gate hash-verifies. Stars have
     * diameter 2, so propagation converges in ~2-3 rounds no matter how
-    * long the original chains were, and per-batch cost is
-    * (|labels| + |delta|)-sized, never historical-edge-sized. */
+    * long the original chains were.
+    *
+    * DELTA-LOCALIZED: a standing cluster can only change if a delta
+    * edge touches one of its members, so the star fold runs over the
+    * AFFECTED neighborhood only — labels whose cluster contains a
+    * delta-edge endpoint — and every untouched label row passes
+    * through unchanged (never even shuffled into the fold). Per-batch
+    * cost is O(affected clusters + delta), not O(all labels): the term
+    * that keeps a ledger maintained over thousands of admission
+    * batches flat in corpus lifetime. The localization is exact, not
+    * heuristic — a component with no delta endpoint cannot gain or
+    * lose a member, and a component that merges must contain one. */
   def incremental(labels: DataFrame, newEdges: DataFrame): DataFrame = {
-    val lid = col(labels.columns(0))
-    val lcl = col(labels.columns(1))
-    val star = labels.select(lid.as("u"), lcl.as("v"))
+    val (affected, untouched, e) = affectedSplit(labels, newEdges)
+    val star = affected.select(col("doc_id").as("u"), col("cluster_id").as("v"))
       .filter(col("u") =!= col("v"))
-    val e = newEdges.select(col(newEdges.columns(0)).as("u"),
-      col(newEdges.columns(1)).as("v"))
     val cc = run(star.unionByName(e))
-    val universe = labels.select(lid.as("doc_id"))
+    // fold universe: affected members plus any brand-new vertex the
+    // delta introduced (a vertex in neither set keeps its untouched row)
+    val universe = affected.select(col("doc_id"))
       .unionByName(e.select(col("u").as("doc_id")))
       .unionByName(e.select(col("v").as("doc_id")))
       .distinct()
-    universe
+    val folded = universe
       .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .join(labels.select(lid.as("doc_id"), lcl.as("_old_cluster")),
+      .join(affected.select(col("doc_id"), col("cluster_id").as("_old_cluster")),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("_old_cluster"), col("doc_id"))
           .as("cluster_id"))
+    untouched.unionByName(folded)
+  }
+
+  /** The delta-localization split behind [[incremental]]: labels whose
+    * cluster a delta-edge endpoint belongs to (`affected` — the ONLY
+    * rows the star fold reads), the rest verbatim (`untouched`), and
+    * the normalized delta edges. Exposed for the spec that pins the
+    * fold-input bound ≤ affected-neighborhood size. Both endpoints'
+    * frames are eagerly localCheckpointed: they are delta-sized, read
+    * several times by the fold's iterations, and truncating their
+    * lineage keeps the per-batch plan flat. */
+  private[graft] def affectedSplit(labels: DataFrame, newEdges: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val lid = col(labels.columns(0))
+    val lcl = col(labels.columns(1))
+    val l = labels.select(lid.as("doc_id"), lcl.as("cluster_id"))
+    val e = newEdges.select(col(newEdges.columns(0)).as("u"),
+      col(newEdges.columns(1)).as("v")).localCheckpoint()
+    val endpoints = e.select(col("u").as("doc_id"))
+      .unionByName(e.select(col("v").as("doc_id"))).distinct()
+    // clusters holding a delta endpoint — delta-sized, so the two joins
+    // against the (large) label set broadcast it; AQE picks that up
+    // from the runtime size without a hint that would misfire on a
+    // genuinely huge delta
+    val touched = l.join(endpoints, Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct().localCheckpoint()
+    val affected = l.join(touched, Seq("cluster_id"), "left_semi")
+      .select(col("doc_id"), col("cluster_id"))
+    val untouched = l.join(touched, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+    (affected, untouched, e)
   }
 
   /** Alternating large-star/small-star connected components (Kiveris et

@@ -327,8 +327,12 @@ object StreamGateQueries extends QueryModule {
     SampleStream.maintainSample(stream, s"$root/state", s"$root/ckpt",
         k = 50, salt = "ssam", idCol = "doc_id", weightCol = "n_chars")
       .awaitTermination()
+    // the state schema carries weight as double (the exact cast
+    // Sampling.weightedSample applies, so fractional weights survive the
+    // fold); n_chars is integral, so the output cast back is lossless
     ViewMaintenance.readLatest(s, s"$root/state").get
-      .select(col("sample_id").as("doc_id"), col("weight"))
+      .select(col("sample_id").as("doc_id"),
+        col("weight").cast("long").as("weight"))
   }
 
   private val streamSampleSql =

@@ -28,7 +28,13 @@ import org.apache.spark.sql.types.StructType
   * the pointer filter, so a reader is correct at every instant of a
   * compaction — staged-but-unpublished generations and folded-but-not-
   * yet-deleted batch dirs are excluded by arithmetic, not by hoping GC
-  * finished. Crash-safety falls out of the ordering: stage the new
+  * finished. The pointer itself is recoverable: each generation dir
+  * carries an `_HWM` completeness meta written last during staging, so
+  * a pointer lost to [[StatePointer]]'s clobber-fallback crash window
+  * is re-derived from the highest complete generation
+  * ([[resolvePointer]]) — and if no generation is recoverable either,
+  * the read FAILS (throws) rather than silently dropping the folded
+  * corpus behind the no-pointer filter. Crash-safety falls out of the ordering: stage the new
   * generation (invisible: pointer still names the old one) → publish
   * the pointer (atomic file rename, [[StatePointer]]) → GC old dirs
   * (idempotent; a crash here leaves dead dirs the filter already
@@ -44,6 +50,7 @@ object BatchStore {
 
   val BatchCol = "graft_batch"
   private val PointerName = "_BASE"
+  private val HwmName = "_HWM"
 
   /** Result of one [[compact]] call. `gen < 0` means no-op. */
   case class Compaction(gen: Long, foldedThrough: Long,
@@ -61,7 +68,50 @@ object BatchStore {
       case _ => None
     }
 
-  /** Live-row predicate under the pointer protocol (see class doc). */
+  /** The hwm recorded inside generation dir `-gen`'s `_HWM` meta file
+    * (written LAST during staging, so its presence marks the generation
+    * complete), or None for an incomplete / pre-meta generation. */
+  private def readGenHwm(spark: SparkSession, dir: String,
+                         gen: Long): Option[Long] =
+    StatePointer.read(spark, s"$dir/$BatchCol=-$gen", HwmName)
+      .collect { case h if h.matches("-?\\d+") => h.toLong }
+
+  /** The effective (generation, hwm) the live filter must use.
+    *
+    * [[StatePointer]]'s contract: the pointer is an optimization, never
+    * the only copy of the state — its delete+rename clobber fallback has
+    * a crash window where the pointer file is briefly missing. Every
+    * reader therefore recovers from durable data: when the pointer is
+    * absent but compacted generation dirs exist, the highest COMPLETE
+    * staged generation (its `_HWM` meta present and parsable) is exactly
+    * the state the interrupted publish was flipping to — staging always
+    * finishes before publish starts, so that generation holds the prior
+    * base plus every batch folded through its recorded hwm, and reading
+    * it is correct whether the crash hit before or after the rename.
+    * If generations exist but NONE is recoverable (meta lost too), this
+    * throws: falling back to the no-pointer filter would silently drop
+    * the entire folded corpus — the one outcome a store reader must
+    * never produce. */
+  def resolvePointer(spark: SparkSession, dir: String): Option[(Long, Long)] =
+    readPointer(spark, dir).orElse {
+      val gens = batchDirs(spark, dir).filter(_ <= -2L).map(-_).sorted.reverse
+      if (gens.isEmpty) None
+      else gens.iterator
+        .flatMap(g => readGenHwm(spark, dir, g).map(h => (g, h)))
+        .nextOption()
+        .orElse(throw new IllegalStateException(
+          s"store at $dir has compacted generations " +
+            s"${gens.map(g => s"$BatchCol=-$g").mkString(", ")} but no " +
+            s"parsable $PointerName pointer and no complete $HwmName meta — " +
+            "refusing to read: the no-pointer filter would silently drop " +
+            "the folded corpus"))
+    }
+
+  /** Live-row predicate under the pointer protocol (see class doc).
+    * `ptr` must come from [[resolvePointer]] — the raw [[readPointer]]
+    * can legitimately return None during a publish's crash window, and
+    * the no-pointer branch here would then drop every folded base
+    * generation. */
   def liveFilter(ptr: Option[(Long, Long)]): Column = ptr match {
     case Some((gen, hwm)) => col(BatchCol) === -gen || col(BatchCol) > hwm
     case None => col(BatchCol) >= 0 || col(BatchCol) === -1L
@@ -74,7 +124,7 @@ object BatchStore {
   def read(spark: SparkSession, dir: String,
            schema: Option[StructType] = None): DataFrame = {
     val reader = schema.map(spark.read.schema).getOrElse(spark.read)
-    reader.parquet(dir).filter(liveFilter(readPointer(spark, dir)))
+    reader.parquet(dir).filter(liveFilter(resolvePointer(spark, dir)))
   }
 
   /** List the store's `graft_batch=<id>` dir ids (positive and base). */
@@ -89,6 +139,29 @@ object BatchStore {
         n.stripPrefix(s"$BatchCol=").toLong }
   }
 
+  /** Number of LIVE per-batch dirs (positive ids above the folded
+    * high-water mark) — the quantity a compaction policy bounds: each
+    * un-folded dir is one more file-listing unit every store read pays. */
+  def liveBatchCount(spark: SparkSession, dir: String): Int = {
+    val hwm = resolvePointer(spark, dir).map(_._2).getOrElse(-1L)
+    batchDirs(spark, dir).count(id => id >= 0 && id > hwm)
+  }
+
+  /** Policy wrapper the streaming writers call BETWEEN drains: compact
+    * iff the live batch-dir count exceeds `threshold`. Keeping the
+    * check here (one listing, no-op below threshold) lets a writer run
+    * it unconditionally at every drain start without paying a fold on
+    * mostly-compacted stores. */
+  def compactIfOver(spark: SparkSession, dir: String, threshold: Int,
+                    keepBatches: Int = 2): Option[Compaction] = {
+    require(threshold >= keepBatches,
+      s"threshold $threshold below keepBatches $keepBatches would compact " +
+        "every drain and still never get under the bound")
+    if (liveBatchCount(spark, dir) > threshold)
+      Some(compact(spark, dir, keepBatches))
+    else None
+  }
+
   /** Fold every live batch dir except the newest `keepBatches` (and the
     * current base) into a fresh base generation, publish it, and
     * garbage-collect the superseded dirs. Offline operation: run
@@ -99,7 +172,10 @@ object BatchStore {
               keepBatches: Int = 2): Compaction = {
     require(keepBatches >= 1,
       s"keepBatches must be >= 1 to preserve replay idempotence: $keepBatches")
-    val ptr = readPointer(spark, dir)
+    // resolvePointer, not readPointer: a compaction after a crashed
+    // publish must build on the staged-but-unpublished generation it
+    // recovers (and the publish below heals the missing pointer).
+    val ptr = resolvePointer(spark, dir)
     val hwm = ptr.map(_._2).getOrElse(-1L)
     val dirs = batchDirs(spark, dir)
     val liveBatches = dirs.filter(_ > hwm).filter(_ >= 0).sorted
@@ -117,6 +193,12 @@ object BatchStore {
       .drop(BatchCol)
     val baseRows = folded.count()
     folded.write.mode("overwrite").parquet(s"$dir/$BatchCol=-$newGen")
+    // Completeness meta, written LAST inside the staged generation: its
+    // presence means the fold finished, so a reader that finds the root
+    // pointer missing (publish crash window) can recover this
+    // generation + hwm from durable data ([[resolvePointer]]).
+    StatePointer.publish(spark, s"$dir/$BatchCol=-$newGen", HwmName,
+      newHwm.toString)
     // Publish: one atomic pointer rename flips the live set from
     // {old base, all batches > hwm} to {new base, batches > newHwm}.
     StatePointer.publish(spark, dir, PointerName, s"gen=$newGen;hwm=$newHwm")

@@ -47,14 +47,33 @@ object DedupStream {
   /** Start the admission stream over a streaming `docs` frame with
     * (doc_id, text) columns. AvailableNow by default: drain what exists,
     * then stop — the scheduled-ingest shape; pass `continuous = true`
-    * for a long-running micro-batch loop. */
+    * for a long-running micro-batch loop.
+    *
+    * `compactWhenBatchesExceed`: the store-lifecycle policy — when set,
+    * each call runs [[BatchStore.compactIfOver]] on `sigStoreDir` at
+    * drain START (between drains by construction: the previous drain
+    * has committed, this one has not begun), folding old batch dirs
+    * into a base generation whenever the live dir count passes the
+    * threshold. A scheduled admission loop thus keeps store-read cost
+    * bounded for life without any operator running compactions by
+    * hand. Never fires mid-stream — the in-flight replay batch's dir
+    * is protected by compact's `keepBatches ≥ 1` contract anyway, but
+    * policy-at-start means the fold and the drain never interleave. */
   def admitDocuments(docs: DataFrame, sigStoreDir: String,
                      verdictDir: String, checkpointDir: String,
                      bands: Int = 8, rowsPerBand: Int = 4,
                      minAgreement: Double = 0.5,
                      portable: Boolean = false,
                      continuous: Boolean = false,
-                     labelsDir: Option[String] = None): StreamingQuery = {
+                     labelsDir: Option[String] = None,
+                     compactWhenBatchesExceed: Option[Int] = None)
+      : StreamingQuery = {
+    compactWhenBatchesExceed.foreach { threshold =>
+      val spark = docs.sparkSession
+      val p = new Path(sigStoreDir)
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        BatchStore.compactIfOver(spark, sigStoreDir, threshold)
+    }
     val writer = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -112,8 +131,15 @@ object DedupStream {
               .select(col("doc_id"), col("doc_id").as("cluster_id"))
             val edges = verdicts.filter(col("verdict") === "reject")
               .select(col("doc_id").as("id_a"), col("dup_of").as("id_b"))
+            // One label row per doc_id, guaranteed: a doc_id re-seen in
+            // a later batch keeps its STANDING label (left_anti drops
+            // its fresh singleton), because two rows for one vertex
+            // would fan out the fold's relabel join and publish
+            // duplicate (doc_id, cluster_id) rows in the snapshot.
             graft.ops.ConnectedComponents.incremental(
-              prior.map(_.unionByName(singles)).getOrElse(singles), edges)
+              prior.map(p => p.unionByName(
+                singles.join(p, Seq("doc_id"), "left_anti")))
+                .getOrElse(singles), edges)
           }
         }
         verdicts.unpersist()

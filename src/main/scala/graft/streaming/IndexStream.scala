@@ -44,7 +44,20 @@ object IndexStream {
     * duplicates collapse naturally (assignment is keyed per (id, sub)). */
   def maintainIndex(vecs: DataFrame, centroidDir: String, listsDir: String,
                     checkpointDir: String,
-                    continuous: Boolean = false): StreamingQuery = {
+                    continuous: Boolean = false,
+                    compactWhenBatchesExceed: Option[Int] = None)
+      : StreamingQuery = {
+    // Store-lifecycle policy, same shape as [[DedupStream]]: at drain
+    // START (between drains by construction), fold old list batch dirs
+    // into a base generation once the live dir count passes the
+    // threshold — a refresh loop that has run thousands of times opens
+    // as cheaply as a fresh build.
+    compactWhenBatchesExceed.foreach { threshold =>
+      val spark = vecs.sparkSession
+      val p = new Path(listsDir)
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        BatchStore.compactIfOver(spark, listsDir, threshold)
+    }
     val writer = vecs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession

@@ -17,8 +17,9 @@ import graft.ops.Sampling
   * sized, never history-sized, and the maintained sample is EXACTLY
   * [[Sampling.weightedSample]] over the full corpus (the identity the
   * `m8_stream_sample` oracle certifies end to end). State stores only
-  * (id, weight); priorities are re-derived on every fold, so the store
-  * carries no floats.
+  * (id, weight) with weight as double — the same cast
+  * [[Sampling.weightedSample]] applies, so fractional weights in (0,1)
+  * keep the identity; priorities are re-derived on every fold.
   *
   * Snapshots are versioned and published exactly like
   * [[ViewMaintenance]] (stage `v{batchId}` → atomic `LATEST` pointer →
@@ -45,9 +46,15 @@ object SampleStream {
         // The shared snapshot-fold protocol carries the replay guard and
         // the staged publish ([[SnapshotStore]]).
         SnapshotStore.fold(spark, stateDir, batchId) { prior =>
+          // weight stays double — the exact cast Sampling.weightedSample
+          // applies, so the maintained-sample identity holds for
+          // fractional weights too (a long cast would floor a valid
+          // weight in (0,1) to 0 and trip the non-positive guard);
+          // priorities are re-derived each fold, so a double in the
+          // state schema is just as mergeable
           val delta = batch.select(
             col(idCol).cast("long").as("sample_id"),
-            col(weightCol).cast("long").as("weight"))
+            col(weightCol).cast("double").as("weight"))
           val pool = prior
             .map(_.unionByName(delta))
             .getOrElse(delta)

@@ -139,6 +139,41 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("incremental fold is delta-localized: untouched clusters never enter it") {
+    // standing labeling: A={1,2,3}, B={10,11}, C={20,21,22}, singletons
+    // 30 and 40; the delta touches ONLY cluster B (edge 10-50) and the
+    // two singletons (30-40) — A and C must pass through the fold
+    // untouched, and the fold input must be bounded by the affected
+    // neighborhood, not the full label set
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L), (22L, 20L), (30L, 30L), (40L, 40L))
+      .toDF("doc_id", "cluster_id")
+    val delta = Seq((10L, 50L), (30L, 40L)).toDF("id_a", "id_b")
+    val (affected, untouched, _) =
+      ConnectedComponents.affectedSplit(labels, delta)
+    val aff = affected.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    // exactly clusters B, {30}, {40} — 4 label rows of 10, never A or C
+    assert(aff == Set(10L -> 10L, 11L -> 10L, 30L -> 30L, 40L -> 40L),
+      s"affected neighborhood wrong: $aff")
+    val unt = untouched.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(unt == Set(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L), s"untouched set wrong: $unt")
+    // and the localized fold still equals the full recompute
+    val got = ConnectedComponents.incremental(labels, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = labelsOf(Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (21L, 22L), (10L, 50L), (30L, 40L)))
+    assert(got == full, s"localized incremental $got != $full")
+  }
+
+  test("incremental with an empty delta returns the labeling unchanged") {
+    val labels = Seq((1L, 1L), (2L, 1L), (7L, 7L)).toDF("doc_id", "cluster_id")
+    val got = ConnectedComponents.incremental(labels,
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+  }
+
   test("non-convergence within maxIter throws instead of returning junk") {
     // a 6-chain needs ~5 propagation rounds; 1 round must fail loudly
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))

@@ -251,6 +251,161 @@ class DedupStreamSpec extends SparkSpec {
     assert(rep3.gen == -1L && liveIds() == Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("compaction policy: a long drain sequence keeps live store dirs bounded") {
+    // 6 scheduled drains, 2 micro-batches each, compactWhenBatchesExceed=2:
+    // without the policy the store accumulates 12 batch dirs forever;
+    // with it, every drain start folds down to keepBatches and the live
+    // dir count stays ≤ threshold + thisDrainsBatches + base — while the
+    // verdict stream stays byte-identical to an unpoliced run.
+    def distinctTexts(n: Int, tag: String): Seq[String] =
+      (0 until n).map(i => s"wholly unique $tag document number $i with " +
+        s"content words ${('a' + i % 26).toChar} ${('b' + i % 25).toChar}")
+    def runSequence(policy: Option[Int]): (Map[Long, (String, Long)], Int, String) = {
+      val root = Files.createTempDirectory(s"dedup_pol${policy.isDefined}").toString
+      val watch = s"$root/in"; Files.createDirectories(Paths.get(watch))
+      var nextDoc = 0L
+      for (drain <- 0 until 6) {
+        for (b <- 0 until 2) {
+          val texts = distinctTexts(2, s"d${drain}b$b")
+          val rows = texts.map { t => nextDoc += 1; (nextDoc, t) } ++
+            // every even batch also re-sends doc 1's text → a reject edge
+            (if (b == 0) { nextDoc += 1; Seq((nextDoc,
+              "the one duplicated sentence that every drain repeats verbatim")) }
+             else Seq.empty)
+          writeBatch(watch, s"d${drain}_b$b.parquet", rows)
+          Thread.sleep(5)
+        }
+        val docs = spark.readStream
+          .schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(watch)
+        DedupStream.admitDocuments(docs, s"$root/store", s"$root/verdicts",
+            s"$root/ckpt", compactWhenBatchesExceed = policy)
+          .awaitTermination()
+        policy.foreach { th =>
+          val live = BatchStore.liveBatchCount(spark, s"$root/store")
+          assert(live <= th + 2,
+            s"drain $drain: $live live dirs exceeds threshold $th + 2")
+        }
+      }
+      val verdicts = spark.read.parquet(s"$root/verdicts")
+        .select("doc_id", "verdict", "dup_of")
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+      val dirCount = new java.io.File(s"$root/store").listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("graft_batch="))
+      (verdicts, dirCount, root)
+    }
+    val (policed, dirsPoliced, rootP) = runSequence(Some(2))
+    val (unpoliced, dirsUnpoliced, _) = runSequence(None)
+    assert(policed == unpoliced,
+      "compaction policy changed the verdict stream")
+    assert(dirsUnpoliced == 12, s"expected 12 accumulated dirs: $dirsUnpoliced")
+    assert(dirsPoliced <= 2 + 2 + 1, // keepBatches + last drain's adds + base gen
+      s"policy failed to bound the store: $dirsPoliced dirs")
+    // and the policed store still reads complete through BatchStore
+    val ids = BatchStore.read(spark, s"$rootP/store")
+      .select("id").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length)
+    assert(ids.toSet == unpoliced.filter(_._2._1 == "admit").keySet)
+  }
+
+  test("ledger: a doc_id re-seen across batches keeps ONE label row") {
+    // not a crash replay — the same doc_id genuinely arrives again in a
+    // later batch; the ledger fold must keep its standing label instead
+    // of carrying two label rows for one vertex (which would fan out
+    // the relabel join and publish duplicate snapshot rows)
+    val root = Files.createTempDirectory("dedup_reseen").toString
+    val watch = s"$root/in"; Files.createDirectories(Paths.get(watch))
+    writeBatch(watch, "b0.parquet", Seq(
+      1L -> "the quick brown fox jumps over the lazy dog every single day",
+      2L -> "completely different words about spark streaming state and time"))
+    Thread.sleep(20)
+    writeBatch(watch, "b1.parquet", Seq(
+      1L -> "the quick brown fox jumps over the lazy dog every single day", // re-seen
+      3L -> "a third topic entirely involving parquet files and bucket joins"))
+    val docs = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    DedupStream.admitDocuments(docs, s"$root/store", s"$root/verdicts",
+        s"$root/ckpt", labelsDir = Some(s"$root/labels"))
+      .awaitTermination()
+    val rows = ViewMaintenance.readLatest(spark, s"$root/labels").get
+      .select("doc_id", "cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.length == rows.map(_._1).distinct.length,
+      s"duplicate label rows in the published snapshot: $rows")
+    assert(rows.toSet == Set((1L, 1L), (2L, 2L), (3L, 3L)),
+      s"unexpected ledger labels: $rows")
+  }
+
+  test("store compaction: lost _BASE pointer recovers from _HWM, never fails open") {
+    // StatePointer's clobber-fallback publish has a crash window where
+    // the pointer file is briefly missing; the reader must recover the
+    // folded corpus from the generation dirs' _HWM meta — falling back
+    // to the no-pointer filter would silently drop every folded row.
+    val root = Files.createTempDirectory("dedup_ptr").toString
+    val store = s"$root/store"
+    def sigs(rows: Seq[(Long, String)]): DataFrame =
+      Dedup.minhashSignatures(rows.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), numHashes = 32)
+    Seq(Seq(1L -> "alpha beta gamma delta epsilon zeta eta theta"),
+        Seq(2L -> "one two three four five six seven eight nine"),
+        Seq(3L -> "red orange yellow green blue indigo violet white"))
+      .zipWithIndex.foreach { case (b, i) =>
+        sigs(b).write.mode("overwrite").parquet(s"$store/graft_batch=$i")
+      }
+    def liveIds(): Set[Long] = BatchStore.read(spark, store)
+      .select("id").collect().map(_.getLong(0)).toSet
+    BatchStore.compact(spark, store, keepBatches = 1)
+    assert(liveIds() == Set(1L, 2L, 3L))
+
+    // crash window: pointer gone, generation -2 (with its _HWM) intact
+    val ptr = new java.io.File(s"$store/_BASE")
+    assert(ptr.delete(), "test setup: pointer must exist after compact")
+    assert(liveIds() == Set(1L, 2L, 3L),
+      "read failed open after pointer loss — folded corpus dropped")
+
+    // crash mid-publish AFTER staging gen -3: highest COMPLETE staged
+    // generation wins (it is exactly the state the publish was flipping
+    // to), and an incomplete gen -4 (no _HWM) is skipped
+    sigs(Seq(1L -> "alpha beta gamma delta epsilon zeta eta theta",
+             2L -> "one two three four five six seven eight nine",
+             3L -> "red orange yellow green blue indigo violet white",
+             4L -> "a fourth admitted row the next fold carried"))
+      .write.mode("overwrite").parquet(s"$store/graft_batch=-3")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$store/graft_batch=-3/_HWM"), "3")
+    sigs(Seq(99L -> "half staged generation from a crash mid-write"))
+      .write.mode("overwrite").parquet(s"$store/graft_batch=-4")
+    assert(liveIds() == Set(1L, 2L, 3L, 4L),
+      "recovery did not select the highest complete staged generation")
+
+    // a later compact heals: publishes a fresh pointer built on the
+    // recovered generation
+    sigs(Seq(5L -> "new batch four arrives after the crash recovery"))
+      .write.mode("overwrite").parquet(s"$store/graft_batch=4")
+    sigs(Seq(6L -> "and batch five right behind it same drain"))
+      .write.mode("overwrite").parquet(s"$store/graft_batch=5")
+    val rep = BatchStore.compact(spark, store, keepBatches = 1)
+    assert(rep.gen == 4L, s"heal compact built on wrong generation: $rep")
+    assert(new java.io.File(s"$store/_BASE").exists())
+    assert(liveIds() == Set(1L, 2L, 3L, 4L, 5L, 6L))
+
+    // fail CLOSED: generations exist but neither pointer nor any _HWM
+    // meta — reading must throw, not silently serve an empty base
+    assert(new java.io.File(s"$store/_BASE").delete())
+    new java.io.File(s"$store/graft_batch=-4/_HWM").delete()
+    val gens = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_batch=-"))
+    gens.foreach(g => new java.io.File(g, "_HWM").delete())
+    val e = intercept[IllegalStateException] {
+      BatchStore.read(spark, store).count()
+    }
+    assert(e.getMessage.contains("refusing to read"))
+  }
+
   test("store compaction: keepBatches = 0 is refused (replay idempotence)") {
     // keepBatches >= 1 is what keeps the replay-eligible newest batch
     // dir unfolded — folding it would let a crash-replay append its

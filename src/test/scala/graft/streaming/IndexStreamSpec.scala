@@ -190,6 +190,63 @@ class IndexStreamSpec extends SparkSpec {
       "serving from the compacted index diverged from the live layout")
   }
 
+  test("compaction policy: repeated refresh drains keep list dirs bounded") {
+    // 4 scheduled refresh drains, 2 delta batches each, threshold 2:
+    // the policy fires at drain start, folds old list dirs into a base
+    // generation, and the end-state store (read the only correct way,
+    // through BatchStore) still equals the fixed-centroid batch encode.
+    val emb = Tables.embeddings(spark, sf)
+    val standing = emb.filter(col("vec_id") % 9 =!= 8)
+    val delta = emb.filter(col("vec_id") % 9 === 8)
+      .select("vec_id", "embedding")
+    val root = tmp("ixpol")
+    val (cent, lists0) = Similarity.ivfBuildQuantized(standing, 16, 2)
+    cent.write.mode("overwrite").parquet(root + "/centroids")
+    lists0.write.mode("overwrite").parquet(root + "/lists/graft_batch=-1")
+    val watch = tmp("ixpolwatch"); val ckpt = tmp("ixpolckpt")
+    val base = System.currentTimeMillis() - 3600L * 1000
+    var fileNo = 0
+    for (drain <- 0 until 4) {
+      for (b <- 0 until 2) {
+        val stage = tmp("ixpolstage")
+        delta.filter(col("vec_id") % 8 === (drain * 2 + b))
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(watch, f"b$fileNo%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(base + fileNo * 2000L)
+        fileNo += 1
+      }
+      val stream = spark.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1").parquet(watch)
+      IndexStream.maintainIndex(stream, root + "/centroids", root + "/lists",
+          ckpt, compactWhenBatchesExceed = Some(2))
+        .awaitTermination()
+      assert(BatchStore.liveBatchCount(spark, root + "/lists") <= 4,
+        s"drain $drain left too many live dirs")
+    }
+    val dirCount = new java.io.File(root + "/lists").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("graft_batch="))
+    assert(dirCount <= 5, s"policy failed to bound the list store: $dirCount")
+    val storedCent = spark.read.parquet(root + "/centroids")
+    val direct = Similarity.ivfAssign(
+        emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
+        storedCent)
+      .withColumn("scale", VectorFns.quantize_scale(col("cv")))
+      .withColumn("code", VectorFns.quantize_i8(col("cv"), col("scale")))
+      .select("cand_id", "cent_id", "code")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toSeq)).toSet
+    val got = BatchStore.read(spark, root + "/lists")
+      .select("cand_id", "cent_id", "code")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toSeq)).toSet
+    assert(got === direct,
+      "policed store diverged from the fixed-centroid batch encode")
+  }
+
   test("maintain: missing centroid store fails the batch, not silently") {
     val emb = Tables.embeddings(spark, sf)
     val delta = emb.filter(col("vec_id") % 5 === 4)

@@ -38,9 +38,10 @@ class SampleStreamSpec extends SparkSpec {
     SampleStream.maintainSample(mkStream(), s"$root/state", ckpt,
       k = 15, salt = "sp", idCol = "doc_id", weightCol = "weight")
       .awaitTermination()
+    // state schema carries weight as double (the weightedSample cast)
     def state(): Set[(Long, Long)] =
       ViewMaintenance.readLatest(spark, s"$root/state").get
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .collect().map(r => (r.getLong(0), r.getDouble(1).toLong)).toSet
     val expected = Sampling.weightedSample(
         batches.flatten.toDF("sample_id", "weight"),
         col("sample_id"), col("weight"), 15, "sp")
@@ -59,5 +60,39 @@ class SampleStreamSpec extends SparkSpec {
       k = 15, salt = "sp", idCol = "doc_id", weightCol = "weight")
       .awaitTermination()
     assert(state() == expected, "replayed fold changed the sample")
+  }
+
+  test("fractional weights in (0,1) survive the fold (double state schema)") {
+    // the regression: a long-cast state schema floored these to 0 and
+    // the fold then failed loudly on the non-positive-weight guard;
+    // the double schema must keep the exact weightedSample identity
+    val root = Files.createTempDirectory("ssam_frac").toString
+    val watch = s"$root/in"; Files.createDirectories(Paths.get(watch))
+    val batches = Seq(
+      (1L to 30L).map(i => (i, (i % 9 + 1) / 10.0)),
+      (31L to 60L).map(i => (i, (i % 13 + 1) / 8.0)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val stage = Files.createTempDirectory("ssam_frac_stage").toString
+      b.toDF("doc_id", "weight").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(watch, s"b$i.parquet"))
+      Thread.sleep(20)
+    }
+    val stream = spark.readStream
+      .schema("doc_id LONG, weight DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+    SampleStream.maintainSample(stream, s"$root/state", s"$root/ckpt",
+      k = 12, salt = "fw", idCol = "doc_id", weightCol = "weight")
+      .awaitTermination()
+    val got = ViewMaintenance.readLatest(spark, s"$root/state").get
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val expected = Sampling.weightedSample(
+        batches.flatten.toDF("sample_id", "weight"),
+        col("sample_id"), col("weight"), 12, "fw")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == expected,
+      "fractional-weight streamed sample diverged from batch sampling")
   }
 }

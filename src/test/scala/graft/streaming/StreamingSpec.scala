@@ -172,4 +172,74 @@ class StreamingSpec extends SparkSpec {
     assert(stage2.count() == 2)
     assert(stage2.select("phase").distinct().collect()(0).getString(0) == "post-parse")
   }
+
+  test("budgeted drain: stops at the deadline, resumes exactly where it left off") {
+    // The reference's time-budget loop: stop launching work once the
+    // budget is spent, pick up on the next scheduled run. 6 single-file
+    // micro-batches, each sleeping 250 ms in the sink, first drain
+    // budgeted at 900 ms — it MUST cut before finishing; the second
+    // (unbudgeted) drain must process precisely the uncommitted suffix,
+    // and the final output must equal one uninterrupted drain's.
+    val root = java.nio.file.Files.createTempDirectory("graft_budget").toString
+    val watch = s"$root/in"; val ckpt = s"$root/ckpt"; val out = s"$root/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
+    (0 until 6).foreach { i =>
+      val stage = java.nio.file.Files.createTempDirectory("bud_stage").toString
+      Seq((i.toLong, s"row $i")).toDF("id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(watch, s"b$i.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(System.currentTimeMillis() - (6 - i) * 2000L)
+    }
+    val log = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = spark.readStream
+      .schema("id LONG, payload STRING")
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$out/graft_batch=$id")
+        log.add(id)
+        Thread.sleep(250)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+    val r1 = BudgetedDrain.await(start(), budgetMs = 900)
+    assert(r1.cut, "900 ms budget over ~1.5 s of sink sleeps must cut")
+    def commits(): Set[Long] = {
+      val d = new java.io.File(s"$ckpt/commits")
+      if (!d.exists()) Set.empty
+      else d.listFiles().map(_.getName).filter(_.forall(_.isDigit))
+        .map(_.toLong).toSet
+    }
+    val committed1 = commits()
+    assert(committed1.size < 6, "budgeted drain processed everything anyway")
+    assert(committed1 == (0L until committed1.size).toSet,
+      s"committed prefix must be contiguous from 0: $committed1")
+
+    log.clear()
+    val r2 = BudgetedDrain.await(start(), budgetMs = Long.MaxValue / 4)
+    assert(r2.finished, "unbudgeted resume must terminate on its own")
+    val run2 = {
+      val it = log.iterator(); val b = Seq.newBuilder[Long]
+      while (it.hasNext) b += it.next(); b.result().toSet
+    }
+    assert(run2 == (committed1.size.toLong to 5L).toSet,
+      s"resume must process exactly the uncommitted suffix: ran $run2, " +
+        s"committed before: $committed1")
+    assert(commits() == (0L to 5L).toSet)
+    val rows = spark.read.parquet(out).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == (0L to 5L).toSeq,
+      s"final output must hold each row exactly once: $rows")
+
+    // a third drain finds nothing to do and finishes immediately
+    val r3 = BudgetedDrain.await(start(), budgetMs = Long.MaxValue / 4)
+    assert(r3.finished)
+    assert(spark.read.parquet(out).count() == 6)
+  }
 }
