@@ -59,10 +59,11 @@ object DedupQueries extends QueryModule {
       numHashes = 32, bands = 8, minAgreement = 0.5, portable = true)
 
   /** The full MinHash+LSH pipeline as a reusable CTE chain, ending in
-    * `agree(id_a, id_b, sig_agreement)` — shared by the pair demo and the
-    * connected-components clustering oracle. */
-  private val minhashCtes =
-    s"""$shinglesCte,
+    * `agree(id_a, id_b, sig_agreement)` — shared by the pair demo, the
+    * connected-components clustering oracle, and (with a sampled
+    * document source) the sampled config-grading oracle. */
+  private def minhashCtesFrom(src: String): String =
+    s"""${Dsl.shinglesCteW(3, src)},
        |hh AS (SELECT doc_id, md5(shingle) AS hx FROM sh),
        |hv AS (
        |  SELECT doc_id,
@@ -89,6 +90,8 @@ object DedupQueries extends QueryModule {
        |  JOIN sig sa ON sa.doc_id = c.id_a
        |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
        |  GROUP BY 1, 2)""".stripMargin
+
+  private val minhashCtes = minhashCtesFrom("documents")
 
   /** The portable-MinHash CTE chain for reuse by other oracles (the
     * streaming-admission gate unrolls per-batch stages over it). */
@@ -377,6 +380,64 @@ object DedupQueries extends QueryModule {
        |$jaccardTruthCtes,
        |approx AS (SELECT id_a, id_b FROM agree WHERE sig_agreement >= 0.5),
        |$scorecardSql""".stripMargin
+
+  /** SAMPLED config grading — the scale path for the scorecard above.
+    * The exact-Jaccard truth build is pair-volume-bound (measured 56×
+    * at the 100× image), so at corpus scale a config is graded on a
+    * hash-stratified DOCUMENT sample: a deterministic salted-md5
+    * Bernoulli draw ([[graft.ops.Sampling.hashSample]] — stable,
+    * map-side, engine-portable), with BOTH truth and candidate pair
+    * generators restricted to the sampled docs. Pair inclusion
+    * probability is fraction², so the ratio scores
+    * (precision/recall/F1) estimate the full-corpus ones — M8Spec pins
+    * the sampled-vs-full tolerance — while truth cost drops by the
+    * same fraction² factor that made the full build unaffordable. The
+    * oracle replays the sample PREDICATE itself in SQL and the sampled
+    * doc count rides in the hashed row, so a selection disagreement
+    * fails the gate, not just a score drift. */
+  private[queries] val EvalSampleFraction = 0.5
+  private[queries] val EvalSampleSalt = "evs"
+  private def dedupEvalSampled(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.spread(Tables.documents(s, dir))
+    val sampled = graft.ops.Sampling.hashSample(d, col("doc_id"),
+        EvalSampleFraction, EvalSampleSalt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = Dedup.ngramJaccardPairs(sampled, col("doc_id"), col("text"),
+      minJaccard = 0.5).select("id_a", "id_b")
+    val cand = Dedup.minhashPairs(sampled, col("doc_id"), col("text"),
+      numHashes = 32, bands = 8, minAgreement = 0.5, portable = true)
+      .select("id_a", "id_b")
+    Dedup.pairEval(truth, cand)
+      .crossJoin(sampled.agg(count(lit(1)).as("n_docs_sampled")))
+  }
+
+  private val dedupEvalSampledSql = {
+    val pred = s"${hex60Sql(s"'$EvalSampleSalt|' || doc_id::VARCHAR")}" +
+      s" < ${graft.ops.Sampling.thresholdFor(EvalSampleFraction)}"
+    s"""WITH sdocs AS (SELECT * FROM documents WHERE $pred),
+       |${minhashCtesFrom("sdocs")},
+       |$jaccardTruthCtes,
+       |approx AS (SELECT id_a, id_b FROM agree WHERE sig_agreement >= 0.5),
+       |stats AS (
+       |  SELECT (SELECT COUNT(*) FROM sdocs) AS n_docs_sampled,
+       |         (SELECT COUNT(*) FROM truth) AS n_truth,
+       |         (SELECT COUNT(*) FROM approx) AS n_candidates,
+       |         (SELECT COUNT(*) FROM truth t JOIN approx a
+       |            ON t.id_a = a.id_a AND t.id_b = a.id_b) AS n_hits),
+       |bp AS (
+       |  SELECT n_docs_sampled, n_truth, n_candidates, n_hits,
+       |    CASE WHEN n_candidates = 0 THEN 0
+       |         ELSE (10000 * n_hits) // n_candidates END AS precision_bp,
+       |    CASE WHEN n_truth = 0 THEN 0
+       |         ELSE (10000 * n_hits) // n_truth END AS recall_bp
+       |  FROM stats)
+       |SELECT n_docs_sampled, n_truth, n_candidates, n_hits,
+       |  precision_bp, recall_bp,
+       |  CASE WHEN precision_bp + recall_bp = 0 THEN 0
+       |       ELSE (2 * precision_bp * recall_bp) // (precision_bp + recall_bp)
+       |       END AS f1_bp
+       |FROM bp""".stripMargin
+  }
 
   /** [[Dedup.chooseBands]] ON THE GATE: derive the banding for a
     * 32-hash signature whose S-curve threshold lands closest to a
@@ -850,6 +911,7 @@ object DedupQueries extends QueryModule {
     "m8_signature_store"     -> signatureStore _,
     "m8_semantic_dedup"      -> semanticDedup _,
     "m8_dedup_eval"          -> dedupEval _,
+    "m8_dedup_eval_sampled"  -> dedupEvalSampled _,
     "m8_dedup_eval_simhash"  -> dedupEvalSimhash _,
     "m8_dedup_minhash_tuned" -> minhashTuned _,
     "m8_leakage_safe_split"  -> leakageSafeSplit _,
@@ -870,6 +932,7 @@ object DedupQueries extends QueryModule {
     "m8_signature_store"     -> incrementalSql,
     "m8_semantic_dedup"      -> semanticDedupSql,
     "m8_dedup_eval"          -> dedupEvalSql,
+    "m8_dedup_eval_sampled"  -> dedupEvalSampledSql,
     "m8_dedup_eval_simhash"  -> dedupEvalSimhashSql,
     "m8_dedup_minhash_tuned" -> minhashTunedSql,
     "m8_leakage_safe_split"  -> leakageSafeSplitSql,

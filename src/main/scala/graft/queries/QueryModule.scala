@@ -69,11 +69,12 @@ object Dsl {
   val shinglesCte: String = shinglesCteW(3)
 
   /** Same CTE with a chosen shingle width `w` (mirrors
-    * `TextFns.word_shingles(text, w)`). */
-  def shinglesCteW(w: Int): String =
+    * `TextFns.word_shingles(text, w)`); `src` lets a sampled oracle
+    * swap the document source for a filtered CTE. */
+  def shinglesCteW(w: Int, src: String = "documents"): String =
     s"""docs AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks, text
-       |  FROM documents),
+       |  FROM $src),
        |sh AS (
        |  SELECT DISTINCT doc_id, shingle
        |  FROM docs, unnest(

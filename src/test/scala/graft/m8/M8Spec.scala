@@ -530,6 +530,41 @@ class M8Spec extends SparkSpec {
     assert(served === fused, "stored index served a different ranking")
   }
 
+  test("sampled config grading approximates the full-corpus scorecard") {
+    // The scale path for LSH config grading: scores measured on a
+    // hash-stratified half-document sample must approximate the full
+    // scorecard (pair inclusion is fraction², ratios are estimators).
+    // Tolerance 2000 bp — generous against binomial noise at this
+    // corpus size, but far tighter than the gap between a working and
+    // a broken config (which scores thousands of bp apart).
+    val dir = "/root/testdata/sf0.01"
+    def row(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+      val r = df.collect().head
+      df.columns.map(c => c -> r.getAs[Long](c)).toMap
+    }
+    val full = row(graft.SparkEntry.queries("m8_dedup_eval")(spark, dir))
+    val samp = row(graft.SparkEntry.queries("m8_dedup_eval_sampled")(spark, dir))
+    assert(samp("n_truth") > 0, "sample lost every truth pair — no signal")
+    // the deterministic draw keeps roughly fraction of the docs (5σ
+    // binomial bound at n≈500, f=0.5 → ±56)
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(math.abs(samp("n_docs_sampled") - nDocs / 2) <
+      5 * math.sqrt(nDocs * 0.25) + 1,
+      s"sample size ${samp("n_docs_sampled")} implausible for $nDocs docs")
+    for (m <- Seq("precision_bp", "recall_bp", "f1_bp"))
+      assert(math.abs(samp(m) - full(m)) <= 2000,
+        s"$m: sampled ${samp(m)} vs full ${full(m)} drifted past 2000 bp")
+    // and the truth volume itself scales ~fraction² (the cost claim):
+    // loose 4× bounds — pair survival is correlated within clusters
+    assert(samp("n_truth") <= full("n_truth"),
+      "a sampled truth pair must be a full-corpus truth pair")
+    assert(samp("n_truth") * 16 >= full("n_truth"),
+      s"sampled truth ${samp("n_truth")} too thin vs full ${full("n_truth")}")
+    // determinism: the salted-hash draw is rerun-stable
+    val again = row(graft.SparkEntry.queries("m8_dedup_eval_sampled")(spark, dir))
+    assert(again == samp, "sampled scorecard must be rerun-stable")
+  }
+
   test("diversity sample: per-cluster cap holds, clusters covered, rerun stable") {
     val got = graft.SparkEntry.queries("m8_diversity_sample")(spark, sf)
       .collect().map(r => (r.getAs[Long]("cent_id"), r.getAs[Long]("cand_id")))
