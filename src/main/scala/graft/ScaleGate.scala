@@ -99,6 +99,68 @@ object ScaleGate {
     Dedup.clusterSurvivors(clusters, quality)
   }
 
+  /** The MULTIMODAL stratum gates (round 14): the image dir carries
+    * planted real-PNG (`images.parquet`) and real-WAV (`audio.parquet`)
+    * payload tables ([[ScaleUp.plantStratum]]), every payload
+    * closed-form in its id — so the ENGINE decodes and measures at
+    * planted scale (tens of thousands of PNGs through the pigeonhole
+    * dHash join; hundreds of WAV clips through the JDK codec) while the
+    * oracle holds literal expected values and derives the image pair
+    * set brute-force. A decode defect, hash-measurement defect, or
+    * candidate-generation miss at scale all hash-mismatch. */
+  private def imagePhashScaled(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    implicit val enc = org.apache.spark.sql.Encoders.product[
+      Multimodal.PlantedImage]
+    Multimodal.phashPairs(
+      Multimodal.extractDHashes(s,
+        s.read.parquet(s"$dir/images.parquet").as[Multimodal.PlantedImage]),
+      maxHamming = 3)
+  }
+
+  private def audioDecodeScaled(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    implicit val enc = org.apache.spark.sql.Encoders.product[
+      Multimodal.PlantedAudio]
+    Multimodal.extractAudioStats(s,
+        s.read.parquet(s"$dir/audio.parquet").as[Multimodal.PlantedAudio])
+      .toDF()
+  }
+
+  private def imagePhashScaledSql(s: SparkSession, dir: String): String = {
+    import graft.multimodal.Multimodal
+    val ids = s.read.parquet(s"$dir/images.parquet")
+      .select(col("img_id")).collect().map(_.getLong(0)).sorted
+    val rows = ids.map(id =>
+      s"(CAST($id AS BIGINT), CAST(${Multimodal.expectedDHash(id)} AS BIGINT))")
+      .mkString(",\n  ")
+    s"""WITH h(img_id, dhash) AS (VALUES
+       |  $rows)
+       |SELECT a.img_id AS id_a, b.img_id AS id_b,
+       |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+       |FROM h a JOIN h b ON a.img_id < b.img_id
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin
+  }
+
+  private def audioDecodeScaledSql(s: SparkSession, dir: String): String = {
+    import graft.multimodal.Multimodal
+    val ids = s.read.parquet(s"$dir/audio.parquet")
+      .select(col("audio_id")).collect().map(_.getLong(0)).sorted
+    val rows = ids.map { id =>
+      val e = Multimodal.expectedAudioStats(id)
+      s"(${e.audio_id}, ${e.sample_rate}, ${e.n_samples}, " +
+        s"${e.zero_crossings}, ${e.sum_abs}, ${e.peak})"
+    }.mkString(",\n  ")
+    s"""SELECT CAST(audio_id AS BIGINT) AS audio_id,
+       |  CAST(sample_rate AS INT) AS sample_rate,
+       |  CAST(n_samples AS BIGINT) AS n_samples,
+       |  CAST(zero_crossings AS BIGINT) AS zero_crossings,
+       |  CAST(sum_abs AS BIGINT) AS sum_abs, CAST(peak AS INT) AS peak
+       |FROM (VALUES
+       |  $rows)
+       |  AS t(audio_id, sample_rate, n_samples, zero_crossings, sum_abs, peak)""".stripMargin
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(imageDir, outDir) = args.take(2)
     // Optional trailing args: gate only these queries. Since round 13
@@ -173,6 +235,15 @@ object ScaleGate {
     }
     if (selected("m8_semantic_dedup"))
       dump("m8_semantic_dedup", semanticDedupStratum(spark, imageDir))
+    val hasMedia = Files.exists(Paths.get(s"$imageDir/images.parquet"))
+    if (!hasMedia)
+      System.err.println(s"[scalegate] $imageDir has no images.parquet/" +
+        "audio.parquet — multimodal gates skipped; rebuild the image with " +
+        "`runMain graft.ScaleUp <src> <image> <copies> plant` to add them")
+    if (hasMedia && selected("m8_image_phash_dedup"))
+      dump("m8_image_phash_dedup", imagePhashScaled(spark, imageDir))
+    if (hasMedia && selected("m8_audio_decode"))
+      dump("m8_audio_decode", audioDecodeScaled(spark, imageDir))
 
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
@@ -193,8 +264,14 @@ object ScaleGate {
       "m8_dedup_embedding" ->
         graft.queries.DedupQueries.embeddingSqlFrom(planesCte),
       "m8_semantic_dedup" ->
-        graft.queries.DedupQueries.semanticDedupSqlFrom(planesCte))
-    val names = (gated.map(_._1) :+ "m8_semantic_dedup").filter(selected)
+        graft.queries.DedupQueries.semanticDedupSqlFrom(planesCte)) ++
+      (if (hasMedia) Map(
+        "m8_image_phash_dedup" -> imagePhashScaledSql(spark, imageDir),
+        "m8_audio_decode" -> audioDecodeScaledSql(spark, imageDir))
+       else Map.empty)
+    val names = (gated.map(_._1) ++ Seq("m8_semantic_dedup") ++
+      (if (hasMedia) Seq("m8_image_phash_dedup", "m8_audio_decode")
+       else Seq.empty)).filter(selected)
     val json = names
       .map(n => s"${q(n)}: ${q(oracleOverrides.getOrElse(n, SparkEntry.oracleSql(n)))}")
       .mkString("{", ",", "}")

@@ -156,7 +156,7 @@ object ScaleUp {
         .withColumn("embedding", scramble(col("embedding"), i)))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
 
-    if (plant) plantStratum(spark, out)
+    if (plant) plantStratum(spark, out, copies)
 
     spark.stop()
   }
@@ -166,7 +166,8 @@ object ScaleUp {
     * stratum bit-for-bit. Planted rows are built against the freshly
     * written organic schema (same column order and nullability), so the
     * image never carries two parquet schema variants. */
-  private def plantStratum(spark: SparkSession, out: String): Unit = {
+  private def plantStratum(spark: SparkSession, out: String,
+                           copies: Int): Unit = {
     val B = ScaleGate.StratumBase
     var seed = 0x5DEECE66DL
     def nextInt(n: Int): Int = {
@@ -236,5 +237,22 @@ object ScaleUp {
     spark.createDataFrame(
         spark.sparkContext.parallelize(embData, 1), embSchema)
       .write.mode(SaveMode.Append).parquet(s"$out/embeddings.parquet")
+
+    // MULTIMODAL stratum (round 14): real PNG and WAV payload tables,
+    // sized with the image. Every payload is closed-form in its id
+    // ([[graft.multimodal.Multimodal.dedupPixel]]/`audioSample`), so
+    // [[ScaleGate]] can hold literal expected hashes/stats for ANY id
+    // set — no copy transform is involved, hence nothing to survive it.
+    // The image count is capped: the gate's brute-force oracle is
+    // O(n²) Hamming evaluations, and 44k images (the 100×-image cap)
+    // keep it inside DuckDB's budget while the ENGINE side still
+    // exercises the pigeonhole join at full planted scale.
+    val nImgBase = math.min(2000L * copies, 40000L).toInt
+    val nImgDup = nImgBase / 10
+    graft.multimodal.Multimodal.plantedDedupImages(spark, nImgBase, nImgDup)
+      .toDF().write.mode(SaveMode.Overwrite).parquet(s"$out/images.parquet")
+    val nAudio = math.min(16L * copies, 1600L).toInt
+    graft.multimodal.Multimodal.plantedAudio(spark, nAudio)
+      .toDF().write.mode(SaveMode.Overwrite).parquet(s"$out/audio.parquet")
   }
 }
