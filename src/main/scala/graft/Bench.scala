@@ -53,12 +53,12 @@ object Bench {
     // on unchanged plans, r11→r12); this figure makes cross-round
     // comparisons arithmetic: calibrated_total = total ×
     // (CALIB_REF / calib_sec). CALIB_REF pins the reference host's
-    // STABILIZED-COLD ruler figure (0.52 s, local[32], 2026-08-14,
+    // STABILIZED-COLD ruler figure (0.38 s, local[32], 2026-08-14,
     // round-14 convention — see the divisor comment below), so
     // artifacts of any length report comparable calib values; on the
     // reference host calibrated == raw, and any future artifact's
     // deviation is host drift, readable without prose.
-    val CalibRef = sys.env.getOrElse("SPARK_GRAFT_CALIB_REF", "0.52").toDouble
+    val CalibRef = sys.env.getOrElse("SPARK_GRAFT_CALIB_REF", "0.38").toDouble
     def calibrate(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 160L * 1000 * 1000, 1L, 32)
@@ -78,17 +78,28 @@ object Bench {
     // (capped), report the stabilized min of that agreeing pair, and
     // record the full sample list in the artifact so a
     // never-stabilized (still-contended) ruler is self-diagnosing.
-    def stabilizedCalib(maxIter: Int = 8): (Double, Seq[Double]) = {
+    // Policy (measured on 20-sample curves): a cold session descends
+    // 0.85 → 0.46 → ~0.40 and flattens around sample 5-6; a suite-warmed
+    // session starts near the floor already. A bare two-consecutive-
+    // agreement rule stops on the sample-3 shoulder (~0.52) in a cold
+    // session, so at least MIN_ITER samples are always taken and the
+    // figure is the min of the last 3 (noise-robust) — with that, cold
+    // and warmed sessions report within ~10% of each other.
+    def stabilizedCalib(maxIter: Int = 10): (Double, Seq[Double]) = {
+      val cap = sys.env.get("SPARK_GRAFT_CALIB_MAX_ITER")
+        .map(_.toInt).getOrElse(maxIter)
+      val minIter = sys.env.get("SPARK_GRAFT_CALIB_MIN_ITER")
+        .map(_.toInt).getOrElse(6)
       val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
       var stable = false
-      while (!stable && samples.length < maxIter) {
+      while (!stable && samples.length < cap) {
         samples += calibrate()
         val n = samples.length
-        stable = n >= 2 &&
+        stable = n >= minIter && n >= 2 &&
           math.abs(samples(n - 1) - samples(n - 2)) <=
             0.10 * math.min(samples(n - 1), samples(n - 2))
       }
-      (samples.takeRight(2).min, samples.toSeq)
+      (samples.takeRight(3).min, samples.toSeq)
     }
     val (calibStart, calibStartSamples) = stabilizedCalib()
 
@@ -164,11 +175,12 @@ object Bench {
     // reference host — measured), so normalizing by min(start, end) made
     // short and long artifacts incomparable by construction. The divisor
     // is the stabilized START figure, which any artifact — single-query
-    // or full-suite — measures under the same (stabilized-cold) JIT
-    // state; end ≫ start flags mid-run contention, end < start is just
-    // warming. CALIB_REF = 0.52 pins the reference host's
-    // stabilized-cold figure (re-pinned with the round-14 start-based
-    // convention; two cold sessions measured 0.520/0.509).
+    // or full-suite — measures under a comparable JIT state once the
+    // ruler takes its ≥6 warm samples; end ≫ start flags mid-run
+    // contention, end < start is just warming. CALIB_REF = 0.38 pins
+    // the reference host's stabilized-cold figure (round-14 start-based
+    // convention; 20-sample cold curve flattens at 0.374-0.395, the
+    // closing full-suite run started at 0.347 — within 10%).
     val (calibEnd, calibEndSamples) = stabilizedCalib()
     val calibSec = calibStart
     val calibratedTotal =
