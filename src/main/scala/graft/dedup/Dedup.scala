@@ -138,11 +138,25 @@ object Dedup {
     * is by definition not yet in the corpus); as a guard, an id present
     * on both sides is never matched against itself, so a violated
     * precondition degrades to "screened against the others" rather than
-    * a guaranteed self-rejection at agreement 1.0. */
+    * a guaranteed self-rejection at agreement 1.0.
+    *
+    * `broadcastDelta`: the micro-batch admission shape. The default
+    * plan shuffles BOTH sides of the band join — corpus band rows
+    * (8 per stored document) cross the network on every call, the term
+    * that dominates per-batch screen cost once the corpus dwarfs the
+    * delta. With `broadcastDelta = true` the delta side of the band
+    * join AND the candidate side of the signature re-join are
+    * broadcast, so the corpus is only ever SCANNED — zero corpus-sized
+    * shuffles per batch; the only shuffles left are candidate-sized
+    * (distinct + the verdict groupBy). Identical output (M8Spec pins
+    * the equality; the stream gates hash it end-to-end). Only for
+    * bounded deltas — a broadcast hint is unconditional, so a
+    * corpus-sized "delta" belongs on the default path. */
   def minhashIncremental(corpusSigs: DataFrame, deltaSigs: DataFrame,
                          bands: Int = 8, rowsPerBand: Int = 4,
                          minAgreement: Double = 0.5,
-                         portable: Boolean = false): DataFrame = {
+                         portable: Boolean = false,
+                         broadcastDelta: Boolean = false): DataFrame = {
     val numHashes = bands * rowsPerBand
     def banded(sigs: DataFrame): DataFrame = {
       val keys =
@@ -153,18 +167,25 @@ object Dedup {
     val build = banded(corpusSigs).withColumn("is_corpus", lit(true))
       .unionByName(banded(deltaSigs).withColumn("is_corpus", lit(false)))
       .select(col("id").as("cand_id"), col("bk"), col("is_corpus"))
-    val cand = banded(deltaSigs).select(col("id").as("new_id"), col("bk"))
-      .join(build, Seq("bk"))
+    val deltaBand = banded(deltaSigs).select(col("id").as("new_id"), col("bk"))
+    val bandJoined =
+      if (broadcastDelta) build.join(broadcast(deltaBand), Seq("bk"))
+      else deltaBand.join(build, Seq("bk"))
+    val cand = bandJoined
       .filter((col("is_corpus") && col("cand_id") =!= col("new_id")) ||
         (!col("is_corpus") && col("cand_id") < col("new_id")))
       .select("new_id", "cand_id")
       .distinct()
     val allSigs = corpusSigs.unionByName(deltaSigs)
-    val hits = cand
+    val withNew = cand
       .join(deltaSigs.select(col("id").as("new_id"), col("sig").as("sig_n")),
         Seq("new_id"))
-      .join(allSigs.select(col("id").as("cand_id"), col("sig").as("sig_c")),
-        Seq("cand_id"))
+    val corpusSide = allSigs.select(col("id").as("cand_id"),
+      col("sig").as("sig_c"))
+    val paired =
+      if (broadcastDelta) corpusSide.join(broadcast(withNew), Seq("cand_id"))
+      else withNew.join(corpusSide, Seq("cand_id"))
+    val hits = paired
       .select(col("new_id"), col("cand_id"),
         (aggregate(zip_with(col("sig_n"), col("sig_c"),
           (x, y) => when(x === y, lit(1.0)).otherwise(lit(0.0))),

@@ -66,7 +66,8 @@ object DedupStream {
                      portable: Boolean = false,
                      continuous: Boolean = false,
                      labelsDir: Option[String] = None,
-                     compactWhenBatchesExceed: Option[Int] = None)
+                     compactWhenBatchesExceed: Option[Int] = None,
+                     broadcastDeltaUpTo: Long = 500000L)
       : StreamingQuery = {
     compactWhenBatchesExceed.foreach { threshold =>
       val spark = docs.sparkSession
@@ -100,8 +101,20 @@ object DedupStream {
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               StructType(sigSchema.dropRight(1)))
+        // Size-aware screen policy: when the batch is a genuine
+        // micro-batch (≤ broadcastDeltaUpTo rows — the count is one
+        // cached pass over the already-persisted delta), broadcast its
+        // band/sig rows so the stored corpus is only SCANNED — zero
+        // corpus-sized shuffles per batch, the term that otherwise
+        // grows with corpus lifetime. A big backlog batch (no
+        // maxFilesPerTrigger bound) exceeds the cap and takes the
+        // shuffle path — a forced broadcast must never be a memory
+        // hazard. broadcastDeltaUpTo = 0 disables broadcasting.
+        val useBroadcast =
+          broadcastDeltaUpTo > 0 && delta.count() <= broadcastDeltaUpTo
         val verdicts = Dedup.minhashIncremental(corpus, delta,
-          bands, rowsPerBand, minAgreement, portable).persist()
+          bands, rowsPerBand, minAgreement, portable,
+          broadcastDelta = useBroadcast).persist()
         // Per-batch subdirs with overwrite: a batch replayed after a
         // crash-before-checkpoint-commit REPLACES its previous attempt
         // instead of appending duplicate verdict and signature rows.

@@ -530,6 +530,31 @@ class M8Spec extends SparkSpec {
     assert(served === fused, "stored index served a different ranking")
   }
 
+  test("minhashIncremental broadcastDelta: identical verdicts, broadcast plan") {
+    // the micro-batch screen shape: broadcasting the delta's band/sig
+    // rows must change the PLAN (corpus scanned, never shuffled) and
+    // nothing else
+    val d = Tables.spread(Tables.documents(spark, sf))
+    val sigs = Dedup.minhashSignatures(d, col("doc_id"), col("text"),
+      numHashes = 32, portable = true).persist()
+    val corpus = sigs.filter(col("id") % 5 =!= 4)
+    val delta = sigs.filter(col("id") % 5 === 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3),
+        r.getLong(4))).toSet
+    val plain = Dedup.minhashIncremental(corpus, delta, portable = true)
+    val bc = Dedup.minhashIncremental(corpus, delta, portable = true,
+      broadcastDelta = true)
+    assert(rows(bc) == rows(plain),
+      "broadcastDelta changed the verdicts — it must be plan-only")
+    val p = bc.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"expected the band join AND the signature re-join broadcast:\n$p")
+    sigs.unpersist()
+  }
+
   test("sampled config grading approximates the full-corpus scorecard") {
     // The scale path for LSH config grading: scores measured on a
     // hash-stratified half-document sample must approximate the full
