@@ -280,7 +280,8 @@ object StreamGateQueries extends QueryModule {
       s"$root/ckpt", bands = 8, rowsPerBand = 4, minAgreement = 0.5,
       portable = true, labelsDir = Some(s"$root/labels"))
       .awaitTermination()
-    ViewMaintenance.readLatest(s, s"$root/labels").get
+    // delta-published ledger: the latest-wins read IS the snapshot
+    graft.streaming.DeltaLedger.read(s, s"$root/labels")
       .select("doc_id", "cluster_id")
   }
 

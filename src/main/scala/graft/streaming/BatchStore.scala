@@ -153,12 +153,14 @@ object BatchStore {
     * it unconditionally at every drain start without paying a fold on
     * mostly-compacted stores. */
   def compactIfOver(spark: SparkSession, dir: String, threshold: Int,
-                    keepBatches: Int = 2): Option[Compaction] = {
+                    keepBatches: Int = 2,
+                    merge: Option[DataFrame => DataFrame] = None)
+      : Option[Compaction] = {
     require(threshold >= keepBatches,
       s"threshold $threshold below keepBatches $keepBatches would compact " +
         "every drain and still never get under the bound")
     if (liveBatchCount(spark, dir) > threshold)
-      Some(compact(spark, dir, keepBatches))
+      Some(compact(spark, dir, keepBatches, merge))
     else None
   }
 
@@ -169,7 +171,19 @@ object BatchStore {
     * crash-safe at every step (see class doc); a rerun after any crash
     * converges. Returns the no-op report when there is nothing to fold. */
   def compact(spark: SparkSession, dir: String,
-              keepBatches: Int = 2): Compaction = {
+              keepBatches: Int = 2): Compaction =
+    compact(spark, dir, keepBatches, None)
+
+  /** [[compact]] with a MERGE step: `merge` receives the folding rows
+    * WITH the `graft_batch` column (base generations negative, so
+    * batch order is total across base and live dirs) and returns the
+    * new base's rows (any `graft_batch` column in its output is
+    * dropped). Append-only stores fold with None (plain union);
+    * latest-wins stores ([[DeltaLedger]]) MUST reduce to one row per
+    * key here — after the fold the base is one generation, so
+    * intra-base recency would otherwise be lost. */
+  def compact(spark: SparkSession, dir: String, keepBatches: Int,
+              merge: Option[DataFrame => DataFrame]): Compaction = {
     require(keepBatches >= 1,
       s"keepBatches must be >= 1 to preserve replay idempotence: $keepBatches")
     // resolvePointer, not readPointer: a compaction after a crashed
@@ -188,8 +202,9 @@ object BatchStore {
     // generation. Read through the pointer filter so a previous crashed
     // staging of this same generation (about to be overwritten) and
     // already-dead dirs contribute nothing.
-    val folded = read(spark, dir)
+    val foldInput = read(spark, dir)
       .filter(col(BatchCol) <= newHwm) // base gens are negative: included
+    val folded = merge.map(m => m(foldInput)).getOrElse(foldInput)
       .drop(BatchCol)
     val baseRows = folded.count()
     folded.write.mode("overwrite").parquet(s"$dir/$BatchCol=-$newGen")

@@ -71,9 +71,16 @@ object DedupStream {
       : StreamingQuery = {
     compactWhenBatchesExceed.foreach { threshold =>
       val spark = docs.sparkSession
-      val p = new Path(sigStoreDir)
-      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      def fs(d: String) =
+        new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs(sigStoreDir).exists(new Path(sigStoreDir)))
         BatchStore.compactIfOver(spark, sigStoreDir, threshold)
+      // the ledger folds latest-wins (one row per doc in the base), so
+      // its live row count tracks corpus size, not corpus × churn
+      labelsDir.foreach { ld =>
+        if (fs(ld).exists(new Path(ld)))
+          DeltaLedger.compactIfOver(spark, ld, threshold)
+      }
     }
     val writer = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -131,29 +138,53 @@ object DedupStream {
           .parquet(s"$sigStoreDir/graft_batch=$batchId")
         // Optional duplicate-group LEDGER: fold this batch's verdict
         // edges (rejected doc → its dup_of) into the maintained
-        // (doc_id, cluster_id) labeling via the star-encoded
-        // incremental fold — (labels + batch)-sized, and identical to
-        // reclustering the full verdict-edge graph from scratch (the
-        // ConnectedComponents.incremental identity). Every doc ever
-        // seen gets a row; a rejected doc's cluster names the standing
-        // twin its content collapsed into — the queryable provenance a
-        // corpus audit needs ("where did my document go?").
+        // (doc_id, cluster_id) labeling, DELTA-PUBLISHED through
+        // [[DeltaLedger]] — per-batch READS are two scan+semi-join
+        // lookups (the delta endpoints' standing labels, then the
+        // touched clusters' members), the fold runs over that affected
+        // neighborhood plus the batch, and the WRITE is just the
+        // fold's output dir. Nothing corpus-sized moves per batch, yet
+        // the latest-wins read equals reclustering the full
+        // verdict-edge graph from scratch (the incremental-fold
+        // identity — the fold-blind `m8_stream_clusters` oracle hashes
+        // it). Every doc ever seen gets a row; a rejected doc's
+        // cluster names the standing twin its content collapsed into —
+        // the queryable provenance a corpus audit needs ("where did my
+        // document go?").
         labelsDir.foreach { ld =>
-          SnapshotStore.fold(spark, ld, batchId) { prior =>
-            val singles = verdicts
-              .select(col("doc_id"), col("doc_id").as("cluster_id"))
-            val edges = verdicts.filter(col("verdict") === "reject")
-              .select(col("doc_id").as("id_a"), col("dup_of").as("id_b"))
-            // One label row per doc_id, guaranteed: a doc_id re-seen in
-            // a later batch keeps its STANDING label (left_anti drops
-            // its fresh singleton), because two rows for one vertex
-            // would fan out the fold's relabel join and publish
-            // duplicate (doc_id, cluster_id) rows in the snapshot.
-            graft.ops.ConnectedComponents.incremental(
-              prior.map(p => p.unionByName(
-                singles.join(p, Seq("doc_id"), "left_anti")))
-                .getOrElse(singles), edges)
-          }
+          val singles = verdicts
+            .select(col("doc_id"), col("doc_id").as("cluster_id"))
+          val edges = verdicts.filter(col("verdict") === "reject")
+            .select(col("doc_id").as("id_a"), col("dup_of").as("id_b"))
+          val endpoints = edges.select(col("id_a").as("doc_id"))
+            .unionByName(edges.select(col("id_b").as("doc_id"))).distinct()
+          // every reader excludes this batch's own dir, so a replayed
+          // batch folds against the pre-attempt state and its
+          // overwrite REPLACES the first attempt
+          // the same size decision as the screen: bounded micro-batch
+          // lookups broadcast (ledger only scanned); backlog-sized
+          // lookups take the shuffled semi-join
+          val touched = DeltaLedger
+            .labelsFor(spark, ld, endpoints, excludeBatch = batchId,
+              broadcastLookup = useBroadcast)
+            .select(col("cluster_id"))
+          val members = DeltaLedger
+            .membersOf(spark, ld, touched, excludeBatch = batchId,
+              broadcastLookup = useBroadcast)
+          // a doc_id re-seen in a later batch keeps its STANDING label
+          // (left_anti drops its fresh singleton) — one label row per
+          // vertex, or the relabel join would fan out
+          val standingBatch = DeltaLedger.labelsFor(spark, ld,
+            verdicts.select(col("doc_id")), excludeBatch = batchId,
+            broadcastLookup = useBroadcast)
+          val freshSingles =
+            singles.join(standingBatch, Seq("doc_id"), "left_anti")
+          val labelsIn = members.unionByName(standingBatch)
+            .unionByName(freshSingles)
+            .dropDuplicates("doc_id")
+          DeltaLedger.write(
+            graft.ops.ConnectedComponents.incremental(labelsIn, edges),
+            ld, batchId)
         }
         verdicts.unpersist()
         delta.unpersist()

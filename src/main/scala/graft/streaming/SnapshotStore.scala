@@ -3,9 +3,10 @@ package graft.streaming
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** The versioned-pointer snapshot FOLD shared by the streaming state
-  * maintainers that keep one whole-state table per batch
-  * ([[SampleStream]], the duplicate-group ledger in [[DedupStream]]):
+/** The versioned-pointer snapshot FOLD for streaming state whose whole
+  * table is SMALL and rewritten per batch ([[SampleStream]] — the
+  * maintained sample is k rows by construction; state that grows with
+  * the corpus belongs on the delta-published [[DeltaLedger]] instead):
   * resolve the prior snapshot ([[ViewMaintenance.latestSnapshot]] —
   * pointer with `_SUCCESS`-scan fallback), skip a replayed batch whose
   * snapshot is already published (and whose fold would read the very

@@ -331,7 +331,7 @@ class DedupStreamSpec extends SparkSpec {
     DedupStream.admitDocuments(docs, s"$root/store", s"$root/verdicts",
         s"$root/ckpt", labelsDir = Some(s"$root/labels"))
       .awaitTermination()
-    val rows = ViewMaintenance.readLatest(spark, s"$root/labels").get
+    val rows = DeltaLedger.read(spark, s"$root/labels")
       .select("doc_id", "cluster_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(rows.length == rows.map(_._1).distinct.length,
