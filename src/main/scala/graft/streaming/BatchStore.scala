@@ -33,8 +33,11 @@ import org.apache.spark.sql.types.StructType
   * a pointer lost to [[StatePointer]]'s clobber-fallback crash window
   * is re-derived from the highest complete generation
   * ([[resolvePointer]]) — and if no generation is recoverable either,
-  * the read FAILS (throws) rather than silently dropping the folded
-  * corpus behind the no-pointer filter. Crash-safety falls out of the ordering: stage the new
+  * the write-once `_PUBLISHED` sentinel decides: a never-published
+  * store (crashed first staging) safely serves its intact batch dirs
+  * and self-heals at the next compact, while a once-published store
+  * FAILS (throws) rather than silently dropping the folded corpus
+  * behind the no-pointer filter. Crash-safety falls out of the ordering: stage the new
   * generation (invisible: pointer still names the old one) → publish
   * the pointer (atomic file rename, [[StatePointer]]) → GC old dirs
   * (idempotent; a crash here leaves dead dirs the filter already
@@ -51,6 +54,7 @@ object BatchStore {
   val BatchCol = "graft_batch"
   private val PointerName = "_BASE"
   private val HwmName = "_HWM"
+  private val PublishedName = "_PUBLISHED"
 
   /** Result of one [[compact]] call. `gen < 0` means no-op. */
   case class Compaction(gen: Long, foldedThrough: Long,
@@ -67,6 +71,28 @@ object BatchStore {
       case PtrRe(g, h) => Some((g.toLong, h.toLong))
       case _ => None
     }
+
+  /** Whether any compaction has ever PUBLISHED here. The sentinel is
+    * created once, right before the first pointer publish, and never
+    * rewritten afterwards — so unlike the pointer it has no
+    * clobber-rewrite crash window. It is what lets [[resolvePointer]]
+    * tell a crashed FIRST staging (generation dir present, `_HWM` meta
+    * not yet written, nothing ever folded or GC'd — safe to serve the
+    * intact batch dirs and let the next compact heal) apart from a
+    * published store whose pointer AND metas were destroyed
+    * out-of-protocol (folded batch dirs may be GC'd — must fail
+    * closed). */
+  private def everPublished(spark: SparkSession, dir: String): Boolean =
+    fsFor(spark, dir).exists(new Path(s"$dir/$PublishedName"))
+
+  private def markPublished(spark: SparkSession, dir: String): Unit = {
+    val fs = fsFor(spark, dir)
+    val p = new Path(s"$dir/$PublishedName")
+    if (!fs.exists(p)) {
+      val out = fs.create(p, true)
+      out.write('1'); out.close()
+    }
+  }
 
   /** The hwm recorded inside generation dir `-gen`'s `_HWM` meta file
     * (written LAST during staging, so its presence marks the generation
@@ -88,10 +114,23 @@ object BatchStore {
     * finishes before publish starts, so that generation holds the prior
     * base plus every batch folded through its recorded hwm, and reading
     * it is correct whether the crash hit before or after the rename.
-    * If generations exist but NONE is recoverable (meta lost too), this
-    * throws: falling back to the no-pointer filter would silently drop
-    * the entire folded corpus — the one outcome a store reader must
-    * never produce. */
+    *
+    * If generations exist but NONE is complete, the `_PUBLISHED`
+    * sentinel disambiguates the two observationally-identical states:
+    *  - sentinel ABSENT — no compaction ever published here (a publish
+    *    writes `_HWM` first and the sentinel before the pointer, so a
+    *    published store always carries it), i.e. this is a crashed
+    *    FIRST staging: nothing was folded, no batch dir was GC'd, and
+    *    the no-pointer filter (which excludes the incomplete
+    *    generation) serves the intact store; the next [[compact]]
+    *    overwrites the dead staging and heals. Throwing here instead
+    *    would brick the store — [[compact]] itself resolves the
+    *    pointer, so not even the healing path could run.
+    *  - sentinel PRESENT — a publish happened and its durable traces
+    *    were destroyed out-of-protocol (folded batch dirs may already
+    *    be GC'd): throw, because the no-pointer fallback would silently
+    *    drop the folded corpus — the one outcome a store reader must
+    *    never produce. */
   def resolvePointer(spark: SparkSession, dir: String): Option[(Long, Long)] =
     readPointer(spark, dir).orElse {
       val gens = batchDirs(spark, dir).filter(_ <= -2L).map(-_).sorted.reverse
@@ -99,12 +138,15 @@ object BatchStore {
       else gens.iterator
         .flatMap(g => readGenHwm(spark, dir, g).map(h => (g, h)))
         .nextOption()
-        .orElse(throw new IllegalStateException(
-          s"store at $dir has compacted generations " +
-            s"${gens.map(g => s"$BatchCol=-$g").mkString(", ")} but no " +
-            s"parsable $PointerName pointer and no complete $HwmName meta — " +
-            "refusing to read: the no-pointer filter would silently drop " +
-            "the folded corpus"))
+        .orElse {
+          if (!everPublished(spark, dir)) None
+          else throw new IllegalStateException(
+            s"store at $dir has compacted generations " +
+              s"${gens.map(g => s"$BatchCol=-$g").mkString(", ")} but no " +
+              s"parsable $PointerName pointer and no complete $HwmName meta — " +
+              "refusing to read: the no-pointer filter would silently drop " +
+              "the folded corpus")
+        }
     }
 
   /** Live-row predicate under the pointer protocol (see class doc).
@@ -214,8 +256,12 @@ object BatchStore {
     // generation + hwm from durable data ([[resolvePointer]]).
     StatePointer.publish(spark, s"$dir/$BatchCol=-$newGen", HwmName,
       newHwm.toString)
-    // Publish: one atomic pointer rename flips the live set from
-    // {old base, all batches > hwm} to {new base, batches > newHwm}.
+    // Publish: the write-once sentinel first (recovery disambiguator —
+    // see resolvePointer; created before the pointer so a store that
+    // ever had a pointer always carries it), then one atomic pointer
+    // rename flips the live set from {old base, all batches > hwm} to
+    // {new base, batches > newHwm}.
+    markPublished(spark, dir)
     StatePointer.publish(spark, dir, PointerName, s"gen=$newGen;hwm=$newHwm")
     // GC (idempotent): superseded bases, folded batch dirs, and any
     // stale staged generations a crashed compaction left behind.

@@ -406,6 +406,46 @@ class DedupStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("refusing to read"))
   }
 
+  test("store compaction: crashed FIRST staging serves intact dirs and self-heals") {
+    // A crash during the first-ever compaction's staging (generation
+    // dir written, _HWM meta not yet) leaves gens <= -2 with no pointer
+    // AND no complete meta — observationally the same as the
+    // destroyed-metas state above, but here nothing was ever folded or
+    // GC'd. The write-once _PUBLISHED sentinel (absent: no publish ever
+    // happened) is what lets the reader serve the intact batch dirs
+    // instead of bricking the store — the throw would also block
+    // compact() itself, so not even the healing path could run.
+    val root = Files.createTempDirectory("dedup_firststage").toString
+    val store = s"$root/store"
+    def sigs(rows: Seq[(Long, String)]): DataFrame =
+      Dedup.minhashSignatures(rows.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), numHashes = 32)
+    Seq(Seq(1L -> "alpha beta gamma delta epsilon zeta eta theta"),
+        Seq(2L -> "one two three four five six seven eight nine"),
+        Seq(3L -> "red orange yellow green blue indigo violet white"))
+      .zipWithIndex.foreach { case (b, i) =>
+        sigs(b).write.mode("overwrite").parquet(s"$store/graft_batch=$i")
+      }
+    // simulate the crash: a staged-but-incomplete generation, no _HWM,
+    // no _BASE, no _PUBLISHED (the first publish never ran)
+    sigs(Seq(42L -> "half staged first generation from a crash"))
+      .write.mode("overwrite").parquet(s"$store/graft_batch=-2")
+    def liveIds(): Set[Long] = BatchStore.read(spark, store)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(liveIds() == Set(1L, 2L, 3L),
+      "crashed first staging must serve the intact batch dirs " +
+        "(nothing was folded) and exclude the dead staging")
+    assert(BatchStore.liveBatchCount(spark, store) == 3)
+    // the healing path must be runnable in this state: compact
+    // overwrites the dead staging and publishes for real
+    val rep = BatchStore.compact(spark, store, keepBatches = 1)
+    assert(rep.gen == 2L && rep.foldedBatches == Seq(0L, 1L),
+      s"heal compact built the wrong generation: $rep")
+    assert(liveIds() == Set(1L, 2L, 3L))
+    assert(new java.io.File(s"$store/_PUBLISHED").exists(),
+      "first publish must create the write-once sentinel")
+  }
+
   test("store compaction: keepBatches = 0 is refused (replay idempotence)") {
     // keepBatches >= 1 is what keeps the replay-eligible newest batch
     // dir unfolded — folding it would let a crash-replay append its
