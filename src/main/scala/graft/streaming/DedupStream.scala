@@ -139,9 +139,11 @@ object DedupStream {
         // Optional duplicate-group LEDGER: fold this batch's verdict
         // edges (rejected doc → its dup_of) into the maintained
         // (doc_id, cluster_id) labeling, DELTA-PUBLISHED through
-        // [[DeltaLedger]] — per-batch READS are two scan+semi-join
-        // lookups (the delta endpoints' standing labels, then the
-        // touched clusters' members), the fold runs over that affected
+        // [[DeltaLedger]] — per-batch READS are two ledger scans with
+        // lookup-sized semi-joins (one combined standing-label lookup
+        // for batch docs + dup targets, one live-cluster membership
+        // read; scans prune through the compacted base and shuffle
+        // nothing corpus-sized), the fold runs over that affected
         // neighborhood plus the batch, and the WRITE is just the
         // fold's output dir. Nothing corpus-sized moves per batch, yet
         // the latest-wins read equals reclustering the full
@@ -164,27 +166,51 @@ object DedupStream {
           // the same size decision as the screen: bounded micro-batch
           // lookups broadcast (ledger only scanned); backlog-sized
           // lookups take the shuffled semi-join
-          val touched = DeltaLedger
-            .labelsFor(spark, ld, endpoints, excludeBatch = batchId,
-              broadcastLookup = useBroadcast)
+          //
+          // ONE combined standing-label lookup serves both consumers —
+          // batch doc_ids (re-seen docs keep their standing label) and
+          // edge endpoints (dup_of targets' clusters are the touched
+          // set): endpoints ⊆ batch docs ∪ dup_of targets, so the
+          // union covers both, and the result is lookup-sized
+          // (persisted for its two derivations below). Two ledger
+          // scans per batch total (this + membersOfLive), not four.
+          val standingAll = DeltaLedger.labelsFor(spark, ld,
+            verdicts.select(col("doc_id"))
+              .unionByName(edges.select(col("id_b").as("doc_id"))),
+            excludeBatch = batchId,
+            broadcastLookup = useBroadcast).persist()
+          val touched = standingAll
+            .join(endpoints, Seq("doc_id"), "left_semi")
             .select(col("cluster_id"))
+          // labelsFor output is current by construction, so the
+          // touched ids are LIVE — the one-scan membership read
+          // applies (see DeltaLedger.membersOfLive's invariant note)
           val members = DeltaLedger
-            .membersOf(spark, ld, touched, excludeBatch = batchId,
+            .membersOfLive(spark, ld, touched, excludeBatch = batchId,
               broadcastLookup = useBroadcast)
           // a doc_id re-seen in a later batch keeps its STANDING label
           // (left_anti drops its fresh singleton) — one label row per
           // vertex, or the relabel join would fan out
-          val standingBatch = DeltaLedger.labelsFor(spark, ld,
-            verdicts.select(col("doc_id")), excludeBatch = batchId,
-            broadcastLookup = useBroadcast)
+          val standingBatch = standingAll
+            .join(verdicts.select(col("doc_id")), Seq("doc_id"), "left_semi")
           val freshSingles =
             singles.join(standingBatch, Seq("doc_id"), "left_anti")
+          // materialize ONCE: the fold reads its labels frame ~5 times
+          // (touched split, star input, universe, relabel, untouched
+          // passthrough) — un-checkpointed, every read would re-run
+          // the ledger scans above. The frame is affected-sized by
+          // construction, so the checkpoint is tiny; the general
+          // incremental() API can't do this itself because its labels
+          // input may be corpus-sized (the batch-mode gate), where
+          // re-reading parquet is cheaper than materializing.
           val labelsIn = members.unionByName(standingBatch)
             .unionByName(freshSingles)
             .dropDuplicates("doc_id")
+            .localCheckpoint()
           DeltaLedger.write(
             graft.ops.ConnectedComponents.incremental(labelsIn, edges),
             ld, batchId)
+          standingAll.unpersist()
         }
         verdicts.unpersist()
         delta.unpersist()

@@ -109,6 +109,30 @@ object DeltaLedger {
     labelsFor(spark, dir, candidates, excludeBatch, broadcastLookup)
   }
 
+  /** Current membership of LIVE cluster ids — ONE scan, cluster-keyed
+    * semi-join, latest reduce. The caller guarantees liveness (ids
+    * just returned by [[labelsFor]]/[[read]] are live by definition);
+    * correctness then follows from the merge-downward invariant the
+    * class doc states: no stale row can carry a live id (a cluster
+    * that merged away had every member rewritten in that batch), and
+    * no member of a live cluster has a newer row under another id (a
+    * member that left would have killed the id) — so the cluster-keyed
+    * rows contain exactly every member's current row, and the per-doc
+    * latest reduce over them is the membership. For possibly-dead ids
+    * use [[membersOf]], whose second resolve pass is what prevents a
+    * stale id from resurrecting members. One scan instead of
+    * [[membersOf]]'s two is what the per-batch ledger fold pays N
+    * times per admission batch. */
+  def membersOfLive(spark: SparkSession, dir: String, clusterIds: DataFrame,
+                    excludeBatch: Long = Long.MinValue,
+                    broadcastLookup: Boolean = true): DataFrame = {
+    val keys = clusterIds
+      .select(col(clusterIds.columns.head).as("cluster_id")).distinct()
+    latest(liveRows(spark, dir, excludeBatch)
+      .join(if (broadcastLookup) broadcast(keys) else keys,
+        Seq("cluster_id"), "left_semi"))
+  }
+
   /** Publish batch `batchId`'s changed/created rows (doc_id,
     * cluster_id). Crash-safe by layout: a replayed batch REPLACES its
     * own dir. */

@@ -340,6 +340,48 @@ class DedupStreamSpec extends SparkSpec {
       s"unexpected ledger labels: $rows")
   }
 
+  test("ledger: a tiny batch's delta dir is affected-sized, never corpus-sized") {
+    // The production-shape claim of the delta-published ledger: after a
+    // large admission history, a small batch writes only (batch +
+    // affected neighborhood) label rows — the corpus's standing labels
+    // are never re-serialized. Pinned on actual batch-dir row counts,
+    // end-to-end through admitDocuments.
+    val root = Files.createTempDirectory("dedup_deltasize").toString
+    val watch = s"$root/in"; Files.createDirectories(Paths.get(watch))
+    def unique(tag: String, i: Int): String =
+      s"wholly distinct $tag corpus document number $i about subject " +
+        s"${('a' + i % 26).toChar}${('b' + (i * 7) % 26).toChar} with its own words"
+    val dupText = "the one sentence this corpus repeats verbatim for the gate"
+    // batch 0: a 30-doc standing corpus (ids 1-30), doc 1 carries dupText
+    writeBatch(watch, "b0.parquet",
+      (1L to 30L).map(i => i ->
+        (if (i == 1L) dupText else unique("base", i.toInt))))
+    Thread.sleep(20)
+    // batch 1: the tiny follow-up — one fresh doc + one dup of doc 1
+    writeBatch(watch, "b1.parquet", Seq(
+      31L -> unique("fresh", 31),
+      32L -> dupText))
+    val docs = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    DedupStream.admitDocuments(docs, s"$root/store", s"$root/verdicts",
+        s"$root/ckpt", labelsDir = Some(s"$root/labels"))
+      .awaitTermination()
+    def dirRows(b: Int): Long =
+      spark.read.parquet(s"$root/labels/graft_batch=$b").count()
+    assert(dirRows(0) == 30L,
+      s"batch 0 must label its whole 30-doc corpus: ${dirRows(0)}")
+    // batch 1's affected universe: its 2 docs + doc 1's touched cluster
+    // ({1}) — far below the 30-row corpus a snapshot rewrite would pay
+    assert(dirRows(1) <= 4L,
+      s"tiny batch wrote a corpus-sized delta: ${dirRows(1)} rows")
+    val labels = DeltaLedger.read(spark, s"$root/labels")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 32 && labels(32L) == 1L && labels(31L) == 31L,
+      s"ledger read wrong after the delta publish: $labels")
+  }
+
   test("store compaction: lost _BASE pointer recovers from _HWM, never fails open") {
     // StatePointer's clobber-fallback publish has a crash window where
     // the pointer file is briefly missing; the reader must recover the

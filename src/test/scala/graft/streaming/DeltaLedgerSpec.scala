@@ -50,6 +50,37 @@ class DeltaLedgerSpec extends SparkSpec {
         s"never resurrect the dead cluster: $dead")
   }
 
+  test("membersOfLive equals membersOf on live ids; only dead ids need the resolve pass") {
+    val d = dir()
+    DeltaLedger.write(Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L))
+      .toDF("doc_id", "cluster_id"), d, 0L)
+    // cluster 3 merges into 1; cluster 4 gains member 5 later
+    DeltaLedger.write(Seq((3L, 1L), (1L, 1L)).toDF("doc_id", "cluster_id"), d, 1L)
+    DeltaLedger.write(Seq((5L, 4L), (4L, 4L)).toDF("doc_id", "cluster_id"), d, 2L)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // live ids: the one-scan read must equal the two-scan one
+    for (live <- Seq(1L, 2L, 4L)) {
+      val fast = asMap(DeltaLedger.membersOfLive(spark, d,
+        Seq(live).toDF("cluster_id")))
+      val full = asMap(DeltaLedger.membersOf(spark, d,
+        Seq(live).toDF("cluster_id")))
+      assert(fast == full, s"membersOfLive diverged on live id $live: " +
+        s"$fast vs $full")
+    }
+    // dead id 3: membersOfLive's single reduce sees only the stale
+    // (3,3) row and would resurrect it — exactly the case the caller
+    // contract excludes and membersOf's resolve pass exists for
+    val fastDead = asMap(DeltaLedger.membersOfLive(spark, d,
+      Seq(3L).toDF("cluster_id")))
+    val fullDead = asMap(DeltaLedger.membersOf(spark, d,
+      Seq(3L).toDF("cluster_id")))
+    assert(fullDead == Map(3L -> 1L))
+    assert(fastDead == Map(3L -> 3L),
+      "expected the documented divergence on a dead id — if this ever " +
+        s"equals membersOf, the invariant note is stale: $fastDead")
+  }
+
   test("compaction folds latest-wins: one row per doc, read unchanged") {
     val d = dir()
     DeltaLedger.write(Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "cluster_id"), d, 0L)
