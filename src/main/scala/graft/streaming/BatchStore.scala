@@ -248,8 +248,11 @@ object BatchStore {
       .filter(col(BatchCol) <= newHwm) // base gens are negative: included
     val folded = merge.map(m => m(foldInput)).getOrElse(foldInput)
       .drop(BatchCol)
-    val baseRows = folded.count()
     folded.write.mode("overwrite").parquet(s"$dir/$BatchCol=-$newGen")
+    // row count from the staged files' parquet footers — metadata-only,
+    // where a count() on `folded` would re-run the whole fold (read +
+    // merge) a second time just to fill the report
+    val baseRows = spark.read.parquet(s"$dir/$BatchCol=-$newGen").count()
     // Completeness meta, written LAST inside the staged generation: its
     // presence means the fold finished, so a reader that finds the root
     // pointer missing (publish crash window) can recover this
