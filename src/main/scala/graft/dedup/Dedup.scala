@@ -151,12 +151,25 @@ object Dedup {
     * (distinct + the verdict groupBy). Identical output (M8Spec pins
     * the equality; the stream gates hash it end-to-end). Only for
     * bounded deltas — a broadcast hint is unconditional, so a
-    * corpus-sized "delta" belongs on the default path. */
+    * corpus-sized "delta" belongs on the default path.
+    *
+    * `broadcastPairsUpTo`: the pair-side guard. A bounded DELTA does
+    * not bound the CANDIDATE set — in a heavily duplicated corpus (the
+    * reason this operator exists) band collisions can fan a small
+    * batch out to many times its size, and the signature re-join
+    * broadcasts (pair, sig) rows, the widest frame in the plan. When
+    * `broadcastDelta` is on, the candidate list is therefore
+    * materialized (localCheckpoint — it feeds two consumers anyway)
+    * and the re-join only broadcasts if the ACTUAL pair count is
+    * within this cap; past it, the re-join falls back to the shuffle
+    * path (with that many pairs, shuffling is the memory-safe side of
+    * the trade) while the band join keeps its delta-row broadcast. */
   def minhashIncremental(corpusSigs: DataFrame, deltaSigs: DataFrame,
                          bands: Int = 8, rowsPerBand: Int = 4,
                          minAgreement: Double = 0.5,
                          portable: Boolean = false,
-                         broadcastDelta: Boolean = false): DataFrame = {
+                         broadcastDelta: Boolean = false,
+                         broadcastPairsUpTo: Long = 2000000L): DataFrame = {
     val numHashes = bands * rowsPerBand
     def banded(sigs: DataFrame): DataFrame = {
       val keys =
@@ -171,11 +184,17 @@ object Dedup {
     val bandJoined =
       if (broadcastDelta) build.join(broadcast(deltaBand), Seq("bk"))
       else deltaBand.join(build, Seq("bk"))
-    val cand = bandJoined
+    val cand0 = bandJoined
       .filter((col("is_corpus") && col("cand_id") =!= col("new_id")) ||
         (!col("is_corpus") && col("cand_id") < col("new_id")))
       .select("new_id", "cand_id")
       .distinct()
+    // broadcastDelta: materialize the candidate list once (it feeds the
+    // sig join and the pair-count guard) and gate the wide pair-side
+    // broadcast on the measured count, not on the delta size that
+    // can't bound it
+    val cand = if (broadcastDelta) cand0.localCheckpoint() else cand0
+    val broadcastPairs = broadcastDelta && cand.count() <= broadcastPairsUpTo
     val allSigs = corpusSigs.unionByName(deltaSigs)
     val withNew = cand
       .join(deltaSigs.select(col("id").as("new_id"), col("sig").as("sig_n")),
@@ -183,7 +202,7 @@ object Dedup {
     val corpusSide = allSigs.select(col("id").as("cand_id"),
       col("sig").as("sig_c"))
     val paired =
-      if (broadcastDelta) corpusSide.join(broadcast(withNew), Seq("cand_id"))
+      if (broadcastPairs) corpusSide.join(broadcast(withNew), Seq("cand_id"))
       else withNew.join(corpusSide, Seq("cand_id"))
     val hits = paired
       .select(col("new_id"), col("cand_id"),

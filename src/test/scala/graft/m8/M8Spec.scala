@@ -552,6 +552,14 @@ class M8Spec extends SparkSpec {
     val p = bc.queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
       s"expected the band join AND the signature re-join broadcast:\n$p")
+    // pair-side guard: the wide (pair, sig) broadcast is gated on the
+    // MEASURED candidate count, not the delta size that can't bound it
+    // in a collision-heavy corpus — forcing the cap to 0 must fall the
+    // re-join back to the shuffle path with identical verdicts
+    val guarded = Dedup.minhashIncremental(corpus, delta, portable = true,
+      broadcastDelta = true, broadcastPairsUpTo = 0L)
+    assert(rows(guarded) == rows(plain),
+      "pair-broadcast fallback changed the verdicts — it must be plan-only")
     sigs.unpersist()
   }
 
