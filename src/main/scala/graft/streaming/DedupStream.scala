@@ -158,6 +158,22 @@ object DedupStream {
             .select(col("doc_id"), col("doc_id").as("cluster_id"))
           val edges = verdicts.filter(col("verdict") === "reject")
             .select(col("doc_id").as("id_a"), col("dup_of").as("id_b"))
+          // CLEAN-BATCH fast path — the common production case: a batch
+          // with zero reject edges touches no standing cluster, so the
+          // delta is exactly the fresh singletons. One standing-label
+          // scan (still required: a re-seen doc must NOT have its
+          // standing label clobbered by a fresh (d, d) row — latest
+          // batch wins on read) instead of two scans + the whole CC
+          // fold. The cheap emptiness probe runs on the persisted
+          // verdicts frame.
+          if (edges.isEmpty) {
+            val standingBatch = DeltaLedger.labelsFor(spark, ld,
+              verdicts.select(col("doc_id")), excludeBatch = batchId,
+              broadcastLookup = useBroadcast)
+            DeltaLedger.write(
+              singles.join(standingBatch, Seq("doc_id"), "left_anti"),
+              ld, batchId)
+          } else {
           val endpoints = edges.select(col("id_a").as("doc_id"))
             .unionByName(edges.select(col("id_b").as("doc_id"))).distinct()
           // every reader excludes this batch's own dir, so a replayed
@@ -211,6 +227,7 @@ object DedupStream {
             graft.ops.ConnectedComponents.incremental(labelsIn, edges),
             ld, batchId)
           standingAll.unpersist()
+          }
         }
         verdicts.unpersist()
         delta.unpersist()

@@ -340,6 +340,47 @@ class DedupStreamSpec extends SparkSpec {
       s"unexpected ledger labels: $rows")
   }
 
+  test("ledger: clean batches (no dup edges) publish fresh singletons only") {
+    // the common production case: most admission batches carry zero
+    // reject edges, and the fast path must (a) write exactly the fresh
+    // singletons, (b) never clobber a re-seen doc's standing label
+    // with a fresh (d, d) row, and (c) leave a ledger a later dup
+    // batch folds against correctly
+    val root = Files.createTempDirectory("dedup_clean").toString
+    val watch = s"$root/in"; Files.createDirectories(Paths.get(watch))
+    val dupText = "the recurring sentence that batch three finally duplicates"
+    // batch 0: clean (3 unique docs, one carrying dupText)
+    writeBatch(watch, "b0.parquet", Seq(
+      1L -> dupText,
+      2L -> "completely different words about spark streaming state",
+      3L -> "a third topic entirely involving parquet and bucket joins"))
+    Thread.sleep(20)
+    // batch 1: clean again, and re-sees doc 2 (standing label kept)
+    writeBatch(watch, "b1.parquet", Seq(
+      2L -> "completely different words about spark streaming state",
+      4L -> "the fourth topic is wholly new material about window frames"))
+    Thread.sleep(20)
+    // batch 2: the first dup edge (5 rejects against doc 1)
+    writeBatch(watch, "b2.parquet", Seq(5L -> dupText))
+    val docs = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    DedupStream.admitDocuments(docs, s"$root/store", s"$root/verdicts",
+        s"$root/ckpt", labelsDir = Some(s"$root/labels"))
+      .awaitTermination()
+    def dirRows(b: Int): Set[(Long, Long)] =
+      spark.read.parquet(s"$root/labels/graft_batch=$b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dirRows(0) == Set((1L, 1L), (2L, 2L), (3L, 3L)))
+    assert(dirRows(1) == Set((4L, 4L)),
+      s"clean batch 1 must publish only its fresh singleton: ${dirRows(1)}")
+    val labels = DeltaLedger.read(spark, s"$root/labels")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 1L),
+      s"ledger wrong after clean batches + a dup fold: $labels")
+  }
+
   test("ledger: a tiny batch's delta dir is affected-sized, never corpus-sized") {
     // The production-shape claim of the delta-published ledger: after a
     // large admission history, a small batch writes only (batch +
