@@ -541,6 +541,70 @@ class DedupStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("replay idempotence"))
   }
 
+  test("ledger: randomized batchings converge to the batching-blind labeling") {
+    // 4 seeded trials: random duplicate groups randomly split across
+    // random batch counts (clean batches included, exercising the
+    // fast path beside the fold), two drains with the drain-start
+    // ledger compaction policy in the loop. The published labeling
+    // must equal the closed form — every doc labeled with the min
+    // doc_id of its exact-text group — no matter how the corpus was
+    // batched, folded, or compacted.
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 4) {
+      val root = Files.createTempDirectory(s"ledg_rand$trial").toString
+      val watch = s"$root/in"; Files.createDirectories(Paths.get(watch))
+      // duplicate groups: each group shares one exact text
+      val nGroups = 4 + rnd.nextInt(4)
+      val groupTexts = (0 until nGroups).map(g =>
+        s"group $g sentence trial $trial " +
+          (0 until 8).map(i => s"w${g}_${rnd.nextInt(50)}_$i").mkString(" "))
+      var nextId = 0L
+      val docs = scala.collection.mutable.ArrayBuffer[(Long, String, Int)]()
+      for (g <- 0 until nGroups; _ <- 0 to rnd.nextInt(3)) {
+        nextId += 1; docs += ((nextId, groupTexts(g), g))
+      }
+      // plus unique docs that must stay singletons
+      for (_ <- 0 until 4 + rnd.nextInt(4)) {
+        nextId += 1
+        docs += ((nextId,
+          s"unique doc $nextId trial $trial " +
+            (0 until 8).map(i => s"u${nextId}_$i").mkString(" "), -1))
+      }
+      val expected = docs.groupBy { case (id, text, _) => text }
+        .values.flatMap { grp =>
+          val m = grp.map(_._1).min; grp.map(d => d._1 -> m) }.toMap
+      // random batch split over two drains
+      val shuffled = rnd.shuffle(docs.toSeq).map(d => (d._1, d._2))
+      val cut = shuffled.length / 2
+      var fileNo = 0
+      def writeFiles(rows: Seq[(Long, String)]): Unit = {
+        var rest = rows
+        while (rest.nonEmpty) {
+          val take = 1 + rnd.nextInt(4)
+          writeBatch(watch, f"b$fileNo%03d.parquet", rest.take(take))
+          fileNo += 1; rest = rest.drop(take); Thread.sleep(5)
+        }
+      }
+      def drain(): Unit = {
+        val stream = spark.readStream
+          .schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(watch)
+        DedupStream.admitDocuments(stream, s"$root/store",
+            s"$root/verdicts", s"$root/ckpt",
+            labelsDir = Some(s"$root/labels"),
+            compactWhenBatchesExceed = Some(2))
+          .awaitTermination()
+      }
+      writeFiles(shuffled.take(cut)); drain()
+      writeFiles(shuffled.drop(cut)); drain()
+      val got = DeltaLedger.read(spark, s"$root/labels")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected,
+        s"trial $trial: batched labeling diverged\n got: $got\n want: $expected")
+    }
+  }
+
   test("store compaction: randomized fold schedules preserve the live set") {
     // 6 seeded trials: random batch count / row spread / keepBatches /
     // compaction points — the live row set must be invariant through
