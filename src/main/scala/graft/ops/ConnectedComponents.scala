@@ -152,9 +152,20 @@ object ConnectedComponents {
     // clusters holding a delta endpoint — delta-sized, so the two joins
     // against the (large) label set broadcast it; AQE picks that up
     // from the runtime size without a hint that would misfire on a
-    // genuinely huge delta
+    // genuinely huge delta. A delta endpoint can also appear ONLY as a
+    // cluster id (a labeling missing the representative's self-row —
+    // degenerate, but the pre-localization fold accepted it): that
+    // cluster is touched too, or its members would keep the dead id
+    // while the endpoint itself gets relabeled. Second equi-semi-join,
+    // not one OR-condition join — the OR shape would plan as a
+    // nested-loop join, O(|labels| × |delta|) comparisons.
     val touched = l.join(endpoints, Seq("doc_id"), "left_semi")
-      .select(col("cluster_id")).distinct().localCheckpoint()
+      .select(col("cluster_id"))
+      .unionByName(
+        l.join(endpoints.select(col("doc_id").as("cluster_id")),
+            Seq("cluster_id"), "left_semi")
+          .select(col("cluster_id")))
+      .distinct().localCheckpoint()
     val affected = l.join(touched, Seq("cluster_id"), "left_semi")
       .select(col("doc_id"), col("cluster_id"))
     val untouched = l.join(touched, Seq("cluster_id"), "left_anti")

@@ -166,6 +166,31 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == full, s"localized incremental $got != $full")
   }
 
+  test("incremental handles a delta endpoint that is only a cluster id") {
+    // Degenerate labeling: vertex 10 carries cluster id 3, but 3 has no
+    // self-row (a proper labeling would include (3,3) — the batch fold
+    // this operator replaced tolerated the omission). The delta edge
+    // (2,3) touches cluster 3 through its ID only; if the touched probe
+    // matched member doc_ids alone, 10 would pass through "untouched"
+    // still labeled 3 while vertex 3 itself moved to 2 — an internally
+    // inconsistent labeling. Cluster 3 must fold, relabeling all of
+    // {2, 3, 10} to 2 exactly as a full recompute would.
+    val labels = Seq((10L, 3L)).toDF("doc_id", "cluster_id")
+    val delta = Seq((2L, 3L)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.incremental(labels, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 2L, 3L -> 2L, 10L -> 2L),
+      s"degenerate labeling mishandled: $got")
+    // untouched clusters still pass through: an unrelated proper
+    // cluster and a singleton survive verbatim alongside the fix
+    val labels2 = Seq((10L, 3L), (20L, 20L), (21L, 20L), (30L, 30L))
+      .toDF("doc_id", "cluster_id")
+    val got2 = ConnectedComponents.incremental(labels2, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(2L -> 2L, 3L -> 2L, 10L -> 2L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L), s"mixed case wrong: $got2")
+  }
+
   test("incremental with an empty delta returns the labeling unchanged") {
     val labels = Seq((1L, 1L), (2L, 1L), (7L, 7L)).toDF("doc_id", "cluster_id")
     val got = ConnectedComponents.incremental(labels,
