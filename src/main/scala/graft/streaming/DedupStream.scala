@@ -56,9 +56,12 @@ object DedupStream {
     * into a base generation whenever the live dir count passes the
     * threshold. A scheduled admission loop thus keeps store-read cost
     * bounded for life without any operator running compactions by
-    * hand. Never fires mid-stream — the in-flight replay batch's dir
-    * is protected by compact's `keepBatches ≥ 1` contract anyway, but
-    * policy-at-start means the fold and the drain never interleave. */
+    * hand. With `continuous = true` the policy ALSO re-runs at the top
+    * of each micro-batch (a continuous loop has no next drain start);
+    * either way it only ever fires between batches — before the
+    * current batch has written anything — and the in-flight replay
+    * batch's dir is protected by compact's `keepBatches ≥ 1`
+    * contract. */
   def admitDocuments(docs: DataFrame, sigStoreDir: String,
                      verdictDir: String, checkpointDir: String,
                      bands: Int = 8, rowsPerBand: Int = 4,
@@ -69,7 +72,16 @@ object DedupStream {
                      compactWhenBatchesExceed: Option[Int] = None,
                      broadcastDeltaUpTo: Long = 500000L)
       : StreamingQuery = {
-    compactWhenBatchesExceed.foreach { threshold =>
+    // A CONTINUOUS stream never reaches another "drain start", so the
+    // policy also re-runs at the top of every micro-batch there —
+    // before the batch writes anything, which is the same
+    // between-batches window the drain-start placement uses (the
+    // previous batch has committed; a replay's first-attempt dir is
+    // the newest and `keepBatches ≥ 1` keeps it out of the fold).
+    // Without this, a long-running loop with a configured bound would
+    // still accumulate one dir per batch forever. Below threshold the
+    // re-check costs one directory listing per store.
+    def runPolicy(): Unit = compactWhenBatchesExceed.foreach { threshold =>
       val spark = docs.sparkSession
       def fs(d: String) =
         new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -82,8 +94,10 @@ object DedupStream {
           DeltaLedger.compactIfOver(spark, ld, threshold)
       }
     }
+    runPolicy()
     val writer = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (continuous) runPolicy()
         val spark = batch.sparkSession
         val delta = Dedup.minhashSignatures(batch, col("doc_id"), col("text"),
           numHashes = bands * rowsPerBand, portable = portable).persist()

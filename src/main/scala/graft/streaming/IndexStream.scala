@@ -51,15 +51,24 @@ object IndexStream {
     // START (between drains by construction), fold old list batch dirs
     // into a base generation once the live dir count passes the
     // threshold — a refresh loop that has run thousands of times opens
-    // as cheaply as a fresh build.
-    compactWhenBatchesExceed.foreach { threshold =>
+    // as cheaply as a fresh build. A CONTINUOUS stream has no "next
+    // drain start", so there the policy re-runs at the top of every
+    // micro-batch, BEFORE the batch writes anything: the previous batch
+    // has committed (or this is a replay, whose first-attempt dir is
+    // the newest and `keepBatches ≥ 1` keeps it out of the fold), so
+    // the between-batches safety argument is the same one the
+    // between-drains placement relies on. Below threshold the re-check
+    // costs one directory listing.
+    def runPolicy(): Unit = compactWhenBatchesExceed.foreach { threshold =>
       val spark = vecs.sparkSession
       val p = new Path(listsDir)
       if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
         BatchStore.compactIfOver(spark, listsDir, threshold)
     }
+    runPolicy()
     val writer = vecs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (continuous) runPolicy()
         val spark = batch.sparkSession
         val centPath = new Path(centroidDir)
         val fs = centPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

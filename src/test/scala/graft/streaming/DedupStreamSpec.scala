@@ -310,6 +310,46 @@ class DedupStreamSpec extends SparkSpec {
     assert(ids.toSet == unpoliced.filter(_._2._1 == "admit").keySet)
   }
 
+  test("compaction policy fires mid-stream in continuous mode") {
+    // A continuous query never reaches another drain start, so the
+    // policy must re-fire at micro-batch boundaries or a long-running
+    // loop with a configured bound would accumulate one dir per batch
+    // forever. One query, 7 single-file batches delivered while it
+    // runs, threshold 2: the live dir count after the drain must be
+    // policy-bounded (7 without the in-batch re-check), and the store
+    // must still read complete through BatchStore.
+    val root = Files.createTempDirectory("dedup_contpol").toString
+    val watch = s"$root/in"; Files.createDirectories(Paths.get(watch))
+    val q = DedupStream.admitDocuments(
+      spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(watch),
+      s"$root/store", s"$root/verdicts", s"$root/ckpt",
+      continuous = true, compactWhenBatchesExceed = Some(2))
+    for (b <- 0 until 7) {
+      writeBatch(watch, s"b$b.parquet", Seq(
+        (b * 2L, s"first wholly distinct continuous text number $b about " +
+          s"${('a' + b).toChar} things"),
+        (b * 2L + 1, s"second wholly distinct continuous text number $b " +
+          s"covering ${('q' + b).toChar} topics")))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val live = BatchStore.liveBatchCount(spark, s"$root/store")
+    // policy fires when live > 2, folding down to keepBatches = 2; a
+    // batch then adds one dir before the next check → never above 3
+    assert(live <= 3, s"continuous policy failed to bound the store: " +
+      s"$live live dirs after 7 batches")
+    assert(BatchStore.readPointer(spark, s"$root/store").isDefined,
+      "no compaction ever published mid-stream")
+    val ids = BatchStore.read(spark, s"$root/store")
+      .select("id").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length)
+    assert(ids.toSet == (0L until 14L).toSet,
+      s"policed continuous store lost signatures: ${ids.sorted.toSeq}")
+  }
+
   test("ledger: a doc_id re-seen across batches keeps ONE label row") {
     // not a crash replay — the same doc_id genuinely arrives again in a
     // later batch; the ledger fold must keep its standing label instead
