@@ -86,8 +86,10 @@ object Bench {
     // figure is the min of the last 3 (noise-robust) — with that, cold
     // and warmed sessions report within ~10% of each other.
     def stabilizedCalib(maxIter: Int = 10): (Double, Seq[Double]) = {
-      val cap = sys.env.get("SPARK_GRAFT_CALIB_MAX_ITER")
-        .map(_.toInt).getOrElse(maxIter)
+      // at least one sample regardless of the env override — a cap of
+      // 0 would leave the sample list empty and crash the min below
+      val cap = math.max(1, sys.env.get("SPARK_GRAFT_CALIB_MAX_ITER")
+        .map(_.toInt).getOrElse(maxIter))
       val minIter = sys.env.get("SPARK_GRAFT_CALIB_MIN_ITER")
         .map(_.toInt).getOrElse(6)
       val samples = scala.collection.mutable.ArrayBuffer.empty[Double]

@@ -235,14 +235,21 @@ object ScaleGate {
     }
     if (selected("m8_semantic_dedup"))
       dump("m8_semantic_dedup", semanticDedupStratum(spark, imageDir))
-    val hasMedia = Files.exists(Paths.get(s"$imageDir/images.parquet"))
-    if (!hasMedia)
-      System.err.println(s"[scalegate] $imageDir has no images.parquet/" +
-        "audio.parquet — multimodal gates skipped; rebuild the image with " +
+    // Each media gate probes ITS OWN payload table — plantStratum writes
+    // images before audio, so a crash between the two leaves a half-
+    // planted image where the image gate is still runnable and only the
+    // audio gate must skip.
+    val hasImages = Files.exists(Paths.get(s"$imageDir/images.parquet"))
+    val hasAudio = Files.exists(Paths.get(s"$imageDir/audio.parquet"))
+    if (!hasImages || !hasAudio)
+      System.err.println(s"[scalegate] $imageDir is missing " +
+        Seq("images.parquet" -> hasImages, "audio.parquet" -> hasAudio)
+          .collect { case (t, false) => t }.mkString("/") +
+        " — affected multimodal gates skipped; rebuild the image with " +
         "`runMain graft.ScaleUp <src> <image> <copies> plant` to add them")
-    if (hasMedia && selected("m8_image_phash_dedup"))
+    if (hasImages && selected("m8_image_phash_dedup"))
       dump("m8_image_phash_dedup", imagePhashScaled(spark, imageDir))
-    if (hasMedia && selected("m8_audio_decode"))
+    if (hasAudio && selected("m8_audio_decode"))
       dump("m8_audio_decode", audioDecodeScaled(spark, imageDir))
 
     def q(s: String): String = "\"" + s.flatMap {
@@ -260,18 +267,34 @@ object ScaleGate {
     val fullPlanes = graft.dedup.Dedup.choosePlanes(
       math.max(1L, Tables.embeddings(spark, imageDir).count()))
     val planesCte = graft.queries.DedupQueries.pinnedPlanesCte(fullPlanes)
+    // Media oracle literals are built LAZILY (the closed-form VALUES
+    // rows need a full id collect — skipped entirely when the gate
+    // isn't selected) and GUARDED: a corrupt payload table degrades
+    // into that one query marked failed (exit 1, recorded in
+    // scalegate_errors.json) instead of an uncaught throw that would
+    // kill the run after the dumps but before any report is written.
+    def mediaOracle(name: String, present: Boolean,
+                    build: => String): Option[(String, String)] =
+      if (!present || !selected(name)) None
+      else try Some(name -> build) catch { case e: Throwable =>
+        System.err.println(
+          s"[scalegate] $name oracle literals failed: ${e.getMessage}")
+        failed += name
+        None
+      }
+    val mediaOverrides: Seq[(String, String)] = Seq(
+      mediaOracle("m8_image_phash_dedup", hasImages,
+        imagePhashScaledSql(spark, imageDir)),
+      mediaOracle("m8_audio_decode", hasAudio,
+        audioDecodeScaledSql(spark, imageDir))).flatten
     val oracleOverrides: Map[String, String] = Map(
       "m8_dedup_embedding" ->
         graft.queries.DedupQueries.embeddingSqlFrom(planesCte),
       "m8_semantic_dedup" ->
         graft.queries.DedupQueries.semanticDedupSqlFrom(planesCte)) ++
-      (if (hasMedia) Map(
-        "m8_image_phash_dedup" -> imagePhashScaledSql(spark, imageDir),
-        "m8_audio_decode" -> audioDecodeScaledSql(spark, imageDir))
-       else Map.empty)
-    val names = (gated.map(_._1) ++ Seq("m8_semantic_dedup") ++
-      (if (hasMedia) Seq("m8_image_phash_dedup", "m8_audio_decode")
-       else Seq.empty)).filter(selected)
+      mediaOverrides
+    val names = (gated.map(_._1) ++ Seq("m8_semantic_dedup"))
+      .filter(selected) ++ mediaOverrides.map(_._1)
     val json = names
       .map(n => s"${q(n)}: ${q(oracleOverrides.getOrElse(n, SparkEntry.oracleSql(n)))}")
       .mkString("{", ",", "}")

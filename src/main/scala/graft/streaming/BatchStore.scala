@@ -73,8 +73,9 @@ object BatchStore {
     }
 
   /** Whether any compaction has ever PUBLISHED here. The sentinel is
-    * created once, right before the first pointer publish, and never
-    * rewritten afterwards — so unlike the pointer it has no
+    * created once, right before the first pointer publish (and healed
+    * onto pre-sentinel stores the first time their pointer is read),
+    * and never rewritten afterwards — so unlike the pointer it has no
     * clobber-rewrite crash window. It is what lets [[resolvePointer]]
     * tell a crashed FIRST staging (generation dir present, `_HWM` meta
     * not yet written, nothing ever folded or GC'd — safe to serve the
@@ -132,7 +133,17 @@ object BatchStore {
     *    drop the folded corpus — the one outcome a store reader must
     *    never produce. */
   def resolvePointer(spark: SparkSession, dir: String): Option[(Long, Long)] =
-    readPointer(spark, dir).orElse {
+    readPointer(spark, dir).map { ptr =>
+      // Sentinel heal for stores published before the sentinel existed
+      // (their generations may also carry no _HWM meta): a parsable
+      // pointer is itself proof of a publish, so stamp the missing
+      // sentinel now — after this read, losing the pointer fails
+      // closed instead of silently dropping the folded base. Best
+      // effort: a store on a read-only mount still reads fine through
+      // its pointer, it just stays unprotected until its next compact.
+      try markPublished(spark, dir) catch { case _: java.io.IOException => () }
+      ptr
+    }.orElse {
       val gens = batchDirs(spark, dir).filter(_ <= -2L).map(-_).sorted.reverse
       if (gens.isEmpty) None
       else gens.iterator

@@ -569,6 +569,47 @@ class DedupStreamSpec extends SparkSpec {
       "first publish must create the write-once sentinel")
   }
 
+  test("store compaction: a pre-sentinel store gains fail-closed on first read") {
+    // A store compacted by code that predates the _HWM meta and the
+    // _PUBLISHED sentinel has only its _BASE pointer as evidence of the
+    // publish. Reading it through its pointer must HEAL the missing
+    // sentinel, so that a subsequent pointer loss (the clobber-fallback
+    // crash window the recovery protocol exists for) throws instead of
+    // silently serving only the un-folded batch dirs — the scaladoc's
+    // once-published-never-fails-open promise extended to legacy
+    // stores the current code has read at least once.
+    val root = Files.createTempDirectory("dedup_legacy").toString
+    val store = s"$root/store"
+    def sigs(rows: Seq[(Long, String)]): DataFrame =
+      Dedup.minhashSignatures(rows.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), numHashes = 32)
+    Seq(Seq(1L -> "alpha beta gamma delta epsilon zeta eta theta"),
+        Seq(2L -> "one two three four five six seven eight nine"),
+        Seq(3L -> "red orange yellow green blue indigo violet white"))
+      .zipWithIndex.foreach { case (b, i) =>
+        sigs(b).write.mode("overwrite").parquet(s"$store/graft_batch=$i")
+      }
+    BatchStore.compact(spark, store, keepBatches = 1)
+    // strip the modern metadata, leaving exactly what the pre-sentinel
+    // code wrote: generation dirs + _BASE pointer
+    assert(new java.io.File(s"$store/_PUBLISHED").delete())
+    assert(new java.io.File(s"$store/graft_batch=-2/_HWM").delete())
+    def liveIds(): Set[Long] = BatchStore.read(spark, store)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // the pointer still resolves; the read must stamp the sentinel back
+    assert(liveIds() == Set(1L, 2L, 3L))
+    assert(new java.io.File(s"$store/_PUBLISHED").exists(),
+      "first pointer read of a pre-sentinel store must heal the sentinel")
+    // now the crash window: pointer lost, no recoverable _HWM — the
+    // healed sentinel is what turns this from silent data loss (serving
+    // batch dirs only) into the documented fail-closed throw
+    assert(new java.io.File(s"$store/_BASE").delete())
+    val e = intercept[IllegalStateException] {
+      BatchStore.read(spark, store).count()
+    }
+    assert(e.getMessage.contains("refusing to read"))
+  }
+
   test("store compaction: keepBatches = 0 is refused (replay idempotence)") {
     // keepBatches >= 1 is what keeps the replay-eligible newest batch
     // dir unfolded — folding it would let a crash-replay append its
