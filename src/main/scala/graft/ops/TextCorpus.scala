@@ -562,4 +562,81 @@ object TextCorpus {
       .where(col("rank") <= k)
       .select("doc_id", "rank", "word", "tf", "df", "tfidf")
   }
+
+  /** BM25 ranked retrieval: top-k documents per query under the standard
+    * Okapi scoring (Lucene's non-negative idf variant,
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))`), the sparse-retrieval
+    * counterpart of the dense ANN family in [[graft.similarity.Similarity]].
+    *
+    * DETERMINISM: a BM25 score is a SUM of per-term doubles, and a double
+    * sum replays in shuffle order — so each per-term contribution is
+    * rounded to fixed-point (×1e6, round, long) and summed as integers
+    * (the [[PageRank]] recipe): the total is order-free and an external
+    * replay of the same per-term formula agrees bit-exactly. The reported
+    * `score` is the fixed-point sum scaled back to a double.
+    *
+    * SCALE SHAPE: the query-term table (queries × terms, deduped) is
+    * dimension-sized and BROADCAST against the doc-partitioned postings
+    * (tf per (doc, word)) — the corpus is never re-shuffled by query
+    * count. `df` is |vocabulary|-sized and broadcast the same way;
+    * `N`/`avgdl` ride the plan as a broadcast 1-row aggregate (no driver
+    * action). Matching (query, doc) partials aggregate on (query_id,
+    * doc_id) — the only corpus-sized shuffle — and the top-k cut is the
+    * two-phase [[graft.plans.TopKPerKey]] heap (map-side partial cut, at
+    * most k rows per query per task cross the exchange), with a
+    * row_number window only over the ≤ k survivors per query.
+    *
+    * `queries` must have columns (query_id, query_text); duplicate terms
+    * inside one query count once (standard bag-of-words query with binary
+    * query-term frequency). Documents sharing no term with a query are
+    * absent (score 0 rows are not emitted). Output:
+    * (query_id, rank, doc_id, score). */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+               queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"bm25TopK: k must be positive, got $k")
+    val words = docs
+      .select(id.as("doc_id"),
+        explode(split(trim(coalesce(text, lit(""))), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    // N over the full doc set (empty docs count: they dilute avgdl's
+    // denominator is a modeling choice — HERE avgdl is over docs WITH
+    // tokens, the set the postings can ever score)
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum("dl").cast("double").as("total_dl"))
+    val qterms = queries
+      .select(col("query_id"),
+        explode(split(trim(coalesce(col("query_text"), lit(""))), "\\s+"))
+          .as("word"))
+      .where(col("word") =!= "")
+      .distinct()
+    val contrib = tf
+      .join(broadcast(qterms), Seq("word"))
+      .join(broadcast(df), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("avgdl", col("total_dl") / col("n_docs"))
+      .withColumn("contrib_fp",
+        round(col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / col("avgdl"))) * lit(1000000.0))
+          .cast("long"))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(sum("contrib_fp").as("score_fp"))
+    val cut = graft.plans.GraftOps.topKPerKey(scored,
+      keys = Seq(col("query_id")),
+      order = Seq(col("score_fp").desc, col("doc_id").asc), k = k)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+    cut.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        (col("score_fp").cast("double") / lit(1000000.0)).as("score"))
+  }
 }

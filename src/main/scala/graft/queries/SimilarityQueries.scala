@@ -596,7 +596,120 @@ object SimilarityQueries extends QueryModule {
       |  CAST(len(list_filter(qv, y -> abs(y) = 127)) AS BIGINT) AS n_sat
       |FROM q""".stripMargin
 
+  /** Ranking-quality eval ([[Similarity.rankEval]]) of the LSH run
+    * against the exact brute-force ranking: per-query hits, reciprocal
+    * rank of the exact #1, and graded nDCG@5 — the quality harness
+    * beyond plain recall. Portable hyperplanes, so the oracle rebuilds
+    * both rankings AND the integer-weight DCG arithmetic. */
+  private def rankEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.spread(Tables.embeddings(s, dir))
+    val queries = emb.filter(col("vec_id") < 8)
+    Similarity.rankEval(
+      Similarity.lshTopK(queries, emb, K, planes = 4, portable = true),
+      Similarity.bruteForceTopK(queries, emb, K), K)
+  }
+
+  private val rankEvalSql = {
+    def weightCase(rankCol: String): String =
+      s"CASE $rankCol " + Similarity.ndcgWeights(K).zipWithIndex
+        .map { case (w, i) => s"WHEN ${i + 1} THEN ${w}" }
+        .mkString(" ") + " ELSE 0 END"
+    s"""WITH exact AS ($topkBruteSql),
+       |approx AS ($topkLshSql),
+       |er AS (SELECT query_id, cand_id, CAST(rank AS BIGINT) AS t_rank
+       |       FROM exact WHERE rank <= $K),
+       |ar AS (SELECT query_id, cand_id, CAST(rank AS BIGINT) AS r_rank
+       |       FROM approx WHERE rank <= $K),
+       |eh AS (
+       |  SELECT ar.query_id, COUNT(*) AS n_hits,
+       |    SUM((${K + 1} - er.t_rank) * ${weightCase("ar.r_rank")}) AS dcg_fp
+       |  FROM ar JOIN er ON er.query_id = ar.query_id
+       |                 AND er.cand_id = ar.cand_id
+       |  GROUP BY 1),
+       |ei AS (
+       |  SELECT query_id,
+       |    SUM((${K + 1} - t_rank) * ${weightCase("t_rank")}) AS ideal_fp
+       |  FROM er GROUP BY 1),
+       |efirst AS (
+       |  SELECT ar.query_id, 1000000000 // ar.r_rank AS rr_fp
+       |  FROM ar JOIN er ON er.query_id = ar.query_id
+       |                 AND er.cand_id = ar.cand_id
+       |  WHERE er.t_rank = 1)
+       |SELECT ei.query_id,
+       |  CAST(COALESCE(eh.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(COALESCE(efirst.rr_fp, 0) AS DOUBLE) / 1000000000.0 AS rr,
+       |  CAST(COALESCE(eh.dcg_fp, 0) AS DOUBLE)
+       |    / CAST(ei.ideal_fp AS DOUBLE) AS ndcg
+       |FROM ei LEFT JOIN eh USING (query_id)
+       |        LEFT JOIN efirst USING (query_id)""".stripMargin
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion of a sparse (BM25 over
+    * `documents`) and a dense (exact cosine over `embeddings`) leg for
+    * the same 8 query ids ([[Similarity.rrfFuse]]). Both legs are
+    * themselves oracle-gated shapes (`m8_bm25_search`,
+    * `m8_sim_topk_bruteforce`); this gate certifies the fusion
+    * arithmetic and the fused ranking on top of them. */
+  private def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val queries = Tables.documents(s, dir)
+      .filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(coalesce(col("text"), lit(""))),
+          "\\s+"), 1, 4), " ").as("query_text"))
+    val sparse = graft.ops.TextCorpus
+      .bm25TopK(docs, col("doc_id"), col("text"), queries, k = K)
+      .withColumnRenamed("doc_id", "cand_id")
+    val emb = Tables.spread(Tables.embeddings(s, dir))
+    val dense = Similarity
+      .bruteForceTopK(emb.filter(col("vec_id") < 8), emb, K)
+    Similarity.rrfFuse(Seq(sparse, dense), k = K)
+  }
+
+  private val rrfFusionSql =
+    s"""WITH ${TextQueries.bm25OracleCtes(
+         """SELECT doc_id AS query_id,
+           |    array_to_string(list_slice(
+           |      string_split_regex(trim(text), '\s+'), 1, 4), ' ') AS query_text
+           |  FROM documents WHERE doc_id < 8""".stripMargin)},
+       |rde AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |rdq AS (SELECT vec_id AS query_id, v AS qv FROM rde WHERE vec_id < 8),
+       |rdscored AS (
+       |  SELECT rdq.query_id, rde.vec_id AS cand_id,
+       |    list_inner_product(rdq.qv, rde.v) /
+       |      (sqrt(list_inner_product(rdq.qv, rdq.qv)) *
+       |       sqrt(list_inner_product(rde.v, rde.v))) AS cosine
+       |  FROM rde CROSS JOIN rdq WHERE rde.vec_id <> rdq.query_id),
+       |rdranked AS (
+       |  SELECT query_id, cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM rdscored),
+       |rterms AS (
+       |  SELECT query_id, cand_id,
+       |    1000000000 // (60 + CAST(rank AS BIGINT)) AS term_fp
+       |  FROM (SELECT query_id, doc_id AS cand_id, rank FROM bmranked
+       |          WHERE rank <= $K
+       |        UNION ALL
+       |        SELECT query_id, cand_id, rank FROM rdranked
+       |          WHERE rank <= $K)),
+       |rfused AS (
+       |  SELECT query_id, cand_id, CAST(SUM(term_fp) AS BIGINT) AS rrf_fp
+       |  FROM rterms GROUP BY 1, 2),
+       |rfranked AS (
+       |  SELECT query_id, cand_id, rrf_fp,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY rrf_fp DESC, cand_id) AS rank
+       |  FROM rfused)
+       |SELECT query_id, CAST(rank AS INT) AS rank, cand_id,
+       |  CAST(rrf_fp AS DOUBLE) / 1000000000.0 AS rrf
+       |FROM rfranked WHERE rank <= $K""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_rrf_fusion"          -> rrfFusion _,
+    "m8_rank_eval"           -> rankEval _,
     "m8_embedding_quantize"  -> quantize _,
     "m8_sim_topk_bruteforce" -> topkBrute _,
     "m8_sim_topk_lsh"        -> topkLsh _,
@@ -612,6 +725,8 @@ object SimilarityQueries extends QueryModule {
     "m8_embedding_centroids" -> centroids _)
 
   def oracles: Map[String, String] = Map(
+    "m8_rrf_fusion"          -> rrfFusionSql,
+    "m8_rank_eval"           -> rankEvalSql,
     "m8_embedding_quantize"  -> quantizeSql,
     "m8_sim_topk_bruteforce" -> topkBruteSql,
     "m8_sim_topk_lsh"        -> topkLshSql,

@@ -345,7 +345,98 @@ object TextQueries extends QueryModule {
       |  array_to_string(t[off + 1 : off + 32], ' ') AS chunk
       |FROM s""".stripMargin
 
+  /** BM25 top-10 per query, queries derived deterministically from the
+    * corpus itself (every 251st doc's first 4 tokens — the query set
+    * grows with the corpus, so the gate exercises real fan-out at every
+    * SF). Sparse ranked retrieval next to the dense ANN family
+    * ([[graft.ops.TextCorpus.bm25TopK]]). */
+  private def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val queries = Tables.documents(s, dir)
+      .filter(col("doc_id") % 251 === 7)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(coalesce(col("text"), lit(""))),
+          "\\s+"), 1, 4), " ").as("query_text"))
+    graft.ops.TextCorpus.bm25TopK(docs, col("doc_id"), col("text"),
+      queries, k = 10)
+  }
+
+  /** The BM25 oracle CTE chain, shared with the RRF fusion oracle in
+    * [[SimilarityQueries]] and the at-scale stratum gate in
+    * [[graft.ScaleGate]]. `queryCte` must produce (query_id,
+    * query_text); emits `bmranked` (query_id, doc_id, score_fp, rank).
+    * Every arithmetic step mirrors [[graft.ops.TextCorpus.bm25TopK]]'s
+    * association order exactly — per-term contributions are fixed-point
+    * longs, so the sum is order-free on both engines.
+    *
+    * `statsCte` overrides the corpus stats body (n_docs, total_dl):
+    * the default derives both from the corpus being replayed; the
+    * stratum scale gate PINS them to the full image's values (the only
+    * two BM25 inputs that cross the stratum boundary — the planted
+    * token alphabet is disjoint, so tf/df/dl are stratum-local). */
+  private[graft] val bm25DefaultStatsCte: String =
+    "SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS total_dl\n" +
+    "        FROM bdl"
+
+  private[graft] def bm25OracleCtes(
+      queryCte: String,
+      statsCte: String = bm25DefaultStatsCte): String =
+    s"""bw AS (
+       |  SELECT doc_id, u.word
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
+       |        FROM documents) t, unnest(a) AS u(word)
+       |  WHERE u.word <> ''),
+       |btf AS (SELECT doc_id, word, COUNT(*) AS tf FROM bw GROUP BY 1, 2),
+       |bdl AS (SELECT doc_id, COUNT(*) AS dl FROM bw GROUP BY 1),
+       |bdf AS (SELECT word, COUNT(*) AS df FROM btf GROUP BY 1),
+       |bst AS ($statsCte),
+       |bq AS ($queryCte),
+       |bqt AS (
+       |  SELECT DISTINCT query_id, u.word
+       |  FROM (SELECT query_id, string_split_regex(trim(query_text), '\\s+') AS a
+       |        FROM bq) t, unnest(a) AS u(word)
+       |  WHERE u.word <> ''),
+       |bcontrib AS (
+       |  SELECT bqt.query_id, btf.doc_id,
+       |    CAST(round(
+       |      ln(1.0 + (bst.n_docs - bdf.df + 0.5) / (bdf.df + 0.5))
+       |        * (btf.tf * (1.2 + 1.0))
+       |        / (btf.tf + 1.2 * ((1.0 - 0.75)
+       |            + 0.75 * bdl.dl / (bst.total_dl / bst.n_docs)))
+       |        * 1000000.0) AS BIGINT) AS contrib_fp
+       |  FROM btf
+       |  JOIN bqt ON bqt.word = btf.word
+       |  JOIN bdf ON bdf.word = btf.word
+       |  JOIN bdl ON bdl.doc_id = btf.doc_id
+       |  CROSS JOIN bst),
+       |bscored AS (
+       |  SELECT query_id, doc_id, CAST(SUM(contrib_fp) AS BIGINT) AS score_fp
+       |  FROM bcontrib GROUP BY 1, 2),
+       |bmranked AS (
+       |  SELECT query_id, doc_id, score_fp,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score_fp DESC, doc_id) AS rank
+       |  FROM bscored)""".stripMargin
+
+  /** Full BM25 oracle SQL for a given query CTE (and optionally pinned
+    * corpus stats — see [[bm25OracleCtes]]); shared with the at-scale
+    * stratum gate. */
+  private[graft] def bm25SqlFrom(
+      queryCte: String,
+      statsCte: String = bm25DefaultStatsCte): String =
+    s"""WITH ${bm25OracleCtes(queryCte, statsCte)}
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+       |  CAST(score_fp AS DOUBLE) / 1000000.0 AS score
+       |FROM bmranked WHERE rank <= 10""".stripMargin
+
+  private val bm25SearchSql = bm25SqlFrom(
+    """SELECT doc_id AS query_id,
+      |    array_to_string(list_slice(
+      |      string_split_regex(trim(text), '\s+'), 1, 4), ' ') AS query_text
+      |  FROM documents WHERE doc_id % 251 = 7""".stripMargin)
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_bm25_search"      -> bm25Search _,
     "m8_chunk_documents"  -> chunkDocs _,
     "m8_heavy_hitters"    -> heavyHitters _,
     "m8_text_normalize"   -> textNormalize _,
@@ -361,6 +452,7 @@ object TextQueries extends QueryModule {
     "m8_tfidf_keywords"   -> tfidfKeywords _)
 
   def oracles: Map[String, String] = Map(
+    "m8_bm25_search"      -> bm25SearchSql,
     "m8_chunk_documents"  -> chunkDocsSql,
     "m8_heavy_hitters"    -> heavyHittersSql,
     "m8_text_normalize"   -> textNormalizeSql,

@@ -470,4 +470,98 @@ object Similarity {
     ranked(GraftOps.topKPerKey(rescored, Seq(col("query_id")),
       Seq(col("cosine").desc, col("cand_id")), k), k)
   }
+
+  /** Per-rank nDCG discount weights as exact fixed-point longs:
+    * `w(r) = round(1e6 / log2(r + 1))`. Computed ONCE on the driver and
+    * inlined as literals into both the plan and the oracle SQL, so the
+    * distributed arithmetic is pure integer — no executor (or DuckDB)
+    * ever evaluates a log, which removes cross-engine libm rounding from
+    * the gate entirely. */
+  def ndcgWeights(k: Int): IndexedSeq[Long] =
+    (1 to k).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** Ranking-quality eval of an approximate run against an exact truth
+    * ranking — the harness an ANN/retrieval stack ships beyond plain
+    * [[recallAtK]]: per query,
+    *
+    *  - `n_hits`   — |run ∩ truth@k| (recall's numerator),
+    *  - `rr`       — reciprocal rank of truth's #1 candidate in the run
+    *                 (MRR's per-query term; 0 when missed),
+    *  - `ndcg`     — DCG@k with graded relevance `k+1-truth_rank` and the
+    *                 [[ndcgWeights]] discount, over the ideal DCG.
+    *
+    * DETERMINISM: gains are `rel × w(rank)` — products of longs — so both
+    * DCG sums are order-free integer sums; `rr` is the exact integer
+    * `1e9 div rank`; the only float ops are two final divisions of
+    * exactly-determined longs. SCALE SHAPE: both inputs are k-bounded
+    * rank lists, so the whole eval is rank-list-sized — three
+    * query_id-keyed aggregates/joins, no corpus-sized term. Inputs need
+    * (query_id, cand_id, rank); output (query_id, n_hits, rr, ndcg). */
+  def rankEval(run: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"rankEval: k must be positive, got $k")
+    val w = ndcgWeights(k)
+    def discount(rank: Column): Column =
+      w.zipWithIndex.foldLeft(lit(0L)) { case (acc, (wr, i)) =>
+        when(rank === (i + 1), lit(wr)).otherwise(acc)
+      }
+    val r = run.select(col("query_id"), col("cand_id"),
+      col("rank").cast("long").as("r_rank")).where(col("r_rank") <= k)
+    val t = truth.select(col("query_id"), col("cand_id"),
+      col("rank").cast("long").as("t_rank")).where(col("t_rank") <= k)
+    val rel = (lit(k.toLong) + lit(1L) - col("t_rank"))
+    val hits = r.join(t, Seq("query_id", "cand_id"))
+      .groupBy("query_id").agg(
+        count(lit(1)).as("n_hits"),
+        sum(rel * discount(col("r_rank"))).as("dcg_fp"))
+    val ideal = t.groupBy("query_id")
+      .agg(sum(rel * discount(col("t_rank"))).as("ideal_fp"))
+    val rr = r.join(t.where(col("t_rank") === 1), Seq("query_id", "cand_id"))
+      .select(col("query_id"),
+        expr("1000000000L div r_rank").as("rr_fp"))
+    ideal.join(hits, Seq("query_id"), "left")
+      .join(rr, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("rr_fp"), lit(0L)).cast("double") /
+          lit(1000000000.0)).as("rr"),
+        (coalesce(col("dcg_fp"), lit(0L)).cast("double") /
+          col("ideal_fp").cast("double")).as("ndcg"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of per-query
+    * ranked lists — the standard hybrid-retrieval combiner for a sparse
+    * (BM25) and a dense (ANN) leg: a candidate's fused score is
+    * `Σ_lists 1/(c + rank)`, candidates missing from a list simply
+    * contribute nothing for it.
+    *
+    * DETERMINISM: the fused score is a sum of doubles, so each term is
+    * held as the exact integer `1e9 div (c + rank)` (integer FLOOR
+    * division — Spark's `div` and DuckDB's `//` agree on non-negatives)
+    * and summed as longs (order-free — the [[graft.ops.PageRank]]
+    * fixed-point recipe); `rrf` reports the scaled-back double. Input
+    * ranks are ints, so any replay of the same lists agrees bit-exactly.
+    *
+    * SCALE SHAPE: rank lists are k-bounded per query, so everything here
+    * is rank-list-sized regardless of corpus size: one union, one
+    * (query_id, cand_id) partial-agg shuffle, and the two-phase
+    * [[graft.plans.TopKPerKey]] cut. Inputs need columns
+    * (query_id, cand_id, rank); output (query_id, rank, cand_id, rrf). */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: no rank lists")
+    require(k > 0 && c >= 0, s"rrfFuse(k=$k, c=$c)")
+    val terms = lists.map(
+      _.select(col("query_id"), col("cand_id"),
+        expr(s"1000000000L div (${c}L + CAST(rank AS BIGINT))")
+          .as("term_fp")))
+      .reduce(_ unionByName _)
+    val fused = terms.groupBy("query_id", "cand_id")
+      .agg(sum("term_fp").as("rrf_fp"))
+    val cut = GraftOps.topKPerKey(fused, Seq(col("query_id")),
+      Seq(col("rrf_fp").desc, col("cand_id").asc), k)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_fp").desc, col("cand_id").asc)
+    cut.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        (col("rrf_fp").cast("double") / lit(1000000000.0)).as("rrf"))
+  }
 }
