@@ -99,6 +99,43 @@ object ScaleGate {
     Dedup.clusterSurvivors(clusters, quality)
   }
 
+  /** BM25 at scale (round 14): the engine builds postings/df/dl/stats
+    * over the FULL image (the thing being certified) with queries drawn
+    * from the stratum (every 17th planted doc's first 4 tokens — the
+    * same recipe as the gated sf query). The planted token alphabet is
+    * disjoint from the organic corpus, so a stratum query term's
+    * postings, df, and candidate dl are stratum-local and the result
+    * set is stratum-only by construction; the ONLY two full-corpus
+    * inputs to a stratum score are `n_docs` and `avgdl`, which
+    * [[main]] pins into the oracle's stats CTE as literals (the
+    * sized-planes move) — so DuckDB replays the ~600-doc replica while
+    * the engine pays the full 10×/100× corpus. */
+  private def bm25Stratum(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val queries = Tables.documents(s, dir)
+      .filter(col("doc_id") >= StratumBase &&
+        (col("doc_id") - StratumBase) % 17 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(coalesce(col("text"), lit(""))),
+          "\\s+"), 1, 4), " ").as("query_text"))
+    graft.ops.TextCorpus.bm25TopK(docs, col("doc_id"), col("text"),
+      queries, k = 10)
+  }
+
+  /** The full image's (n_docs, total_dl) under [[graft.ops.TextCorpus
+    * .bm25TopK]]'s exact tokenization (docs with ≥1 token; token
+    * count), pinned into the stratum oracle's stats CTE. */
+  private def bm25StatsCte(s: SparkSession, dir: String): String = {
+    val dl = Tables.documents(s, dir)
+      .select(size(filter(
+        split(trim(coalesce(col("text"), lit(""))), "\\s+"),
+        w => w =!= "")).cast("long").as("dl"))
+      .where(col("dl") > 0)
+    val row = dl.agg(count(lit(1)), sum(col("dl"))).head()
+    s"SELECT CAST(${row.getLong(0)} AS BIGINT) AS n_docs, " +
+      s"CAST(${row.getLong(1)} AS DOUBLE) AS total_dl"
+  }
+
   /** The MULTIMODAL stratum gates (round 14): the image dir carries
     * planted real-PNG (`images.parquet`) and real-WAV (`audio.parquet`)
     * payload tables ([[ScaleUp.plantStratum]]), every payload
@@ -235,6 +272,8 @@ object ScaleGate {
     }
     if (selected("m8_semantic_dedup"))
       dump("m8_semantic_dedup", semanticDedupStratum(spark, imageDir))
+    if (selected("m8_bm25_search"))
+      dump("m8_bm25_search", bm25Stratum(spark, imageDir))
     // Each media gate probes ITS OWN payload table — plantStratum writes
     // images before audio, so a crash between the two leaves a half-
     // planted image where the image gate is still runnable and only the
@@ -287,13 +326,25 @@ object ScaleGate {
         imagePhashScaledSql(spark, imageDir)),
       mediaOracle("m8_audio_decode", hasAudio,
         audioDecodeScaledSql(spark, imageDir))).flatten
+    // BM25's stats pinning (see bm25Stratum doc) — built lazily, only
+    // when the gate is selected: the pin is one full-image aggregate.
+    val bm25Override: Seq[(String, String)] =
+      if (!selected("m8_bm25_search")) Nil
+      else Seq("m8_bm25_search" -> graft.queries.TextQueries.bm25SqlFrom(
+        """SELECT doc_id AS query_id,
+          |    array_to_string(list_slice(
+          |      string_split_regex(trim(text), '\s+'), 1, 4), ' ') AS query_text
+          |  FROM documents
+          |  WHERE doc_id >= 1000000000 AND (doc_id - 1000000000) % 17 = 0"""
+          .stripMargin,
+        statsCte = bm25StatsCte(spark, imageDir)))
     val oracleOverrides: Map[String, String] = Map(
       "m8_dedup_embedding" ->
         graft.queries.DedupQueries.embeddingSqlFrom(planesCte),
       "m8_semantic_dedup" ->
         graft.queries.DedupQueries.semanticDedupSqlFrom(planesCte)) ++
-      mediaOverrides
-    val names = (gated.map(_._1) ++ Seq("m8_semantic_dedup"))
+      mediaOverrides ++ bm25Override
+    val names = (gated.map(_._1) ++ Seq("m8_semantic_dedup", "m8_bm25_search"))
       .filter(selected) ++ mediaOverrides.map(_._1)
     val json = names
       .map(n => s"${q(n)}: ${q(oracleOverrides.getOrElse(n, SparkEntry.oracleSql(n)))}")
