@@ -594,15 +594,36 @@ object TextCorpus {
   def bm25TopK(docs: DataFrame, id: Column, text: Column,
                queries: DataFrame, k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(k > 0, s"bm25TopK: k must be positive, got $k")
-    val words = docs
-      .select(id.as("doc_id"),
-        explode(split(trim(coalesce(text, lit(""))), "\\s+")).as("word"))
-      .where(col("word") =!= "")
+    val words = tokenize(docs, id, text)
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    bm25ScoreTopK(tf, dl, df, queries, k, k1, b)
+  }
+
+  /** [[bm25TopK]]'s tokenization, exposed for index builders that
+    * persist the per-doc frames ([[graft.streaming.PostingsStream]]):
+    * one row per token occurrence, empty docs absent. */
+  def tokenize(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs
+      .select(id.as("doc_id"),
+        explode(split(trim(coalesce(text, lit(""))), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+
+  /** [[bm25TopK]]'s scoring core over prebuilt index frames —
+    * `tf` (doc_id, word, tf), `dl` (doc_id, dl), `df` (word, df) —
+    * so an incrementally maintained postings store
+    * ([[graft.streaming.PostingsStream]]) serves through EXACTLY the
+    * arithmetic the batch build uses: every frame is a sum/count of
+    * batch-disjoint partials, so the served scores are bit-identical
+    * to the full-corpus build by associativity. Corpus stats
+    * (`n_docs`, `avgdl`) derive from `dl` — the index's own
+    * ground truth for "docs the postings can ever score". */
+  def bm25ScoreTopK(tf: DataFrame, dl: DataFrame, df: DataFrame,
+                    queries: DataFrame, k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"bm25TopK: k must be positive, got $k")
     // N over the full doc set (empty docs count: they dilute avgdl's
     // denominator is a modeling choice — HERE avgdl is over docs WITH
     // tokens, the set the postings can ever score)

@@ -387,6 +387,37 @@ object StreamGateQueries extends QueryModule {
 
   private val t13Sql = SimilarityQueries.ivfQServeSql(Some("vec_id % 5 <> 4"))
 
+  /** T14: incremental BM25 postings maintenance. The full documents
+    * table streams through [[PostingsStream.maintainPostings]] in three
+    * waves, the store is compacted down to one kept batch (the fold
+    * re-sums the df partials), and the index is served with the
+    * `m8_bm25_search` query recipe. The oracle is the BATCH build's SQL
+    * replay over the same corpus, untouched: end-state identity — a
+    * store that grew batch-by-batch and lived through a fold serves the
+    * exact ranking of a from-scratch index — is the whole contract. */
+  private def t14PostingsMaintain(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.PostingsStream
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val watch = writeOrderedBatches(docs, "doc_id", 3)
+    val stream = s.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    val root = Dsl.tempDir("graft_t14_")
+    PostingsStream.maintainPostings(stream, root + "/index", root + "/ckpt")
+      .awaitTermination()
+    PostingsStream.compactIndex(s, root + "/index", keepBatches = 1)
+    val queries = Tables.documents(s, dir)
+      .filter(col("doc_id") % 251 === 7)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(coalesce(col("text"), lit(""))),
+          "\\s+"), 1, 4), " ").as("query_text"))
+    PostingsStream.bm25Serve(s, root + "/index", queries, k = 10)
+  }
+
+  private val t14Sql =
+    TextQueries.bm25SqlFrom(TextQueries.bm25SearchQueryCte)
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_late_split"      -> t11LateSplit _,
     "t12_view_maintain"   -> t12ViewMaintain _,
@@ -394,7 +425,8 @@ object StreamGateQueries extends QueryModule {
     "m8_store_compaction" -> storeCompaction _,
     "m8_stream_sample"    -> streamSample _,
     "m8_stream_clusters"  -> streamClusters _,
-    "t13_index_maintain"  -> t13IndexMaintain _)
+    "t13_index_maintain"  -> t13IndexMaintain _,
+    "t14_postings_maintain" -> t14PostingsMaintain _)
 
   def oracles: Map[String, String] = Map(
     "t11_late_split"      -> t11Sql,
@@ -403,5 +435,6 @@ object StreamGateQueries extends QueryModule {
     "m8_store_compaction" -> storeCompactionSql,
     "m8_stream_sample"    -> streamSampleSql,
     "m8_stream_clusters"  -> streamClustersSql,
-    "t13_index_maintain"  -> t13Sql)
+    "t13_index_maintain"  -> t13Sql,
+    "t14_postings_maintain" -> t14Sql)
 }

@@ -429,11 +429,16 @@ object TextQueries extends QueryModule {
        |  CAST(score_fp AS DOUBLE) / 1000000.0 AS score
        |FROM bmranked WHERE rank <= 10""".stripMargin
 
-  private val bm25SearchSql = bm25SqlFrom(
+  /** The gated query-set recipe (every 251st doc's first 4 tokens) as a
+    * CTE body — shared with `t14_postings_maintain`, whose served
+    * ranking must equal this batch oracle exactly. */
+  private[graft] val bm25SearchQueryCte: String =
     """SELECT doc_id AS query_id,
       |    array_to_string(list_slice(
       |      string_split_regex(trim(text), '\s+'), 1, 4), ' ') AS query_text
-      |  FROM documents WHERE doc_id % 251 = 7""".stripMargin)
+      |  FROM documents WHERE doc_id % 251 = 7""".stripMargin
+
+  private val bm25SearchSql = bm25SqlFrom(bm25SearchQueryCte)
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_bm25_search"      -> bm25Search _,

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ops.TextCorpus
+
+/** Incremental maintenance of a BM25 postings index — the SPARSE
+  * counterpart of [[IndexStream]]'s dense ANN lists: new document
+  * batches are tokenized and their index partials appended to a
+  * [[BatchStore]], so the retrieval index keeps up with ingest without
+  * ever re-scanning the standing corpus.
+  *
+  * WHY PARTIALS COMPOSE: doc_ids are unique across batches (the same
+  * caller contract as [[IndexStream]] — upstream admission enforces
+  * at-most-once ingest), so every BM25 index frame is a disjoint union
+  * of per-batch frames: tf rows are per-(doc, word) facts, dl rows
+  * per-doc facts, and df — the one frame aggregated across documents —
+  * is a per-word SUM of per-batch document counts. The serve path
+  * re-aggregates the df partials and hands the frames to
+  * [[TextCorpus.bm25ScoreTopK]], the batch build's own scoring core,
+  * so the served ranking is BIT-IDENTICAL to rebuilding the index from
+  * the full corpus (`t14_postings_maintain` certifies this end to end
+  * against the batch oracle).
+  *
+  * ONE FRAME PER BATCH: the three partials ship as one union-typed
+  * frame (`kind` ∈ tf|dl|df; `n` carries the count) written to a
+  * single `graft_batch=<id>` dir — a batch becomes visible ATOMICALLY
+  * and a replay after a crash-before-checkpoint-commit overwrites its
+  * previous attempt wholesale, the same crash contract as
+  * [[DedupStream]]/[[IndexStream]]. Split stores would need a per-batch
+  * commit marker to avoid serving a half-written batch (tf visible, dl
+  * missing silently drops the batch's docs from scoring). Each batch
+  * file is written sorted by (kind, word), so parquet row-group stats
+  * prune the serve's kind filters instead of paying a full-file scan.
+  *
+  * Store lifecycle: [[compactIndex]] folds old batch dirs through
+  * [[BatchStore.compact]] with a merge that re-sums the df partials
+  * (one row per word per base generation — the vocabulary never
+  * accumulates per-batch copies) and passes the tf/dl facts through
+  * untouched. */
+object PostingsStream {
+
+  private val Kinds = Seq("tf", "dl", "df")
+
+  /** The per-batch index partial of `docs` (doc_id, text): tf, dl and
+    * df rows union-typed under `kind`. */
+  private[streaming] def batchPartial(docs: DataFrame): DataFrame = {
+    val words = TextCorpus.tokenize(docs, col("doc_id"), col("text"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      .select(lit("tf").as("kind"), col("doc_id"), col("word"), col("n"))
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .select(lit("dl").as("kind"), col("doc_id"),
+        lit(null).cast("string").as("word"), col("n"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("n"))
+      .select(lit("df").as("kind"), lit(null).cast("long").as("doc_id"),
+        col("word"), col("n"))
+    tf.unionByName(dl).unionByName(df)
+  }
+
+  /** Start the maintenance stream over a streaming `docs` frame with
+    * (doc_id, text) columns. AvailableNow by default (drain-then-stop);
+    * `continuous = true` for a long-running micro-batch loop. The
+    * compaction policy placement mirrors [[IndexStream.maintainIndex]]:
+    * at drain start, or (continuous) at the top of each micro-batch,
+    * both between-batches instants by construction. */
+  def maintainPostings(docs: DataFrame, storeDir: String,
+                       checkpointDir: String,
+                       continuous: Boolean = false,
+                       compactWhenBatchesExceed: Option[Int] = None)
+      : StreamingQuery = {
+    def runPolicy(): Unit = compactWhenBatchesExceed.foreach { threshold =>
+      val spark = docs.sparkSession
+      val p = new Path(storeDir)
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        BatchStore.compactIfOver(spark, storeDir, threshold,
+          merge = Some(mergeDfPartials))
+    }
+    runPolicy()
+    val writer = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (continuous) runPolicy()
+        batchPartial(batch.select("doc_id", "text"))
+          .sortWithinPartitions("kind", "word")
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/${BatchStore.BatchCol}=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+    (if (continuous) writer else writer.trigger(Trigger.AvailableNow()))
+      .start()
+  }
+
+  /** [[BatchStore.compact]] merge for this store: df partials re-sum to
+    * one row per word (recency-free — df is a pure sum, so folding
+    * loses nothing); tf/dl facts pass through untouched. */
+  val mergeDfPartials: DataFrame => DataFrame = in => {
+    val facts = in.filter(col("kind") =!= "df")
+      .select("kind", "doc_id", "word", "n")
+    val df = in.filter(col("kind") === "df")
+      .groupBy("word").agg(sum("n").as("n"))
+      .select(lit("df").as("kind"), lit(null).cast("long").as("doc_id"),
+        col("word"), col("n"))
+    facts.unionByName(df).sortWithinPartitions("kind", "word")
+  }
+
+  /** Fold old batch dirs into a base generation (run between drains —
+    * see [[BatchStore]] for the protocol). */
+  def compactIndex(spark: SparkSession, storeDir: String,
+                   keepBatches: Int = 2): BatchStore.Compaction =
+    BatchStore.compact(spark, storeDir, keepBatches,
+      merge = Some(mergeDfPartials))
+
+  /** The index frames as the scoring core expects them. df partials
+    * re-aggregate here (vocabulary-sized, batch-count-free after any
+    * compaction); tf/dl read straight through the pointer filter. */
+  def readIndex(spark: SparkSession, storeDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val rows = BatchStore.read(spark, storeDir)
+    (rows.filter(col("kind") === "tf")
+       .select(col("doc_id"), col("word"), col("n").as("tf")),
+     rows.filter(col("kind") === "dl")
+       .select(col("doc_id"), col("n").as("dl")),
+     rows.filter(col("kind") === "df")
+       .groupBy("word").agg(sum("n").as("df")))
+  }
+
+  /** BM25 top-k straight off the maintained store —
+    * [[TextCorpus.bm25ScoreTopK]] over [[readIndex]]'s frames, so an
+    * index that has lived through any number of refresh batches and
+    * compactions serves the exact ranking of a from-scratch build. */
+  def bm25Serve(spark: SparkSession, storeDir: String, queries: DataFrame,
+                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (tf, dl, df) = readIndex(spark, storeDir)
+    TextCorpus.bm25ScoreTopK(tf, dl, df, queries, k, k1, b)
+  }
+}
