@@ -101,5 +101,11 @@ object Explain {
     println("m8_incremental_agg merge = union + re-reduce, " +
       "state-sized exchanges only (expect 2): " +
       "Exchange hashpartitioning".r.findAllIn(plan("m8_incremental_agg")).length)
+    val bm25 = plan("m8_bm25_search")
+    println("m8_bm25_search one tokenize pass (persisted tf, dl/df derive " +
+      "from it), query terms + df + stats broadcast, 2-phase TopKPerKey: " +
+      (bm25.contains("InMemoryTableScan") &&
+        bm25.contains("BroadcastHashJoin") &&
+        "TopKPerKey \\[".r.findAllIn(bm25).length >= 2))
   }
 }

@@ -595,8 +595,17 @@ object TextCorpus {
                queries: DataFrame, k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val words = tokenize(docs, id, text)
+    // dl and df both derive from the ONE canonical tf frame (dl is
+    // exactly Σ_word tf), and tf is persisted for its three consumers
+    // (dl chain, df chain, the postings join) — per-consumer column
+    // pruning would otherwise specialize each subtree and defeat
+    // exchange reuse, re-tokenizing the corpus four times (the
+    // [[graft.dedup.Dedup]] signature-persist precedent; a standing
+    // corpus keeps its postings in a [[graft.streaming.PostingsStream]]
+    // store instead and never re-derives them at all)
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     bm25ScoreTopK(tf, dl, df, queries, k, k1, b)
   }

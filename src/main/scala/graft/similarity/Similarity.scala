@@ -504,10 +504,15 @@ object Similarity {
       w.zipWithIndex.foldLeft(lit(0L)) { case (acc, (wr, i)) =>
         when(rank === (i + 1), lit(wr)).otherwise(acc)
       }
+    // Both rank lists are k-bounded (≤ k rows per query) but their
+    // LINEAGE is a full retrieval leg — persist them so the eval's
+    // three joins replay tiny cached frames, not three ANN runs.
     val r = run.select(col("query_id"), col("cand_id"),
       col("rank").cast("long").as("r_rank")).where(col("r_rank") <= k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val t = truth.select(col("query_id"), col("cand_id"),
       col("rank").cast("long").as("t_rank")).where(col("t_rank") <= k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rel = (lit(k.toLong) + lit(1L) - col("t_rank"))
     val hits = r.join(t, Seq("query_id", "cand_id"))
       .groupBy("query_id").agg(

@@ -50,7 +50,8 @@ object PostingsStream {
     val words = TextCorpus.tokenize(docs, col("doc_id"), col("text"))
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
       .select(lit("tf").as("kind"), col("doc_id"), col("word"), col("n"))
-    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // dl = Σ_word tf: derived from tf (one tokenize pass per batch)
+    val dl = tf.groupBy("doc_id").agg(sum("n").as("n"))
       .select(lit("dl").as("kind"), col("doc_id"),
         lit(null).cast("string").as("word"), col("n"))
     val df = tf.groupBy("word").agg(count(lit(1)).as("n"))

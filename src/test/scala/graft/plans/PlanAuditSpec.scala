@@ -117,7 +117,13 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     ("m8_weighted_sample", 2, 0),
     ("m8_dedup_minhash_tuned", 15, 0),
     ("m8_curriculum_pack", 19, 5),
-    ("window_range_frame", 1, 0))
+    ("window_range_frame", 1, 0),
+    // retrieval family: every BNLJ below is a deliberate broadcast
+    // cross join — BM25's 1-row corpus-stats frame, and the dense leg's
+    // broadcast query set (bruteForceTopK's corpus-stays-put shape)
+    ("m8_bm25_search", 9, 1),
+    ("m8_rrf_fusion", 12, 2),
+    ("m8_rank_eval", 13, 1))
 
   expected.foreach { case (name, wantShuffles, wantBnlj) =>
     test(s"$name: no cartesian, exactly $wantShuffles shuffles, $wantBnlj BNLJ") {
