@@ -606,7 +606,11 @@ object TextCorpus {
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    // df ships as PARTIALS (each tf row is one (word, 1) document
+    // count): the scoring core restricts to the query vocabulary
+    // BEFORE aggregating, so the full-vocabulary df table — billions
+    // of terms on a web-scale corpus — is never built or broadcast
+    val df = tf.select(col("word"), lit(1L).as("df"))
     bm25ScoreTopK(tf, dl, df, queries, k, k1, b)
   }
 
@@ -620,14 +624,19 @@ object TextCorpus {
       .where(col("word") =!= "")
 
   /** [[bm25TopK]]'s scoring core over prebuilt index frames —
-    * `tf` (doc_id, word, tf), `dl` (doc_id, dl), `df` (word, df) —
-    * so an incrementally maintained postings store
-    * ([[graft.streaming.PostingsStream]]) serves through EXACTLY the
-    * arithmetic the batch build uses: every frame is a sum/count of
-    * batch-disjoint partials, so the served scores are bit-identical
-    * to the full-corpus build by associativity. Corpus stats
-    * (`n_docs`, `avgdl`) derive from `dl` — the index's own
-    * ground truth for "docs the postings can ever score". */
+    * `tf` (doc_id, word, tf), `dl` (doc_id, dl), and `df` as PARTIAL
+    * per-word document counts (word, df), any number of rows per word:
+    * partials are restricted to the query vocabulary and only then
+    * summed, so neither the one-shot build nor the store serve ever
+    * materializes (let alone broadcasts) the full-vocabulary df table —
+    * the per-query cost is query-vocab-sized however many terms the
+    * corpus holds. An incrementally maintained postings store
+    * ([[graft.streaming.PostingsStream]]) serves through EXACTLY this
+    * arithmetic: every frame is a sum/count of batch-disjoint partials,
+    * so the served scores are bit-identical to the full-corpus build by
+    * associativity. Corpus stats (`n_docs`, `avgdl`) derive from `dl` —
+    * the index's own ground truth for "docs the postings can ever
+    * score". */
   def bm25ScoreTopK(tf: DataFrame, dl: DataFrame, df: DataFrame,
                     queries: DataFrame, k: Int,
                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -644,9 +653,14 @@ object TextCorpus {
           .as("word"))
       .where(col("word") =!= "")
       .distinct()
+    // df aggregated AFTER the query-vocab restriction (qvocab, not
+    // qterms: a word shared by two queries must count its docs once)
+    val qvocab = qterms.select("word").distinct()
+    val dfq = df.join(broadcast(qvocab), Seq("word"))
+      .groupBy("word").agg(sum("df").as("df"))
     val contrib = tf
       .join(broadcast(qterms), Seq("word"))
-      .join(broadcast(df), Seq("word"))
+      .join(broadcast(dfq), Seq("word"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",

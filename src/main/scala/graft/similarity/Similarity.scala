@@ -496,7 +496,9 @@ object Similarity {
     * exactly-determined longs. SCALE SHAPE: both inputs are k-bounded
     * rank lists, so the whole eval is rank-list-sized — three
     * query_id-keyed aggregates/joins, no corpus-sized term. Inputs need
-    * (query_id, cand_id, rank); output (query_id, n_hits, rr, ndcg). */
+    * (query_id, cand_id, rank), one row per (query_id, cand_id) — the
+    * shape every topK here emits; output
+    * (query_id, n_hits, rr, ndcg), one row per truth query. */
   def rankEval(run: DataFrame, truth: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"rankEval: k must be positive, got $k")
     val w = ndcgWeights(k)
@@ -550,7 +552,10 @@ object Similarity {
     * is rank-list-sized regardless of corpus size: one union, one
     * (query_id, cand_id) partial-agg shuffle, and the two-phase
     * [[graft.plans.TopKPerKey]] cut. Inputs need columns
-    * (query_id, cand_id, rank); output (query_id, rank, cand_id, rrf). */
+    * (query_id, cand_id, rank), ONE ROW per (query_id, cand_id) per
+    * list (the shape every topK in this library emits — a duplicate
+    * would double-count its term); output
+    * (query_id, rank, cand_id, rrf). */
   def rrfFuse(lists: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
     require(lists.nonEmpty, "rrfFuse: no rank lists")
     require(k > 0 && c >= 0, s"rrfFuse(k=$k, c=$c)")

@@ -113,9 +113,12 @@ object PostingsStream {
     BatchStore.compact(spark, storeDir, keepBatches,
       merge = Some(mergeDfPartials))
 
-  /** The index frames as the scoring core expects them. df partials
-    * re-aggregate here (vocabulary-sized, batch-count-free after any
-    * compaction); tf/dl read straight through the pointer filter. */
+  /** The index frames as the scoring core expects them. df stays as
+    * PARTIALS (per-batch per-word counts, one row per word per live
+    * batch/base dir) — the scoring core restricts to the query
+    * vocabulary before summing, so no consumer ever pays a
+    * vocabulary-wide aggregate; tf/dl read straight through the
+    * pointer filter. */
   def readIndex(spark: SparkSession, storeDir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val rows = BatchStore.read(spark, storeDir)
@@ -124,7 +127,7 @@ object PostingsStream {
      rows.filter(col("kind") === "dl")
        .select(col("doc_id"), col("n").as("dl")),
      rows.filter(col("kind") === "df")
-       .groupBy("word").agg(sum("n").as("df")))
+       .select(col("word"), col("n").as("df")))
   }
 
   /** BM25 top-k straight off the maintained store —

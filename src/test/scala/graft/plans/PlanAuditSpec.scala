@@ -121,8 +121,10 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // retrieval family: every BNLJ below is a deliberate broadcast
     // cross join — BM25's 1-row corpus-stats frame, and the dense leg's
     // broadcast query set (bruteForceTopK's corpus-stays-put shape)
-    ("m8_bm25_search", 9, 1),
-    ("m8_rrf_fusion", 12, 2),
+    // bm25's 10th exchange is the query-vocab distinct that lets df
+    // aggregate AFTER the vocab restriction (no full-vocabulary table)
+    ("m8_bm25_search", 10, 1),
+    ("m8_rrf_fusion", 13, 2),
     ("m8_rank_eval", 13, 1))
 
   expected.foreach { case (name, wantShuffles, wantBnlj) =>
