@@ -122,6 +122,24 @@ object ScaleGate {
       queries, k = 10)
   }
 
+  /** Exact-phrase search at scale: stratum-drawn phrases (tokens 2-4 of
+    * every 17th planted doc) against the FULL image. Phrase match is
+    * pure per-(query, doc) counting with NO corpus-global stats, and
+    * the disjoint planted alphabet means a stratum phrase can only ever
+    * match stratum docs — so the full-image output IS the stratum-alone
+    * replay, with nothing to pin. */
+  private def phraseStratum(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val queries = Tables.documents(s, dir)
+      .filter(col("doc_id") >= StratumBase &&
+        (col("doc_id") - StratumBase) % 17 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(coalesce(col("text"), lit(""))),
+          "\\s+"), 2, 3), " ").as("query_text"))
+    graft.ops.TextCorpus.phraseSearch(docs, col("doc_id"), col("text"),
+      queries, k = 10)
+  }
+
   /** The full image's (n_docs, total_dl) under [[graft.ops.TextCorpus
     * .bm25TopK]]'s exact tokenization (docs with ≥1 token; token
     * count), pinned into the stratum oracle's stats CTE. */
@@ -274,6 +292,8 @@ object ScaleGate {
       dump("m8_semantic_dedup", semanticDedupStratum(spark, imageDir))
     if (selected("m8_bm25_search"))
       dump("m8_bm25_search", bm25Stratum(spark, imageDir))
+    if (selected("m8_phrase_search"))
+      dump("m8_phrase_search", phraseStratum(spark, imageDir))
     // Each media gate probes ITS OWN payload table — plantStratum writes
     // images before audio, so a crash between the two leaves a half-
     // planted image where the image gate is still runnable and only the
@@ -342,9 +362,12 @@ object ScaleGate {
       "m8_dedup_embedding" ->
         graft.queries.DedupQueries.embeddingSqlFrom(planesCte),
       "m8_semantic_dedup" ->
-        graft.queries.DedupQueries.semanticDedupSqlFrom(planesCte)) ++
+        graft.queries.DedupQueries.semanticDedupSqlFrom(planesCte),
+      "m8_phrase_search" -> graft.queries.TextQueries.phraseSqlFrom(
+        "doc_id >= 1000000000 AND (doc_id - 1000000000) % 17 = 0")) ++
       mediaOverrides ++ bm25Override
-    val names = (gated.map(_._1) ++ Seq("m8_semantic_dedup", "m8_bm25_search"))
+    val names = (gated.map(_._1) ++
+        Seq("m8_semantic_dedup", "m8_bm25_search", "m8_phrase_search"))
       .filter(selected) ++ mediaOverrides.map(_._1)
     val json = names
       .map(n => s"${q(n)}: ${q(oracleOverrides.getOrElse(n, SparkEntry.oracleSql(n)))}")

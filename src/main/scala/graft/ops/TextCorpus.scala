@@ -623,6 +623,56 @@ object TextCorpus {
         explode(split(trim(coalesce(text, lit(""))), "\\s+")).as("word"))
       .where(col("word") =!= "")
 
+  /** Exact-phrase search: top-k documents per query containing the
+    * query's token sequence CONTIGUOUSLY, ranked by occurrence count —
+    * what BM25's bag-of-words scoring cannot express.
+    *
+    * RELATIONAL PHRASE MATCH (no per-doc loops, no UDF): every posting
+    * occurrence (doc, pos, word) that matches a phrase offset (query,
+    * off, word) proposes the candidate start `pos - off`; a start is a
+    * real occurrence iff ALL offsets voted for it — per (query, doc,
+    * start) each offset contributes at most one row (its position is
+    * pinned to start+off), so `count(*) == phrase_len` is exact, and
+    * repeated words inside a phrase just vote for several distinct
+    * starts. Entirely integer arithmetic — nothing float anywhere.
+    *
+    * SCALE SHAPE: the phrase-offset table is queries × phrase-length
+    * (broadcast); the corpus-sized postings never shuffle by query —
+    * the only corpus-order shuffle is the candidate-start aggregation,
+    * which holds ONLY matched-word rows. Top-k cut is the two-phase
+    * [[graft.plans.TopKPerKey]] heap. Queries whose phrase tokenizes to
+    * nothing are absent; output (query_id, rank, doc_id, n_occ). */
+  def phraseSearch(docs: DataFrame, id: Column, text: Column,
+                   queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"phraseSearch: k must be positive, got $k")
+    def positional(df: DataFrame, idc: Column, tc: Column,
+                   idName: String, posName: String): DataFrame = df
+      .select(idc.as(idName),
+        posexplode(split(trim(coalesce(tc, lit(""))), "\\s+"))
+          .as(Seq(posName, "word")))
+      .where(col("word") =!= "")
+    val pos = positional(docs, id, text, "doc_id", "pos")
+    val qoff = positional(queries, col("query_id"), col("query_text"),
+      "query_id", "off")
+    val qlen = qoff.groupBy("query_id").agg(count(lit(1)).as("phrase_len"))
+    val starts = pos.join(broadcast(qoff), Seq("word"))
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("off")).as("start"))
+    val occ = starts.groupBy("query_id", "doc_id", "start")
+      .agg(count(lit(1)).as("n_off"))
+    val perDoc = occ.join(broadcast(qlen), Seq("query_id"))
+      .where(col("n_off") === col("phrase_len"))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("n_occ"))
+    val cut = graft.plans.GraftOps.topKPerKey(perDoc,
+      keys = Seq(col("query_id")),
+      order = Seq(col("n_occ").desc, col("doc_id").asc), k = k)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("n_occ").desc, col("doc_id").asc)
+    cut.withColumn("rank", row_number().over(w))
+      .select("query_id", "rank", "doc_id", "n_occ")
+  }
+
   /** [[bm25TopK]]'s scoring core over prebuilt index frames —
     * `tf` (doc_id, word, tf), `dl` (doc_id, dl), and `df` as PARTIAL
     * per-word document counts (word, df), any number of rows per word:

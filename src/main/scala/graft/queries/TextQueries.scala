@@ -440,8 +440,70 @@ object TextQueries extends QueryModule {
 
   private val bm25SearchSql = bm25SqlFrom(bm25SearchQueryCte)
 
+  /** Exact-phrase top-10 per query, phrases = tokens 2-4 of every 251st
+    * doc (each query therefore matches at least its own source doc).
+    * Pure-integer relational phrase match
+    * ([[graft.ops.TextCorpus.phraseSearch]]). */
+  private def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val queries = Tables.documents(s, dir)
+      .filter(col("doc_id") % 251 === 7)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(coalesce(col("text"), lit(""))),
+          "\\s+"), 2, 3), " ").as("query_text"))
+    graft.ops.TextCorpus.phraseSearch(docs, col("doc_id"), col("text"),
+      queries, k = 10)
+  }
+
+  /** Phrase oracle parameterized on the query-doc predicate — reused by
+    * the at-scale stratum gate (phrase match is pure per-pair counting
+    * with NO corpus-global stats, so the stratum replay needs no
+    * pinning at all). */
+  private[graft] def phraseSqlFrom(queryWhere: String): String =
+    s"""WITH parr AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
+      |  FROM documents),
+      |pw AS (
+      |  SELECT doc_id, a, unnest(generate_series(1, len(a))) AS pos
+      |  FROM parr),
+      |ppos AS (SELECT doc_id, pos, a[pos] AS word FROM pw WHERE a[pos] <> ''),
+      |phq AS (
+      |  SELECT doc_id AS query_id,
+      |    array_to_string(list_slice(
+      |      string_split_regex(trim(text), '\\s+'), 2, 4), ' ') AS query_text
+      |  FROM documents WHERE $queryWhere),
+      |qarr AS (
+      |  SELECT query_id, string_split_regex(trim(query_text), '\\s+') AS a
+      |  FROM phq),
+      |qw AS (
+      |  SELECT query_id, a, unnest(generate_series(1, len(a))) AS off
+      |  FROM qarr),
+      |qoff AS (SELECT query_id, off, a[off] AS word FROM qw WHERE a[off] <> ''),
+      |qlen AS (SELECT query_id, COUNT(*) AS phrase_len FROM qoff GROUP BY 1),
+      |starts AS (
+      |  SELECT qoff.query_id, ppos.doc_id, ppos.pos - qoff.off AS start
+      |  FROM ppos JOIN qoff ON qoff.word = ppos.word),
+      |occ AS (
+      |  SELECT query_id, doc_id, start, COUNT(*) AS n_off
+      |  FROM starts GROUP BY 1, 2, 3),
+      |perdoc AS (
+      |  SELECT occ.query_id, occ.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+      |  FROM occ JOIN qlen ON qlen.query_id = occ.query_id
+      |  WHERE occ.n_off = qlen.phrase_len
+      |  GROUP BY 1, 2),
+      |phranked AS (
+      |  SELECT query_id, doc_id, n_occ,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY n_occ DESC, doc_id) AS rank
+      |  FROM perdoc)
+      |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, n_occ
+      |FROM phranked WHERE rank <= 10""".stripMargin
+
+  private val phraseSearchSql = phraseSqlFrom("doc_id % 251 = 7")
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_bm25_search"      -> bm25Search _,
+    "m8_phrase_search"    -> phraseSearch _,
     "m8_chunk_documents"  -> chunkDocs _,
     "m8_heavy_hitters"    -> heavyHitters _,
     "m8_text_normalize"   -> textNormalize _,
@@ -458,6 +520,7 @@ object TextQueries extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "m8_bm25_search"      -> bm25SearchSql,
+    "m8_phrase_search"    -> phraseSearchSql,
     "m8_chunk_documents"  -> chunkDocsSql,
     "m8_heavy_hitters"    -> heavyHittersSql,
     "m8_text_normalize"   -> textNormalizeSql,

@@ -26,12 +26,16 @@ import graft.ops.TextCorpus
   *
   * ONE FRAME PER BATCH: the three partials ship as one union-typed
   * frame (`kind` ∈ tf|dl|df; `n` carries the count) written to a
-  * single `graft_batch=<id>` dir — a batch becomes visible ATOMICALLY
-  * and a replay after a crash-before-checkpoint-commit overwrites its
-  * previous attempt wholesale, the same crash contract as
-  * [[DedupStream]]/[[IndexStream]]. Split stores would need a per-batch
-  * commit marker to avoid serving a half-written batch (tf visible, dl
-  * missing silently drops the batch's docs from scoring). Each batch
+  * single `graft_batch=<id>` dir — under the store family's read
+  * contract (serve between drains/batches, like [[BatchStore
+  * .compact]]), a reader sees each batch all-or-nothing, and a replay
+  * after a crash-before-checkpoint-commit overwrites its previous
+  * attempt wholesale, the same crash contract as
+  * [[DedupStream]]/[[IndexStream]]. Split per-kind stores would break
+  * that batch-granularity: a crash between the kind writes leaves tf
+  * visible with dl missing, which silently drops the batch's docs from
+  * scoring until the replay — repairable only with an extra per-batch
+  * commit marker. Each batch
   * file is written sorted by (kind, word), so parquet row-group stats
   * prune the serve's kind filters instead of paying a full-file scan.
   *
@@ -41,8 +45,6 @@ import graft.ops.TextCorpus
   * accumulates per-batch copies) and passes the tf/dl facts through
   * untouched. */
 object PostingsStream {
-
-  private val Kinds = Seq("tf", "dl", "df")
 
   /** The per-batch index partial of `docs` (doc_id, text): tf, dl and
     * df rows union-typed under `kind`. */

@@ -106,6 +106,35 @@ class RetrievalSpec extends SparkSpec {
     assert(m(2L) === ((0L, 0.0, 0.0)))
   }
 
+  test("phraseSearch: contiguity, occurrence counts, repeated-word phrases") {
+    val d = Seq(
+      (1L, "a b c a b c a b"),   // "a b c" twice; "a b" three times
+      (2L, "a c b"),             // all tokens, never contiguous "a b"
+      (3L, "b a b a b"),         // "b a b" twice (overlapping)
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val q = Seq((10L, "a b c"), (11L, "b a b"), (12L, "a b"), (13L, "z q"))
+      .toDF("query_id", "query_text")
+    val r = TextCorpus.phraseSearch(d, col("doc_id"), col("text"), q, k = 5)
+      .collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+      .toSet
+    assert(r === Set(
+      (10L, 1, 1L, 2L),          // "a b c" only in d1, twice
+      (11L, 1, 3L, 2L),          // repeated-word phrase, overlapping hits
+      (12L, 1, 1L, 3L),          // "a b" 3x in d1...
+      (12L, 2, 3L, 2L)))         // ...and 2x in d3; d2 never contiguous
+  }
+
+  test("phraseSearch: k cut ranks by occurrences then doc id") {
+    val d = Seq((1L, "x y"), (2L, "x y x y"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val q = Seq((1L, "x y")).toDF("query_id", "query_text")
+    val top2 = TextCorpus.phraseSearch(d, col("doc_id"), col("text"), q, 2)
+      .collect().map(x => (x.getInt(1), x.getLong(2))).sorted
+    assert(top2 === Seq((1, 2L), (2, 1L)))
+  }
+
   test("rrfFuse: k cut and per-query independence") {
     val a = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1))
       .toDF("query_id", "cand_id", "rank")

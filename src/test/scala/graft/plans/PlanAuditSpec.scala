@@ -125,7 +125,8 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // aggregate AFTER the vocab restriction (no full-vocabulary table)
     ("m8_bm25_search", 10, 1),
     ("m8_rrf_fusion", 13, 2),
-    ("m8_rank_eval", 13, 1))
+    ("m8_rank_eval", 13, 1),
+    ("m8_phrase_search", 5, 0))
 
   expected.foreach { case (name, wantShuffles, wantBnlj) =>
     test(s"$name: no cartesian, exactly $wantShuffles shuffles, $wantBnlj BNLJ") {
