@@ -643,16 +643,33 @@ object TextCorpus {
     * [[graft.plans.TopKPerKey]] heap. Queries whose phrase tokenizes to
     * nothing are absent; output (query_id, rank, doc_id, n_occ). */
   def phraseSearch(docs: DataFrame, id: Column, text: Column,
-                   queries: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(k > 0, s"phraseSearch: k must be positive, got $k")
-    def positional(df: DataFrame, idc: Column, tc: Column,
-                   idName: String, posName: String): DataFrame = df
-      .select(idc.as(idName),
+                   queries: DataFrame, k: Int): DataFrame =
+    phraseMatchTopK(positional(docs, id, text, "doc_id", "pos"),
+      queries, k)
+
+  /** Positional tokenization — one row (id, pos, word) per token
+    * occurrence, 0-based, empty docs absent. The positional analogue of
+    * [[tokenize]], shared by [[phraseSearch]] and the positional
+    * postings store ([[graft.streaming.PostingsStream]]). */
+  private[graft] def positional(df: DataFrame, idc: Column, tc: Column,
+                                idName: String, posName: String): DataFrame =
+    df.select(idc.as(idName),
         posexplode(split(trim(coalesce(tc, lit(""))), "\\s+"))
           .as(Seq(posName, "word")))
       .where(col("word") =!= "")
-    val pos = positional(docs, id, text, "doc_id", "pos")
+
+  /** [[phraseSearch]]'s match core over a prebuilt positional postings
+    * frame `pos` (doc_id, pos, word) — so a store that accumulated its
+    * positions batch-by-batch ([[graft.streaming.PostingsStream]])
+    * serves phrases through exactly the batch build's arithmetic
+    * (positions are per-doc facts; batch-unique doc_ids make the union
+    * of per-batch frames the full build). Position values only ever
+    * enter as the DIFFERENCE `pos - off`, so any consistent base (ours
+    * is 0-based; the SQL oracle's is 1-based) yields identical output. */
+  def phraseMatchTopK(pos: DataFrame, queries: DataFrame,
+                      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"phraseSearch: k must be positive, got $k")
     val qoff = positional(queries, col("query_id"), col("query_text"),
       "query_id", "off")
     val qlen = qoff.groupBy("query_id").agg(count(lit(1)).as("phrase_len"))

@@ -418,6 +418,33 @@ object StreamGateQueries extends QueryModule {
   private val t14Sql =
     TextQueries.bm25SqlFrom(TextQueries.bm25SearchQueryCte)
 
+  /** T15: the POSITIONAL postings store. Same drain/fold shape as T14
+    * but maintained with `positions = true`, then phrase-served with
+    * the `m8_phrase_search` recipe — the oracle is that query's batch
+    * SQL replay untouched, certifying that per-occurrence positions
+    * survive batching, replay semantics, and the df-merging fold. */
+  private def t15PhraseMaintain(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.PostingsStream
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val watch = writeOrderedBatches(docs, "doc_id", 3)
+    val stream = s.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    val root = Dsl.tempDir("graft_t15_")
+    PostingsStream.maintainPostings(stream, root + "/index", root + "/ckpt",
+      positions = true).awaitTermination()
+    PostingsStream.compactIndex(s, root + "/index", keepBatches = 1)
+    val queries = Tables.documents(s, dir)
+      .filter(col("doc_id") % 251 === 7)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(coalesce(col("text"), lit(""))),
+          "\\s+"), 2, 3), " ").as("query_text"))
+    PostingsStream.phraseServe(s, root + "/index", queries, k = 10)
+  }
+
+  private val t15Sql = TextQueries.phraseSqlFrom("doc_id % 251 = 7")
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_late_split"      -> t11LateSplit _,
     "t12_view_maintain"   -> t12ViewMaintain _,
@@ -426,7 +453,8 @@ object StreamGateQueries extends QueryModule {
     "m8_stream_sample"    -> streamSample _,
     "m8_stream_clusters"  -> streamClusters _,
     "t13_index_maintain"  -> t13IndexMaintain _,
-    "t14_postings_maintain" -> t14PostingsMaintain _)
+    "t14_postings_maintain" -> t14PostingsMaintain _,
+    "t15_phrase_maintain" -> t15PhraseMaintain _)
 
   def oracles: Map[String, String] = Map(
     "t11_late_split"      -> t11Sql,
@@ -436,5 +464,6 @@ object StreamGateQueries extends QueryModule {
     "m8_stream_sample"    -> streamSampleSql,
     "m8_stream_clusters"  -> streamClustersSql,
     "t13_index_maintain"  -> t13Sql,
-    "t14_postings_maintain" -> t14Sql)
+    "t14_postings_maintain" -> t14Sql,
+    "t15_phrase_maintain" -> t15Sql)
 }

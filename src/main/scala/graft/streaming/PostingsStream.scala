@@ -24,8 +24,9 @@ import graft.ops.TextCorpus
   * the full corpus (`t14_postings_maintain` certifies this end to end
   * against the batch oracle).
   *
-  * ONE FRAME PER BATCH: the three partials ship as one union-typed
-  * frame (`kind` ∈ tf|dl|df; `n` carries the count) written to a
+  * ONE FRAME PER BATCH: the partials ship as one union-typed frame
+  * (`kind` ∈ tf|dl|df, plus per-occurrence `tp` position rows when the
+  * store is positional; `n` carries the count or position) written to a
   * single `graft_batch=<id>` dir — under the store family's read
   * contract (serve between drains/batches, like [[BatchStore
   * .compact]]), a reader sees each batch all-or-nothing, and a replay
@@ -46,9 +47,31 @@ import graft.ops.TextCorpus
   * untouched. */
 object PostingsStream {
 
+  /** Write-once root marker: present iff EVERY batch in the store
+    * carries positional (`tp`) rows. Underscore-prefixed so Spark's
+    * file index ignores it, like [[BatchStore]]'s `_BASE`. */
+  private val PositionsMarker = "_POSITIONS"
+
+  private def fsFor(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Whether `storeDir` was maintained with `positions = true`. */
+  def hasPositions(spark: SparkSession, storeDir: String): Boolean =
+    fsFor(spark, storeDir).exists(new Path(storeDir, PositionsMarker))
+
+  private def hasAnyBatchDir(spark: SparkSession, storeDir: String): Boolean = {
+    val fs = fsFor(spark, storeDir)
+    val p = new Path(storeDir)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith(s"${BatchStore.BatchCol}="))
+  }
+
   /** The per-batch index partial of `docs` (doc_id, text): tf, dl and
-    * df rows union-typed under `kind`. */
-  private[streaming] def batchPartial(docs: DataFrame): DataFrame = {
+    * df rows union-typed under `kind`; with `positions`, also one `tp`
+    * row per token occurrence (`n` = 0-based position — positions only
+    * ever enter phrase matching as differences, so the base is free). */
+  private[streaming] def batchPartial(docs: DataFrame,
+                                      positions: Boolean = false): DataFrame = {
     val words = TextCorpus.tokenize(docs, col("doc_id"), col("text"))
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
       .select(lit("tf").as("kind"), col("doc_id"), col("word"), col("n"))
@@ -59,7 +82,12 @@ object PostingsStream {
     val df = tf.groupBy("word").agg(count(lit(1)).as("n"))
       .select(lit("df").as("kind"), lit(null).cast("long").as("doc_id"),
         col("word"), col("n"))
-    tf.unionByName(dl).unionByName(df)
+    val base = tf.unionByName(dl).unionByName(df)
+    if (!positions) base
+    else base.unionByName(
+      TextCorpus.positional(docs, col("doc_id"), col("text"), "doc_id", "pos")
+        .select(lit("tp").as("kind"), col("doc_id"), col("word"),
+          col("pos").cast("long").as("n")))
   }
 
   /** Start the maintenance stream over a streaming `docs` frame with
@@ -67,14 +95,36 @@ object PostingsStream {
     * `continuous = true` for a long-running micro-batch loop. The
     * compaction policy placement mirrors [[IndexStream.maintainIndex]]:
     * at drain start, or (continuous) at the top of each micro-batch,
-    * both between-batches instants by construction. */
+    * both between-batches instants by construction.
+    *
+    * `positions = true` additionally stores per-occurrence token
+    * positions (`tp` rows, ~dl-sum extra rows per batch) and marks the
+    * store, enabling [[phraseServe]]. The mode is a WHOLE-STORE
+    * property, checked fail-closed at start: flipping it mid-store
+    * would leave old batches invisible to phrase matching (positions
+    * missing) or break the marker's promise (positions partial), both
+    * silent wrong-answer states — so a mismatch throws instead. */
   def maintainPostings(docs: DataFrame, storeDir: String,
                        checkpointDir: String,
                        continuous: Boolean = false,
-                       compactWhenBatchesExceed: Option[Int] = None)
+                       compactWhenBatchesExceed: Option[Int] = None,
+                       positions: Boolean = false)
       : StreamingQuery = {
+    val spark = docs.sparkSession
+    if (positions) {
+      require(hasPositions(spark, storeDir) ||
+          !hasAnyBatchDir(spark, storeDir),
+        s"$storeDir already holds position-less batches — a positional " +
+          "retrofit would silently hide them from phrase matching; " +
+          "rebuild the store instead")
+      val fs = fsFor(spark, storeDir)
+      fs.mkdirs(new Path(storeDir))
+      val out = fs.create(new Path(storeDir, PositionsMarker), true)
+      out.close()
+    } else require(!hasPositions(spark, storeDir),
+      s"$storeDir is marked positional — appending position-less batches " +
+        "would break phraseServe's completeness; pass positions = true")
     def runPolicy(): Unit = compactWhenBatchesExceed.foreach { threshold =>
-      val spark = docs.sparkSession
       val p = new Path(storeDir)
       if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
         BatchStore.compactIfOver(spark, storeDir, threshold,
@@ -84,7 +134,7 @@ object PostingsStream {
     val writer = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (continuous) runPolicy()
-        batchPartial(batch.select("doc_id", "text"))
+        batchPartial(batch.select("doc_id", "text"), positions)
           .sortWithinPartitions("kind", "word")
           .write.mode("overwrite")
           .parquet(s"$storeDir/${BatchStore.BatchCol}=$batchId")
@@ -140,5 +190,23 @@ object PostingsStream {
                 k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val (tf, dl, df) = readIndex(spark, storeDir)
     TextCorpus.bm25ScoreTopK(tf, dl, df, queries, k, k1, b)
+  }
+
+  /** Exact-phrase top-k straight off a POSITIONAL store
+    * ([[maintainPostings]] with `positions = true`) —
+    * [[TextCorpus.phraseMatchTopK]] over the pointer-filtered `tp`
+    * rows, the same end-state-identity contract as [[bm25Serve]].
+    * Fail-closed on a store without the positions marker: `tp` rows
+    * would simply be absent and every phrase would silently match
+    * nothing. */
+  def phraseServe(spark: SparkSession, storeDir: String, queries: DataFrame,
+                  k: Int): DataFrame = {
+    require(hasPositions(spark, storeDir),
+      s"$storeDir carries no positional postings (maintainPostings " +
+        "positions = true) — refusing to phrase-match against nothing")
+    val pos = BatchStore.read(spark, storeDir)
+      .filter(col("kind") === "tp")
+      .select(col("doc_id"), col("n").as("pos"), col("word"))
+    TextCorpus.phraseMatchTopK(pos, queries, k)
   }
 }

@@ -46,13 +46,15 @@ class PostingsStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
         r.getLong(3))).toSet
 
-  private def drained(d: DataFrame, waves: Int): String = {
+  private def drained(d: DataFrame, waves: Int,
+                      positions: Boolean = false): String = {
     val root = tmp("psroot")
     val stream = spark.readStream
       .schema("doc_id BIGINT, text STRING")
       .option("maxFilesPerTrigger", "1")
       .parquet(orderedBatches(d, waves))
-    PostingsStream.maintainPostings(stream, root + "/index", tmp("psckpt"))
+    PostingsStream.maintainPostings(stream, root + "/index", tmp("psckpt"),
+        positions = positions)
       .awaitTermination()
     root + "/index"
   }
@@ -102,6 +104,63 @@ class PostingsStreamSpec extends SparkSpec {
       .sortWithinPartitions("kind", "word")
       .write.mode("overwrite").parquet(s"$store/graft_batch=2")
     assert(servedSet(store, q) === before)
+  }
+
+  test("positional store: phrase serve equals the batch phrase search, " +
+       "through compaction, and bm25 serve ignores the tp rows") {
+    val d = docs
+    val store = drained(d, 3, positions = true)
+    val phrases = d.filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(coalesce(col("text"), lit(""))),
+          "\\s+"), 2, 3), " ").as("query_text"))
+    def setOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = setOf(graft.ops.TextCorpus.phraseSearch(
+      d, col("doc_id"), col("text"), phrases, k = 5))
+    assert(batch.nonEmpty)
+    assert(setOf(PostingsStream.phraseServe(spark, store, phrases, 5)) === batch)
+    // bm25 over the positional store still matches the batch build
+    val q = queriesOf(d)
+    val bm25Batch = graft.ops.TextCorpus
+      .bm25TopK(d, col("doc_id"), col("text"), q, k = 5)
+      .withColumn("sfp", round(col("score") * 1e6).cast("long"))
+      .select("query_id", "rank", "doc_id", "sfp").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(servedSet(store, q) === bm25Batch)
+    // fold preserves both serves
+    PostingsStream.compactIndex(spark, store, keepBatches = 1)
+    assert(setOf(PostingsStream.phraseServe(spark, store, phrases, 5)) === batch)
+    assert(servedSet(store, q) === bm25Batch)
+  }
+
+  test("positions mode is a whole-store property, enforced fail-closed") {
+    val d = docs
+    // serve without positions: refuse
+    val plain = drained(d, 2)
+    assertThrows[IllegalArgumentException] {
+      PostingsStream.phraseServe(spark, plain,
+        d.limit(1).select(col("doc_id").as("query_id"),
+          col("text").as("query_text")), 5)
+    }
+    // positional retrofit of a position-less store: refuse
+    val stream1 = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(orderedBatches(d, 2))
+    assertThrows[IllegalArgumentException] {
+      PostingsStream.maintainPostings(stream1, plain, tmp("psckpt"),
+        positions = true)
+    }
+    // position-less append to a positional store: refuse
+    val positional = drained(d, 2, positions = true)
+    val stream2 = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(orderedBatches(d, 2))
+    assertThrows[IllegalArgumentException] {
+      PostingsStream.maintainPostings(stream2, positional, tmp("psckpt"))
+    }
   }
 
   test("tokenization: empty and whitespace-only docs never enter the index") {
