@@ -445,6 +445,87 @@ object StreamGateQueries extends QueryModule {
 
   private val t15Sql = TextQueries.phraseSqlFrom("doc_id % 251 = 7")
 
+  /** T16 — the hybrid-retrieval capstone: BOTH incrementally maintained
+    * index stores (T13's quantized ANN lists, T14's BM25 postings) are
+    * drained, then served for the same 8 query ids and fused with
+    * reciprocal-rank fusion — the production RAG serving loop end to
+    * end, with every number coming off a store that grew batch-by-batch.
+    * The oracle replays both legs from scratch in SQL (the bm25 CTE
+    * chain + the full quantized-IVF serve as a subquery) and fuses with
+    * the same integer floor-division arithmetic — so store maintenance,
+    * both serve paths, and the fusion certify in one hash compare. */
+  private def t16HybridServe(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Similarity
+    import graft.streaming.{BatchStore, IndexStream, PostingsStream}
+    val k = 5
+    val root = Dsl.tempDir("graft_t16_")
+    // dense leg: the T13 store shape — batch-built quantized lists plus
+    // three streamed refresh waves against the FIXED stored quantizer
+    val emb = Tables.embeddings(s, dir)
+    val standing = emb.filter(col("vec_id") % 5 =!= 4)
+    val delta = emb.filter(col("vec_id") % 5 === 4)
+      .select("vec_id", "embedding")
+    val (cent, lists0) = Similarity.ivfBuildQuantized(
+      Tables.spread(standing), nlist = 16, lloydIters = 2)
+    cent.write.mode("overwrite").parquet(root + "/centroids")
+    lists0.write.mode("overwrite").parquet(root + "/lists/graft_batch=-1")
+    val vstream = s.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(writeOrderedBatches(delta, "vec_id", 3))
+    IndexStream.maintainIndex(vstream, root + "/centroids", root + "/lists",
+      Dsl.tempDir("graft_t16_ickpt_")).awaitTermination()
+    val dense = Similarity.ivfServeQuantized(emb.filter(col("vec_id") < 8),
+      s.read.parquet(root + "/centroids"),
+      BatchStore.read(s, root + "/lists").select("cand_id", "cent_id", "code"),
+      emb, k, nprobe = 4, rescoreK = 15)
+      .select("query_id", "cand_id", "rank")
+    // sparse leg: the T14 postings store, drained from the documents
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val dstream = s.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(writeOrderedBatches(docs, "doc_id", 3))
+    PostingsStream.maintainPostings(dstream, root + "/postings",
+      Dsl.tempDir("graft_t16_pckpt_")).awaitTermination()
+    val queries = Tables.documents(s, dir)
+      .filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(coalesce(col("text"), lit(""))),
+          "\\s+"), 1, 4), " ").as("query_text"))
+    val sparse = PostingsStream.bm25Serve(s, root + "/postings", queries, k)
+      .withColumnRenamed("doc_id", "cand_id")
+    Similarity.rrfFuse(Seq(sparse, dense), k)
+  }
+
+  private val t16Sql = {
+    val sparseQueryCte =
+      """SELECT doc_id AS query_id,
+        |    array_to_string(list_slice(
+        |      string_split_regex(trim(text), '\s+'), 1, 4), ' ') AS query_text
+        |  FROM documents WHERE doc_id < 8""".stripMargin
+    s"""WITH ${TextQueries.bm25OracleCtes(sparseQueryCte)},
+       |hivf AS ($t13Sql),
+       |hterms AS (
+       |  SELECT query_id, cand_id,
+       |    1000000000 // (60 + CAST(rank AS BIGINT)) AS term_fp
+       |  FROM (SELECT query_id, doc_id AS cand_id, rank FROM bmranked
+       |          WHERE rank <= 5
+       |        UNION ALL
+       |        SELECT query_id, cand_id, rank FROM hivf)),
+       |hfused AS (
+       |  SELECT query_id, cand_id, CAST(SUM(term_fp) AS BIGINT) AS rrf_fp
+       |  FROM hterms GROUP BY 1, 2),
+       |hranked AS (
+       |  SELECT query_id, cand_id, rrf_fp,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY rrf_fp DESC, cand_id) AS rank
+       |  FROM hfused)
+       |SELECT query_id, CAST(rank AS INT) AS rank, cand_id,
+       |  CAST(rrf_fp AS DOUBLE) / 1000000000.0 AS rrf
+       |FROM hranked WHERE rank <= 5""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_late_split"      -> t11LateSplit _,
     "t12_view_maintain"   -> t12ViewMaintain _,
@@ -454,7 +535,8 @@ object StreamGateQueries extends QueryModule {
     "m8_stream_clusters"  -> streamClusters _,
     "t13_index_maintain"  -> t13IndexMaintain _,
     "t14_postings_maintain" -> t14PostingsMaintain _,
-    "t15_phrase_maintain" -> t15PhraseMaintain _)
+    "t15_phrase_maintain" -> t15PhraseMaintain _,
+    "t16_hybrid_serve" -> t16HybridServe _)
 
   def oracles: Map[String, String] = Map(
     "t11_late_split"      -> t11Sql,
@@ -465,5 +547,6 @@ object StreamGateQueries extends QueryModule {
     "m8_stream_clusters"  -> streamClustersSql,
     "t13_index_maintain"  -> t13Sql,
     "t14_postings_maintain" -> t14Sql,
-    "t15_phrase_maintain" -> t15Sql)
+    "t15_phrase_maintain" -> t15Sql,
+    "t16_hybrid_serve" -> t16Sql)
 }
