@@ -666,19 +666,21 @@ object TextCorpus {
     * of per-batch frames the full build). Position values only ever
     * enter as the DIFFERENCE `pos - off`, so any consistent base (ours
     * is 0-based; the SQL oracle's is 1-based) yields identical output. */
-  def phraseMatchTopK(pos: DataFrame, queries: DataFrame,
-                      k: Int): DataFrame = {
+  def phraseMatchTopK(pos: DataFrame, queries: DataFrame, k: Int,
+                      broadcastQueriesUpTo: Long = Long.MaxValue)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, s"phraseSearch: k must be positive, got $k")
+    val side = querySide(queries, broadcastQueriesUpTo)
     val qoff = positional(queries, col("query_id"), col("query_text"),
       "query_id", "off")
     val qlen = qoff.groupBy("query_id").agg(count(lit(1)).as("phrase_len"))
-    val starts = pos.join(broadcast(qoff), Seq("word"))
+    val starts = pos.join(side(qoff), Seq("word"))
       .select(col("query_id"), col("doc_id"),
         (col("pos") - col("off")).as("start"))
     val occ = starts.groupBy("query_id", "doc_id", "start")
       .agg(count(lit(1)).as("n_off"))
-    val perDoc = occ.join(broadcast(qlen), Seq("query_id"))
+    val perDoc = occ.join(side(qlen), Seq("query_id"))
       .where(col("n_off") === col("phrase_len"))
       .groupBy("query_id", "doc_id").agg(count(lit(1)).as("n_occ"))
     val cut = graft.plans.GraftOps.topKPerKey(perDoc,
@@ -688,6 +690,84 @@ object TextCorpus {
       .orderBy(col("n_occ").desc, col("doc_id").asc)
     cut.withColumn("rank", row_number().over(w))
       .select("query_id", "rank", "doc_id", "n_occ")
+  }
+
+  /** Size-aware query-side join policy for the serve paths, mirroring
+    * [[graft.streaming.DedupStream]]'s `broadcastDeltaUpTo`: ad-hoc
+    * query batches (the overwhelmingly common case) broadcast so the
+    * corpus-sized postings never shuffle by query count, but a BATCH
+    * retrieval workload (dedup-by-retrieval, eval sweeps — millions of
+    * queries) must not be forced through a driver-OOM broadcast. The
+    * cap is a row count over the `queries` input:
+    *  - `Long.MaxValue` (default) — always broadcast, no count job
+    *    (the caller asserts the batch is dimension-sized);
+    *  - `0` — never broadcast: plain shuffle joins on the join key;
+    *  - otherwise — one count of the query frame decides. */
+  private def querySide(queries: DataFrame, cap: Long)
+      : DataFrame => DataFrame = {
+    val bc = cap == Long.MaxValue || (cap > 0 && queries.count() <= cap)
+    if (bc) broadcast _ else identity _
+  }
+
+  /** Proximity (NEAR/k) search: top-k documents per query where EVERY
+    * query term appears within `slop` positions of its nominal phrase
+    * slot — the standard sloppy-phrase generalization of
+    * [[phraseSearch]] (slop = 0 degenerates to the exact-phrase
+    * semantics, up to the occurrence-counting difference below).
+    *
+    * RELATIONAL SLOPPY MATCH: a posting occurrence (doc, pos, word)
+    * matching a phrase offset (query, off, word) votes for every
+    * anchor `start ∈ [pos - off - slop, pos - off]` (term `off` may
+    * run up to `slop` positions late relative to the anchor); an
+    * anchor is a match iff ALL DISTINCT offsets voted for it
+    * (`count(distinct off) == phrase_len` — distinct, because with
+    * slop two occurrences of the same word can vote the same (anchor,
+    * offset) pair). `n_windows` counts matching anchors, so
+    * overlapping matches count once per anchor — deterministic and
+    * oracle-replayable. All-integer arithmetic; anchors may be
+    * negative (a shifted frame, not an error) and cancel out of the
+    * count identically on both engines.
+    *
+    * SCALE SHAPE: [[phraseSearch]]'s exactly — broadcast offset table
+    * (or the size-aware fallback), corpus postings never shuffled by
+    * query, vote rows fan out ×(slop+1) before the one matched-rows
+    * aggregation, two-phase TopKPerKey cut. */
+  def proximitySearch(docs: DataFrame, id: Column, text: Column,
+                      queries: DataFrame, k: Int, slop: Int): DataFrame =
+    proximityMatchTopK(positional(docs, id, text, "doc_id", "pos"),
+      queries, k, slop)
+
+  /** [[proximitySearch]]'s match core over a prebuilt positional
+    * postings frame (doc_id, pos, word) — store-serve ready, like
+    * [[phraseMatchTopK]]. */
+  def proximityMatchTopK(pos: DataFrame, queries: DataFrame, k: Int,
+                         slop: Int,
+                         broadcastQueriesUpTo: Long = Long.MaxValue)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"proximitySearch: k must be positive, got $k")
+    require(slop >= 0, s"proximitySearch: slop must be >= 0, got $slop")
+    val side = querySide(queries, broadcastQueriesUpTo)
+    val qoff = positional(queries, col("query_id"), col("query_text"),
+      "query_id", "off")
+    val qlen = qoff.groupBy("query_id").agg(count(lit(1)).as("phrase_len"))
+    val votes = pos.join(side(qoff), Seq("word"))
+      .select(col("query_id"), col("doc_id"), col("pos"), col("off"))
+      .withColumn("lag", explode(sequence(lit(0), lit(slop))))
+      .select(col("query_id"), col("doc_id"), col("off"),
+        (col("pos") - col("off") - col("lag")).as("start"))
+    val occ = votes.groupBy("query_id", "doc_id", "start")
+      .agg(countDistinct("off").as("n_off"))
+    val perDoc = occ.join(side(qlen), Seq("query_id"))
+      .where(col("n_off") === col("phrase_len"))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("n_windows"))
+    val cut = graft.plans.GraftOps.topKPerKey(perDoc,
+      keys = Seq(col("query_id")),
+      order = Seq(col("n_windows").desc, col("doc_id").asc), k = k)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("n_windows").desc, col("doc_id").asc)
+    cut.withColumn("rank", row_number().over(w))
+      .select("query_id", "rank", "doc_id", "n_windows")
   }
 
   /** [[bm25TopK]]'s scoring core over prebuilt index frames —

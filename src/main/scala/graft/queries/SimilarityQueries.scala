@@ -242,7 +242,17 @@ object SimilarityQueries extends QueryModule {
     * the standing corpus trains the quantizer once and later deltas are
     * encoded against it unchanged. `None` = the fused demo (train on
     * everything). */
-  private[queries] def ivfQServeSql(trainPred: Option[String]): String = {
+  private[queries] def ivfQServeSql(trainPred: Option[String]): String =
+    ivfQServeSql(trainPred, None)
+
+  /** `servePred` excludes vectors from the SERVED lists (the
+    * store-deletion gate: the quantizer was trained before the
+    * takedown, so training sees everything while the probe join scores
+    * only survivors — exactly [[graft.streaming.IndexStream.readLists]]'
+    * tombstone mask / compaction drop). */
+  private[queries] def ivfQServeSql(trainPred: Option[String],
+                                    servePred: Option[String]): String = {
+    val serveCond = servePred.map(p => s" AND ($p)").getOrElse("")
     val baseCte = trainPred
       .map(p => s"standing AS (SELECT vec_id, v FROM e WHERE $p),\n")
       .getOrElse("")
@@ -277,7 +287,8 @@ object SimilarityQueries extends QueryModule {
        |approx AS (
        |  SELECT p.query_id, p.qv, c.vec_id AS cand_id,
        |    ${cosSql("p.qv", "c.qc")} AS qcos
-       |  FROM codes c JOIN probes p ON c.cent_id = p.cent_id
+       |  FROM (SELECT * FROM codes WHERE TRUE$serveCond) c
+       |  JOIN probes p ON c.cent_id = p.cent_id
        |  WHERE c.vec_id <> p.query_id),
        |short AS (
        |  SELECT query_id, qv, cand_id FROM (

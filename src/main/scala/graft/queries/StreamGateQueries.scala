@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.streaming.{DedupStream, LateData, ViewMaintenance}
@@ -378,8 +378,7 @@ object StreamGateQueries extends QueryModule {
     // generation — resolve through the same pointer-filtered read.
     Similarity.ivfServeQuantized(emb.filter(col("vec_id") < 8),
       s.read.parquet(root + "/centroids"),
-      graft.streaming.BatchStore.read(s, root + "/lists")
-        .select("cand_id", "cent_id", "code"),
+      graft.streaming.IndexStream.readLists(s, root + "/lists"),
       emb, 5, nprobe = 4, rescoreK = 15)
       .select(col("query_id"), col("rank"), col("cand_id"),
         round(col("cosine"), 6).as("cosine"))
@@ -477,7 +476,7 @@ object StreamGateQueries extends QueryModule {
       Dsl.tempDir("graft_t16_ickpt_")).awaitTermination()
     val dense = Similarity.ivfServeQuantized(emb.filter(col("vec_id") < 8),
       s.read.parquet(root + "/centroids"),
-      BatchStore.read(s, root + "/lists").select("cand_id", "cent_id", "code"),
+      IndexStream.readLists(s, root + "/lists"),
       emb, k, nprobe = 4, rescoreK = 15)
       .select("query_id", "cand_id", "rank")
     // sparse leg: the T14 postings store, drained from the documents
@@ -526,6 +525,138 @@ object StreamGateQueries extends QueryModule {
        |FROM hranked WHERE rank <= 5""".stripMargin
   }
 
+  /** T17 — DELETION through the postings store, the takedown/opt-out
+    * path every training-data pipeline must honor: the full documents
+    * table streams into a POSITIONAL postings store in three waves,
+    * then every 7th doc is tombstoned ([[PostingsStream.deleteDocs]]).
+    * Three serve legs follow — BM25 top-k BEFORE compaction (deleted
+    * docs masked by the tombstone anti-join, their df/dl/n_docs
+    * contributions cancelled by the visible-tf negative partials), BM25
+    * AFTER [[PostingsStream.compactIndex]] (rows physically dropped
+    * from the folded base, df rebuilt from surviving tf; the kept batch
+    * dir still relies on the mask), and phrase search after compaction
+    * (tp rows anti-joined/dropped). The query REQUIRES the fold
+    * physically removed the deleted docs' rows from the new base.
+    *
+    * The oracle replays all three legs from `documents WHERE doc_id % 7
+    * <> 3` — a from-scratch index over the surviving corpus, blind to
+    * tombstones, folds, and masking — so pre- and post-compaction legs
+    * must BOTH equal the survivors-only build: the full
+    * deletion-exactness contract in one hash compare. */
+  private def t17StoreDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{BatchStore, PostingsStream}
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val watch = writeOrderedBatches(docs, "doc_id", 3)
+    val stream = s.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    val root = Dsl.tempDir("graft_t17_")
+    PostingsStream.maintainPostings(stream, root + "/index", root + "/ckpt",
+      positions = true).awaitTermination()
+    PostingsStream.deleteDocs(s, root + "/index",
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+    def firstTokens(from: Int, len: Int) = Tables.documents(s, dir)
+      .filter(col("doc_id") % 251 === 7)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(coalesce(col("text"), lit(""))),
+          "\\s+"), from, len), " ").as("query_text"))
+    def leg(name: String, df: DataFrame, score: Column) =
+      df.select(lit(name).as("leg"), col("query_id"), col("rank"),
+        col("doc_id"), score.cast("double").as("score"))
+    // materialize the pre-compaction serve NOW — it reads store state
+    // the compaction below rewrites, and lazy evaluation would
+    // otherwise time-travel it to the post-fold layout
+    val pre = leg("bm25_pre",
+      PostingsStream.bm25Serve(s, root + "/index", firstTokens(1, 4), 10),
+      col("score")).localCheckpoint(true)
+    PostingsStream.compactIndex(s, root + "/index", keepBatches = 1)
+    // the fold must have PHYSICALLY removed the deleted docs' rows from
+    // the new base generation (gen 2 = graft_batch=-2): a store that
+    // only ever masks never shrinks, which is the gap this gate closes
+    val leaked = s.read.parquet(s"$root/index/graft_batch=-2")
+      .filter(col("doc_id") % 7 === 3).count()
+    require(leaked == 0,
+      s"compacted base still holds $leaked rows of deleted docs")
+    require(BatchStore.hasDeletes(s, root + "/index"),
+      "tombstone set must survive compaction (the standing takedown ledger)")
+    val post = leg("bm25_post",
+      PostingsStream.bm25Serve(s, root + "/index", firstTokens(1, 4), 10),
+      col("score"))
+    val phrase = leg("phrase_post",
+      PostingsStream.phraseServe(s, root + "/index", firstTokens(2, 3), 10),
+      col("n_occ"))
+    pre.unionByName(post).unionByName(phrase)
+  }
+
+  private val t17Sql = {
+    val survivors = "(SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3)"
+    val bm = TextQueries.bm25SqlFrom(TextQueries.bm25SearchQueryCte,
+      docsFrom = survivors)
+    val ph = TextQueries.phraseSqlFrom("doc_id % 251 = 7",
+      docsFrom = survivors)
+    s"""SELECT 'bm25_pre' AS leg, query_id, rank, doc_id, score FROM ($bm)
+       |UNION ALL
+       |SELECT 'bm25_post' AS leg, query_id, rank, doc_id, score FROM ($bm)
+       |UNION ALL
+       |SELECT 'phrase_post' AS leg, query_id, rank, doc_id,
+       |  CAST(n_occ AS DOUBLE) AS score FROM ($ph)""".stripMargin
+  }
+
+  /** T18 — deletion through the ANN lists store: the T13 store shape
+    * (batch-built quantized lists + three streamed refresh waves
+    * against the fixed quantizer), then every 9th vector is tombstoned
+    * ([[IndexStream.deleteVectors]]) and the index is served BEFORE
+    * compaction (tombstone mask: [[IndexStream.readLists]]) and AFTER
+    * [[IndexStream.compactLists]] (physical drop, required). The
+    * quantizer keeps its pre-takedown training — deleting rows must not
+    * silently re-key the lists — so the oracle trains on the full
+    * standing corpus and excludes the deleted vectors only from the
+    * served lists; both legs must equal that replay. */
+  private def t18IndexDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Similarity
+    import graft.streaming.IndexStream
+    val emb = Tables.embeddings(s, dir)
+    val standing = emb.filter(col("vec_id") % 5 =!= 4)
+    val delta = emb.filter(col("vec_id") % 5 === 4)
+      .select("vec_id", "embedding")
+    val root = Dsl.tempDir("graft_t18_")
+    val (cent, lists0) = Similarity.ivfBuildQuantized(
+      Tables.spread(standing), nlist = 16, lloydIters = 2)
+    cent.write.mode("overwrite").parquet(root + "/centroids")
+    lists0.write.mode("overwrite").parquet(root + "/lists/graft_batch=-1")
+    val stream = s.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(writeOrderedBatches(delta, "vec_id", 3))
+    IndexStream.maintainIndex(stream, root + "/centroids", root + "/lists",
+      Dsl.tempDir("graft_t18_ckpt_")).awaitTermination()
+    IndexStream.deleteVectors(s, root + "/lists",
+      emb.filter(col("vec_id") % 9 === 2).select("vec_id"))
+    def serve(leg: String) = Similarity.ivfServeQuantized(
+        emb.filter(col("vec_id") < 8),
+        s.read.parquet(root + "/centroids"),
+        IndexStream.readLists(s, root + "/lists"),
+        emb, 5, nprobe = 4, rescoreK = 15)
+      .select(lit(leg).as("leg"), col("query_id"), col("rank"),
+        col("cand_id"), round(col("cosine"), 6).as("cosine"))
+    val pre = serve("pre").localCheckpoint(true)
+    IndexStream.compactLists(s, root + "/lists", keepBatches = 1)
+    val leaked = s.read.parquet(s"$root/lists/graft_batch=-2")
+      .filter(col("cand_id") % 9 === 2).count()
+    require(leaked == 0,
+      s"compacted lists base still holds $leaked deleted vectors")
+    pre.unionByName(serve("post"))
+  }
+
+  private val t18Sql = {
+    val one = SimilarityQueries.ivfQServeSql(Some("vec_id % 5 <> 4"),
+      Some("vec_id % 9 <> 2"))
+    s"""SELECT 'pre' AS leg, query_id, rank, cand_id, cosine FROM ($one)
+       |UNION ALL
+       |SELECT 'post' AS leg, query_id, rank, cand_id, cosine FROM ($one)""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_late_split"      -> t11LateSplit _,
     "t12_view_maintain"   -> t12ViewMaintain _,
@@ -536,7 +667,9 @@ object StreamGateQueries extends QueryModule {
     "t13_index_maintain"  -> t13IndexMaintain _,
     "t14_postings_maintain" -> t14PostingsMaintain _,
     "t15_phrase_maintain" -> t15PhraseMaintain _,
-    "t16_hybrid_serve" -> t16HybridServe _)
+    "t16_hybrid_serve" -> t16HybridServe _,
+    "t17_store_delete" -> t17StoreDelete _,
+    "t18_index_delete" -> t18IndexDelete _)
 
   def oracles: Map[String, String] = Map(
     "t11_late_split"      -> t11Sql,
@@ -548,5 +681,7 @@ object StreamGateQueries extends QueryModule {
     "t13_index_maintain"  -> t13Sql,
     "t14_postings_maintain" -> t14Sql,
     "t15_phrase_maintain" -> t15Sql,
-    "t16_hybrid_serve" -> t16Sql)
+    "t16_hybrid_serve" -> t16Sql,
+    "t17_store_delete" -> t17Sql,
+    "t18_index_delete" -> t18Sql)
 }

@@ -378,14 +378,28 @@ object TextQueries extends QueryModule {
     "SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS total_dl\n" +
     "        FROM bdl"
 
+  private[graft] val bm25DefaultDocTokens: String =
+    """string_split_regex(trim(text), '\s+')"""
+  private[graft] val bm25DefaultQueryTokens: String =
+    """string_split_regex(trim(query_text), '\s+')"""
+
+  /** `docsFrom` overrides the corpus source (the store-deletion gate
+    * replays corpus-minus-deleted by filtering here — every downstream
+    * stat, tf/df/dl/n_docs/avgdl, then derives from the survivors);
+    * `docTokens`/`queryTokens`/`wordCond` override tokenization (the
+    * analyzer gate's case-fold/punct-strip/stopword replay). */
   private[graft] def bm25OracleCtes(
       queryCte: String,
-      statsCte: String = bm25DefaultStatsCte): String =
+      statsCte: String = bm25DefaultStatsCte,
+      docsFrom: String = "documents",
+      docTokens: String = bm25DefaultDocTokens,
+      queryTokens: String = bm25DefaultQueryTokens,
+      wordCond: String = "u.word <> ''"): String =
     s"""bw AS (
        |  SELECT doc_id, u.word
-       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
-       |        FROM documents) t, unnest(a) AS u(word)
-       |  WHERE u.word <> ''),
+       |  FROM (SELECT doc_id, $docTokens AS a
+       |        FROM $docsFrom) t, unnest(a) AS u(word)
+       |  WHERE $wordCond),
        |btf AS (SELECT doc_id, word, COUNT(*) AS tf FROM bw GROUP BY 1, 2),
        |bdl AS (SELECT doc_id, COUNT(*) AS dl FROM bw GROUP BY 1),
        |bdf AS (SELECT word, COUNT(*) AS df FROM btf GROUP BY 1),
@@ -393,9 +407,9 @@ object TextQueries extends QueryModule {
        |bq AS ($queryCte),
        |bqt AS (
        |  SELECT DISTINCT query_id, u.word
-       |  FROM (SELECT query_id, string_split_regex(trim(query_text), '\\s+') AS a
+       |  FROM (SELECT query_id, $queryTokens AS a
        |        FROM bq) t, unnest(a) AS u(word)
-       |  WHERE u.word <> ''),
+       |  WHERE $wordCond),
        |bcontrib AS (
        |  SELECT bqt.query_id, btf.doc_id,
        |    CAST(round(
@@ -423,8 +437,13 @@ object TextQueries extends QueryModule {
     * stratum gate. */
   private[graft] def bm25SqlFrom(
       queryCte: String,
-      statsCte: String = bm25DefaultStatsCte): String =
-    s"""WITH ${bm25OracleCtes(queryCte, statsCte)}
+      statsCte: String = bm25DefaultStatsCte,
+      docsFrom: String = "documents",
+      docTokens: String = bm25DefaultDocTokens,
+      queryTokens: String = bm25DefaultQueryTokens,
+      wordCond: String = "u.word <> ''"): String =
+    s"""WITH ${bm25OracleCtes(queryCte, statsCte, docsFrom, docTokens,
+           queryTokens, wordCond)}
        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
        |  CAST(score_fp AS DOUBLE) / 1000000.0 AS score
        |FROM bmranked WHERE rank <= 10""".stripMargin
@@ -459,10 +478,11 @@ object TextQueries extends QueryModule {
     * the at-scale stratum gate (phrase match is pure per-pair counting
     * with NO corpus-global stats, so the stratum replay needs no
     * pinning at all). */
-  private[graft] def phraseSqlFrom(queryWhere: String): String =
+  private[graft] def phraseSqlFrom(queryWhere: String,
+                                   docsFrom: String = "documents"): String =
     s"""WITH parr AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
-      |  FROM documents),
+      |  FROM $docsFrom),
       |pw AS (
       |  SELECT doc_id, a, unnest(generate_series(1, len(a))) AS pos
       |  FROM parr),

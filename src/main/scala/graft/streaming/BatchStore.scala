@@ -55,6 +55,8 @@ object BatchStore {
   private val PointerName = "_BASE"
   private val HwmName = "_HWM"
   private val PublishedName = "_PUBLISHED"
+  private val DeleteSpace = "_deletes"
+  private val DeleteCol = "del_id"
 
   /** Result of one [[compact]] call. `gen < 0` means no-op. */
   case class Compaction(gen: Long, foldedThrough: Long,
@@ -141,7 +143,11 @@ object BatchStore {
       // closed instead of silently dropping the folded base. Best
       // effort: a store on a read-only mount still reads fine through
       // its pointer, it just stays unprotected until its next compact.
-      try markPublished(spark, dir) catch { case _: java.io.IOException => () }
+      // NonFatal, not just IOException: filesystems signal read-only /
+      // immutability with assorted exception types, and a side-effecting
+      // READ path must never turn a heal failure into a read failure.
+      try markPublished(spark, dir)
+      catch { case scala.util.control.NonFatal(_) => () }
       ptr
     }.orElse {
       val gens = batchDirs(spark, dir).filter(_ <= -2L).map(-_).sorted.reverse
@@ -180,6 +186,96 @@ object BatchStore {
     reader.parquet(dir).filter(liveFilter(resolvePointer(spark, dir)))
   }
 
+  // ------------------------------------------------------------------
+  // Tombstones — the deletion path of the store family (takedowns /
+  // opt-outs: the one operation an append-then-compact training-data
+  // store otherwise cannot honor without a full rebuild).
+  //
+  // Layout: `dir/_deletes/d=<k>` parquet dirs, one per [[delete]] call,
+  // each holding one `del_id` LONG column (a SET — duplicates across
+  // dirs are harmless, every consumer anti-joins or distincts).
+  // Underscore-prefixed so Spark's file index never mixes tombstones
+  // into the row dirs. Visibility is atomic: each dir is staged under a
+  // dot-prefixed name and RENAMED into place, so readers see a delete
+  // batch all-or-nothing and a crashed delete leaves only an invisible
+  // staging dir (rerunning the delete converges — DeleteSpec).
+  //
+  // Semantics: tombstones MASK rows at read time (store owners
+  // anti-join their id column against [[readDeletes]]) and are
+  // physically dropped from folded data by [[compact]] when the owner
+  // passes `dropDeletedOn` — after which the mask is a no-op for the
+  // folded rows but still covers any kept (unfolded) batch dirs. The
+  // tombstone set itself is permanent: the store family's caller
+  // contract is at-most-once ingest per id, so a deleted id never
+  // legitimately returns, and keeping the set makes the store a
+  // standing takedown ledger (an accidental re-ingest of a deleted id
+  // stays suppressed). [[compact]] consolidates multi-dir tombstone
+  // sets into one dir so the listing cost stays flat.
+  // ------------------------------------------------------------------
+
+  private def deleteDirs(spark: SparkSession, dir: String): Seq[(Long, Path)] = {
+    val fs = fsFor(spark, dir)
+    val p = new Path(s"$dir/$DeleteSpace")
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d="))
+      .map(s => (s.getPath.getName.stripPrefix("d=").toLong, s.getPath))
+  }
+
+  /** Whether any tombstones exist — the cheap guard readers use to skip
+    * the anti-join entirely on never-deleted-from stores. */
+  def hasDeletes(spark: SparkSession, dir: String): Boolean =
+    deleteDirs(spark, dir).nonEmpty
+
+  /** The tombstoned key set as one `del_id` LONG column (a set:
+    * consumers anti-join, so residual duplicates across delete dirs are
+    * harmless). Empty frame when nothing was ever deleted. */
+  def readDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val dirs = deleteDirs(spark, dir)
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(org.apache.spark.sql.types.StructField(DeleteCol,
+          org.apache.spark.sql.types.LongType))))
+    else spark.read.schema(s"$DeleteCol LONG")
+      .parquet(dirs.map(_._2.toString): _*)
+  }
+
+  /** Tombstone the keys in `ids` (its FIRST column, cast to long).
+    * Crash-safe: the delete batch is staged invisibly and renamed into
+    * place, so a crash mid-write leaves no partial tombstone set and a
+    * rerun converges (DeleteSpec). Run between drains/serves like
+    * [[compact]] — the store family's single-admin contract. */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val fs = fsFor(spark, dir)
+    val space = new Path(s"$dir/$DeleteSpace")
+    fs.mkdirs(space)
+    val k = deleteDirs(spark, dir).map(_._1).foldLeft(0L)(math.max) + 1
+    val stage = new Path(space, s".stage-$k")
+    // stale staging from a crashed previous attempt: overwrite below
+    ids.select(col(ids.columns.head).cast("long").as(DeleteCol))
+      .distinct()
+      .write.mode("overwrite").parquet(stage.toString)
+    if (!fs.rename(stage, new Path(space, s"d=$k")))
+      throw new java.io.IOException(
+        s"could not publish delete batch d=$k under $space")
+  }
+
+  /** Fold all tombstone dirs into one (idempotent, crash-safe: the
+    * union lands as a NEW dir before the old ones are removed, and the
+    * tombstone set is duplicate-tolerant, so any crash point leaves a
+    * superset view that the next fold re-converges). */
+  private def consolidateDeletes(spark: SparkSession, dir: String): Unit = {
+    val dirs = deleteDirs(spark, dir)
+    if (dirs.size >= 2) {
+      delete(spark, dir, readDeletes(spark, dir))
+      val fs = fsFor(spark, dir)
+      val keep = deleteDirs(spark, dir).map(_._1).max
+      deleteDirs(spark, dir).filter(_._1 != keep)
+        .foreach { case (_, p) => fs.delete(p, true) }
+    }
+  }
+
   /** List the store's `graft_batch=<id>` dir ids (positive and base). */
   private def batchDirs(spark: SparkSession, dir: String): Seq[Long] = {
     val fs = fsFor(spark, dir)
@@ -207,13 +303,14 @@ object BatchStore {
     * mostly-compacted stores. */
   def compactIfOver(spark: SparkSession, dir: String, threshold: Int,
                     keepBatches: Int = 2,
-                    merge: Option[DataFrame => DataFrame] = None)
+                    merge: Option[DataFrame => DataFrame] = None,
+                    dropDeletedOn: Option[String] = None)
       : Option[Compaction] = {
     require(threshold >= keepBatches,
       s"threshold $threshold below keepBatches $keepBatches would compact " +
         "every drain and still never get under the bound")
     if (liveBatchCount(spark, dir) > threshold)
-      Some(compact(spark, dir, keepBatches, merge))
+      Some(compact(spark, dir, keepBatches, merge, dropDeletedOn))
     else None
   }
 
@@ -236,7 +333,24 @@ object BatchStore {
     * key here — after the fold the base is one generation, so
     * intra-base recency would otherwise be lost. */
   def compact(spark: SparkSession, dir: String, keepBatches: Int,
-              merge: Option[DataFrame => DataFrame]): Compaction = {
+              merge: Option[DataFrame => DataFrame]): Compaction =
+    compact(spark, dir, keepBatches, merge, None)
+
+  /** [[compact]] with PHYSICAL tombstone removal: when `dropDeletedOn`
+    * names the store's key column, rows whose key is tombstoned
+    * ([[delete]]) are anti-joined out of the fold input BEFORE `merge`
+    * runs, so the new base generation is free of deleted data — the
+    * takedown actually shrinks the store instead of hiding behind a
+    * read filter forever. Rows whose key column is NULL (e.g. the
+    * postings store's per-word df partials) never match an anti-join
+    * and pass through — their owner's merge is responsible for them.
+    * Kept (unfolded) batch dirs may still hold deleted rows; serve
+    * paths keep anti-joining [[readDeletes]], which is exact in every
+    * compaction state because the adjustment derives from what is
+    * visible. */
+  def compact(spark: SparkSession, dir: String, keepBatches: Int,
+              merge: Option[DataFrame => DataFrame],
+              dropDeletedOn: Option[String]): Compaction = {
     require(keepBatches >= 1,
       s"keepBatches must be >= 1 to preserve replay idempotence: $keepBatches")
     // resolvePointer, not readPointer: a compaction after a crashed
@@ -255,8 +369,15 @@ object BatchStore {
     // generation. Read through the pointer filter so a previous crashed
     // staging of this same generation (about to be overwritten) and
     // already-dead dirs contribute nothing.
-    val foldInput = read(spark, dir)
+    val foldInput0 = read(spark, dir)
       .filter(col(BatchCol) <= newHwm) // base gens are negative: included
+    // physical tombstone drop: deleted-key rows never enter the new base
+    val foldInput = dropDeletedOn match {
+      case Some(key) if hasDeletes(spark, dir) =>
+        foldInput0.join(readDeletes(spark, dir),
+          col(key) === col(DeleteCol), "left_anti")
+      case _ => foldInput0
+    }
     val folded = merge.map(m => m(foldInput)).getOrElse(foldInput)
       .drop(BatchCol)
     folded.write.mode("overwrite").parquet(s"$dir/$BatchCol=-$newGen")
@@ -283,6 +404,9 @@ object BatchStore {
     batchDirs(spark, dir)
       .filter(id => (id < 0 && id != -newGen) || (id >= 0 && id <= newHwm))
       .foreach(id => fs.delete(new Path(s"$dir/$BatchCol=$id"), true))
+    // tombstone-set housekeeping (idempotent, duplicate-tolerant): keep
+    // the delete-dir listing flat however many takedowns have landed
+    consolidateDeletes(spark, dir)
     Compaction(newGen, newHwm, foldIds, baseRows)
   }
 }

@@ -62,6 +62,15 @@ object DedupStream {
     * current batch has written anything — and the in-flight replay
     * batch's dir is protected by compact's `keepBatches ≥ 1`
     * contract. */
+  /** Tombstone `docIds` (first column) out of the signature store — the
+    * takedown path: subsequent admission batches stop screening against
+    * the deleted docs (content that left the corpus must not veto new
+    * arrivals), and the next compaction physically drops their
+    * signature rows. Run between drains. */
+  def deleteDocs(spark: org.apache.spark.sql.SparkSession,
+                 sigStoreDir: String, docIds: DataFrame): Unit =
+    BatchStore.delete(spark, sigStoreDir, docIds)
+
   def admitDocuments(docs: DataFrame, sigStoreDir: String,
                      verdictDir: String, checkpointDir: String,
                      bands: Int = 8, rowsPerBand: Int = 4,
@@ -86,7 +95,8 @@ object DedupStream {
       def fs(d: String) =
         new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs(sigStoreDir).exists(new Path(sigStoreDir)))
-        BatchStore.compactIfOver(spark, sigStoreDir, threshold)
+        BatchStore.compactIfOver(spark, sigStoreDir, threshold,
+          dropDeletedOn = Some("id"))
       // the ledger folds latest-wins (one row per doc in the base), so
       // its live row count tracks corpus size, not corpus × churn
       labelsDir.foreach { ld =>
@@ -114,11 +124,17 @@ object DedupStream {
         val storeFs =
           storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val corpus =
-          if (storeFs.exists(storePath))
-            BatchStore.read(spark, sigStoreDir, Some(sigSchema))
+          if (storeFs.exists(storePath)) {
+            val live = BatchStore.read(spark, sigStoreDir, Some(sigSchema))
               .filter(col("graft_batch") =!= lit(batchId))
               .select(col("id"), col("sig"))
-          else
+            // tombstoned docs ([[deleteDocs]]) stop screening: a new doc
+            // that duplicates ONLY deleted content must be admitted —
+            // the content is no longer in the corpus
+            if (!BatchStore.hasDeletes(spark, sigStoreDir)) live
+            else live.join(BatchStore.readDeletes(spark, sigStoreDir),
+              col("id") === col("del_id"), "left_anti")
+          } else
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               StructType(sigSchema.dropRight(1)))

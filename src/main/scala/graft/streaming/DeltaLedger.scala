@@ -53,9 +53,19 @@ object DeltaLedger {
     if (!exists(spark, dir))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      BatchStore.read(spark, dir, Some(schema))
+    else {
+      val rows = BatchStore.read(spark, dir, Some(schema))
         .filter(col(BatchStore.BatchCol) =!= lit(excludeBatch))
+      // tombstoned docs ([[delete]]) drop out of every ledger read: a
+      // taken-down doc has no label row. cluster_id VALUES are opaque
+      // labels (the min-id representative at fold time), so other
+      // members keeping a deleted doc's id as their label is fine —
+      // the label names a cluster, not a living row.
+      if (!BatchStore.hasDeletes(spark, dir)) rows
+      else rows.join(BatchStore.readDeletes(spark, dir),
+        col("doc_id") === col("del_id"), "left_anti")
+        .select(rows.columns.toSeq.map(col): _*)
+    }
 
   /** Latest-wins reduce: one (doc_id, cluster_id) row per doc. Base
     * generations are negative batch ids, so live batches always beat
@@ -141,15 +151,23 @@ object DeltaLedger {
       .write.mode("overwrite")
       .parquet(s"$dir/${BatchStore.BatchCol}=$batchId")
 
+  /** Tombstone `docIds` (first column) out of the ledger — the
+    * takedown path: every read drops their label rows immediately and
+    * the next [[compact]] physically removes them. */
+  def delete(spark: SparkSession, dir: String, docIds: DataFrame): Unit =
+    BatchStore.delete(spark, dir, docIds)
+
   /** Latest-wins fold of old batch dirs into a base generation of one
-    * row per doc (the [[BatchStore.compact]] merge hook). */
+    * row per doc (the [[BatchStore.compact]] merge hook); tombstoned
+    * docs' rows are physically dropped. */
   def compact(spark: SparkSession, dir: String,
               keepBatches: Int = 2): BatchStore.Compaction =
-    BatchStore.compact(spark, dir, keepBatches, Some(latest))
+    BatchStore.compact(spark, dir, keepBatches, Some(latest),
+      dropDeletedOn = Some("doc_id"))
 
   /** Threshold-policy variant, for the between-drains hook. */
   def compactIfOver(spark: SparkSession, dir: String, threshold: Int,
                     keepBatches: Int = 2): Option[BatchStore.Compaction] =
     BatchStore.compactIfOver(spark, dir, threshold, keepBatches,
-      Some(latest))
+      Some(latest), dropDeletedOn = Some("doc_id"))
 }

@@ -33,6 +33,39 @@ import graft.similarity.Similarity
   * pins serve parity across compaction). */
 object IndexStream {
 
+  /** Tombstone `ids` (first column = vec_ids) out of the lists store —
+    * the takedown path: [[readLists]] immediately excludes their list
+    * entries (a deleted vector can never appear in a shortlist again),
+    * and the next [[compactLists]] physically drops the rows. Run
+    * between drains/serves — the store family's single-admin
+    * contract. */
+  def deleteVectors(spark: org.apache.spark.sql.SparkSession,
+                    listsDir: String, ids: DataFrame): Unit =
+    BatchStore.delete(spark, listsDir, ids)
+
+  /** The live inverted-list rows `(cand_id, cent_id, code)` — the ONLY
+    * correct way to read a maintained lists store: pointer-filtered
+    * ([[BatchStore.read]]) and tombstone-masked, so a serve is exact at
+    * every instant of a compaction and never scores a deleted
+    * vector. */
+  def readLists(spark: org.apache.spark.sql.SparkSession,
+                listsDir: String): DataFrame = {
+    val rows = BatchStore.read(spark, listsDir)
+      .select("cand_id", "cent_id", "code")
+    if (!BatchStore.hasDeletes(spark, listsDir)) rows
+    else rows.join(BatchStore.readDeletes(spark, listsDir),
+      col("cand_id") === col("del_id"), "left_anti")
+  }
+
+  /** Fold old list batch dirs into a base generation, physically
+    * dropping tombstoned vectors' rows (run between drains — see
+    * [[BatchStore]]). */
+  def compactLists(spark: org.apache.spark.sql.SparkSession,
+                   listsDir: String,
+                   keepBatches: Int = 2): BatchStore.Compaction =
+    BatchStore.compact(spark, listsDir, keepBatches, None,
+      dropDeletedOn = Some("cand_id"))
+
   /** Start the maintenance stream over a streaming `vecs` frame with
     * (vec_id, embedding) columns. AvailableNow by default (drain-then-
     * stop); `continuous = true` for a long-running micro-batch loop.
@@ -63,7 +96,8 @@ object IndexStream {
       val spark = vecs.sparkSession
       val p = new Path(listsDir)
       if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-        BatchStore.compactIfOver(spark, listsDir, threshold)
+        BatchStore.compactIfOver(spark, listsDir, threshold,
+          dropDeletedOn = Some("cand_id"))
     }
     runPolicy()
     val writer = vecs.writeStream

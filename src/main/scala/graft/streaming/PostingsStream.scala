@@ -117,23 +117,44 @@ object PostingsStream {
         s"$storeDir already holds position-less batches — a positional " +
           "retrofit would silently hide them from phrase matching; " +
           "rebuild the store instead")
+      // the marker itself is created lazily inside the first batch write
+      // (see foreachBatch below): a stream that fails before its first
+      // batch must not leave a marker-only store that fail-closes a
+      // positions=false restart
+    } else if (hasPositions(spark, storeDir)) {
+      // marker present: fail closed on a store with DATA (appending
+      // position-less batches would break phraseServe's completeness);
+      // an EMPTY marked store is the crashed-before-first-batch residue
+      // of a positional attempt — nothing is hidden by dropping the
+      // marker, so heal it and proceed
+      require(!hasAnyBatchDir(spark, storeDir),
+        s"$storeDir is marked positional — appending position-less " +
+          "batches would break phraseServe's completeness; pass " +
+          "positions = true")
+      fsFor(spark, storeDir).delete(new Path(storeDir, PositionsMarker), false)
+    }
+    def ensureMarker(): Unit = if (positions) {
       val fs = fsFor(spark, storeDir)
       fs.mkdirs(new Path(storeDir))
-      val out = fs.create(new Path(storeDir, PositionsMarker), true)
-      out.close()
-    } else require(!hasPositions(spark, storeDir),
-      s"$storeDir is marked positional — appending position-less batches " +
-        "would break phraseServe's completeness; pass positions = true")
+      if (!fs.exists(new Path(storeDir, PositionsMarker))) {
+        val out = fs.create(new Path(storeDir, PositionsMarker), true)
+        out.close()
+      }
+    }
     def runPolicy(): Unit = compactWhenBatchesExceed.foreach { threshold =>
       val p = new Path(storeDir)
       if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
         BatchStore.compactIfOver(spark, storeDir, threshold,
-          merge = Some(mergeDfPartials))
+          merge = Some(mergeDfPartials), dropDeletedOn = Some("doc_id"))
     }
     runPolicy()
     val writer = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (continuous) runPolicy()
+        // marker BEFORE the rows it describes: a crash between the two
+        // leaves a marker-only empty store (healable — see above), never
+        // positional data the marker check would refuse to resume
+        ensureMarker()
         batchPartial(batch.select("doc_id", "text"), positions)
           .sortWithinPartitions("kind", "word")
           .write.mode("overwrite")
@@ -145,41 +166,79 @@ object PostingsStream {
       .start()
   }
 
-  /** [[BatchStore.compact]] merge for this store: df partials re-sum to
-    * one row per word (recency-free — df is a pure sum, so folding
-    * loses nothing); tf/dl facts pass through untouched. */
+  /** Tombstone `docIds` (first column) out of the index — the takedown
+    * path: every serve ([[bm25Serve]]/[[phraseServe]]) immediately
+    * excludes the docs AND corrects the corpus statistics they carried
+    * (df, dl, n_docs, avgdl — see [[readIndex]]), and the next
+    * [[compactIndex]] physically drops their rows from the folded base.
+    * Run between drains/serves, like [[compactIndex]]. */
+  def deleteDocs(spark: SparkSession, storeDir: String,
+                 docIds: DataFrame): Unit =
+    BatchStore.delete(spark, storeDir, docIds)
+
+  /** [[BatchStore.compact]] merge for this store: the df frame is
+    * REBUILT from the surviving tf facts (df is definitionally the
+    * per-word count of (doc, word) tf rows, and every folding batch's
+    * tf rows are in the fold input — so the rebuild equals re-summing
+    * the partials when nothing was deleted, and is the only correct
+    * answer when [[BatchStore.compact]]'s tombstone drop has removed
+    * deleted docs' tf rows: their old df partials must not survive
+    * them). tf/dl/tp facts pass through untouched; incoming df partials
+    * are discarded. */
   val mergeDfPartials: DataFrame => DataFrame = in => {
     val facts = in.filter(col("kind") =!= "df")
       .select("kind", "doc_id", "word", "n")
-    val df = in.filter(col("kind") === "df")
-      .groupBy("word").agg(sum("n").as("n"))
+    val df = facts.filter(col("kind") === "tf")
+      .groupBy("word").agg(count(lit(1)).as("n"))
       .select(lit("df").as("kind"), lit(null).cast("long").as("doc_id"),
         col("word"), col("n"))
     facts.unionByName(df).sortWithinPartitions("kind", "word")
   }
 
   /** Fold old batch dirs into a base generation (run between drains —
-    * see [[BatchStore]] for the protocol). */
+    * see [[BatchStore]] for the protocol). Tombstoned docs' rows
+    * (tf/dl/tp) are physically dropped from the fold and the folded df
+    * is rebuilt from the survivors — the store genuinely shrinks. */
   def compactIndex(spark: SparkSession, storeDir: String,
                    keepBatches: Int = 2): BatchStore.Compaction =
     BatchStore.compact(spark, storeDir, keepBatches,
-      merge = Some(mergeDfPartials))
+      merge = Some(mergeDfPartials), dropDeletedOn = Some("doc_id"))
 
   /** The index frames as the scoring core expects them. df stays as
     * PARTIALS (per-batch per-word counts, one row per word per live
     * batch/base dir) — the scoring core restricts to the query
     * vocabulary before summing, so no consumer ever pays a
     * vocabulary-wide aggregate; tf/dl read straight through the
-    * pointer filter. */
+    * pointer filter.
+    *
+    * DELETION-EXACT: tombstoned docs ([[deleteDocs]]) are anti-joined
+    * out of tf and dl, and their still-visible tf rows contribute
+    * NEGATIVE df partials — so the scored corpus equals a from-scratch
+    * index over the surviving documents in every compaction state:
+    * before a fold the negative partials cancel the deleted docs'
+    * counts exactly (both derive from the same visible tf rows); after
+    * a fold the dropped rows produce no adjustment and the rebuilt base
+    * df already excludes them. n_docs/avgdl correct themselves through
+    * the filtered dl. */
   def readIndex(spark: SparkSession, storeDir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val rows = BatchStore.read(spark, storeDir)
-    (rows.filter(col("kind") === "tf")
-       .select(col("doc_id"), col("word"), col("n").as("tf")),
-     rows.filter(col("kind") === "dl")
-       .select(col("doc_id"), col("n").as("dl")),
-     rows.filter(col("kind") === "df")
-       .select(col("word"), col("n").as("df")))
+    val tf0 = rows.filter(col("kind") === "tf")
+      .select(col("doc_id"), col("word"), col("n").as("tf"))
+    val dl0 = rows.filter(col("kind") === "dl")
+      .select(col("doc_id"), col("n").as("dl"))
+    val df0 = rows.filter(col("kind") === "df")
+      .select(col("word"), col("n").as("df"))
+    if (!BatchStore.hasDeletes(spark, storeDir)) (tf0, dl0, df0)
+    else {
+      val dels = BatchStore.readDeletes(spark, storeDir)
+      val dfNeg = tf0
+        .join(dels, col("doc_id") === col("del_id"), "left_semi")
+        .groupBy("word").agg((-count(lit(1))).as("df"))
+      (tf0.join(dels, col("doc_id") === col("del_id"), "left_anti"),
+       dl0.join(dels, col("doc_id") === col("del_id"), "left_anti"),
+       df0.unionByName(dfNeg))
+    }
   }
 
   /** BM25 top-k straight off the maintained store —
@@ -204,9 +263,13 @@ object PostingsStream {
     require(hasPositions(spark, storeDir),
       s"$storeDir carries no positional postings (maintainPostings " +
         "positions = true) — refusing to phrase-match against nothing")
-    val pos = BatchStore.read(spark, storeDir)
+    val pos0 = BatchStore.read(spark, storeDir)
       .filter(col("kind") === "tp")
       .select(col("doc_id"), col("n").as("pos"), col("word"))
+    val pos =
+      if (!BatchStore.hasDeletes(spark, storeDir)) pos0
+      else pos0.join(BatchStore.readDeletes(spark, storeDir),
+        col("doc_id") === col("del_id"), "left_anti")
     TextCorpus.phraseMatchTopK(pos, queries, k)
   }
 }

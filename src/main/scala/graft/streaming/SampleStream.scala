@@ -31,6 +31,37 @@ import graft.ops.Sampling
   * [[ViewMaintenance.readLatest]] over the same state dir. */
 object SampleStream {
 
+  /** Takedown path for the maintained sample: publish a new snapshot
+    * version with `docIds` (first column) filtered out, through the
+    * same staged-write → atomic-pointer protocol as the fold (crash at
+    * any point leaves the previous snapshot intact; a rerun
+    * converges).
+    *
+    * SEMANTICS — honest and narrower than the other stores': the
+    * deleted ids are gone from every subsequent read (the takedown
+    * guarantee), but the sample SHRINKS rather than re-filling — the
+    * (k+1)-th priority was discarded at fold time and cannot be
+    * resurrected without a corpus re-scan. Later batches refill
+    * naturally (the fold cuts winners ∪ batch back to k). A caller who
+    * needs a full-size sample of the surviving corpus re-derives it
+    * with [[graft.ops.Sampling.weightedSample]].
+    *
+    * Run between drains. The admin version id rides far above the
+    * stream's batch ids so the replay guard (which keys versions by
+    * batch id) can never mistake a real batch for this publish. */
+  def deleteFromSample(spark: org.apache.spark.sql.SparkSession,
+                       stateDir: String, docIds: DataFrame): Unit = {
+    val prior = ViewMaintenance.latestSnapshot(spark, stateDir)
+    prior.foreach { snap =>
+      val n = snap.split('/').last.stripPrefix("v").toLong
+      val keys = docIds.select(
+        col(docIds.columns.head).cast("long").as("sample_id")).distinct()
+      SnapshotStore.fold(spark, stateDir, n + 1000000L) { p =>
+        p.get.join(keys, Seq("sample_id"), "left_anti")
+      }
+    }
+  }
+
   /** Start maintaining the sample over streaming `docs` with (`idCol`,
     * `weightCol`) columns. AvailableNow by default; `continuous = true`
     * for a long-running loop. Weights must be positive — the fold
