@@ -41,6 +41,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      // per-query cache hygiene (the Bench convention): queries that
+      // persist() intermediates must not leak them into — or borrow
+      // them from — other queries' runs
+      spark.catalog.clearCache()
       try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

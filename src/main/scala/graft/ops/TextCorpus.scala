@@ -590,11 +590,22 @@ object TextCorpus {
     * inside one query count once (standard bag-of-words query with binary
     * query-term frequency). Documents sharing no term with a query are
     * absent (score 0 rows are not emitted). Output:
-    * (query_id, rank, doc_id, score). */
+    * (query_id, rank, doc_id, score).
+    *
+    * CACHE LIFETIME: the canonical tf frame is persisted for its three
+    * consumers and stays registered in the session's CacheManager after
+    * the output materializes — CALLERS OWN THE LIFETIME: a long-lived
+    * serving session should `spark.catalog.clearCache()` between
+    * unrelated retrieval calls (the Bench/Verify harnesses do exactly
+    * that per query); a standing corpus belongs in a
+    * [[graft.streaming.PostingsStream]] store, which makes the cache —
+    * and this whole build path — unnecessary. */
   def bm25TopK(docs: DataFrame, id: Column, text: Column,
                queries: DataFrame, k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val words = tokenize(docs, id, text)
+               k1: Double = 1.2, b: Double = 0.75,
+               broadcastQueriesUpTo: Long = Long.MaxValue,
+               analyzer: Option[Analyzer] = None): DataFrame = {
+    val words = tokenize(docs, id, text, analyzer)
     // dl and df both derive from the ONE canonical tf frame (dl is
     // exactly Σ_word tf), and tf is persisted for its three consumers
     // (dl chain, df chain, the postings join) — per-consumer column
@@ -611,17 +622,74 @@ object TextCorpus {
     // BEFORE aggregating, so the full-vocabulary df table — billions
     // of terms on a web-scale corpus — is never built or broadcast
     val df = tf.select(col("word"), lit(1L).as("df"))
-    bm25ScoreTopK(tf, dl, df, queries, k, k1, b)
+    bm25ScoreTopK(tf, dl, df, queries, k, k1, b, broadcastQueriesUpTo,
+      analyzer)
+  }
+
+  /** Opt-in analyzer for the retrieval tokenizers — the text-hygiene
+    * layer real corpora need before indexing ("The"/"the" must be one
+    * term; stopwords must not dominate postings volume):
+    *  - `lowercase` — case folding before splitting;
+    *  - `stripPunct` — punctuation runs (`\p{Punct}`, the ASCII set —
+    *    engine-portable) become token breaks;
+    *  - `stopwords`  — terms dropped AFTER folding/stripping (so the
+    *    list is matched in canonical form).
+    * Applied identically to documents and queries (a query analyzed
+    * differently from its index matches nothing — which is why the
+    * postings store records its analyzer in a write-once marker and
+    * serves through it; see [[graft.streaming.PostingsStream]]). Every
+    * step is a codegen'd column expression, replayed verbatim by the
+    * `m8_bm25_analyzed` oracle. */
+  case class Analyzer(lowercase: Boolean = true, stripPunct: Boolean = true,
+                      stopwords: Seq[String] = Nil) {
+    /** Canonical serialization for store mode markers — field-order
+      * pinned, so equal analyzers always serialize identically. */
+    def spec: String =
+      s"v1;lower=${if (lowercase) 1 else 0};punct=${if (stripPunct) 1 else 0};" +
+        s"stop=${stopwords.sorted.mkString("|")}"
+  }
+
+  object Analyzer {
+    /** Parse [[Analyzer.spec]] back; throws on an unknown version (a
+      * future-format store must fail closed, not serve mis-analyzed). */
+    def parse(spec: String): Analyzer = spec.split(';') match {
+      case Array("v1", l, p, st) =>
+        Analyzer(l == "lower=1", p == "punct=1",
+          st.stripPrefix("stop=").split('|').toSeq.filter(_.nonEmpty))
+      case Array("v1", l, p) => // empty stopword list drops the field tail
+        Analyzer(l == "lower=1", p == "punct=1", Nil)
+      case _ => throw new IllegalArgumentException(
+        s"unknown analyzer spec: $spec")
+    }
+  }
+
+  /** `text` with the analyzer's pre-tokenization transforms applied
+    * (None = raw — the default whitespace regime). */
+  private[graft] def analyzedText(text: Column,
+                                  a: Option[Analyzer]): Column = a match {
+    case None => text
+    case Some(an) =>
+      val lc = if (an.lowercase) lower(text) else text
+      if (an.stripPunct) regexp_replace(lc, "[\\p{Punct}]+", " ") else lc
+  }
+
+  /** True for tokens the analyzer's stopword list drops. */
+  private[graft] def stopworded(word: Column,
+                                a: Option[Analyzer]): Column = a match {
+    case Some(an) if an.stopwords.nonEmpty => word.isin(an.stopwords: _*)
+    case _ => lit(false)
   }
 
   /** [[bm25TopK]]'s tokenization, exposed for index builders that
     * persist the per-doc frames ([[graft.streaming.PostingsStream]]):
     * one row per token occurrence, empty docs absent. */
-  def tokenize(docs: DataFrame, id: Column, text: Column): DataFrame =
+  def tokenize(docs: DataFrame, id: Column, text: Column,
+               analyzer: Option[Analyzer] = None): DataFrame =
     docs
       .select(id.as("doc_id"),
-        explode(split(trim(coalesce(text, lit(""))), "\\s+")).as("word"))
-      .where(col("word") =!= "")
+        explode(split(trim(coalesce(analyzedText(text, analyzer), lit(""))),
+          "\\s+")).as("word"))
+      .where(col("word") =!= "" && !stopworded(col("word"), analyzer))
 
   /** Exact-phrase search: top-k documents per query containing the
     * query's token sequence CONTIGUOUSLY, ranked by occurrence count —
@@ -652,11 +720,14 @@ object TextCorpus {
     * [[tokenize]], shared by [[phraseSearch]] and the positional
     * postings store ([[graft.streaming.PostingsStream]]). */
   private[graft] def positional(df: DataFrame, idc: Column, tc: Column,
-                                idName: String, posName: String): DataFrame =
+                                idName: String, posName: String,
+                                analyzer: Option[Analyzer] = None)
+      : DataFrame =
     df.select(idc.as(idName),
-        posexplode(split(trim(coalesce(tc, lit(""))), "\\s+"))
+        posexplode(split(trim(coalesce(analyzedText(tc, analyzer), lit(""))),
+          "\\s+"))
           .as(Seq(posName, "word")))
-      .where(col("word") =!= "")
+      .where(col("word") =!= "" && !stopworded(col("word"), analyzer))
 
   /** [[phraseSearch]]'s match core over a prebuilt positional postings
     * frame `pos` (doc_id, pos, word) — so a store that accumulated its
@@ -667,13 +738,14 @@ object TextCorpus {
     * enter as the DIFFERENCE `pos - off`, so any consistent base (ours
     * is 0-based; the SQL oracle's is 1-based) yields identical output. */
   def phraseMatchTopK(pos: DataFrame, queries: DataFrame, k: Int,
-                      broadcastQueriesUpTo: Long = Long.MaxValue)
+                      broadcastQueriesUpTo: Long = Long.MaxValue,
+                      analyzer: Option[Analyzer] = None)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, s"phraseSearch: k must be positive, got $k")
     val side = querySide(queries, broadcastQueriesUpTo)
     val qoff = positional(queries, col("query_id"), col("query_text"),
-      "query_id", "off")
+      "query_id", "off", analyzer)
     val qlen = qoff.groupBy("query_id").agg(count(lit(1)).as("phrase_len"))
     val starts = pos.join(side(qoff), Seq("word"))
       .select(col("query_id"), col("doc_id"),
@@ -742,14 +814,15 @@ object TextCorpus {
     * [[phraseMatchTopK]]. */
   def proximityMatchTopK(pos: DataFrame, queries: DataFrame, k: Int,
                          slop: Int,
-                         broadcastQueriesUpTo: Long = Long.MaxValue)
+                         broadcastQueriesUpTo: Long = Long.MaxValue,
+                         analyzer: Option[Analyzer] = None)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, s"proximitySearch: k must be positive, got $k")
     require(slop >= 0, s"proximitySearch: slop must be >= 0, got $slop")
     val side = querySide(queries, broadcastQueriesUpTo)
     val qoff = positional(queries, col("query_id"), col("query_text"),
-      "query_id", "off")
+      "query_id", "off", analyzer)
     val qlen = qoff.groupBy("query_id").agg(count(lit(1)).as("phrase_len"))
     val votes = pos.join(side(qoff), Seq("word"))
       .select(col("query_id"), col("doc_id"), col("pos"), col("off"))
@@ -777,7 +850,25 @@ object TextCorpus {
     * summed, so neither the one-shot build nor the store serve ever
     * materializes (let alone broadcasts) the full-vocabulary df table —
     * the per-query cost is query-vocab-sized however many terms the
-    * corpus holds. An incrementally maintained postings store
+    * corpus holds.
+    *
+    * CROSS-ENGINE LIBM NOTE (accepted risk, documented deliberately):
+    * the per-term `idf` is a `Math.log` on the engine and libm `ln` in
+    * the oracle before the 1e6 fixed-point rounding — a 1-ulp
+    * divergence EXACTLY on a `.5` contribution boundary would flip one
+    * `contrib_fp`. Both engines evaluate the same IEEE-double formula
+    * on identical integer inputs, and log implementations agree to
+    * <1 ulp on this range, so a flip needs the true value within ~1e-16
+    * relative of a half-integer of 1e-6 units (~1e-10 per term across
+    * engines that already agree) — across every gate run since the
+    * family landed, zero observed. The `.5` boundary is on the whole
+    * CONTRIBUTION (idf × tf-saturation, per (term, doc)), so pinning it
+    * as driver literals (the [[graft.similarity.Similarity.ndcgWeights]]
+    * recipe) would need a per-(term, doc) collect — corpus-sized, the
+    * exact thing this operator exists to avoid; pinning only idf still
+    * leaves a double product distributed. Accepted as-is.
+    *
+    * An incrementally maintained postings store
     * ([[graft.streaming.PostingsStream]]) serves through EXACTLY this
     * arithmetic: every frame is a sum/count of batch-disjoint partials,
     * so the served scores are bit-identical to the full-corpus build by
@@ -786,9 +877,16 @@ object TextCorpus {
     * score". */
   def bm25ScoreTopK(tf: DataFrame, dl: DataFrame, df: DataFrame,
                     queries: DataFrame, k: Int,
-                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                    k1: Double = 1.2, b: Double = 0.75,
+                    broadcastQueriesUpTo: Long = Long.MaxValue,
+                    analyzer: Option[Analyzer] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, s"bm25TopK: k must be positive, got $k")
+    // size-aware query-side policy (see [[querySide]]): under the cap
+    // the query tables broadcast and the corpus-sized postings are only
+    // scanned; a batch-retrieval workload over the cap takes plain
+    // shuffle joins on `word` instead of a forced broadcast
+    val side = querySide(queries, broadcastQueriesUpTo)
     // N over the full doc set (empty docs count: they dilute avgdl's
     // denominator is a modeling choice — HERE avgdl is over docs WITH
     // tokens, the set the postings can ever score)
@@ -796,18 +894,19 @@ object TextCorpus {
       sum("dl").cast("double").as("total_dl"))
     val qterms = queries
       .select(col("query_id"),
-        explode(split(trim(coalesce(col("query_text"), lit(""))), "\\s+"))
+        explode(split(trim(coalesce(
+          analyzedText(col("query_text"), analyzer), lit(""))), "\\s+"))
           .as("word"))
-      .where(col("word") =!= "")
+      .where(col("word") =!= "" && !stopworded(col("word"), analyzer))
       .distinct()
     // df aggregated AFTER the query-vocab restriction (qvocab, not
     // qterms: a word shared by two queries must count its docs once)
     val qvocab = qterms.select("word").distinct()
-    val dfq = df.join(broadcast(qvocab), Seq("word"))
+    val dfq = df.join(side(qvocab), Seq("word"))
       .groupBy("word").agg(sum("df").as("df"))
     val contrib = tf
-      .join(broadcast(qterms), Seq("word"))
-      .join(broadcast(dfq), Seq("word"))
+      .join(side(qterms), Seq("word"))
+      .join(side(dfq), Seq("word"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",

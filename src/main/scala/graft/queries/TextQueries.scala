@@ -521,9 +521,122 @@ object TextQueries extends QueryModule {
 
   private val phraseSearchSql = phraseSqlFrom("doc_id % 251 = 7")
 
+  /** Proximity (NEAR/k) top-10: the phrase queries (tokens 2-4 of every
+    * 251st doc) matched with slop = 2 — each term may run up to 2
+    * positions late relative to the window anchor, so near-misses of
+    * the exact phrase (one or two interleaved tokens) now count.
+    * All-integer vote counting with a distinct-offset quorum
+    * ([[graft.ops.TextCorpus.proximitySearch]]). */
+  private def proximitySearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val queries = Tables.documents(s, dir)
+      .filter(col("doc_id") % 251 === 7)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(coalesce(col("text"), lit(""))),
+          "\\s+"), 2, 3), " ").as("query_text"))
+    graft.ops.TextCorpus.proximitySearch(docs, col("doc_id"), col("text"),
+      queries, k = 10, slop = 2)
+  }
+
+  /** The proximity oracle: the phrase oracle's positional CTEs with the
+    * slop-window vote fan-out (each occurrence votes slop+1 anchors)
+    * and the DISTINCT-offset quorum. Anchor arithmetic is base-free
+    * (both sides' 1-off positional bases cancel in pos − off − lag). */
+  private[graft] def proximitySqlFrom(queryWhere: String,
+                                      slop: Int): String =
+    s"""WITH parr AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
+      |  FROM documents),
+      |pw AS (
+      |  SELECT doc_id, a, unnest(generate_series(1, len(a))) AS pos
+      |  FROM parr),
+      |ppos AS (SELECT doc_id, pos, a[pos] AS word FROM pw WHERE a[pos] <> ''),
+      |phq AS (
+      |  SELECT doc_id AS query_id,
+      |    array_to_string(list_slice(
+      |      string_split_regex(trim(text), '\\s+'), 2, 4), ' ') AS query_text
+      |  FROM documents WHERE $queryWhere),
+      |qarr AS (
+      |  SELECT query_id, string_split_regex(trim(query_text), '\\s+') AS a
+      |  FROM phq),
+      |qw AS (
+      |  SELECT query_id, a, unnest(generate_series(1, len(a))) AS off
+      |  FROM qarr),
+      |qoff AS (SELECT query_id, off, a[off] AS word FROM qw WHERE a[off] <> ''),
+      |qlen AS (SELECT query_id, COUNT(*) AS phrase_len FROM qoff GROUP BY 1),
+      |votes AS (
+      |  SELECT qoff.query_id, ppos.doc_id, qoff.off,
+      |    ppos.pos - qoff.off - g.lag AS start
+      |  FROM ppos
+      |  JOIN qoff ON qoff.word = ppos.word
+      |  CROSS JOIN (SELECT unnest(generate_series(0, $slop)) AS lag) g),
+      |occ AS (
+      |  SELECT query_id, doc_id, start, COUNT(DISTINCT off) AS n_off
+      |  FROM votes GROUP BY 1, 2, 3),
+      |perdoc AS (
+      |  SELECT occ.query_id, occ.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows
+      |  FROM occ JOIN qlen ON qlen.query_id = occ.query_id
+      |  WHERE occ.n_off = qlen.phrase_len
+      |  GROUP BY 1, 2),
+      |pxranked AS (
+      |  SELECT query_id, doc_id, n_windows,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY n_windows DESC, doc_id) AS rank
+      |  FROM perdoc)
+      |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, n_windows
+      |FROM pxranked WHERE rank <= 10""".stripMargin
+
+  private val proximitySearchSql = proximitySqlFrom("doc_id % 251 = 7", 2)
+
+  /** Deterministic case/punctuation/stopword INJECTION over the (clean,
+    * lowercase) synthetic corpus — string ops both engines evaluate
+    * identically — so the analyzer gate genuinely exercises folding,
+    * stripping, and stopword removal rather than no-oping over
+    * already-canonical text. */
+  private val mutateSqlExpr =
+    "replace(replace(text, 'table', 'Table,'), 'row', 'ROW.')"
+
+  /** BM25 top-10 through the opt-in [[graft.ops.TextCorpus.Analyzer]]:
+    * the corpus (and the query texts derived from it) carry injected
+    * mixed case and punctuation; the analyzer lower-cases, strips
+    * punctuation runs to breaks, and drops the stopwords {the, a} on
+    * BOTH sides before scoring. The oracle replays mutation + analysis
+    * + scoring in SQL. */
+  private def bm25Analyzed(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextCorpus
+    val mutated = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), expr(mutateSqlExpr).as("text"))
+    val queries = Tables.documents(s, dir)
+      .filter(col("doc_id") % 251 === 7)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(expr(mutateSqlExpr)), "\\s+"), 1, 4),
+          " ").as("query_text"))
+    TextCorpus.bm25TopK(mutated, col("doc_id"), col("text"), queries,
+      k = 10,
+      analyzer = Some(TextCorpus.Analyzer(lowercase = true,
+        stripPunct = true, stopwords = Seq("the", "a"))))
+  }
+
+  private val analyzedTokens =
+    """string_split_regex(trim(regexp_replace(lower(%s), '[[:punct:]]+', ' ', 'g')), '\s+')"""
+
+  private val bm25AnalyzedSql = bm25SqlFrom(
+    queryCte =
+      s"""SELECT doc_id AS query_id,
+         |    array_to_string(list_slice(
+         |      string_split_regex(trim($mutateSqlExpr), '\\s+'), 1, 4),
+         |      ' ') AS query_text
+         |  FROM documents WHERE doc_id % 251 = 7""".stripMargin,
+    docsFrom = s"(SELECT doc_id, $mutateSqlExpr AS text FROM documents)",
+    docTokens = analyzedTokens.format("text"),
+    queryTokens = analyzedTokens.format("query_text"),
+    wordCond = "u.word <> '' AND u.word NOT IN ('the', 'a')")
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_bm25_search"      -> bm25Search _,
+    "m8_bm25_analyzed"    -> bm25Analyzed _,
     "m8_phrase_search"    -> phraseSearch _,
+    "m8_proximity_search" -> proximitySearch _,
     "m8_chunk_documents"  -> chunkDocs _,
     "m8_heavy_hitters"    -> heavyHitters _,
     "m8_text_normalize"   -> textNormalize _,
@@ -540,7 +653,9 @@ object TextQueries extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "m8_bm25_search"      -> bm25SearchSql,
+    "m8_bm25_analyzed"    -> bm25AnalyzedSql,
     "m8_phrase_search"    -> phraseSearchSql,
+    "m8_proximity_search" -> proximitySearchSql,
     "m8_chunk_documents"  -> chunkDocsSql,
     "m8_heavy_hitters"    -> heavyHittersSql,
     "m8_text_normalize"   -> textNormalizeSql,

@@ -52,12 +52,37 @@ object PostingsStream {
     * file index ignores it, like [[BatchStore]]'s `_BASE`. */
   private val PositionsMarker = "_POSITIONS"
 
+  /** Write-once root marker recording the store's [[TextCorpus.Analyzer]]
+    * spec — a whole-store mode, like positions: every batch must be
+    * tokenized identically or queries analyzed one way would silently
+    * miss documents indexed another. Absent = the raw whitespace
+    * regime. Serve paths READ the analyzer from here and apply it to
+    * the query side, so a maintained store can never be queried through
+    * the wrong analysis. */
+  private val AnalyzerMarker = "_ANALYZER"
+
   private def fsFor(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Whether `storeDir` was maintained with `positions = true`. */
   def hasPositions(spark: SparkSession, storeDir: String): Boolean =
     fsFor(spark, storeDir).exists(new Path(storeDir, PositionsMarker))
+
+  /** The analyzer `storeDir` was maintained with (None = raw
+    * whitespace tokenization). Throws on an unparsable marker — a
+    * future-format store must fail closed. */
+  def storeAnalyzer(spark: SparkSession, storeDir: String)
+      : Option[TextCorpus.Analyzer] = {
+    val p = new Path(storeDir, AnalyzerMarker)
+    val fs = fsFor(spark, storeDir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val spec = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                 finally in.close()
+      Some(TextCorpus.Analyzer.parse(spec))
+    }
+  }
 
   private def hasAnyBatchDir(spark: SparkSession, storeDir: String): Boolean = {
     val fs = fsFor(spark, storeDir)
@@ -71,8 +96,11 @@ object PostingsStream {
     * row per token occurrence (`n` = 0-based position — positions only
     * ever enter phrase matching as differences, so the base is free). */
   private[streaming] def batchPartial(docs: DataFrame,
-                                      positions: Boolean = false): DataFrame = {
-    val words = TextCorpus.tokenize(docs, col("doc_id"), col("text"))
+                                      positions: Boolean = false,
+                                      analyzer: Option[TextCorpus.Analyzer] =
+                                        None): DataFrame = {
+    val words = TextCorpus.tokenize(docs, col("doc_id"), col("text"),
+      analyzer)
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
       .select(lit("tf").as("kind"), col("doc_id"), col("word"), col("n"))
     // dl = Σ_word tf: derived from tf (one tokenize pass per batch)
@@ -85,7 +113,8 @@ object PostingsStream {
     val base = tf.unionByName(dl).unionByName(df)
     if (!positions) base
     else base.unionByName(
-      TextCorpus.positional(docs, col("doc_id"), col("text"), "doc_id", "pos")
+      TextCorpus.positional(docs, col("doc_id"), col("text"), "doc_id", "pos",
+          analyzer)
         .select(lit("tp").as("kind"), col("doc_id"), col("word"),
           col("pos").cast("long").as("n")))
   }
@@ -108,9 +137,28 @@ object PostingsStream {
                        checkpointDir: String,
                        continuous: Boolean = false,
                        compactWhenBatchesExceed: Option[Int] = None,
-                       positions: Boolean = false)
+                       positions: Boolean = false,
+                       analyzer: Option[TextCorpus.Analyzer] = None)
       : StreamingQuery = {
     val spark = docs.sparkSession
+    // The analyzer is a WHOLE-STORE mode like positions: batches
+    // tokenized under different analyzers share one postings space but
+    // disagree on what a term is — silent wrong-answer state, so any
+    // mismatch between the caller's analyzer and the store's marker
+    // fails closed (an EMPTY store adopts the caller's mode; the marker
+    // lands with the first batch, see ensureMarker).
+    val stored = storeAnalyzer(spark, storeDir)
+    require(stored.map(_.spec) == analyzer.map(_.spec) ||
+        !hasAnyBatchDir(spark, storeDir),
+      s"$storeDir was maintained with analyzer ${stored.map(_.spec)} but " +
+        s"this stream supplies ${analyzer.map(_.spec)} — mixed-analysis " +
+        "postings silently miss matches; rebuild the store instead")
+    if (stored.nonEmpty && analyzer.isEmpty &&
+        !hasAnyBatchDir(spark, storeDir))
+      // crashed-before-first-batch residue of an analyzed attempt:
+      // nothing is indexed, so healing the marker is safe (the
+      // _POSITIONS empty-store heal, same argument)
+      fsFor(spark, storeDir).delete(new Path(storeDir, AnalyzerMarker), false)
     if (positions) {
       require(hasPositions(spark, storeDir) ||
           !hasAnyBatchDir(spark, storeDir),
@@ -133,12 +181,21 @@ object PostingsStream {
           "positions = true")
       fsFor(spark, storeDir).delete(new Path(storeDir, PositionsMarker), false)
     }
-    def ensureMarker(): Unit = if (positions) {
+    def ensureMarker(): Unit = {
       val fs = fsFor(spark, storeDir)
-      fs.mkdirs(new Path(storeDir))
-      if (!fs.exists(new Path(storeDir, PositionsMarker))) {
-        val out = fs.create(new Path(storeDir, PositionsMarker), true)
-        out.close()
+      if (positions) {
+        fs.mkdirs(new Path(storeDir))
+        if (!fs.exists(new Path(storeDir, PositionsMarker))) {
+          val out = fs.create(new Path(storeDir, PositionsMarker), true)
+          out.close()
+        }
+      }
+      analyzer.foreach { a =>
+        fs.mkdirs(new Path(storeDir))
+        if (!fs.exists(new Path(storeDir, AnalyzerMarker))) {
+          val out = fs.create(new Path(storeDir, AnalyzerMarker), true)
+          out.write(a.spec.getBytes("UTF-8")); out.close()
+        }
       }
     }
     def runPolicy(): Unit = compactWhenBatchesExceed.foreach { threshold =>
@@ -155,7 +212,7 @@ object PostingsStream {
         // leaves a marker-only empty store (healable — see above), never
         // positional data the marker check would refuse to resume
         ensureMarker()
-        batchPartial(batch.select("doc_id", "text"), positions)
+        batchPartial(batch.select("doc_id", "text"), positions, analyzer)
           .sortWithinPartitions("kind", "word")
           .write.mode("overwrite")
           .parquet(s"$storeDir/${BatchStore.BatchCol}=$batchId")
@@ -246,9 +303,13 @@ object PostingsStream {
     * index that has lived through any number of refresh batches and
     * compactions serves the exact ranking of a from-scratch build. */
   def bm25Serve(spark: SparkSession, storeDir: String, queries: DataFrame,
-                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                k: Int, k1: Double = 1.2, b: Double = 0.75,
+                broadcastQueriesUpTo: Long = Long.MaxValue): DataFrame = {
     val (tf, dl, df) = readIndex(spark, storeDir)
-    TextCorpus.bm25ScoreTopK(tf, dl, df, queries, k, k1, b)
+    // the query side is analyzed through the STORE's recorded analyzer
+    // — a serve can never mismatch the index's analysis by construction
+    TextCorpus.bm25ScoreTopK(tf, dl, df, queries, k, k1, b,
+      broadcastQueriesUpTo, storeAnalyzer(spark, storeDir))
   }
 
   /** Exact-phrase top-k straight off a POSITIONAL store
@@ -259,7 +320,8 @@ object PostingsStream {
     * would simply be absent and every phrase would silently match
     * nothing. */
   def phraseServe(spark: SparkSession, storeDir: String, queries: DataFrame,
-                  k: Int): DataFrame = {
+                  k: Int,
+                  broadcastQueriesUpTo: Long = Long.MaxValue): DataFrame = {
     require(hasPositions(spark, storeDir),
       s"$storeDir carries no positional postings (maintainPostings " +
         "positions = true) — refusing to phrase-match against nothing")
@@ -270,6 +332,7 @@ object PostingsStream {
       if (!BatchStore.hasDeletes(spark, storeDir)) pos0
       else pos0.join(BatchStore.readDeletes(spark, storeDir),
         col("doc_id") === col("del_id"), "left_anti")
-    TextCorpus.phraseMatchTopK(pos, queries, k)
+    TextCorpus.phraseMatchTopK(pos, queries, k, broadcastQueriesUpTo,
+      storeAnalyzer(spark, storeDir))
   }
 }
