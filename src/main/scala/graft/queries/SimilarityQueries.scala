@@ -94,6 +94,26 @@ object SimilarityQueries extends QueryModule {
 
   private val IvfIters = 2
 
+  /** Default corpus CTE body: the embeddings table, floats widened to
+    * doubles (the cross-engine cosine convention). */
+  private[queries] val defaultECte: String =
+    """
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings""".stripMargin
+
+  /** Exact brute-force cosine top-`k` over `eCte` for the `queryPred`
+    * queries — the truth leg of the refresh-recall oracle. */
+  private[queries] def bruteTopkSql(eCte: String, queryPred: String,
+                                    k: Int): String =
+    s"""WITH e AS ($eCte)
+       |SELECT query_id, cand_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id) AS rn
+       |  FROM e q CROSS JOIN e c
+       |  WHERE ($queryPred) AND c.vec_id <> q.vec_id)
+       |WHERE rn <= $k""".stripMargin
+
   private def cosSql(a: String, b: String) =
     s"""list_inner_product($a, $b) /
        |      (sqrt(list_inner_product($a, $a)) *
@@ -242,25 +262,26 @@ object SimilarityQueries extends QueryModule {
     * the standing corpus trains the quantizer once and later deltas are
     * encoded against it unchanged. `None` = the fused demo (train on
     * everything). */
-  private[queries] def ivfQServeSql(trainPred: Option[String]): String =
-    ivfQServeSql(trainPred, None)
-
   /** `servePred` excludes vectors from the SERVED lists (the
     * store-deletion gate: the quantizer was trained before the
     * takedown, so training sees everything while the probe join scores
     * only survivors — exactly [[graft.streaming.IndexStream.readLists]]'
-    * tombstone mask / compaction drop). */
+    * tombstone mask / compaction drop). `eCte` overrides the corpus
+    * body and `queryPred`/`nprobe` the probe stage — the
+    * quantizer-refresh gate replays both its legs (stale and retrained)
+    * over a PLANTED drifted corpus through these. */
   private[queries] def ivfQServeSql(trainPred: Option[String],
-                                    servePred: Option[String]): String = {
+                                    servePred: Option[String] = None,
+                                    eCte: String = defaultECte,
+                                    queryPred: String = "q.vec_id < 8",
+                                    nprobe: Int = 4): String = {
     val serveCond = servePred.map(p => s" AND ($p)").getOrElse("")
     val baseCte = trainPred
       .map(p => s"standing AS (SELECT vec_id, v FROM e WHERE $p),\n")
       .getOrElse("")
     val (train, cent) = ivfTrainCtes(nlist = 16, iters = IvfIters,
       base = if (trainPred.isDefined) "standing" else "e")
-    s"""WITH e AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+    s"""WITH e AS ($eCte),
        |$baseCte$train,
        |assigned AS (
        |  SELECT vec_id, v, cent_id FROM (
@@ -283,7 +304,7 @@ object SimilarityQueries extends QueryModule {
        |    SELECT q.vec_id AS query_id, q.v AS qv, c.cent_id,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${cosSql("q.v", "c.cvec")} DESC, c.cent_id) AS rn
-       |    FROM e q CROSS JOIN $cent c WHERE q.vec_id < 8) WHERE rn <= 4),
+       |    FROM e q CROSS JOIN $cent c WHERE $queryPred) WHERE rn <= $nprobe),
        |approx AS (
        |  SELECT p.query_id, p.qv, c.vec_id AS cand_id,
        |    ${cosSql("p.qv", "c.qc")} AS qcos

@@ -657,6 +657,130 @@ object StreamGateQueries extends QueryModule {
        |SELECT 'post' AS leg, query_id, rank, cand_id, cosine FROM ($one)""".stripMargin
   }
 
+  /** The planted-drift corpus for T19: standing vectors (vec_id % 5 ≠ 4)
+    * keep their raw embeddings; the delta (vec_id % 5 = 4) is DRIFTED —
+    * spiked ±2.0 along dimension 1 by `(vec_id div 5) % 2`, forming two
+    * off-manifold clusters that keep their full original structure (so
+    * the int8 codes still rank members — a pure spike would collapse
+    * every code to ±127·e1 and no quantizer could help). The STALE
+    * quantizer (trained on standing only) scatters each cluster across
+    * lists by the residual term, so nprobe = 2 misses most true
+    * neighbors; a retrained quantizer plants centroids in the clusters
+    * and concentrates them. The drift arithmetic rounds through float32
+    * (the storage dtype) so the oracle replays it bit-exactly. */
+  private def plantedDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val sign = when(expr("vec_id DIV 5") % 2 === 0, lit(2.0))
+      .otherwise(lit(-2.0))
+    val drifted = emb.filter(col("vec_id") % 5 === 4)
+      .select(col("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1).cast("double")
+            + sign).cast("float")),
+          expr("slice(embedding, 2, size(embedding) - 1)"))
+          .as("embedding"))
+    emb.filter(col("vec_id") % 5 =!= 4).unionByName(drifted)
+  }
+
+  private val plantedDriftSql =
+    """
+      |  SELECT vec_id, v FROM (
+      |    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |    FROM embeddings) WHERE vec_id % 5 <> 4
+      |  UNION ALL
+      |  SELECT vec_id,
+      |    list_concat(
+      |      [CAST(CAST(v[1] +
+      |         CASE WHEN (vec_id // 5) % 2 = 0 THEN 2.0 ELSE -2.0 END
+      |         AS FLOAT) AS DOUBLE)],
+      |      list_slice(v, 2, len(v))) AS v
+      |  FROM (
+      |    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |    FROM embeddings) WHERE vec_id % 5 = 4""".stripMargin
+
+  /** T19 — the quantizer REFRESH lifecycle ([[AnnIndex]]): version 1
+    * trains on the standing corpus; a DRIFTED delta (see
+    * [[plantedDrift]]) streams in through [[AnnIndex.maintain]], encoded
+    * against the now-misfitting stale quantizer; recall@5 of the stale
+    * serve is measured against brute-force truth for 16 drifted
+    * queries; then [[AnnIndex.refresh]] retrains on the drained live
+    * corpus, re-encodes every vector, and atomically swaps — and the
+    * refreshed serve's recall is measured the same way. The query
+    * REQUIRES refreshed total recall ≥ stale (the drift recourse must
+    * actually help) and emits both legs' per-query evals; the oracle
+    * replays the planted corpus, both trainings, both serves, the truth
+    * and the recalls from scratch — so retrain + re-encode + swap
+    * equals a from-scratch rebuild, certified in one hash compare. */
+  private def t19QuantizerRefresh(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Similarity
+    import graft.streaming.AnnIndex
+    val k = 5
+    val corpus = Tables.spread(plantedDrift(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val root = Dsl.tempDir("graft_t19_")
+    AnnIndex.init(s, root, corpus.filter(col("vec_id") % 5 =!= 4),
+      nlist = 16, lloydIters = 2)
+    val delta = corpus.filter(col("vec_id") % 5 === 4)
+    val stream = s.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(writeOrderedBatches(delta, "vec_id", 3))
+    AnnIndex.maintain(stream, root, Dsl.tempDir("graft_t19_ckpt_"))
+      .awaitTermination()
+    val queries = corpus.filter(col("vec_id") % 5 === 4 && col("vec_id") < 80)
+    val truth = Similarity.bruteForceTopK(queries, corpus, k)
+      .localCheckpoint(true)
+    def eval(leg: String, run: DataFrame) =
+      Similarity.recallAtK(run, truth)
+        .select(lit(leg).as("leg"), col("query_id"), col("n_exact"),
+          col("n_approx"), col("n_hits"), col("recall"))
+    // materialize the stale eval NOW — refresh() swaps the store state
+    // this plan reads, and lazy evaluation would time-travel it
+    val stale = eval("stale",
+      AnnIndex.serve(s, root, queries, corpus, k, nprobe = 2))
+      .localCheckpoint(true)
+    AnnIndex.refresh(s, root, corpus, nlist = 16, lloydIters = 2)
+    val refreshed = eval("refreshed",
+      AnnIndex.serve(s, root, queries, corpus, k, nprobe = 2))
+      .localCheckpoint(true)
+    val hit = (df: DataFrame) =>
+      df.agg(sum("n_hits")).collect()(0).getLong(0)
+    val (sHits, rHits) = (hit(stale), hit(refreshed))
+    require(rHits >= sHits,
+      s"refresh must recover drift recall: stale $sHits hits vs " +
+        s"refreshed $rHits")
+    corpus.unpersist()
+    stale.unionByName(refreshed)
+  }
+
+  private val t19Sql = {
+    val qp = "q.vec_id % 5 = 4 AND q.vec_id < 80"
+    val stale = SimilarityQueries.ivfQServeSql(Some("vec_id % 5 <> 4"),
+      None, plantedDriftSql, qp, nprobe = 2)
+    val fresh = SimilarityQueries.ivfQServeSql(None,
+      None, plantedDriftSql, qp, nprobe = 2)
+    val truth = SimilarityQueries.bruteTopkSql(plantedDriftSql, qp, 5)
+    def recallLeg(leg: String, run: String) =
+      s"""SELECT '$leg' AS leg, ne.query_id, ne.n_exact,
+         |  COALESCE(na.n_approx, 0) AS n_approx,
+         |  COALESCE(h.n_hits, 0) AS n_hits,
+         |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+         |    / CAST(ne.n_exact AS DOUBLE) AS recall
+         |FROM (SELECT query_id, COUNT(*) AS n_exact FROM tr GROUP BY 1) ne
+         |LEFT JOIN (SELECT query_id, COUNT(*) AS n_approx FROM $run
+         |           GROUP BY 1) na USING (query_id)
+         |LEFT JOIN (SELECT t.query_id, COUNT(*) AS n_hits
+         |           FROM tr t JOIN $run a ON a.query_id = t.query_id
+         |             AND a.cand_id = t.cand_id GROUP BY 1) h
+         |  USING (query_id)""".stripMargin
+    s"""WITH sl AS ($stale),
+       |fr AS ($fresh),
+       |tr AS ($truth)
+       |${recallLeg("stale", "sl")}
+       |UNION ALL
+       |${recallLeg("refreshed", "fr")}""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_late_split"      -> t11LateSplit _,
     "t12_view_maintain"   -> t12ViewMaintain _,
@@ -669,7 +793,8 @@ object StreamGateQueries extends QueryModule {
     "t15_phrase_maintain" -> t15PhraseMaintain _,
     "t16_hybrid_serve" -> t16HybridServe _,
     "t17_store_delete" -> t17StoreDelete _,
-    "t18_index_delete" -> t18IndexDelete _)
+    "t18_index_delete" -> t18IndexDelete _,
+    "t19_quantizer_refresh" -> t19QuantizerRefresh _)
 
   def oracles: Map[String, String] = Map(
     "t11_late_split"      -> t11Sql,
@@ -683,5 +808,6 @@ object StreamGateQueries extends QueryModule {
     "t15_phrase_maintain" -> t15Sql,
     "t16_hybrid_serve" -> t16Sql,
     "t17_store_delete" -> t17Sql,
-    "t18_index_delete" -> t18Sql)
+    "t18_index_delete" -> t18Sql,
+    "t19_quantizer_refresh" -> t19Sql)
 }

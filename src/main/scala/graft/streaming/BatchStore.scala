@@ -288,6 +288,32 @@ object BatchStore {
         n.stripPrefix(s"$BatchCol=").toLong }
   }
 
+  /** Highest positive batch-dir id present (−1 when none) — the replay
+    * fence an index REBUILD records: batches folded into the rebuilt
+    * base must stay invisible if a crashed stream re-delivers them into
+    * the new store. */
+  private[streaming] def maxBatchId(spark: SparkSession, dir: String): Long =
+    batchDirs(spark, dir).filter(_ >= 0).foldLeft(-1L)(math.max)
+
+  /** Seed a FRESH store whose entire content is `rows`, published under
+    * the full pointer protocol with the folded high-water mark pinned
+    * to `hwm` — the rebuild path ([[graft.streaming.AnnIndex]]): the
+    * staged generation + `_HWM` meta + `_PUBLISHED` sentinel + pointer
+    * land exactly as a [[compact]] would leave them, so every reader
+    * (and any later compaction) treats the rebuilt store as a
+    * first-class compacted one, and a replayed batch with id ≤ `hwm`
+    * is dead on arrival by arithmetic. Idempotent: a rerun overwrites
+    * the same generation and re-publishes. */
+  private[streaming] def seedBase(spark: SparkSession, dir: String,
+                                  rows: DataFrame, hwm: Long): Unit = {
+    val gen = 2L
+    rows.write.mode("overwrite").parquet(s"$dir/$BatchCol=-$gen")
+    StatePointer.publish(spark, s"$dir/$BatchCol=-$gen", HwmName,
+      hwm.toString)
+    markPublished(spark, dir)
+    StatePointer.publish(spark, dir, PointerName, s"gen=$gen;hwm=$hwm")
+  }
+
   /** Number of LIVE per-batch dirs (positive ids above the folded
     * high-water mark) — the quantity a compaction policy bounds: each
     * un-folded dir is one more file-listing unit every store read pays. */

@@ -66,6 +66,29 @@ object IndexStream {
     BatchStore.compact(spark, listsDir, keepBatches, None,
       dropDeletedOn = Some("cand_id"))
 
+  /** One batch of (vec_id, embedding) rows encoded against the FIXED
+    * stored quantizer: nearest-centroid assignment + int8 quantization
+    * — `(cand_id, cent_id, code)` list rows. Fail-closed on a missing
+    * centroid store (encoding against nothing must never fabricate an
+    * empty assignment). Shared by [[maintainIndex]] and
+    * [[AnnIndex.maintain]]. */
+  private[streaming] def encodeAgainst(batch: DataFrame,
+                                       centroidDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val centPath = new Path(centroidDir)
+    val fs = centPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(centPath),
+      s"centroid store missing at $centroidDir — refusing to encode " +
+        "against an empty quantizer")
+    val cent = spark.read.parquet(centroidDir)
+    val c = batch.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"))
+    Similarity.ivfAssign(c, cent)
+      .withColumn("scale", VectorFns.quantize_scale(col("cv")))
+      .withColumn("code", VectorFns.quantize_i8(col("cv"), col("scale")))
+      .select("cand_id", "cent_id", "code")
+  }
+
   /** Start the maintenance stream over a streaming `vecs` frame with
     * (vec_id, embedding) columns. AvailableNow by default (drain-then-
     * stop); `continuous = true` for a long-running micro-batch loop.
@@ -103,20 +126,7 @@ object IndexStream {
     val writer = vecs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (continuous) runPolicy()
-        val spark = batch.sparkSession
-        val centPath = new Path(centroidDir)
-        val fs = centPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        require(fs.exists(centPath),
-          s"centroid store missing at $centroidDir — refusing to encode " +
-            "against an empty quantizer")
-        val cent = spark.read.parquet(centroidDir)
-        val c = batch.select(col("vec_id").as("cand_id"),
-          col("embedding").as("cv"))
-        val lists = Similarity.ivfAssign(c, cent)
-          .withColumn("scale", VectorFns.quantize_scale(col("cv")))
-          .withColumn("code", VectorFns.quantize_i8(col("cv"), col("scale")))
-          .select("cand_id", "cent_id", "code")
-        lists.write.mode("overwrite")
+        encodeAgainst(batch, centroidDir).write.mode("overwrite")
           .parquet(s"$listsDir/graft_batch=$batchId")
         ()
       }
