@@ -44,6 +44,15 @@ object Bench {
 
     // Warm-up: touch codegen + parquet reader once (not timed).
     try drain(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+    // Image-decode warm-up: round-14's artifact carried a 1.1–5.0 s
+    // spread on m8_image_phash_dedup over identical code — javax.imageio
+    // plugin discovery and the per-pixel decode loop's JIT are lazy, so
+    // whichever image query ran FIRST absorbed them (and under repeat=3
+    // a still-cold C2 kept all three samples slow on bad draws). One
+    // uncounted run pays that once, outside every timed sample.
+    try SparkEntry.queries.get("m8_image_phash_dedup")
+      .foreach(fn => drain(fn(spark, sfDir)))
+    catch { case _: Throwable => () }
 
     // Host-speed calibration: a pinned synthetic workload (no testdata,
     // no disk — 160M-row range → hash → 1024-key shuffle → noop, ~0.55 s

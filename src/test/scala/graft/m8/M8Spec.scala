@@ -608,4 +608,66 @@ class M8Spec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("cent_id"), r.getAs[Long]("cand_id")))
     assert(again.toSet === got.toSet, "hash-ordered draw must be stable")
   }
+
+  test("bm25/phrase broadcastQueriesUpTo: identical results, both plan " +
+       "shapes pinned") {
+    import graft.ops.TextCorpus
+    val d = Tables.spread(Tables.documents(spark, sf))
+    val q = d.filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(coalesce(col("text"), lit(""))),
+          "\\s+"), 1, 4), " ").as("query_text"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("sfp", round(col("score") * 1e6).cast("long"))
+      .select("query_id", "rank", "doc_id", "sfp")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // default: the ad-hoc regime — query tables broadcast into the
+    // postings join, the corpus never shuffles by query count
+    val bc = TextCorpus.bm25TopK(d, col("doc_id"), col("text"), q, k = 5)
+    val pBc = bc.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(pBc).length >= 2,
+      s"expected broadcast qterms + dfq joins:\n$pBc")
+    // cap 0: the batch-retrieval fallback — the FORCED broadcast is
+    // gone, leaving the planner's size-based choice (which on a genuine
+    // million-query batch is a shuffle join). Auto-broadcast is disabled
+    // here to reveal the shuffle shape the cap exists to permit — with
+    // it on, tiny test-sized sides still legitimately broadcast.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sh = TextCorpus.bm25TopK(d, col("doc_id"), col("text"), q, k = 5,
+        broadcastQueriesUpTo = 0L)
+      val pSh = sh.queryExecution.executedPlan.toString
+      assert("SortMergeJoin".r.findAllIn(pSh).nonEmpty,
+        s"expected the shuffle-join fallback:\n$pSh")
+      assert(rows(sh) === rows(bc),
+        "the query-side join policy changed the ranking — must be plan-only")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    // the counted middle ground: a cap above the query count takes the
+    // broadcast path (one count job, same plan as the default)
+    val counted = TextCorpus.bm25TopK(d, col("doc_id"), col("text"), q,
+      k = 5, broadcastQueriesUpTo = 1000000L)
+    assert(rows(counted) === rows(bc))
+    // phrase: same contract
+    val ph = d.filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(coalesce(col("text"), lit(""))),
+          "\\s+"), 2, 3), " ").as("query_text"))
+    def prows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val phBc = TextCorpus.phraseSearch(d, col("doc_id"), col("text"), ph, 5)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val phSh = TextCorpus.phraseMatchTopK(
+        TextCorpus.positional(d, col("doc_id"), col("text"), "doc_id", "pos"),
+        ph, 5, broadcastQueriesUpTo = 0L)
+      assert("SortMergeJoin".r
+        .findAllIn(phSh.queryExecution.executedPlan.toString).nonEmpty)
+      assert(prows(phSh) === prows(phBc))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
 }

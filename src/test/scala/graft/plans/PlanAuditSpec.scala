@@ -124,9 +124,16 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // bm25's 10th exchange is the query-vocab distinct that lets df
     // aggregate AFTER the vocab restriction (no full-vocabulary table)
     ("m8_bm25_search", 10, 1),
+    // analyzed variant: same skeleton as m8_bm25_search — the analyzer
+    // is pure column expressions, zero extra exchanges
+    ("m8_bm25_analyzed", 10, 1),
     ("m8_rrf_fusion", 13, 2),
     ("m8_rank_eval", 13, 1),
-    ("m8_phrase_search", 5, 0))
+    ("m8_phrase_search", 5, 0),
+    // proximity: phrase's skeleton plus ONE exchange — the slop fan-out
+    // is a generator (no exchange), but the distinct-offset quorum's
+    // countDistinct plans as a two-phase distinct aggregate
+    ("m8_proximity_search", 6, 0))
 
   expected.foreach { case (name, wantShuffles, wantBnlj) =>
     test(s"$name: no cartesian, exactly $wantShuffles shuffles, $wantBnlj BNLJ") {
