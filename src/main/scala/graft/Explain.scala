@@ -107,5 +107,11 @@ object Explain {
       (bm25.contains("InMemoryTableScan") &&
         bm25.contains("BroadcastHashJoin") &&
         "TopKPerKey \\[".r.findAllIn(bm25).length >= 2))
+    val prox = plan("m8_proximity_search")
+    println("m8_proximity_search slop fan-out is a Generate (never a join " +
+      "or exchange), offset table broadcast, 2-phase TopKPerKey: " +
+      (prox.contains("Generate") && prox.contains("BroadcastHashJoin") &&
+        !prox.contains("CartesianProduct") &&
+        "TopKPerKey \\[".r.findAllIn(prox).length >= 2))
   }
 }

@@ -140,6 +140,21 @@ object ScaleGate {
       queries, k = 10)
   }
 
+  /** Proximity stratum gate — phrase's recipe with slop = 2. Like
+    * phrase, pure per-pair counting with NO corpus-global stats, so the
+    * oracle replays the full image with no pinning at all. */
+  private def proximityStratum(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val queries = Tables.documents(s, dir)
+      .filter(col("doc_id") >= StratumBase &&
+        (col("doc_id") - StratumBase) % 17 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(coalesce(col("text"), lit(""))),
+          "\\s+"), 2, 3), " ").as("query_text"))
+    graft.ops.TextCorpus.proximitySearch(docs, col("doc_id"), col("text"),
+      queries, k = 10, slop = 2)
+  }
+
   /** The full image's (n_docs, total_dl) under [[graft.ops.TextCorpus
     * .bm25TopK]]'s exact tokenization (docs with ≥1 token; token
     * count), pinned into the stratum oracle's stats CTE. */
@@ -294,6 +309,8 @@ object ScaleGate {
       dump("m8_bm25_search", bm25Stratum(spark, imageDir))
     if (selected("m8_phrase_search"))
       dump("m8_phrase_search", phraseStratum(spark, imageDir))
+    if (selected("m8_proximity_search"))
+      dump("m8_proximity_search", proximityStratum(spark, imageDir))
     // Each media gate probes ITS OWN payload table — plantStratum writes
     // images before audio, so a crash between the two leaves a half-
     // planted image where the image gate is still runnable and only the
@@ -364,10 +381,13 @@ object ScaleGate {
       "m8_semantic_dedup" ->
         graft.queries.DedupQueries.semanticDedupSqlFrom(planesCte),
       "m8_phrase_search" -> graft.queries.TextQueries.phraseSqlFrom(
-        "doc_id >= 1000000000 AND (doc_id - 1000000000) % 17 = 0")) ++
+        "doc_id >= 1000000000 AND (doc_id - 1000000000) % 17 = 0"),
+      "m8_proximity_search" -> graft.queries.TextQueries.proximitySqlFrom(
+        "doc_id >= 1000000000 AND (doc_id - 1000000000) % 17 = 0", 2)) ++
       mediaOverrides ++ bm25Override
     val names = (gated.map(_._1) ++
-        Seq("m8_semantic_dedup", "m8_bm25_search", "m8_phrase_search"))
+        Seq("m8_semantic_dedup", "m8_bm25_search", "m8_phrase_search",
+          "m8_proximity_search"))
       .filter(selected) ++ mediaOverrides.map(_._1)
     val json = names
       .map(n => s"${q(n)}: ${q(oracleOverrides.getOrElse(n, SparkEntry.oracleSql(n)))}")

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Maintained-store SERVE wall at a scale decade (round-14 verdict task
+  * #6): the `t14_postings_maintain` shape — three corpus-third waves
+  * drained through [[graft.streaming.PostingsStream.maintainPostings]],
+  * a keepBatches=1 fold, and the `m8_bm25_search`-recipe serve — but
+  * with each wave drained as its OWN AvailableNow run against one
+  * shared checkpoint, so the per-batch cost curve is measured directly
+  * (a flat curve is the lifetime-scaling claim: wave i must not pay for
+  * waves < i). Correctness at the decades is already hash-gated
+  * (`m8_bm25_search` stratum 10×/100×; the serve arithmetic is
+  * identical by construction) — this main records the WALL numbers for
+  * BASELINE.md.
+  *
+  *   sbt "runMain graft.ServeScale /tmp/sf1x"
+  *
+  * Prints one JSON line: per-wave drain seconds, fold seconds, serve
+  * seconds (pre- and post-fold, full result drained through noop). */
+object ServeScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/sf1x")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.streaming.PostingsStream
+
+    def secs[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def drain(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val nDocs = docs.count()
+    val watch = java.nio.file.Files.createTempDirectory("svsc_watch").toString
+    val root = java.nio.file.Files.createTempDirectory("svsc_root").toString
+    val base = System.currentTimeMillis() - 3600L * 1000
+
+    // one wave file staged per drain: the shared checkpoint hands each
+    // AvailableNow run exactly the file added since the previous one
+    def addWave(i: Int): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("svsc_stage").toString
+      docs.filter(col("doc_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(watch, s"b$i.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(base + i * 2000L)
+    }
+
+    val waveSecs = (0 until 3).map { i =>
+      addWave(i)
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .parquet(watch)
+      val (_, s) = secs {
+        PostingsStream.maintainPostings(stream, s"$root/index",
+          s"$root/ckpt").awaitTermination()
+      }
+      s
+    }
+    val queries = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 251 === 7)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(coalesce(col("text"), lit(""))),
+          "\\s+"), 1, 4), " ").as("query_text"))
+    val nQueries = queries.count()
+    val (_, servePre) = secs {
+      drain(PostingsStream.bm25Serve(spark, s"$root/index", queries, 10))
+    }
+    val (rep, foldSecs) = secs {
+      PostingsStream.compactIndex(spark, s"$root/index", keepBatches = 1)
+    }
+    val (_, servePost) = secs {
+      drain(PostingsStream.bm25Serve(spark, s"$root/index", queries, 10))
+    }
+    def fmt(d: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    println(s"""{"sf":"$sfDir","n_docs":$nDocs,"n_queries":$nQueries,""" +
+      s""""wave_secs":[${waveSecs.map(fmt).mkString(",")}],""" +
+      s""""fold_secs":${fmt(foldSecs)},"fold_base_rows":${rep.baseRows},""" +
+      s""""serve_pre_fold_secs":${fmt(servePre)},""" +
+      s""""serve_post_fold_secs":${fmt(servePost)}}""")
+    spark.stop()
+  }
+}
