@@ -781,6 +781,97 @@ object StreamGateQueries extends QueryModule {
        |${recallLeg("refreshed", "fr")}""".stripMargin
   }
 
+  /** T20 — proximity serve off the maintained POSITIONAL store: the T15
+    * drain/fold shape, served with the `m8_proximity_search` recipe
+    * (slop = 2) through [[PostingsStream.proximityServe]]. The oracle is
+    * the batch proximity replay, untouched — per-occurrence positions
+    * must survive batching, replay semantics, and the df-merging fold
+    * for the slop-window vote count exactly as they do for exact
+    * phrase. */
+  private def t20ProximityMaintain(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.PostingsStream
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val watch = writeOrderedBatches(docs, "doc_id", 3)
+    val stream = s.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    val root = Dsl.tempDir("graft_t20_")
+    PostingsStream.maintainPostings(stream, root + "/index", root + "/ckpt",
+      positions = true).awaitTermination()
+    PostingsStream.compactIndex(s, root + "/index", keepBatches = 1)
+    val queries = Tables.documents(s, dir)
+      .filter(col("doc_id") % 251 === 7)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(coalesce(col("text"), lit(""))),
+          "\\s+"), 2, 3), " ").as("query_text"))
+    PostingsStream.proximityServe(s, root + "/index", queries, k = 10,
+      slop = 2)
+  }
+
+  private val t20Sql = TextQueries.proximitySqlFrom("doc_id % 251 = 7", 2)
+
+  /** T21 — the ANALYZED positional store end to end: the corpus (with
+    * deterministically injected case/punctuation — the
+    * `m8_bm25_analyzed` mutation) streams into a store maintained with
+    * the {lowercase, punct-strip, stopwords {the, a}} analyzer and
+    * positions, is folded, and serves BOTH retrieval modes — BM25 and
+    * exact phrase — with raw-surface queries that the serve paths
+    * analyze through the store's `_ANALYZER` marker. The oracle replays
+    * mutation + analysis + both scoring pipelines from scratch
+    * (stopworded slots stay empty in the positional replay — positions
+    * must not contract across removed stopwords), so the whole
+    * analyzer-as-store-mode contract certifies in one hash compare. */
+  private def t21AnalyzedMaintain(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextCorpus
+    import graft.streaming.PostingsStream
+    val mutated = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(TextQueries.mutateSqlExpr).as("text"))
+    val watch = writeOrderedBatches(mutated, "doc_id", 3)
+    val stream = s.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    val root = Dsl.tempDir("graft_t21_")
+    PostingsStream.maintainPostings(stream, root + "/index", root + "/ckpt",
+      positions = true,
+      analyzer = Some(TextCorpus.Analyzer(lowercase = true,
+        stripPunct = true, stopwords = Seq("the", "a"))))
+      .awaitTermination()
+    PostingsStream.compactIndex(s, root + "/index", keepBatches = 1)
+    def rawTokens(from: Int, len: Int) = Tables.documents(s, dir)
+      .filter(col("doc_id") % 251 === 7)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(expr(TextQueries.mutateSqlExpr)),
+          "\\s+"), from, len), " ").as("query_text"))
+    def leg(name: String, df: DataFrame, score: Column) =
+      df.select(lit(name).as("leg"), col("query_id"), col("rank"),
+        col("doc_id"), score.cast("double").as("score"))
+    leg("bm25",
+        PostingsStream.bm25Serve(s, root + "/index", rawTokens(1, 4), 10),
+        col("score"))
+      .unionByName(leg("phrase",
+        PostingsStream.phraseServe(s, root + "/index", rawTokens(2, 3), 10),
+        col("n_occ")))
+  }
+
+  private val t21Sql = {
+    val mutated =
+      s"(SELECT doc_id, ${TextQueries.mutateSqlExpr} AS text FROM documents)"
+    val bm = TextQueries.bm25AnalyzedSql
+    val ph = TextQueries.phraseSqlFrom(
+      queryWhere = "doc_id % 251 = 7",
+      docsFrom = mutated,
+      docTokens = TextQueries.analyzedTokens.format("text"),
+      queryTokens = TextQueries.analyzedTokens.format("query_text"),
+      stopCond = "%w NOT IN ('the', 'a')",
+      queriesFrom = mutated)
+    s"""SELECT 'bm25' AS leg, query_id, rank, doc_id, score FROM ($bm)
+       |UNION ALL
+       |SELECT 'phrase' AS leg, query_id, rank, doc_id,
+       |  CAST(n_occ AS DOUBLE) AS score FROM ($ph)""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_late_split"      -> t11LateSplit _,
     "t12_view_maintain"   -> t12ViewMaintain _,
@@ -794,7 +885,9 @@ object StreamGateQueries extends QueryModule {
     "t16_hybrid_serve" -> t16HybridServe _,
     "t17_store_delete" -> t17StoreDelete _,
     "t18_index_delete" -> t18IndexDelete _,
-    "t19_quantizer_refresh" -> t19QuantizerRefresh _)
+    "t19_quantizer_refresh" -> t19QuantizerRefresh _,
+    "t20_proximity_maintain" -> t20ProximityMaintain _,
+    "t21_analyzed_maintain" -> t21AnalyzedMaintain _)
 
   def oracles: Map[String, String] = Map(
     "t11_late_split"      -> t11Sql,
@@ -809,5 +902,7 @@ object StreamGateQueries extends QueryModule {
     "t16_hybrid_serve" -> t16Sql,
     "t17_store_delete" -> t17Sql,
     "t18_index_delete" -> t18Sql,
-    "t19_quantizer_refresh" -> t19Sql)
+    "t19_quantizer_refresh" -> t19Sql,
+    "t20_proximity_maintain" -> t20Sql,
+    "t21_analyzed_maintain" -> t21Sql)
 }

@@ -478,27 +478,42 @@ object TextQueries extends QueryModule {
     * the at-scale stratum gate (phrase match is pure per-pair counting
     * with NO corpus-global stats, so the stratum replay needs no
     * pinning at all). */
+  /** `docsFrom` overrides the corpus source; `docTokens`/`queryTokens`
+    * override tokenization and `stopCond` the per-slot keep-condition
+    * (the analyzed-store gate: stopworded SLOTS stay empty — positions
+    * never contract across a removed stopword, exactly
+    * [[graft.ops.TextCorpus.positional]]'s gap semantics). The query
+    * recipe (tokens 2-4) always slices the RAW per-doc split — the
+    * caller hands the engine the same raw surface form and analysis
+    * happens at match time on both sides. */
   private[graft] def phraseSqlFrom(queryWhere: String,
-                                   docsFrom: String = "documents"): String =
+                                   docsFrom: String = "documents",
+                                   docTokens: String = bm25DefaultDocTokens,
+                                   queryTokens: String =
+                                     bm25DefaultQueryTokens,
+                                   stopCond: String = "TRUE",
+                                   queriesFrom: String = "documents"): String =
     s"""WITH parr AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
+      |  SELECT doc_id, $docTokens AS a
       |  FROM $docsFrom),
       |pw AS (
       |  SELECT doc_id, a, unnest(generate_series(1, len(a))) AS pos
       |  FROM parr),
-      |ppos AS (SELECT doc_id, pos, a[pos] AS word FROM pw WHERE a[pos] <> ''),
+      |ppos AS (SELECT doc_id, pos, a[pos] AS word FROM pw
+      |         WHERE a[pos] <> '' AND ${stopCond.replace("%w", "a[pos]")}),
       |phq AS (
       |  SELECT doc_id AS query_id,
       |    array_to_string(list_slice(
       |      string_split_regex(trim(text), '\\s+'), 2, 4), ' ') AS query_text
-      |  FROM documents WHERE $queryWhere),
+      |  FROM $queriesFrom WHERE $queryWhere),
       |qarr AS (
-      |  SELECT query_id, string_split_regex(trim(query_text), '\\s+') AS a
+      |  SELECT query_id, $queryTokens AS a
       |  FROM phq),
       |qw AS (
       |  SELECT query_id, a, unnest(generate_series(1, len(a))) AS off
       |  FROM qarr),
-      |qoff AS (SELECT query_id, off, a[off] AS word FROM qw WHERE a[off] <> ''),
+      |qoff AS (SELECT query_id, off, a[off] AS word FROM qw
+      |         WHERE a[off] <> '' AND ${stopCond.replace("%w", "a[off]")}),
       |qlen AS (SELECT query_id, COUNT(*) AS phrase_len FROM qoff GROUP BY 1),
       |starts AS (
       |  SELECT qoff.query_id, ppos.doc_id, ppos.pos - qoff.off AS start
@@ -593,7 +608,7 @@ object TextQueries extends QueryModule {
     * identically — so the analyzer gate genuinely exercises folding,
     * stripping, and stopword removal rather than no-oping over
     * already-canonical text. */
-  private val mutateSqlExpr =
+  private[queries] val mutateSqlExpr =
     "replace(replace(text, 'table', 'Table,'), 'row', 'ROW.')"
 
   /** BM25 top-10 through the opt-in [[graft.ops.TextCorpus.Analyzer]]:
@@ -617,10 +632,10 @@ object TextQueries extends QueryModule {
         stripPunct = true, stopwords = Seq("the", "a"))))
   }
 
-  private val analyzedTokens =
+  private[queries] val analyzedTokens =
     """string_split_regex(trim(regexp_replace(lower(%s), '[[:punct:]]+', ' ', 'g')), '\s+')"""
 
-  private val bm25AnalyzedSql = bm25SqlFrom(
+  private[queries] val bm25AnalyzedSql = bm25SqlFrom(
     queryCte =
       s"""SELECT doc_id AS query_id,
          |    array_to_string(list_slice(

@@ -509,6 +509,10 @@ object Similarity {
     // Both rank lists are k-bounded (≤ k rows per query) but their
     // LINEAGE is a full retrieval leg — persist them so the eval's
     // three joins replay tiny cached frames, not three ANN runs.
+    // CACHE LIFETIME: the entries stay registered after the output
+    // materializes — callers own them (the Bench/Verify harnesses
+    // clearCache between queries; a long-lived eval session should
+    // do the same between unrelated sweeps).
     val r = run.select(col("query_id"), col("cand_id"),
       col("rank").cast("long").as("r_rank")).where(col("r_rank") <= k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -335,4 +335,27 @@ object PostingsStream {
     TextCorpus.phraseMatchTopK(pos, queries, k, broadcastQueriesUpTo,
       storeAnalyzer(spark, storeDir))
   }
+
+  /** Proximity (NEAR/k) top-k off a POSITIONAL store —
+    * [[TextCorpus.proximityMatchTopK]] over the pointer-filtered,
+    * tombstone-masked `tp` rows, query side analyzed through the
+    * store's recorded analyzer: the same end-state-identity and
+    * fail-closed contracts as [[phraseServe]]. */
+  def proximityServe(spark: SparkSession, storeDir: String,
+                     queries: DataFrame, k: Int, slop: Int,
+                     broadcastQueriesUpTo: Long = Long.MaxValue)
+      : DataFrame = {
+    require(hasPositions(spark, storeDir),
+      s"$storeDir carries no positional postings (maintainPostings " +
+        "positions = true) — refusing to proximity-match against nothing")
+    val pos0 = BatchStore.read(spark, storeDir)
+      .filter(col("kind") === "tp")
+      .select(col("doc_id"), col("n").as("pos"), col("word"))
+    val pos =
+      if (!BatchStore.hasDeletes(spark, storeDir)) pos0
+      else pos0.join(BatchStore.readDeletes(spark, storeDir),
+        col("doc_id") === col("del_id"), "left_anti")
+    TextCorpus.proximityMatchTopK(pos, queries, k, slop,
+      broadcastQueriesUpTo, storeAnalyzer(spark, storeDir))
+  }
 }
