@@ -843,6 +843,69 @@ object TextCorpus {
       .select("query_id", "rank", "doc_id", "n_windows")
   }
 
+  /** Unordered NEAR/w search: top-k documents per query where EVERY
+    * distinct query term occurs within ONE window of `n_terms + slop`
+    * consecutive positions, in ANY order — the classic NEAR operator,
+    * complementing [[proximitySearch]]'s order-preserving sloppy
+    * phrase. A document containing "spark joins fast" matches the
+    * query "fast spark" at slop ≥ 1; the ordered operators never
+    * would.
+    *
+    * RELATIONAL WINDOW MATCH: with window width `W = n_terms + slop`,
+    * each matching occurrence (doc, pos, term) votes for every anchor
+    * `start ∈ [pos − W + 1, pos]`; an anchor matches iff all
+    * `n_terms` DISTINCT terms voted for it. `n_windows` counts
+    * matching anchors. All-integer; W is per-query (term counts
+    * differ), so the vote fan-out rides a per-row `sequence`
+    * generator, never a join. SCALE SHAPE: [[phraseMatchTopK]]'s —
+    * broadcast (or size-capped) query terms, corpus postings never
+    * shuffled by query, one matched-rows aggregation, two-phase
+    * TopKPerKey cut. */
+  def nearSearch(docs: DataFrame, id: Column, text: Column,
+                 queries: DataFrame, k: Int, slop: Int): DataFrame =
+    nearMatchTopK(positional(docs, id, text, "doc_id", "pos"),
+      queries, k, slop)
+
+  /** [[nearSearch]]'s match core over a prebuilt positional postings
+    * frame (doc_id, pos, word) — store-serve ready. */
+  def nearMatchTopK(pos: DataFrame, queries: DataFrame, k: Int,
+                    slop: Int,
+                    broadcastQueriesUpTo: Long = Long.MaxValue,
+                    analyzer: Option[Analyzer] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"nearSearch: k must be positive, got $k")
+    require(slop >= 0, s"nearSearch: slop must be >= 0, got $slop")
+    val side = querySide(queries, broadcastQueriesUpTo)
+    // unordered: the query is a SET of terms (offsets are meaningless)
+    val qterms = queries
+      .select(col("query_id"),
+        explode(split(trim(coalesce(
+          analyzedText(col("query_text"), analyzer), lit(""))), "\\s+"))
+          .as("word"))
+      .where(col("word") =!= "" && !stopworded(col("word"), analyzer))
+      .distinct()
+    val qlen = qterms.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
+    val votes = pos.join(side(qterms), Seq("word"))
+      .join(side(qlen), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"), col("word"), col("pos"),
+        explode(sequence(lit(0L),
+          col("n_terms") + lit(slop.toLong) - lit(1L))).as("back"))
+      .select(col("query_id"), col("doc_id"), col("word"),
+        (col("pos") - col("back")).as("start"))
+    val occ = votes.groupBy("query_id", "doc_id", "start")
+      .agg(countDistinct("word").as("n_hit"))
+    val perDoc = occ.join(side(qlen), Seq("query_id"))
+      .where(col("n_hit") === col("n_terms"))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("n_windows"))
+    val cut = graft.plans.GraftOps.topKPerKey(perDoc,
+      keys = Seq(col("query_id")),
+      order = Seq(col("n_windows").desc, col("doc_id").asc), k = k)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("n_windows").desc, col("doc_id").asc)
+    cut.withColumn("rank", row_number().over(w))
+      .select("query_id", "rank", "doc_id", "n_windows")
+  }
+
   /** [[bm25TopK]]'s scoring core over prebuilt index frames —
     * `tf` (doc_id, word, tf), `dl` (doc_id, dl), and `df` as PARTIAL
     * per-word document counts (word, df), any number of rows per word:

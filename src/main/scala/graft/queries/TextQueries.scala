@@ -603,6 +603,64 @@ object TextQueries extends QueryModule {
 
   private val proximitySearchSql = proximitySqlFrom("doc_id % 251 = 7", 2)
 
+  /** Unordered NEAR/2 top-10: the same derived queries as proximity,
+    * but terms may appear in ANY order within an (n_terms + 2)-wide
+    * window ([[graft.ops.TextCorpus.nearSearch]] — the classic NEAR). */
+  private def nearSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val queries = Tables.documents(s, dir)
+      .filter(col("doc_id") % 251 === 7)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(coalesce(col("text"), lit(""))),
+          "\\s+"), 2, 3), " ").as("query_text"))
+    graft.ops.TextCorpus.nearSearch(docs, col("doc_id"), col("text"),
+      queries, k = 10, slop = 2)
+  }
+
+  private val nearSearchSql =
+    """WITH parr AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
+      |  FROM documents),
+      |pw AS (
+      |  SELECT doc_id, a, unnest(generate_series(1, len(a))) AS pos
+      |  FROM parr),
+      |ppos AS (SELECT doc_id, pos, a[pos] AS word FROM pw WHERE a[pos] <> ''),
+      |phq AS (
+      |  SELECT doc_id AS query_id,
+      |    array_to_string(list_slice(
+      |      string_split_regex(trim(text), '\s+'), 2, 4), ' ') AS query_text
+      |  FROM documents WHERE doc_id % 251 = 7),
+      |qt AS (
+      |  SELECT DISTINCT query_id, u.word
+      |  FROM (SELECT query_id, string_split_regex(trim(query_text), '\s+') AS a
+      |        FROM phq) t, unnest(a) AS u(word)
+      |  WHERE u.word <> ''),
+      |qlen AS (SELECT query_id, COUNT(*) AS n_terms FROM qt GROUP BY 1),
+      |votes0 AS (
+      |  SELECT qt.query_id, ppos.doc_id, ppos.word, ppos.pos, qlen.n_terms
+      |  FROM ppos
+      |  JOIN qt ON qt.word = ppos.word
+      |  JOIN qlen ON qlen.query_id = qt.query_id),
+      |votes AS (
+      |  SELECT query_id, doc_id, word,
+      |    pos - unnest(generate_series(0, n_terms + 2 - 1)) AS start
+      |  FROM votes0),
+      |occ AS (
+      |  SELECT query_id, doc_id, start, COUNT(DISTINCT word) AS n_hit
+      |  FROM votes GROUP BY 1, 2, 3),
+      |perdoc AS (
+      |  SELECT occ.query_id, occ.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows
+      |  FROM occ JOIN qlen ON qlen.query_id = occ.query_id
+      |  WHERE occ.n_hit = qlen.n_terms
+      |  GROUP BY 1, 2),
+      |nranked AS (
+      |  SELECT query_id, doc_id, n_windows,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY n_windows DESC, doc_id) AS rank
+      |  FROM perdoc)
+      |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, n_windows
+      |FROM nranked WHERE rank <= 10""".stripMargin
+
   /** Deterministic case/punctuation/stopword INJECTION over the (clean,
     * lowercase) synthetic corpus — string ops both engines evaluate
     * identically — so the analyzer gate genuinely exercises folding,
@@ -652,6 +710,7 @@ object TextQueries extends QueryModule {
     "m8_bm25_analyzed"    -> bm25Analyzed _,
     "m8_phrase_search"    -> phraseSearch _,
     "m8_proximity_search" -> proximitySearch _,
+    "m8_near_search"      -> nearSearch _,
     "m8_chunk_documents"  -> chunkDocs _,
     "m8_heavy_hitters"    -> heavyHitters _,
     "m8_text_normalize"   -> textNormalize _,
@@ -671,6 +730,7 @@ object TextQueries extends QueryModule {
     "m8_bm25_analyzed"    -> bm25AnalyzedSql,
     "m8_phrase_search"    -> phraseSearchSql,
     "m8_proximity_search" -> proximitySearchSql,
+    "m8_near_search"      -> nearSearchSql,
     "m8_chunk_documents"  -> chunkDocsSql,
     "m8_heavy_hitters"    -> heavyHittersSql,
     "m8_text_normalize"   -> textNormalizeSql,

@@ -133,7 +133,12 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // proximity: phrase's skeleton plus ONE exchange — the slop fan-out
     // is a generator (no exchange), but the distinct-offset quorum's
     // countDistinct plans as a two-phase distinct aggregate
-    ("m8_proximity_search", 6, 0))
+    ("m8_proximity_search", 6, 0),
+    // near: proximity's shape plus the query-TERM-set derivation —
+    // qterms distinct (2-phase) and the per-query n_terms aggregate
+    // both key on dimension-sized frames; every corpus-sized exchange
+    // is still the single matched-rows aggregation
+    ("m8_near_search", 10, 0))
 
   expected.foreach { case (name, wantShuffles, wantBnlj) =>
     test(s"$name: no cartesian, exactly $wantShuffles shuffles, $wantBnlj BNLJ") {
