@@ -22,6 +22,7 @@ import org.apache.spark.sql.functions._
 object ServeScale {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sf1x")
+    val mode = args.drop(1).headOption.getOrElse("postings")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -40,6 +41,63 @@ object ServeScale {
     }
     def drain(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+
+    // `ann` mode: the AnnIndex lifecycle walls — init (train + encode
+    // the standing 80%), three maintenance drains of the delta, a serve,
+    // the refresh (retrain + re-encode EVERYTHING + swap), and a
+    // post-refresh serve. Refresh is the number that matters: it is the
+    // full-rebuild cost an operator pays to recover recall under drift,
+    // and it should scale like one ivfBuildQuantized over the corpus.
+    if (mode == "ann") {
+      import graft.streaming.AnnIndex
+      val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      val n = emb.count()
+      val root = java.nio.file.Files.createTempDirectory("svsc_ann").toString
+      val (_, initSecs) = secs {
+        AnnIndex.init(spark, root, emb.filter(col("vec_id") % 5 =!= 4),
+          nlist = 16, lloydIters = 2)
+      }
+      val watch = java.nio.file.Files.createTempDirectory("svsc_annw").toString
+      val base = System.currentTimeMillis() - 3600L * 1000
+      (0 until 3).foreach { i =>
+        val stage =
+          java.nio.file.Files.createTempDirectory("svsc_anns").toString
+        emb.filter(col("vec_id") % 5 === 4 && col("vec_id") % 3 === i)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(watch, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(base + i * 2000L)
+      }
+      val stream = spark.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1").parquet(watch)
+      val (_, drainSecs) = secs {
+        AnnIndex.maintain(stream, root,
+          java.nio.file.Files.createTempDirectory("svsc_annc").toString)
+          .awaitTermination()
+      }
+      val queries = emb.filter(col("vec_id") < 32)
+      val (_, serve1) = secs {
+        drain(AnnIndex.serve(spark, root, queries, emb, 5, nprobe = 4))
+      }
+      val (_, refreshSecs) = secs {
+        AnnIndex.refresh(spark, root, emb, nlist = 16, lloydIters = 2)
+      }
+      val (_, serve2) = secs {
+        drain(AnnIndex.serve(spark, root, queries, emb, 5, nprobe = 4))
+      }
+      def fmt(d: Double) =
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+      println(s"""{"sf":"$sfDir","mode":"ann","n_vecs":$n,""" +
+        s""""init_secs":${fmt(initSecs)},"drain_secs":${fmt(drainSecs)},""" +
+        s""""serve_stale_secs":${fmt(serve1)},""" +
+        s""""refresh_secs":${fmt(refreshSecs)},""" +
+        s""""serve_refreshed_secs":${fmt(serve2)}}""")
+      spark.stop()
+      return
+    }
 
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val nDocs = docs.count()

@@ -781,13 +781,14 @@ object StreamGateQueries extends QueryModule {
        |${recallLeg("refreshed", "fr")}""".stripMargin
   }
 
-  /** T20 — proximity serve off the maintained POSITIONAL store: the T15
-    * drain/fold shape, served with the `m8_proximity_search` recipe
-    * (slop = 2) through [[PostingsStream.proximityServe]]. The oracle is
-    * the batch proximity replay, untouched — per-occurrence positions
-    * must survive batching, replay semantics, and the df-merging fold
-    * for the slop-window vote count exactly as they do for exact
-    * phrase. */
+  /** T20 — proximity AND unordered-NEAR serves off ONE maintained
+    * POSITIONAL store: the T15 drain/fold shape, then both slop
+    * operators (slop = 2) served through
+    * [[PostingsStream.proximityServe]] / [[PostingsStream.nearServe]]
+    * with the `m8_proximity_search` / `m8_near_search` recipes. The
+    * oracle is the two batch replays, untouched — per-occurrence
+    * positions must survive batching, replay semantics, and the
+    * df-merging fold identically for both quorum shapes. */
   private def t20ProximityMaintain(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.PostingsStream
     val docs = Tables.documents(s, dir).select("doc_id", "text")
@@ -805,11 +806,26 @@ object StreamGateQueries extends QueryModule {
       .select(col("doc_id").as("query_id"),
         array_join(slice(split(trim(coalesce(col("text"), lit(""))),
           "\\s+"), 2, 3), " ").as("query_text"))
-    PostingsStream.proximityServe(s, root + "/index", queries, k = 10,
-      slop = 2)
+    def leg(name: String, df: DataFrame) =
+      df.select(lit(name).as("leg"), col("query_id"), col("rank"),
+        col("doc_id"), col("n_windows"))
+    leg("proximity",
+        PostingsStream.proximityServe(s, root + "/index", queries, k = 10,
+          slop = 2))
+      .unionByName(leg("near",
+        PostingsStream.nearServe(s, root + "/index", queries, k = 10,
+          slop = 2)))
   }
 
-  private val t20Sql = TextQueries.proximitySqlFrom("doc_id % 251 = 7", 2)
+  private val t20Sql = {
+    val prox = TextQueries.proximitySqlFrom("doc_id % 251 = 7", 2)
+    val near = TextQueries.nearSearchSql
+    s"""SELECT 'proximity' AS leg, query_id, rank, doc_id, n_windows
+       |FROM ($prox)
+       |UNION ALL
+       |SELECT 'near' AS leg, query_id, rank, doc_id, n_windows
+       |FROM ($near)""".stripMargin
+  }
 
   /** T21 — the ANALYZED positional store end to end: the corpus (with
     * deterministically injected case/punctuation — the

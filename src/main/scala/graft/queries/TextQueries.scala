@@ -617,7 +617,7 @@ object TextQueries extends QueryModule {
       queries, k = 10, slop = 2)
   }
 
-  private val nearSearchSql =
+  private[queries] val nearSearchSql =
     """WITH parr AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
       |  FROM documents),

@@ -247,6 +247,10 @@ object BatchStore {
     * rerun converges (DeleteSpec). Run between drains/serves like
     * [[compact]] — the store family's single-admin contract. */
   def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    // empty takedown = no-op: publishing an empty d=<k> dir would flip
+    // hasDeletes and tax every future serve with anti-joins against
+    // nothing, forever (the probe is a LIMIT-1 action, not a count)
+    if (ids.isEmpty) return
     val fs = fsFor(spark, dir)
     val space = new Path(s"$dir/$DeleteSpace")
     fs.mkdirs(space)

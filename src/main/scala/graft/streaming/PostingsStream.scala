@@ -358,4 +358,25 @@ object PostingsStream {
     TextCorpus.proximityMatchTopK(pos, queries, k, slop,
       broadcastQueriesUpTo, storeAnalyzer(spark, storeDir))
   }
+
+  /** Unordered NEAR/w top-k off a POSITIONAL store —
+    * [[TextCorpus.nearMatchTopK]] with the same pointer-filter /
+    * tombstone-mask / stored-analyzer contracts as the other positional
+    * serves. */
+  def nearServe(spark: SparkSession, storeDir: String,
+                queries: DataFrame, k: Int, slop: Int,
+                broadcastQueriesUpTo: Long = Long.MaxValue): DataFrame = {
+    require(hasPositions(spark, storeDir),
+      s"$storeDir carries no positional postings (maintainPostings " +
+        "positions = true) — refusing to NEAR-match against nothing")
+    val pos0 = BatchStore.read(spark, storeDir)
+      .filter(col("kind") === "tp")
+      .select(col("doc_id"), col("n").as("pos"), col("word"))
+    val pos =
+      if (!BatchStore.hasDeletes(spark, storeDir)) pos0
+      else pos0.join(BatchStore.readDeletes(spark, storeDir),
+        col("doc_id") === col("del_id"), "left_anti")
+    TextCorpus.nearMatchTopK(pos, queries, k, slop,
+      broadcastQueriesUpTo, storeAnalyzer(spark, storeDir))
+  }
 }
