@@ -642,6 +642,17 @@ object TextCorpus {
     * `m8_bm25_analyzed` oracle. */
   case class Analyzer(lowercase: Boolean = true, stripPunct: Boolean = true,
                       stopwords: Seq[String] = Nil) {
+    // stopwords live inside [[spec]]'s ';'/'|'-delimited serialization
+    // AND in the whitespace-token domain — a word carrying a delimiter
+    // would round-trip through a store marker as a DIFFERENT stopword
+    // set (silent mis-analysis), and one carrying whitespace could
+    // never match a token anyway. Fail at construction, not at parse.
+    stopwords.foreach(w => require(
+      w.nonEmpty && !w.exists(c => c == ';' || c == '|' || c.isWhitespace),
+      s"stopword ${if (w.isEmpty) "<empty>" else s"'$w'"} is invalid: " +
+        "stopwords must be non-empty and free of ';', '|' and whitespace " +
+        "(they serialize into the store's _ANALYZER marker and match " +
+        "whitespace-split tokens)"))
     /** Canonical serialization for store mode markers — field-order
       * pinned, so equal analyzers always serialize identically. */
     def spec: String =

@@ -37,10 +37,20 @@ object ViewMaintenance {
 
   /** The snapshot dir `LATEST` names — falling back, if the pointer is
     * missing or dangling (a crash in the tiny pointer-replace window on
-    * filesystems whose rename refuses to clobber), to the HIGHEST
-    * complete (`_SUCCESS`-marked) versioned snapshot on disk, so
-    * recovery needs no operator intervention. None before the first
-    * publish. */
+    * filesystems whose rename refuses to clobber), to the most recently
+    * PUBLISHED complete (`_SUCCESS`-marked) versioned snapshot on disk,
+    * so recovery needs no operator intervention. None before the first
+    * publish.
+    *
+    * "Most recent" is the `_SUCCESS` file's modification time, version
+    * number only as tie-break — NOT the numeric version alone: version
+    * names are batch ids except for ADMIN publishes
+    * ([[SampleStream.deleteFromSample]]), whose ids ride far above the
+    * stream's so the replay guard can't mistake them for batches.
+    * Publishes are sequential (the store family's single-admin
+    * contract), so mtime order IS publish order; numeric-max would
+    * resolve back to a stale admin snapshot after the next stream batch
+    * and silently roll that batch's fold back. */
   def latestSnapshot(spark: SparkSession, stateDir: String): Option[String] = {
     val f = fs(spark, stateDir)
     val fromPtr = StatePointer.read(spark, stateDir, "LATEST")
@@ -49,10 +59,15 @@ object ViewMaintenance {
       val root = new Path(stateDir)
       if (!f.exists(root)) None
       else f.listStatus(root).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+") &&
-          f.exists(new Path(s.getPath, "_SUCCESS")))
-        .sortBy(_.getPath.getName.drop(1).toLong)
-        .lastOption.map(_.getPath.toString)
+        .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+        .flatMap { s =>
+          val succ = new Path(s.getPath, "_SUCCESS")
+          if (!f.exists(succ)) None
+          else Some((f.getFileStatus(succ).getModificationTime,
+            s.getPath.getName.drop(1).toLong, s.getPath.toString))
+        }
+        .sortBy(t => (t._1, t._2))
+        .lastOption.map(_._3)
     }
   }
 

@@ -110,5 +110,38 @@ class AnalyzerStoreSpec extends SparkSpec {
     assert(PostingsStream.storeAnalyzer(spark, empty).isEmpty)
     assert(PostingsStream.bm25Serve(spark, empty,
       Seq((1L, "alpha")).toDF("query_id", "query_text"), 5).count() === 1)
+    // marker-only store restarted with a DIFFERENT analyzer: the heal
+    // must rewrite the marker to the new spec, not leave the stale one
+    // silently describing batches indexed under the other analysis
+    val empty2 = tmp("anmode4") + "/index"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(empty2))
+    val out2 =
+      fs.create(new org.apache.hadoop.fs.Path(empty2, "_ANALYZER"), true)
+    out2.write(an.spec.getBytes("UTF-8")); out2.close()
+    val other = Analyzer(lowercase = true, stripPunct = false,
+      stopwords = Seq("beta"))
+    PostingsStream.maintainPostings(stream(), empty2, tmp("anckpt"),
+      analyzer = Some(other)).awaitTermination()
+    assert(PostingsStream.storeAnalyzer(spark, empty2).map(_.spec) ===
+      Some(other.spec))
+    // "beta" is a stopword under the healed spec, so only "alpha" serves
+    assert(PostingsStream.bm25Serve(spark, empty2,
+      Seq((1L, "beta")).toDF("query_id", "query_text"), 5).count() === 0)
+    assert(PostingsStream.bm25Serve(spark, empty2,
+      Seq((1L, "alpha")).toDF("query_id", "query_text"), 5).count() === 1)
+  }
+
+  test("stopwords carrying spec delimiters or whitespace fail at " +
+       "construction (they would corrupt the marker round trip)") {
+    assertThrows[IllegalArgumentException] {
+      Analyzer(true, true, Seq("ok", "bad;word"))
+    }
+    assertThrows[IllegalArgumentException] {
+      Analyzer(true, true, Seq("bad|word"))
+    }
+    assertThrows[IllegalArgumentException] {
+      Analyzer(true, true, Seq("bad word"))
+    }
+    assertThrows[IllegalArgumentException] { Analyzer(true, true, Seq("")) }
   }
 }

@@ -86,4 +86,26 @@ class ViewMaintenanceSpec extends SparkSpec {
     val root = Files.createTempDirectory("view_empty").toString
     assert(ViewMaintenance.readLatest(spark, s"$root/nope").isEmpty)
   }
+
+  test("pointer-loss fallback follows publish order (mtime), not the " +
+       "numeric version max — admin publishes must not shadow later " +
+       "batch folds") {
+    val root = Files.createTempDirectory("view_admin").toString
+    val state = s"$root/state"
+    // an ADMIN snapshot (SampleStream.deleteFromSample's far-above-batch
+    // version) published FIRST, then a later stream-batch snapshot with
+    // a numerically tiny version — the real publish order
+    IncrementalAgg.state(Seq("a" -> 1.0).toDF("k", "v"), Seq(col("k")),
+      measures).write.parquet(s"$state/v1000000")
+    IncrementalAgg.state(Seq("a" -> 1.0, "b" -> 2.0).toDF("k", "v"),
+      Seq(col("k")), measures).write.parquet(s"$state/v3")
+    val now = System.currentTimeMillis()
+    assert(new java.io.File(s"$state/v1000000/_SUCCESS")
+      .setLastModified(now - 60000L))
+    assert(new java.io.File(s"$state/v3/_SUCCESS").setLastModified(now))
+    // no pointer at all: the crash window the fallback exists for — it
+    // must resolve the LATEST PUBLISH (v3), or the next fold would
+    // silently roll back v3's contribution
+    assert(ViewMaintenance.latestSnapshot(spark, state).get.endsWith("/v3"))
+  }
 }
