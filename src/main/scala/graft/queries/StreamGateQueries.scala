@@ -43,6 +43,26 @@ object StreamGateQueries extends QueryModule {
     watch
   }
 
+  /** Write explicit wave frames as single-file batches (wave i = one
+    * file, modification times 2 s apart so the file stream processes
+    * them in wave order) — the mixed add/delete feeds the streamed-
+    * tombstone gates stage, where a wave's rows are not a simple
+    * `splitCol % k` slice. Returns the watch dir. */
+  private def writeWaves(waves: Seq[DataFrame]): String = {
+    val watch = Dsl.tempDir("graft_stream_watch_")
+    val base = System.currentTimeMillis() - 3600L * 1000
+    waves.zipWithIndex.foreach { case (df, i) =>
+      val stage = Dsl.tempDir("graft_stream_stage_")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(watch, s"b$i.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(base + i * 2000L)
+    }
+    watch
+  }
+
   /** T11: late-data accounting. Three event batches stream through
     * [[LateData.splitLate]] (delay 3600 s); each batch's rows land in the
     * main or late sink versus the high-water mark advanced by PRIOR
@@ -888,6 +908,287 @@ object StreamGateQueries extends QueryModule {
        |  CAST(n_occ AS DOUBLE) AS score FROM ($ph)""".stripMargin
   }
 
+  /** T22 — STREAMED tombstones: deletes arriving IN the stream, the
+    * real takedown shape (opt-out feeds interleave with ingest — the
+    * reference's queue rows carry per-row status transitions for
+    * exactly this reason). Three mixed waves feed a POSITIONAL postings
+    * store (`kind` ∈ add|del): wave 0 adds its corpus third; waves 1-2
+    * add theirs AND carry `del` rows for every 7th doc — some deletes
+    * land in the SAME batch as their add (doc_id % 7 = 3 in the wave's
+    * own slice), the rest tombstone docs added by EARLIER waves. In
+    * parallel the ANN lists store (T13's shape) drains three mixed
+    * vector waves whose del rows tombstone every 9th vector. Serves:
+    * BM25 before compaction (mask path), BM25 + phrase after
+    * [[PostingsStream.compactIndex]] (physical drop, required
+    * in-query), and the quantized ANN serve (mask path). The oracle
+    * replays every leg from the SURVIVING corpus from scratch — blind
+    * to waves, batch boundaries, tombstones, and folds — so
+    * in-stream deletion equals never-ingested in one hash compare. */
+  private def t22StreamDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Similarity
+    import graft.streaming.{BatchStore, IndexStream, PostingsStream}
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    def addD(i: Int) = docs.filter(col("doc_id") % 3 === i)
+      .select(lit("add").as("kind"), col("doc_id"), col("text"))
+    def delD(cond: Column) = docs.filter(cond)
+      .select(lit("del").as("kind"), col("doc_id"),
+        lit(null).cast("string").as("text"))
+    val dDel = col("doc_id") % 7 === 3
+    val dWatch = writeWaves(Seq(
+      addD(0),
+      addD(1).unionByName(delD(dDel && col("doc_id") % 3 =!= 2)),
+      addD(2).unionByName(delD(dDel && col("doc_id") % 3 === 2))))
+    val root = Dsl.tempDir("graft_t22_")
+    val dstream = s.readStream
+      .schema("kind STRING, doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dWatch)
+    PostingsStream.maintainPostings(dstream, root + "/index", root + "/ckpt",
+      positions = true, kindCol = Some("kind")).awaitTermination()
+    def firstTokens(from: Int, len: Int) = Tables.documents(s, dir)
+      .filter(col("doc_id") % 251 === 7)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(coalesce(col("text"), lit(""))),
+          "\\s+"), from, len), " ").as("query_text"))
+    def leg(name: String, df: DataFrame, score: Column) =
+      df.select(lit(name).as("leg"), col("query_id"), col("rank"),
+        col("doc_id").as("cand_id"), score.cast("double").as("score"))
+    // pre-compaction serve materialized NOW (the fold below rewrites
+    // the store state this plan reads — the t17 time-travel guard)
+    val pre = leg("bm25_pre",
+      PostingsStream.bm25Serve(s, root + "/index", firstTokens(1, 4), 10),
+      col("score")).localCheckpoint(true)
+    PostingsStream.compactIndex(s, root + "/index", keepBatches = 1)
+    val leaked = s.read.parquet(s"$root/index/graft_batch=-2")
+      .filter(col("doc_id") % 7 === 3).count()
+    require(leaked == 0,
+      s"compacted base still holds $leaked rows of stream-deleted docs")
+    val post = leg("bm25_post",
+      PostingsStream.bm25Serve(s, root + "/index", firstTokens(1, 4), 10),
+      col("score"))
+    val phrase = leg("phrase_post",
+      PostingsStream.phraseServe(s, root + "/index", firstTokens(2, 3), 10),
+      col("n_occ"))
+    // ANN leg: batch-built standing lists + three mixed delta waves;
+    // del rows (vec_id only, NULL embedding) tombstone every 9th vector
+    val emb = Tables.embeddings(s, dir)
+    val standing = emb.filter(col("vec_id") % 5 =!= 4)
+    val (cent, lists0) = Similarity.ivfBuildQuantized(
+      Tables.spread(standing), nlist = 16, lloydIters = 2)
+    cent.write.mode("overwrite").parquet(root + "/centroids")
+    lists0.write.mode("overwrite").parquet(root + "/lists/graft_batch=-1")
+    def addV(i: Int) = emb.filter(col("vec_id") % 5 === 4 &&
+        col("vec_id") % 3 === i)
+      .select(lit("add").as("kind"), col("vec_id"), col("embedding"))
+    def delV(cond: Column) = emb.filter(cond)
+      .select(lit("del").as("kind"), col("vec_id"),
+        lit(null).cast("array<float>").as("embedding"))
+    // vec_id % 9 = 2 forces vec_id ≡ 2 (mod 3), so the delete set is
+    // split across waves by PARITY instead — both cross-batch and
+    // same-batch add+del pairs occur
+    val vDel = col("vec_id") % 9 === 2
+    val vWatch = writeWaves(Seq(
+      addV(0),
+      addV(1).unionByName(delV(vDel && col("vec_id") % 2 === 0)),
+      addV(2).unionByName(delV(vDel && col("vec_id") % 2 === 1))))
+    val vstream = s.readStream
+      .schema("kind STRING, vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(vWatch)
+    IndexStream.maintainIndex(vstream, root + "/centroids", root + "/lists",
+      Dsl.tempDir("graft_t22_ickpt_"), kindCol = Some("kind"))
+      .awaitTermination()
+    val ann = Similarity.ivfServeQuantized(emb.filter(col("vec_id") < 8),
+        s.read.parquet(root + "/centroids"),
+        IndexStream.readLists(s, root + "/lists"),
+        emb, 5, nprobe = 4, rescoreK = 15)
+      .select(lit("ann").as("leg"), col("query_id"), col("rank"),
+        col("cand_id"), round(col("cosine"), 6).cast("double").as("score"))
+    pre.unionByName(post).unionByName(phrase).unionByName(ann)
+  }
+
+  private val t22Sql = {
+    val survivors = "(SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3)"
+    val bm = TextQueries.bm25SqlFrom(TextQueries.bm25SearchQueryCte,
+      docsFrom = survivors)
+    val ph = TextQueries.phraseSqlFrom("doc_id % 251 = 7",
+      docsFrom = survivors)
+    val ann = SimilarityQueries.ivfQServeSql(Some("vec_id % 5 <> 4"),
+      Some("vec_id % 9 <> 2"))
+    s"""SELECT 'bm25_pre' AS leg, query_id, rank, doc_id AS cand_id, score
+       |FROM ($bm)
+       |UNION ALL
+       |SELECT 'bm25_post' AS leg, query_id, rank, doc_id AS cand_id, score
+       |FROM ($bm)
+       |UNION ALL
+       |SELECT 'phrase_post' AS leg, query_id, rank, doc_id AS cand_id,
+       |  CAST(n_occ AS DOUBLE) AS score FROM ($ph)
+       |UNION ALL
+       |SELECT 'ann' AS leg, query_id, rank, cand_id, cosine AS score
+       |FROM ($ann)""".stripMargin
+  }
+
+  /** T23 — streamed tombstones through the ADMISSION pipeline: the
+    * screen itself must forget deleted content (a doc that left the
+    * corpus must not veto new arrivals). Three mixed waves (doc_id % 3
+    * slices; waves 1-2 carry `del` rows for the doc_id % 11 = 6 docs (a residue chosen to intersect real stage-2 duplicate chains at both gated SFs), some
+    * deleting docs ADDED IN THE SAME WAVE — which keep their verdict
+    * but leave the store tombstoned) drive
+    * [[DedupStream.admitDocuments]] with `kindCol`; the output is every
+    * verdict row PLUS the store's live (tombstone-masked) id set. The
+    * oracle unrolls the three admission stages with the delete timing
+    * made explicit — stage 2's prior-admitted candidates exclude docs
+    * deleted by wave 1 (deletes land at their batch's END, so they
+    * gate only LATER stages) — and derives the live set as
+    * replay-admitted minus everything deleted. */
+  private def t23AdmissionDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.BatchStore
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    def adds(i: Int) = docs.filter(col("doc_id") % 3 === i)
+      .select(lit("add").as("kind"), col("doc_id"), col("text"))
+    def dels(cond: Column) = docs.filter(cond)
+      .select(lit("del").as("kind"), col("doc_id"),
+        lit(null).cast("string").as("text"))
+    val d = col("doc_id") % 11 === 6
+    val watch = writeWaves(Seq(
+      adds(0),
+      adds(1).unionByName(dels(d && col("doc_id") % 3 =!= 2)),
+      adds(2).unionByName(dels(d && col("doc_id") % 3 === 2))))
+    val root = Dsl.tempDir("graft_t23_")
+    val stream = s.readStream
+      .schema("kind STRING, doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    DedupStream.admitDocuments(stream, s"$root/store", s"$root/verdicts",
+      s"$root/ckpt", bands = 8, rowsPerBand = 4, minAgreement = 0.5,
+      portable = true, kindCol = Some("kind"))
+      .awaitTermination()
+    val verdicts = s.read.parquet(s"$root/verdicts")
+      .select(lit("verdict").as("leg"), col("doc_id"), col("verdict"),
+        col("dup_of"), col("best_agreement"), col("n_dups"), col("batch_id"))
+    val ids = BatchStore.read(s, s"$root/store").select("id")
+    val live =
+      (if (!BatchStore.hasDeletes(s, s"$root/store")) ids
+       else ids.join(BatchStore.readDeletes(s, s"$root/store"),
+         col("id") === col("del_id"), "left_anti"))
+        .select(lit("store").as("leg"), col("id").as("doc_id"),
+          lit(null).cast("string").as("verdict"),
+          lit(null).cast("long").as("dup_of"),
+          lit(null).cast("double").as("best_agreement"),
+          lit(null).cast("long").as("n_dups"),
+          lit(null).cast("long").as("batch_id"))
+    verdicts.unionByName(live)
+  }
+
+  private val t23Sql = {
+    // deletes applied by wave 1 (at its end): the D docs of slices 0-1
+    val del1 = "(c.doc_id % 11 = 6 AND c.doc_id % 3 <> 2)"
+    s"""WITH ${DedupQueries.minhashOracleCtes},
+       |${stageSql(0, "")},
+       |${stageSql(1, "OR c.doc_id IN (SELECT doc_id FROM adm0)")},
+       |${stageSql(2,
+            s"OR (c.doc_id IN (SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1) AND NOT $del1)")}
+       |SELECT 'verdict' AS leg, doc_id, verdict, dup_of, best_agreement,
+       |  n_dups, batch_id FROM
+       |  (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+       |   UNION ALL SELECT * FROM v2)
+       |UNION ALL
+       |SELECT 'store' AS leg, doc_id, CAST(NULL AS VARCHAR) AS verdict,
+       |  CAST(NULL AS BIGINT) AS dup_of, CAST(NULL AS DOUBLE)
+       |    AS best_agreement,
+       |  CAST(NULL AS BIGINT) AS n_dups, CAST(NULL AS BIGINT) AS batch_id
+       |FROM (SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1
+       |      UNION ALL SELECT doc_id FROM adm2)
+       |WHERE doc_id % 11 <> 6""".stripMargin
+  }
+
+  /** T24 — the hybrid-retrieval capstone REBASED onto the versioned
+    * [[graft.streaming.AnnIndex]] (T16 serves its dense leg from the
+    * fixed-quantizer [[graft.streaming.IndexStream]] store; the
+    * refresh-capable lifecycle was previously gated only in isolation by
+    * T19): the dense index initializes on the standing corpus, drains
+    * three DRIFTED delta waves ([[plantedDrift]]) against the stale
+    * quantizer, is refreshed mid-lifecycle (retrain on the drained live
+    * corpus → re-encode → atomic version swap, REQUIRED in-query to
+    * have published version 2), and serves post-refresh; the sparse leg
+    * is the T14 postings store; both fuse with reciprocal-rank fusion.
+    * The oracle composes the T19 "refreshed" replay (a from-scratch
+    * quantized build over the full planted corpus — the refresh
+    * identity) with the T16 fusion replay, so maintenance + refresh +
+    * both serves + fusion certify in one hash compare. */
+  private def t24HybridRefresh(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Similarity
+    import graft.streaming.{AnnIndex, PostingsStream}
+    val k = 5
+    val root = Dsl.tempDir("graft_t24_")
+    val corpus = Tables.spread(plantedDrift(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    AnnIndex.init(s, root + "/ann", corpus.filter(col("vec_id") % 5 =!= 4),
+      nlist = 16, lloydIters = 2)
+    val delta = corpus.filter(col("vec_id") % 5 === 4)
+    val vstream = s.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(writeOrderedBatches(delta, "vec_id", 3))
+    AnnIndex.maintain(vstream, root + "/ann", Dsl.tempDir("graft_t24_ckpt_"))
+      .awaitTermination()
+    val v2 = AnnIndex.refresh(s, root + "/ann", corpus,
+      nlist = 16, lloydIters = 2)
+    require(v2 == 2L, s"refresh must publish version 2, got $v2")
+    val dense = AnnIndex.serve(s, root + "/ann",
+        corpus.filter(col("vec_id") < 8), corpus, k, nprobe = 4)
+      .select("query_id", "cand_id", "rank")
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val dstream = s.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(writeOrderedBatches(docs, "doc_id", 3))
+    PostingsStream.maintainPostings(dstream, root + "/postings",
+      Dsl.tempDir("graft_t24_pckpt_")).awaitTermination()
+    val queries = Tables.documents(s, dir)
+      .filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(coalesce(col("text"), lit(""))),
+          "\\s+"), 1, 4), " ").as("query_text"))
+    val sparse = PostingsStream.bm25Serve(s, root + "/postings", queries, k)
+      .withColumnRenamed("doc_id", "cand_id")
+    val fused = Similarity.rrfFuse(Seq(sparse, dense), k)
+    corpus.unpersist()
+    fused
+  }
+
+  private val t24Sql = {
+    val sparseQueryCte =
+      """SELECT doc_id AS query_id,
+        |    array_to_string(list_slice(
+        |      string_split_regex(trim(text), '\s+'), 1, 4), ' ') AS query_text
+        |  FROM documents WHERE doc_id < 8""".stripMargin
+    // the refresh identity: the post-swap index IS a from-scratch
+    // quantized build over the full planted (drifted) corpus
+    val freshIvf = SimilarityQueries.ivfQServeSql(None, None,
+      plantedDriftSql, "q.vec_id < 8", nprobe = 4)
+    s"""WITH ${TextQueries.bm25OracleCtes(sparseQueryCte)},
+       |hivf AS ($freshIvf),
+       |hterms AS (
+       |  SELECT query_id, cand_id,
+       |    1000000000 // (60 + CAST(rank AS BIGINT)) AS term_fp
+       |  FROM (SELECT query_id, doc_id AS cand_id, rank FROM bmranked
+       |          WHERE rank <= 5
+       |        UNION ALL
+       |        SELECT query_id, cand_id, rank FROM hivf)),
+       |hfused AS (
+       |  SELECT query_id, cand_id, CAST(SUM(term_fp) AS BIGINT) AS rrf_fp
+       |  FROM hterms GROUP BY 1, 2),
+       |hranked AS (
+       |  SELECT query_id, cand_id, rrf_fp,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY rrf_fp DESC, cand_id) AS rank
+       |  FROM hfused)
+       |SELECT query_id, CAST(rank AS INT) AS rank, cand_id,
+       |  CAST(rrf_fp AS DOUBLE) / 1000000000.0 AS rrf
+       |FROM hranked WHERE rank <= 5""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_late_split"      -> t11LateSplit _,
     "t12_view_maintain"   -> t12ViewMaintain _,
@@ -903,7 +1204,10 @@ object StreamGateQueries extends QueryModule {
     "t18_index_delete" -> t18IndexDelete _,
     "t19_quantizer_refresh" -> t19QuantizerRefresh _,
     "t20_proximity_maintain" -> t20ProximityMaintain _,
-    "t21_analyzed_maintain" -> t21AnalyzedMaintain _)
+    "t21_analyzed_maintain" -> t21AnalyzedMaintain _,
+    "t22_stream_delete" -> t22StreamDelete _,
+    "t23_admission_delete" -> t23AdmissionDelete _,
+    "t24_hybrid_refresh" -> t24HybridRefresh _)
 
   def oracles: Map[String, String] = Map(
     "t11_late_split"      -> t11Sql,
@@ -920,5 +1224,8 @@ object StreamGateQueries extends QueryModule {
     "t18_index_delete" -> t18Sql,
     "t19_quantizer_refresh" -> t19Sql,
     "t20_proximity_maintain" -> t20Sql,
-    "t21_analyzed_maintain" -> t21Sql)
+    "t21_analyzed_maintain" -> t21Sql,
+    "t22_stream_delete" -> t22Sql,
+    "t23_admission_delete" -> t23Sql,
+    "t24_hybrid_refresh" -> t24Sql)
 }

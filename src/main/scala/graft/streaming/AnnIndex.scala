@@ -98,10 +98,14 @@ object AnnIndex {
     * quantizer — [[IndexStream.maintainIndex]]'s contract (unique
     * vec_ids, per-batch crash-safe overwrite dirs), version-resolved at
     * every batch so a between-drains [[refresh]] redirects the next
-    * drain automatically. */
+    * drain automatically. `kindCol` enables the mixed add/delete feed
+    * ([[IndexStream.maintainIndex]]): `"del"` rows tombstone the
+    * CURRENT version's lists after the batch's adds land — [[refresh]]
+    * then carries the set forward like any other tombstone. */
   def maintain(vecs: DataFrame, root: String, checkpointDir: String,
                continuous: Boolean = false,
-               compactWhenBatchesExceed: Option[Int] = None)
+               compactWhenBatchesExceed: Option[Int] = None,
+               kindCol: Option[String] = None)
       : StreamingQuery = {
     val spark = vecs.sparkSession
     def runPolicy(): Unit = compactWhenBatchesExceed.foreach { threshold =>
@@ -116,9 +120,16 @@ object AnnIndex {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (continuous) runPolicy()
         val v = liveVersion(batch.sparkSession, root)
-        IndexStream.encodeAgainst(batch, centDir(root, v))
+        val (adds, dels) = kindCol match {
+          case Some(kc) => BatchStore.splitMixed(batch, kc)
+          case None => (batch, batch.limit(0))
+        }
+        IndexStream.encodeAgainst(adds, centDir(root, v))
           .write.mode("overwrite")
           .parquet(s"${listsDir(root, v)}/${BatchStore.BatchCol}=$batchId")
+        if (kindCol.nonEmpty)
+          BatchStore.delete(batch.sparkSession, listsDir(root, v),
+            dels.select("vec_id"))
         ()
       }
       .option("checkpointLocation", checkpointDir)

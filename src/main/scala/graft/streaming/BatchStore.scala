@@ -241,6 +241,25 @@ object BatchStore {
       .parquet(dirs.map(_._2.toString): _*)
   }
 
+  /** Split one MIXED add/delete micro-batch for the streaming
+    * maintainers' `kindCol` mode: returns (add rows with the kind
+    * column dropped, delete rows). Fails the batch on any kind value
+    * outside {add, del} — a mis-tagged row silently ingested as an add
+    * or silently dropped are both wrong answers, and a streaming
+    * takedown feed must be strict about which. The validation probe is
+    * a LIMIT-1 action on the (micro-batch-sized) frame. */
+  private[streaming] def splitMixed(batch: DataFrame, kindCol: String)
+      : (DataFrame, DataFrame) = {
+    val bad = batch.filter(!col(kindCol).isin("add", "del"))
+    if (!bad.isEmpty)
+      throw new IllegalArgumentException(
+        s"mixed stream column '$kindCol' carries values outside " +
+          "{add, del} — refusing the batch (e.g. " +
+          bad.select(kindCol).head().get(0) + ")")
+    (batch.filter(col(kindCol) === "add").drop(kindCol),
+     batch.filter(col(kindCol) === "del"))
+  }
+
   /** Tombstone the keys in `ids` (its FIRST column, cast to long).
     * Crash-safe: the delete batch is staged invisibly and renamed into
     * place, so a crash mid-write leaves no partial tombstone set and a

@@ -71,6 +71,17 @@ object DedupStream {
                  sigStoreDir: String, docIds: DataFrame): Unit =
     BatchStore.delete(spark, sigStoreDir, docIds)
 
+  /** `kindCol` ([[PostingsStream.maintainPostings]] has the full
+    * streamed-tombstone contract): `"add"` rows run the admission
+    * pipeline unchanged; `"del"` rows (doc_id only, text never read)
+    * tombstone the signature store — and the ledger, when maintained —
+    * at the END of their batch, so the deletes take effect for every
+    * LATER batch's screen (a new doc duplicating only deleted content
+    * is admitted) while this batch's own verdicts stand as the audit
+    * trail of what was decided before the takedown landed. A doc added
+    * and deleted in ONE batch keeps its verdict row but leaves the
+    * store tombstoned — delete wins. Replays converge by tombstone set
+    * semantics. */
   def admitDocuments(docs: DataFrame, sigStoreDir: String,
                      verdictDir: String, checkpointDir: String,
                      bands: Int = 8, rowsPerBand: Int = 4,
@@ -79,7 +90,8 @@ object DedupStream {
                      continuous: Boolean = false,
                      labelsDir: Option[String] = None,
                      compactWhenBatchesExceed: Option[Int] = None,
-                     broadcastDeltaUpTo: Long = 500000L)
+                     broadcastDeltaUpTo: Long = 500000L,
+                     kindCol: Option[String] = None)
       : StreamingQuery = {
     // A CONTINUOUS stream never reaches another "drain start", so the
     // policy also re-runs at the top of every micro-batch there —
@@ -109,7 +121,11 @@ object DedupStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (continuous) runPolicy()
         val spark = batch.sparkSession
-        val delta = Dedup.minhashSignatures(batch, col("doc_id"), col("text"),
+        val (adds, dels) = kindCol match {
+          case Some(kc) => BatchStore.splitMixed(batch, kc)
+          case None => (batch, batch.limit(0))
+        }
+        val delta = Dedup.minhashSignatures(adds, col("doc_id"), col("text"),
           numHashes = bands * rowsPerBand, portable = portable).persist()
         // Screen against everything PRIOR batches admitted. Existence is
         // checked explicitly — a missing store means "first batch, empty
@@ -258,6 +274,16 @@ object DedupStream {
             ld, batchId)
           standingAll.unpersist()
           }
+        }
+        // the batch's streamed tombstones land LAST (after the adds'
+        // signatures and the ledger fold): the takedown covers even a
+        // doc this same batch admitted, the next batch's screen and
+        // ledger reads exclude it (both read through the tombstone
+        // mask), and the next compaction drops its rows physically
+        if (kindCol.nonEmpty) {
+          BatchStore.delete(spark, sigStoreDir, dels.select("doc_id"))
+          labelsDir.foreach(ld =>
+            DeltaLedger.delete(spark, ld, dels.select("doc_id")))
         }
         verdicts.unpersist()
         delta.unpersist()

@@ -97,11 +97,19 @@ object IndexStream {
     * all deltas (the upstream admission stream is what enforces
     * at-most-once ingest) — a re-ingested id would append a second list
     * row, and the serve path would score it twice. Within one batch
-    * duplicates collapse naturally (assignment is keyed per (id, sub)). */
+    * duplicates collapse naturally (assignment is keyed per (id, sub)).
+    *
+    * `kindCol`: STREAMED TOMBSTONES ([[PostingsStream.maintainPostings]]
+    * has the full contract) — `"add"` rows are encoded, `"del"` rows
+    * carry only a vec_id (embedding may be NULL, it is never read) and
+    * tombstone the lists store after the batch's adds land; same-batch
+    * add+del leaves the vector deleted, replays converge by set
+    * semantics, any other kind fails the batch. */
   def maintainIndex(vecs: DataFrame, centroidDir: String, listsDir: String,
                     checkpointDir: String,
                     continuous: Boolean = false,
-                    compactWhenBatchesExceed: Option[Int] = None)
+                    compactWhenBatchesExceed: Option[Int] = None,
+                    kindCol: Option[String] = None)
       : StreamingQuery = {
     // Store-lifecycle policy, same shape as [[DedupStream]]: at drain
     // START (between drains by construction), fold old list batch dirs
@@ -126,8 +134,15 @@ object IndexStream {
     val writer = vecs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (continuous) runPolicy()
-        encodeAgainst(batch, centroidDir).write.mode("overwrite")
+        val (adds, dels) = kindCol match {
+          case Some(kc) => BatchStore.splitMixed(batch, kc)
+          case None => (batch, batch.limit(0))
+        }
+        encodeAgainst(adds, centroidDir).write.mode("overwrite")
           .parquet(s"$listsDir/graft_batch=$batchId")
+        if (kindCol.nonEmpty)
+          BatchStore.delete(batch.sparkSession, listsDir,
+            dels.select("vec_id"))
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -132,13 +132,32 @@ object PostingsStream {
     * property, checked fail-closed at start: flipping it mid-store
     * would leave old batches invisible to phrase matching (positions
     * missing) or break the marker's promise (positions partial), both
-    * silent wrong-answer states — so a mismatch throws instead. */
+    * silent wrong-answer states — so a mismatch throws instead.
+    *
+    * `kindCol`: STREAMED TOMBSTONES — when set, the stream is a mixed
+    * add/delete feed (the real takedown shape: opt-out events arrive
+    * interleaved with ingest, not as out-of-band admin calls): rows
+    * whose `kindCol` is `"add"` are indexed as usual, rows marked
+    * `"del"` carry only a doc_id and are folded into the store's
+    * [[BatchStore]] tombstone set as part of the same batch — adds
+    * land first, then the batch's deletes publish, so a delete and its
+    * own add arriving in ONE batch leave the doc tombstoned (delete
+    * wins: a takedown must not lose to ingest ordering). Any other
+    * kind value fails the batch (a mis-tagged row silently ingested or
+    * silently dropped are both wrong answers). Replay after a crash
+    * converges: the add dir is overwritten wholesale and the re-applied
+    * delete lands as one more duplicate-tolerant tombstone dir — every
+    * serve and the compaction anti-join see the same set
+    * (StreamDeleteSpec). Between batches the store is always in a
+    * serve-exact state; mid-batch instants are unobservable under the
+    * store family's serve-between-drains contract. */
   def maintainPostings(docs: DataFrame, storeDir: String,
                        checkpointDir: String,
                        continuous: Boolean = false,
                        compactWhenBatchesExceed: Option[Int] = None,
                        positions: Boolean = false,
-                       analyzer: Option[TextCorpus.Analyzer] = None)
+                       analyzer: Option[TextCorpus.Analyzer] = None,
+                       kindCol: Option[String] = None)
       : StreamingQuery = {
     val spark = docs.sparkSession
     // The analyzer is a WHOLE-STORE mode like positions: batches
@@ -153,11 +172,18 @@ object PostingsStream {
       s"$storeDir was maintained with analyzer ${stored.map(_.spec)} but " +
         s"this stream supplies ${analyzer.map(_.spec)} — mixed-analysis " +
         "postings silently miss matches; rebuild the store instead")
-    if (stored.nonEmpty && analyzer.isEmpty &&
+    if (stored.map(_.spec) != analyzer.map(_.spec) &&
         !hasAnyBatchDir(spark, storeDir))
-      // crashed-before-first-batch residue of an analyzed attempt:
-      // nothing is indexed, so healing the marker is safe (the
-      // _POSITIONS empty-store heal, same argument)
+      // crashed-before-first-batch residue of an attempt under a
+      // DIFFERENT analyzer (including an analyzed attempt restarted
+      // raw): nothing is indexed, so healing the marker is safe (the
+      // _POSITIONS empty-store heal, same argument). The heal must
+      // fire on ANY spec mismatch, not only analyzer.isEmpty —
+      // ensureMarker never overwrites an existing marker, so a
+      // restart with analyzer B over a stale A-marker would otherwise
+      // index under B while the marker (and every serve) says A: the
+      // exact silent mixed-analysis state the marker exists to
+      // prevent.
       fsFor(spark, storeDir).delete(new Path(storeDir, AnalyzerMarker), false)
     if (positions) {
       require(hasPositions(spark, storeDir) ||
@@ -212,10 +238,20 @@ object PostingsStream {
         // leaves a marker-only empty store (healable — see above), never
         // positional data the marker check would refuse to resume
         ensureMarker()
-        batchPartial(batch.select("doc_id", "text"), positions, analyzer)
+        val (adds, dels) = kindCol match {
+          case Some(kc) => BatchStore.splitMixed(batch, kc)
+          case None => (batch, batch.limit(0))
+        }
+        batchPartial(adds.select("doc_id", "text"), positions, analyzer)
           .sortWithinPartitions("kind", "word")
           .write.mode("overwrite")
           .parquet(s"$storeDir/${BatchStore.BatchCol}=$batchId")
+        // the batch's tombstones publish AFTER its adds: a same-batch
+        // add+del leaves the doc deleted, and a replayed batch re-lands
+        // its delete as one more duplicate-tolerant dir (set semantics)
+        if (kindCol.nonEmpty)
+          BatchStore.delete(batch.sparkSession, storeDir,
+            dels.select("doc_id"))
         ()
       }
       .option("checkpointLocation", checkpointDir)

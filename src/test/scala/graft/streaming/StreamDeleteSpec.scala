@@ -1,0 +1,183 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import java.nio.file.{Files, Paths}
+
+/** STREAMED tombstones — `kind` ∈ add|del rows interleaved in the
+  * maintenance feeds ([[PostingsStream.maintainPostings]],
+  * [[IndexStream.maintainIndex]], [[AnnIndex.maintain]],
+  * [[DedupStream.admitDocuments]] with `kindCol`): same-batch add+del
+  * ordering (delete wins), cross-batch takedown, crash-replay
+  * convergence of a delete-carrying batch, screen amnesia (a deleted
+  * doc stops vetoing new arrivals), NULL payloads on del rows, and
+  * fail-closed kind validation. The oracle-gated end-to-end identity
+  * lives in `t22_stream_delete` / `t23_admission_delete`. */
+class StreamDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocBatch(watchDir: String, name: String,
+                            rows: Seq[(String, Long, String)]): Unit = {
+    val stage = Files.createTempDirectory("sdel_stage").toString
+    rows.toDF("kind", "doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, Paths.get(watchDir, name))
+  }
+
+  private def docStream(watch: String) = spark.readStream
+    .schema("kind STRING, doc_id LONG, text STRING")
+    .option("maxFilesPerTrigger", "1")
+    .parquet(watch)
+
+  test("postings: same-batch add+del deletes; cross-batch del deletes; " +
+       "crash-replay of the delete-carrying batch converges") {
+    val root = Files.createTempDirectory("sdel_post").toString
+    val watch = s"$root/in"; Files.createDirectories(Paths.get(watch))
+    writeDocBatch(watch, "b0.parquet", Seq(
+      ("add", 1L, "alpha bravo charlie delta"),
+      ("add", 2L, "echo foxtrot golf hotel")))
+    Thread.sleep(20)
+    // batch 1: adds doc 3, deletes doc 1 (cross-batch) AND doc 3 — the
+    // doc it itself adds (same-batch: delete must win)
+    writeDocBatch(watch, "b1.parquet", Seq(
+      ("add", 3L, "alpha bravo india juliet"),
+      ("del", 1L, null),
+      ("del", 3L, null)))
+    val ckpt = s"$root/ckpt"
+    PostingsStream.maintainPostings(docStream(watch), s"$root/index", ckpt,
+      kindCol = Some("kind")).awaitTermination()
+    def served(): Set[Long] = PostingsStream.bm25Serve(spark, s"$root/index",
+        Seq((9L, "alpha")).toDF("query_id", "query_text"), 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(served() === Set.empty,
+      "docs 1 (cross-batch del) and 3 (same-batch add+del) must be gone")
+    assert(PostingsStream.bm25Serve(spark, s"$root/index",
+        Seq((9L, "echo")).toDF("query_id", "query_text"), 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L))
+
+    // crash-replay: drop batch 1's commit marker and restart — the
+    // re-delivered delete-carrying batch must converge (the add dir is
+    // overwritten; the re-applied tombstones are set-semantics no-ops)
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val crc = new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    assert(commits.last.delete())
+    PostingsStream.maintainPostings(docStream(watch), s"$root/index", ckpt,
+      kindCol = Some("kind")).awaitTermination()
+    assert(served() === Set.empty, "replay resurrected a deleted doc")
+    val (tf, dl, _) = PostingsStream.readIndex(spark, s"$root/index")
+    assert(dl.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(2L),
+      "replay duplicated or resurrected index rows")
+    assert(tf.filter(col("doc_id") =!= 2L).count() === 0)
+
+    // the fold then physically drops the tombstoned rows
+    PostingsStream.compactIndex(spark, s"$root/index", keepBatches = 1)
+    val base = spark.read.parquet(s"$root/index/graft_batch=-2")
+    assert(base.filter(col("doc_id").isin(1L, 3L)).count() === 0,
+      "compacted base still holds stream-deleted docs")
+    assert(served() === Set.empty)
+  }
+
+  test("admission: a deleted doc stops vetoing — its later duplicate is " +
+       "admitted; same-batch add+del keeps its verdict but leaves the " +
+       "store and ledger tombstoned") {
+    val root = Files.createTempDirectory("sdel_adm").toString
+    val watch = s"$root/in"; Files.createDirectories(Paths.get(watch))
+    val dupText = "the exact sentence that returns after its takedown"
+    writeDocBatch(watch, "b0.parquet", Seq(
+      ("add", 1L, dupText),
+      ("add", 2L, "wholly different material about unrelated things")))
+    Thread.sleep(20)
+    // batch 1: takedown of doc 1, plus doc 3 added AND deleted here
+    writeDocBatch(watch, "b1.parquet", Seq(
+      ("del", 1L, null),
+      ("add", 3L, "a third text that this very batch takes down"),
+      ("del", 3L, null)))
+    Thread.sleep(20)
+    // batch 2: doc 4 duplicates ONLY the deleted doc 1 — must be ADMITTED
+    writeDocBatch(watch, "b2.parquet", Seq(("add", 4L, dupText)))
+    DedupStream.admitDocuments(docStream(watch), s"$root/store",
+        s"$root/verdicts", s"$root/ckpt", kindCol = Some("kind"),
+        labelsDir = Some(s"$root/labels"))
+      .awaitTermination()
+    val verdicts = spark.read.parquet(s"$root/verdicts")
+      .select("doc_id", "verdict")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdicts === Map(1L -> "admit", 2L -> "admit",
+      3L -> "admit", 4L -> "admit"),
+      s"doc 4 duplicates only DELETED content and must be admitted: $verdicts")
+    // store: tombstone-masked read drops 1 and 3
+    val live = {
+      val ids = BatchStore.read(spark, s"$root/store").select("id")
+      ids.join(BatchStore.readDeletes(spark, s"$root/store"),
+          col("id") === col("del_id"), "left_anti")
+        .collect().map(_.getLong(0)).toSet
+    }
+    assert(live === Set(2L, 4L), s"live store wrong: $live")
+    // ledger: deleted docs carry no label row
+    val labels = DeltaLedger.read(spark, s"$root/labels")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(2L -> 2L, 4L -> 4L),
+      s"ledger must drop deleted docs' rows: $labels")
+  }
+
+  test("ANN lists: del rows carry NULL embeddings; deleted vectors leave " +
+       "every shortlist; same-batch add+del deletes") {
+    val root = Files.createTempDirectory("sdel_ann").toString
+    val dim = 4
+    def vec(seed: Int) = (0 until dim).map(i =>
+      ((seed * 31 + i * 7) % 13 - 6).toFloat / 3f)
+    val corpus = (0L until 12L).map(i => (i, vec(i.toInt)))
+      .toDF("vec_id", "embedding")
+    val (cent, lists0) = graft.similarity.Similarity.ivfBuildQuantized(
+      corpus.filter(col("vec_id") < 8), nlist = 2, lloydIters = 1)
+    cent.write.mode("overwrite").parquet(s"$root/centroids")
+    lists0.write.mode("overwrite").parquet(s"$root/lists/graft_batch=-1")
+    val watch = s"$root/in"; Files.createDirectories(Paths.get(watch))
+    def writeVecBatch(name: String,
+                      rows: Seq[(String, Long, Option[Seq[Float]])]): Unit = {
+      val stage = Files.createTempDirectory("sdel_vstage").toString
+      rows.toDF("kind", "vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(watch, name))
+    }
+    writeVecBatch("b0.parquet", Seq(
+      ("add", 8L, Some(vec(8))), ("add", 9L, Some(vec(9))),
+      ("del", 3L, None))) // cross-store: deletes a BASE vector
+    Thread.sleep(20)
+    writeVecBatch("b1.parquet", Seq(
+      ("add", 10L, Some(vec(10))), ("add", 11L, Some(vec(11))),
+      ("del", 10L, None), // same-batch add+del
+      ("del", 8L, None))) // cross-batch
+    val stream = spark.readStream
+      .schema("kind STRING, vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    IndexStream.maintainIndex(stream, s"$root/centroids", s"$root/lists",
+      s"$root/ckpt", kindCol = Some("kind")).awaitTermination()
+    val served = IndexStream.readLists(spark, s"$root/lists")
+      .select("cand_id").collect().map(_.getLong(0)).toSet
+    assert(served === Set(0L, 1L, 2L, 4L, 5L, 6L, 7L, 9L, 11L),
+      s"live lists wrong: $served")
+  }
+
+  test("a kind value outside {add, del} fails the batch, not silently " +
+       "ingests or drops") {
+    val root = Files.createTempDirectory("sdel_bad").toString
+    val watch = s"$root/in"; Files.createDirectories(Paths.get(watch))
+    writeDocBatch(watch, "b0.parquet", Seq(
+      ("add", 1L, "fine"), ("remove", 2L, null)))
+    val e = intercept[StreamingQueryException] {
+      PostingsStream.maintainPostings(docStream(watch), s"$root/index",
+        s"$root/ckpt", kindCol = Some("kind")).awaitTermination()
+    }
+    assert(e.getCause.getMessage.contains("outside"),
+      s"wrong failure: ${e.getCause.getMessage}")
+  }
+}
