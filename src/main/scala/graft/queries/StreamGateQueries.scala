@@ -1189,6 +1189,91 @@ object StreamGateQueries extends QueryModule {
        |FROM hranked WHERE rank <= 5""".stripMargin
   }
 
+  /** M8 — proximity AND unordered NEAR over an ANALYZED positional
+    * store, with a PLANTED stopword-inside-window case: every doc gets
+    * " the a " spliced between its 2nd and 3rd tokens, the store is
+    * maintained with the {lowercase, punct-strip, stop {the, a}}
+    * analyzer + positions, and the queries are each 251st doc's
+    * ORIGINAL tokens 2-3 — so in the indexed doc the two query terms
+    * sit at analyzed slots 2 and 5, separated by two stopworded SLOTS
+    * that must stay EMPTY but occupied. Under correct keep-the-slot
+    * semantics the pair needs slop ≥ 2 (ordered) / window ≥ 4
+    * (unordered); an implementation that contracted positions across
+    * removed stopwords would match it already at slop 1 — which is why
+    * the slop = 1 legs are in the gate alongside the slop = 2 legs: the
+    * oracle replays keep-the-slot positions, so contraction flips the
+    * slop-1 ranking and fails the hash. Covers the t21 invariant
+    * (`TextCorpus.positional` keeps stopworded slots) under slop, where
+    * it actually bites. */
+  private def m8ProximityAnalyzed(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextCorpus
+    import graft.streaming.PostingsStream
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val arr = split(trim(coalesce(col("text"), lit(""))), "\\s+")
+    val mutated = docs.select(col("doc_id"),
+      array_join(concat(slice(arr, 1, 2), array(lit("the"), lit("a")),
+        slice(arr, lit(3), greatest(size(arr) - 2, lit(0)))), " ")
+        .as("text"))
+    val watch = writeOrderedBatches(mutated, "doc_id", 3)
+    val stream = s.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    val root = Dsl.tempDir("graft_m8pxan_")
+    PostingsStream.maintainPostings(stream, root + "/index", root + "/ckpt",
+      positions = true,
+      analyzer = Some(TextCorpus.Analyzer(lowercase = true,
+        stripPunct = true, stopwords = Seq("the", "a"))))
+      .awaitTermination()
+    PostingsStream.compactIndex(s, root + "/index", keepBatches = 1)
+    val queries = Tables.documents(s, dir)
+      .filter(col("doc_id") % 251 === 7)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(coalesce(col("text"), lit(""))),
+          "\\s+"), 2, 2), " ").as("query_text"))
+    def leg(name: String, df: DataFrame) =
+      df.select(lit(name).as("leg"), col("query_id"), col("rank"),
+        col("doc_id"), col("n_windows"))
+    leg("prox_s1",
+        PostingsStream.proximityServe(s, root + "/index", queries, 10, 1))
+      .unionByName(leg("prox_s2",
+        PostingsStream.proximityServe(s, root + "/index", queries, 10, 2)))
+      .unionByName(leg("near_s1",
+        PostingsStream.nearServe(s, root + "/index", queries, 10, 1)))
+      .unionByName(leg("near_s2",
+        PostingsStream.nearServe(s, root + "/index", queries, 10, 2)))
+  }
+
+  private val m8ProximityAnalyzedSql = {
+    val mutDocs =
+      """(SELECT doc_id, array_to_string(list_concat(list_concat(
+        |    list_slice(a, 1, 2), ['the', 'a']), list_slice(a, 3, len(a))),
+        |    ' ') AS text
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
+        |        FROM documents))""".stripMargin
+    def one(f: (String, Int, String, String, String, String, String, Int)
+              => String, slop: Int) =
+      f("doc_id % 251 = 7", slop, mutDocs, "documents",
+        TextQueries.analyzedTokens.format("text"),
+        TextQueries.analyzedTokens.format("query_text"),
+        "%w NOT IN ('the', 'a')", 3)
+    val px: (String, Int, String, String, String, String, String, Int)
+      => String = TextQueries.proximitySqlFrom
+    val nr: (String, Int, String, String, String, String, String, Int)
+      => String = TextQueries.nearSqlFrom
+    s"""SELECT 'prox_s1' AS leg, query_id, rank, doc_id, n_windows
+       |FROM (${one(px, 1)})
+       |UNION ALL
+       |SELECT 'prox_s2' AS leg, query_id, rank, doc_id, n_windows
+       |FROM (${one(px, 2)})
+       |UNION ALL
+       |SELECT 'near_s1' AS leg, query_id, rank, doc_id, n_windows
+       |FROM (${one(nr, 1)})
+       |UNION ALL
+       |SELECT 'near_s2' AS leg, query_id, rank, doc_id, n_windows
+       |FROM (${one(nr, 2)})""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_late_split"      -> t11LateSplit _,
     "t12_view_maintain"   -> t12ViewMaintain _,
@@ -1207,7 +1292,8 @@ object StreamGateQueries extends QueryModule {
     "t21_analyzed_maintain" -> t21AnalyzedMaintain _,
     "t22_stream_delete" -> t22StreamDelete _,
     "t23_admission_delete" -> t23AdmissionDelete _,
-    "t24_hybrid_refresh" -> t24HybridRefresh _)
+    "t24_hybrid_refresh" -> t24HybridRefresh _,
+    "m8_proximity_analyzed" -> m8ProximityAnalyzed _)
 
   def oracles: Map[String, String] = Map(
     "t11_late_split"      -> t11Sql,
@@ -1227,5 +1313,6 @@ object StreamGateQueries extends QueryModule {
     "t21_analyzed_maintain" -> t21Sql,
     "t22_stream_delete" -> t22Sql,
     "t23_admission_delete" -> t23Sql,
-    "t24_hybrid_refresh" -> t24Sql)
+    "t24_hybrid_refresh" -> t24Sql,
+    "m8_proximity_analyzed" -> m8ProximityAnalyzedSql)
 }

@@ -394,7 +394,9 @@ object TextQueries extends QueryModule {
       docsFrom: String = "documents",
       docTokens: String = bm25DefaultDocTokens,
       queryTokens: String = bm25DefaultQueryTokens,
-      wordCond: String = "u.word <> ''"): String =
+      wordCond: String = "u.word <> ''",
+      k1: Double = 1.2,
+      b: Double = 0.75): String =
     s"""bw AS (
        |  SELECT doc_id, u.word
        |  FROM (SELECT doc_id, $docTokens AS a
@@ -414,9 +416,9 @@ object TextQueries extends QueryModule {
        |  SELECT bqt.query_id, btf.doc_id,
        |    CAST(round(
        |      ln(1.0 + (bst.n_docs - bdf.df + 0.5) / (bdf.df + 0.5))
-       |        * (btf.tf * (1.2 + 1.0))
-       |        / (btf.tf + 1.2 * ((1.0 - 0.75)
-       |            + 0.75 * bdl.dl / (bst.total_dl / bst.n_docs)))
+       |        * (btf.tf * ($k1 + 1.0))
+       |        / (btf.tf + $k1 * ((1.0 - $b)
+       |            + $b * bdl.dl / (bst.total_dl / bst.n_docs)))
        |        * 1000000.0) AS BIGINT) AS contrib_fp
        |  FROM btf
        |  JOIN bqt ON bqt.word = btf.word
@@ -556,28 +558,44 @@ object TextQueries extends QueryModule {
   /** The proximity oracle: the phrase oracle's positional CTEs with the
     * slop-window vote fan-out (each occurrence votes slop+1 anchors)
     * and the DISTINCT-offset quorum. Anchor arithmetic is base-free
-    * (both sides' 1-off positional bases cancel in pos − off − lag). */
+    * (both sides' 1-off positional bases cancel in pos − off − lag).
+    * `docsFrom`/`queriesFrom`/`docTokens`/`queryTokens`/`stopCond`/
+    * `querySliceEnd` parameterize the analyzed-store replay exactly
+    * like [[phraseSqlFrom]] — stopworded SLOTS stay empty on both
+    * sides, so slop windows never contract across a removed
+    * stopword. */
   private[graft] def proximitySqlFrom(queryWhere: String,
-                                      slop: Int): String =
+                                      slop: Int,
+                                      docsFrom: String = "documents",
+                                      queriesFrom: String = "documents",
+                                      docTokens: String =
+                                        bm25DefaultDocTokens,
+                                      queryTokens: String =
+                                        bm25DefaultQueryTokens,
+                                      stopCond: String = "TRUE",
+                                      querySliceEnd: Int = 4): String =
     s"""WITH parr AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
-      |  FROM documents),
+      |  SELECT doc_id, $docTokens AS a
+      |  FROM $docsFrom),
       |pw AS (
       |  SELECT doc_id, a, unnest(generate_series(1, len(a))) AS pos
       |  FROM parr),
-      |ppos AS (SELECT doc_id, pos, a[pos] AS word FROM pw WHERE a[pos] <> ''),
+      |ppos AS (SELECT doc_id, pos, a[pos] AS word FROM pw
+      |         WHERE a[pos] <> '' AND ${stopCond.replace("%w", "a[pos]")}),
       |phq AS (
       |  SELECT doc_id AS query_id,
       |    array_to_string(list_slice(
-      |      string_split_regex(trim(text), '\\s+'), 2, 4), ' ') AS query_text
-      |  FROM documents WHERE $queryWhere),
+      |      string_split_regex(trim(text), '\\s+'), 2, $querySliceEnd),
+      |      ' ') AS query_text
+      |  FROM $queriesFrom WHERE $queryWhere),
       |qarr AS (
-      |  SELECT query_id, string_split_regex(trim(query_text), '\\s+') AS a
+      |  SELECT query_id, $queryTokens AS a
       |  FROM phq),
       |qw AS (
       |  SELECT query_id, a, unnest(generate_series(1, len(a))) AS off
       |  FROM qarr),
-      |qoff AS (SELECT query_id, off, a[off] AS word FROM qw WHERE a[off] <> ''),
+      |qoff AS (SELECT query_id, off, a[off] AS word FROM qw
+      |         WHERE a[off] <> '' AND ${stopCond.replace("%w", "a[off]")}),
       |qlen AS (SELECT query_id, COUNT(*) AS phrase_len FROM qoff GROUP BY 1),
       |votes AS (
       |  SELECT qoff.query_id, ppos.doc_id, qoff.off,
@@ -617,24 +635,38 @@ object TextQueries extends QueryModule {
       queries, k = 10, slop = 2)
   }
 
-  private[queries] val nearSearchSql =
-    """WITH parr AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
-      |  FROM documents),
+  /** The unordered-NEAR oracle, parameterized like [[proximitySqlFrom]]
+    * (the analyzed-store replay: stopworded doc SLOTS stay empty, the
+    * query term SET drops stopwords entirely — the engine's
+    * [[graft.ops.TextCorpus.nearMatchTopK]] semantics). */
+  private[graft] def nearSqlFrom(queryWhere: String,
+                                 slop: Int,
+                                 docsFrom: String = "documents",
+                                 queriesFrom: String = "documents",
+                                 docTokens: String = bm25DefaultDocTokens,
+                                 queryTokens: String =
+                                   bm25DefaultQueryTokens,
+                                 stopCond: String = "TRUE",
+                                 querySliceEnd: Int = 4): String =
+    s"""WITH parr AS (
+      |  SELECT doc_id, $docTokens AS a
+      |  FROM $docsFrom),
       |pw AS (
       |  SELECT doc_id, a, unnest(generate_series(1, len(a))) AS pos
       |  FROM parr),
-      |ppos AS (SELECT doc_id, pos, a[pos] AS word FROM pw WHERE a[pos] <> ''),
+      |ppos AS (SELECT doc_id, pos, a[pos] AS word FROM pw
+      |         WHERE a[pos] <> '' AND ${stopCond.replace("%w", "a[pos]")}),
       |phq AS (
       |  SELECT doc_id AS query_id,
       |    array_to_string(list_slice(
-      |      string_split_regex(trim(text), '\s+'), 2, 4), ' ') AS query_text
-      |  FROM documents WHERE doc_id % 251 = 7),
+      |      string_split_regex(trim(text), '\\s+'), 2, $querySliceEnd),
+      |      ' ') AS query_text
+      |  FROM $queriesFrom WHERE $queryWhere),
       |qt AS (
       |  SELECT DISTINCT query_id, u.word
-      |  FROM (SELECT query_id, string_split_regex(trim(query_text), '\s+') AS a
+      |  FROM (SELECT query_id, $queryTokens AS a
       |        FROM phq) t, unnest(a) AS u(word)
-      |  WHERE u.word <> ''),
+      |  WHERE u.word <> '' AND ${stopCond.replace("%w", "u.word")}),
       |qlen AS (SELECT query_id, COUNT(*) AS n_terms FROM qt GROUP BY 1),
       |votes0 AS (
       |  SELECT qt.query_id, ppos.doc_id, ppos.word, ppos.pos, qlen.n_terms
@@ -643,7 +675,7 @@ object TextQueries extends QueryModule {
       |  JOIN qlen ON qlen.query_id = qt.query_id),
       |votes AS (
       |  SELECT query_id, doc_id, word,
-      |    pos - unnest(generate_series(0, n_terms + 2 - 1)) AS start
+      |    pos - unnest(generate_series(0, n_terms + $slop - 1)) AS start
       |  FROM votes0),
       |occ AS (
       |  SELECT query_id, doc_id, start, COUNT(DISTINCT word) AS n_hit
@@ -660,6 +692,8 @@ object TextQueries extends QueryModule {
       |  FROM perdoc)
       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, n_windows
       |FROM nranked WHERE rank <= 10""".stripMargin
+
+  private[queries] val nearSearchSql = nearSqlFrom("doc_id % 251 = 7", 2)
 
   /** Deterministic case/punctuation/stopword INJECTION over the (clean,
     * lowercase) synthetic corpus — string ops both engines evaluate
