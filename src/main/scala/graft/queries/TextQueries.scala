@@ -739,9 +739,109 @@ object TextQueries extends QueryModule {
     queryTokens = analyzedTokens.format("query_text"),
     wordCond = "u.word <> '' AND u.word NOT IN ('the', 'a')")
 
+  /** M8: BM25 (k1, b) parameter SWEEP — the retrieval-tuning harness
+    * (the `chooseBands`/`pairEval` precedent applied to scoring): ONE
+    * index (tokenize + tf/dl/df, built once and persisted — a sweep
+    * must never re-tokenize the corpus per config) scored under three
+    * (k1, b) configurations, each run graded with
+    * [[graft.similarity.Similarity.rankEval]] against the REFERENCE
+    * configuration's ranking (k1 = 1.2, b = 0.75) as the graded truth —
+    * the `m8_rank_eval` pattern (grade a variant against a reference
+    * ranking). Term-overlap relevance was tried and is unusable here:
+    * the synthetic corpus's tiny vocabulary makes overlap counts tie
+    * for nearly every document, and the tie-broken truth never
+    * intersects any BM25 top-5 (an all-zero scorecard grades nothing).
+    * The reference config rides in the sweep as a self-calibration row
+    * (it must score a perfect 1.0); the other configs' scores quantify
+    * how far each (k1, b) moves the ranking — verified non-degenerate
+    * at both SFs (the three configs produce genuinely different top-5
+    * lists). Output is the
+    * per-(config, query) scorecard (n_hits, reciprocal rank, nDCG@5
+    * with the fixed-point discount table — no libm in the eval
+    * arithmetic; the bm25 legs keep the family's documented idf
+    * libm-parity argument). The oracle replays index, truth, all three
+    * scoring configs, and the integer-weight DCG arithmetic. */
+  private def bm25Sweep(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextCorpus
+    import graft.similarity.Similarity
+    val k = 5
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val queries = Tables.documents(s, dir)
+      .filter(col("doc_id") % 251 === 7)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(coalesce(col("text"), lit(""))),
+          "\\s+"), 1, 4), " ").as("query_text"))
+    // one canonical tf frame for the whole sweep (the bm25TopK persist
+    // contract: callers own the lifetime; Verify/Bench clear the cache
+    // between queries)
+    val words = TextCorpus.tokenize(docs, col("doc_id"), col("text"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val df = tf.select(col("word"), lit(1L).as("df"))
+    // the graded truth: the reference configuration's own ranking
+    val truth = TextCorpus.bm25ScoreTopK(tf, dl, df, queries, k, 1.2, 0.75)
+      .select(col("query_id"), col("doc_id").as("cand_id"), col("rank"))
+    bm25SweepConfigs.map { case (k1, b) =>
+      val run = TextCorpus.bm25ScoreTopK(tf, dl, df, queries, k, k1, b)
+        .withColumnRenamed("doc_id", "cand_id")
+      Similarity.rankEval(run, truth, k)
+        .select(lit(math.round(k1 * 100)).as("k1_pct"),
+          lit(math.round(b * 100)).as("b_pct"),
+          col("query_id"), col("n_hits"), col("rr"), col("ndcg"))
+    }.reduce(_ unionByName _)
+  }
+
+  private val bm25SweepConfigs = Seq((1.2, 0.75), (0.9, 0.4), (1.8, 1.0))
+
+  private val bm25SweepSql = {
+    val K = 5
+    def weightCase(rankCol: String): String =
+      s"CASE $rankCol " + graft.similarity.Similarity.ndcgWeights(K)
+        .zipWithIndex
+        .map { case (w, i) => s"WHEN ${i + 1} THEN ${w}" }
+        .mkString(" ") + " ELSE 0 END"
+    def one(k1: Double, b: Double): String =
+      s"""WITH ${bm25OracleCtes(bm25SearchQueryCte, k1 = k1, b = b)},
+         |er AS (
+         |  SELECT query_id, doc_id AS cand_id, CAST(rank AS BIGINT) AS t_rank
+         |  FROM (${bm25SqlFrom(bm25SearchQueryCte)}) WHERE rank <= $K),
+         |ar AS (SELECT query_id, doc_id AS cand_id,
+         |         CAST(rank AS BIGINT) AS r_rank
+         |       FROM bmranked WHERE rank <= $K),
+         |eh AS (
+         |  SELECT ar.query_id, COUNT(*) AS n_hits,
+         |    SUM((${K + 1} - er.t_rank) * ${weightCase("ar.r_rank")}) AS dcg_fp
+         |  FROM ar JOIN er ON er.query_id = ar.query_id
+         |                 AND er.cand_id = ar.cand_id
+         |  GROUP BY 1),
+         |ei AS (
+         |  SELECT query_id,
+         |    SUM((${K + 1} - t_rank) * ${weightCase("t_rank")}) AS ideal_fp
+         |  FROM er GROUP BY 1),
+         |efirst AS (
+         |  SELECT ar.query_id, 1000000000 // ar.r_rank AS rr_fp
+         |  FROM ar JOIN er ON er.query_id = ar.query_id
+         |                 AND er.cand_id = ar.cand_id
+         |  WHERE er.t_rank = 1)
+         |SELECT CAST(${math.round(k1 * 100)} AS BIGINT) AS k1_pct,
+         |  CAST(${math.round(b * 100)} AS BIGINT) AS b_pct,
+         |  ei.query_id,
+         |  CAST(COALESCE(eh.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(efirst.rr_fp, 0) AS DOUBLE) / 1000000000.0 AS rr,
+         |  CAST(COALESCE(eh.dcg_fp, 0) AS DOUBLE)
+         |    / CAST(ei.ideal_fp AS DOUBLE) AS ndcg
+         |FROM ei LEFT JOIN eh USING (query_id)
+         |        LEFT JOIN efirst USING (query_id)""".stripMargin
+    bm25SweepConfigs
+      .map { case (k1, b) => s"SELECT * FROM (\n${one(k1, b)}\n)" }
+      .mkString("\nUNION ALL\n")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_bm25_search"      -> bm25Search _,
     "m8_bm25_analyzed"    -> bm25Analyzed _,
+    "m8_bm25_sweep"       -> bm25Sweep _,
     "m8_phrase_search"    -> phraseSearch _,
     "m8_proximity_search" -> proximitySearch _,
     "m8_near_search"      -> nearSearch _,
@@ -762,6 +862,7 @@ object TextQueries extends QueryModule {
   def oracles: Map[String, String] = Map(
     "m8_bm25_search"      -> bm25SearchSql,
     "m8_bm25_analyzed"    -> bm25AnalyzedSql,
+    "m8_bm25_sweep"       -> bm25SweepSql,
     "m8_phrase_search"    -> phraseSearchSql,
     "m8_proximity_search" -> proximitySearchSql,
     "m8_near_search"      -> nearSearchSql,
