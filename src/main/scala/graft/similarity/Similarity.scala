@@ -177,6 +177,20 @@ object Similarity {
       Seq(col("cand_id")), Seq(col("csim").desc, col("cent_id")), 1)
       .select("cand_id", "cv", "cent_id")
 
+  /** [[ivfAssign]] KEEPING the winning assignment similarity (`csim`) —
+    * the drift monitor's input: `mean(1 − csim)` over a batch is the
+    * residual-to-assigned-centroid statistic
+    * [[graft.streaming.AnnIndex]]'s refresh policy watches. A separate
+    * method (not an extra column on [[ivfAssign]]) so the hot encode
+    * path's plan — and every audited shape built on it — stays
+    * byte-identical when no one is monitoring. */
+  private[graft] def ivfAssignSim(c: DataFrame, cent: DataFrame): DataFrame =
+    GraftOps.topKPerKey(
+      c.crossJoin(broadcast(cent))
+        .withColumn("csim", VectorFns.cosine(col("cv"), col("cvec"))),
+      Seq(col("cand_id")), Seq(col("csim").desc, col("cent_id")), 1)
+      .select("cand_id", "cv", "cent_id", "csim")
+
   /** Re-assemble [[groupCentroids]]' per-dimension rows into centroid
     * arrays `(cent_id, cvec)`. `array_sort` over the (pos, centroid)
     * structs pins component order deterministically regardless of

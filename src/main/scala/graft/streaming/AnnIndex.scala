@@ -44,6 +44,50 @@ import graft.similarity.Similarity
 object AnnIndex {
 
   private val Pointer = "_CURRENT"
+  private val ResidualMeta = "_RESIDUAL"
+
+  /** Drift-TRIGGERED refresh policy for [[maintain]] — the monitoring
+    * half of the refresh lifecycle (the `compactWhenBatchesExceed`
+    * precedent): each monitored batch records its mean
+    * residual-to-assigned-centroid (`mean(1 − csim)`, a by-product of
+    * the encode's own assignment — no extra corpus pass), and when a
+    * batch's residual exceeds `residualFactor ×` the live version's
+    * TRAINING residual (stamped into the version dir at publish), the
+    * stream runs [[refresh]] at the end of that batch — a
+    * between-batches instant, so the next batch encodes against the new
+    * version automatically and a crash-replay of the triggering batch
+    * is fenced by the rebuild's pinned high-water mark. Self-limiting:
+    * the post-refresh baseline is trained ON the drifted data, so the
+    * same drift cannot re-trigger — a planted drift stream refreshes
+    * exactly once (AnnIndexSpec).
+    *
+    * `corpus` must satisfy [[refresh]]'s contract at every batch end:
+    * the float vector of EVERY live id, including ids this very stream
+    * has admitted. The residual statistic is a float mean (a monitoring
+    * trigger with wide margins, not a gated value — shuffle-order ulps
+    * cannot flip a ≥ factor-sized threshold crossing). A pre-policy
+    * version dir carries no training residual; monitored batches over
+    * it record their statistic but never trigger (the baseline appears
+    * at the next init/refresh publish). */
+  case class RefreshPolicy(residualFactor: Double, corpus: DataFrame,
+                           nlist: Int = 16, lloydIters: Int = 2) {
+    require(residualFactor > 0.0,
+      s"residualFactor must be positive: $residualFactor")
+  }
+
+  /** The training-time mean residual (fixed-point, ×1e6) stamped into
+    * version `v`'s dir at publish — the refresh policy's baseline. */
+  private[streaming] def versionResidual(spark: SparkSession, root: String,
+                                         v: Long): Option[Long] =
+    StatePointer.read(spark, vdir(root, v), ResidualMeta)
+      .collect { case s if s.matches("-?\\d+") => s.toLong }
+
+  /** `mean(1 − csim)` of `assigned` rows ([[Similarity.ivfAssignSim]]
+    * output) as a fixed-point long (×1e6); None for an empty frame. */
+  private def residualFp(assigned: DataFrame): Option[Long] = {
+    val r = assigned.agg(avg(lit(1.0) - col("csim"))).collect()(0)
+    if (r.isNullAt(0)) None else Some(math.round(r.getDouble(0) * 1e6))
+  }
 
   private def vdir(root: String, v: Long) = s"$root/v=$v"
   private def listsDir(root: String, v: Long) = s"${vdir(root, v)}/lists"
@@ -80,6 +124,16 @@ object AnnIndex {
     cent.write.mode("overwrite").parquet(centDir(root, nv))
     BatchStore.seedBase(spark, listsDir(root, nv), lists, hwm)
     carryDeletes.foreach(d => BatchStore.delete(spark, listsDir(root, nv), d))
+    // training-residual baseline for the drift policy, stamped INSIDE
+    // the still-staged version dir (invisible until the pointer flip):
+    // one extra assignment pass over the build corpus, paid only at
+    // init/refresh — the per-batch monitor then compares against it
+    // for free
+    val trainRes = residualFp(Similarity.ivfAssignSim(
+      vecs.select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
+      spark.read.parquet(centDir(root, nv)))).getOrElse(0L)
+    StatePointer.publish(spark, vdir(root, nv), ResidualMeta,
+      trainRes.toString)
     StatePointer.publish(spark, root, Pointer, nv.toString)
     // GC (idempotent; crash here leaves dead dirs the pointer ignores):
     // retire all but the new and immediately-previous versions
@@ -105,7 +159,8 @@ object AnnIndex {
   def maintain(vecs: DataFrame, root: String, checkpointDir: String,
                continuous: Boolean = false,
                compactWhenBatchesExceed: Option[Int] = None,
-               kindCol: Option[String] = None)
+               kindCol: Option[String] = None,
+               refreshPolicy: Option[RefreshPolicy] = None)
       : StreamingQuery = {
     val spark = vecs.sparkSession
     def runPolicy(): Unit = compactWhenBatchesExceed.foreach { threshold =>
@@ -119,17 +174,61 @@ object AnnIndex {
     val writer = vecs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (continuous) runPolicy()
-        val v = liveVersion(batch.sparkSession, root)
+        val sp = batch.sparkSession
+        val v = liveVersion(sp, root)
         val (adds, dels) = kindCol match {
           case Some(kc) => BatchStore.splitMixed(batch, kc)
           case None => (batch, batch.limit(0))
         }
-        IndexStream.encodeAgainst(adds, centDir(root, v))
-          .write.mode("overwrite")
-          .parquet(s"${listsDir(root, v)}/${BatchStore.BatchCol}=$batchId")
+        val target = s"${listsDir(root, v)}/${BatchStore.BatchCol}=$batchId"
+        // monitored encode keeps the assignment similarity so the drift
+        // statistic is a by-product of the batch's own encode (one agg
+        // over the persisted batch-sized frame, never a corpus pass);
+        // the unmonitored path is IndexStream's, byte-identical to
+        // before the policy existed
+        val batchRes: Option[Long] = refreshPolicy match {
+          case None =>
+            IndexStream.encodeAgainst(adds, centDir(root, v))
+              .write.mode("overwrite").parquet(target)
+            None
+          case Some(_) =>
+            val centPath = new Path(centDir(root, v))
+            require(centPath
+                .getFileSystem(sp.sparkContext.hadoopConfiguration)
+                .exists(centPath),
+              s"centroid store missing at ${centDir(root, v)} — refusing " +
+                "to encode against an empty quantizer")
+            val assigned = Similarity.ivfAssignSim(
+                adds.select(col("vec_id").as("cand_id"),
+                  col("embedding").as("cv")),
+                sp.read.parquet(centDir(root, v)))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            assigned
+              .withColumn("scale",
+                graft.functions.VectorFns.quantize_scale(col("cv")))
+              .withColumn("code",
+                graft.functions.VectorFns.quantize_i8(col("cv"), col("scale")))
+              .select("cand_id", "cent_id", "code")
+              .write.mode("overwrite").parquet(target)
+            val r = residualFp(assigned)
+            assigned.unpersist()
+            r
+        }
+        // deletes land BEFORE a triggered refresh, so the rebuild
+        // excludes them and carries the tombstone set forward
         if (kindCol.nonEmpty)
-          BatchStore.delete(batch.sparkSession, listsDir(root, v),
-            dels.select("vec_id"))
+          BatchStore.delete(sp, listsDir(root, v), dels.select("vec_id"))
+        // trigger check at batch END — a between-batches instant: the
+        // next batch resolves the new version, and a crash-replay of
+        // THIS batch is fenced by the rebuild's pinned hwm (its re-write
+        // lands under the pointer filter, dead on arrival); the replayed
+        // batch's recomputed residual compares against the REFRESHED
+        // baseline (trained on the drifted data), so it cannot
+        // double-trigger
+        for (p <- refreshPolicy; r <- batchRes;
+             base <- versionResidual(sp, root, v)
+             if r > p.residualFactor * base)
+          refresh(sp, root, p.corpus, p.nlist, p.lloydIters)
         ()
       }
       .option("checkpointLocation", checkpointDir)

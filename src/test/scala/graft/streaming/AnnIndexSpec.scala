@@ -103,6 +103,83 @@ class AnnIndexSpec extends SparkSpec {
     assert(BatchStore.hasDeletes(spark, s"$root/v=2/lists"))
   }
 
+  test("drift-triggered refresh: planted drift fires exactly one refresh, " +
+       "equals the manual flow, and a generous threshold never fires") {
+    import spark.implicits._
+    // a WELL-CLUSTERED synthetic corpus (not the near-random test
+    // embeddings, whose mean cosine residual hovers ~0.8 for ANY
+    // quantizer — no statistic could contrast drift there): standing
+    // vectors sit in four tight axis-aligned clusters (baseline
+    // residual ≈ 0), the drifted delta is a fifth cluster on an axis
+    // the stale quantizer never saw (per-batch residual ≈ 1) — the
+    // distribution-shift shape the monitor exists to catch
+    def vec(axis: Int, j: Int): Seq[Float] =
+      (0 until 8).map(d =>
+        (if (d == axis) 10f else 0f) + ((j * 7 + d * 3) % 5) * 0.1f)
+    val standing = (0L until 40L).map(i => (i, vec((i % 4).toInt, i.toInt)))
+      .toDF("vec_id", "embedding")
+    val delta = (100L until 124L).map(i => (i, vec(5, i.toInt)))
+      .toDF("vec_id", "embedding")
+    val corpus = standing.unionByName(delta)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def writeWave(watch: String, i: Int): Unit = {
+      val stage = tmp("anndrift_stage")
+      delta.filter(col("vec_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(watch, s"b$i.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(System.currentTimeMillis() - 3600000L + i * 2000L)
+    }
+    def mkWatch(): String = {
+      val w = tmp("anndrift_w"); (0 until 3).foreach(i => writeWave(w, i)); w
+    }
+    def stream(w: String) = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1").parquet(w)
+
+    // policy run: the first drifted wave must trigger ONE refresh; the
+    // post-refresh baseline is trained on the drifted data, so the
+    // remaining drifted waves must not re-trigger
+    val root = tmp("anndrift_p")
+    AnnIndex.init(spark, root, standing, nlist = 8, lloydIters = 2)
+    assert(AnnIndex.versionResidual(spark, root, 1L).nonEmpty,
+      "init must stamp the training-residual baseline")
+    AnnIndex.maintain(stream(mkWatch()), root, tmp("anndrift_ck"),
+        refreshPolicy = Some(AnnIndex.RefreshPolicy(2.0, corpus,
+          nlist = 8, lloydIters = 2)))
+      .awaitTermination()
+    assert(AnnIndex.currentVersion(spark, root) === Some(2L),
+      "planted drift must trigger exactly one refresh")
+    assert(AnnIndex.versionResidual(spark, root, 2L).nonEmpty)
+
+    // manual twin: drain wave 0 alone, refresh by hand, drain waves 1-2
+    // — the policy run must land in the identical end state
+    val root2 = tmp("anndrift_m")
+    AnnIndex.init(spark, root2, standing, nlist = 8, lloydIters = 2)
+    val w2 = tmp("anndrift_w2"); val ck2 = tmp("anndrift_ck2")
+    writeWave(w2, 0)
+    AnnIndex.maintain(stream(w2), root2, ck2).awaitTermination()
+    AnnIndex.refresh(spark, root2, corpus, nlist = 8, lloydIters = 2)
+    writeWave(w2, 1); writeWave(w2, 2)
+    AnnIndex.maintain(stream(w2), root2, ck2).awaitTermination()
+    val q = corpus.filter(col("vec_id") < 6)
+    assert(serveSet(root, q, corpus) === serveSet(root2, q, corpus),
+      "policy-driven refresh diverged from the manual refresh flow")
+
+    // control: a generous threshold records the statistic but never fires
+    val root3 = tmp("anndrift_c")
+    AnnIndex.init(spark, root3, standing, nlist = 8, lloydIters = 2)
+    AnnIndex.maintain(stream(mkWatch()), root3, tmp("anndrift_ck3"),
+        refreshPolicy = Some(AnnIndex.RefreshPolicy(1e6, corpus,
+          nlist = 8, lloydIters = 2)))
+      .awaitTermination()
+    assert(AnnIndex.currentVersion(spark, root3) === Some(1L),
+      "a threshold no batch crosses must never refresh")
+    corpus.unpersist()
+  }
+
   test("maintain + serve equal the fixed-quantizer batch build") {
     val e = emb
     val standing = e.filter(col("vec_id") % 4 =!= 0)
