@@ -88,13 +88,112 @@ object ServeScale {
       val (_, serve2) = secs {
         drain(AnnIndex.serve(spark, root, queries, emb, 5, nprobe = 4))
       }
+      // drift-monitor overhead: a warmed unmonitored drain vs a warmed
+      // monitored one (never-triggering threshold), fresh index each —
+      // the per-batch residual statistic should be ~free (one agg over
+      // the persisted batch-sized assignment, a by-product of encode)
+      def drainAt(policy: Option[AnnIndex.RefreshPolicy]): Double = {
+        val r = java.nio.file.Files.createTempDirectory("svsc_annm").toString
+        AnnIndex.init(spark, r, emb.filter(col("vec_id") % 5 =!= 4),
+          nlist = 16, lloydIters = 2)
+        val st = spark.readStream
+          .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", "1").parquet(watch)
+        val (_, s2) = secs {
+          AnnIndex.maintain(st, r,
+            java.nio.file.Files.createTempDirectory("svsc_annmc").toString,
+            refreshPolicy = policy).awaitTermination()
+        }
+        s2
+      }
+      val drainUnmon = drainAt(None)
+      val drainMon = drainAt(Some(AnnIndex.RefreshPolicy(1e9, emb)))
       def fmt(d: Double) =
         String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
       println(s"""{"sf":"$sfDir","mode":"ann","n_vecs":$n,""" +
         s""""init_secs":${fmt(initSecs)},"drain_secs":${fmt(drainSecs)},""" +
         s""""serve_stale_secs":${fmt(serve1)},""" +
         s""""refresh_secs":${fmt(refreshSecs)},""" +
-        s""""serve_refreshed_secs":${fmt(serve2)}}""")
+        s""""serve_refreshed_secs":${fmt(serve2)},""" +
+        s""""drain_unmonitored_secs":${fmt(drainUnmon)},""" +
+        s""""drain_monitored_secs":${fmt(drainMon)}}""")
+      spark.stop()
+      return
+    }
+
+    // `positional` mode: the slop-operator serve walls (round-15
+    // verdict task #7) — the T15/T20 store shape (positions = true),
+    // three waves drained as separate AvailableNow runs, then all four
+    // retrieval modes served pre- and post-fold. proximity/NEAR ride
+    // the same tp rows as phrase but fan each occurrence out ×(slop+1)
+    // anchor votes (ordered) / ×(n_terms+slop) window votes (unordered)
+    // — the one scaling term the bm25/phrase walls don't measure.
+    if (mode == "positional") {
+      import graft.streaming.PostingsStream
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val nDocs = docs.count()
+      val watch = java.nio.file.Files.createTempDirectory("svsc_pwatch").toString
+      val root = java.nio.file.Files.createTempDirectory("svsc_proot").toString
+      val base = System.currentTimeMillis() - 3600L * 1000
+      def addWave(i: Int): Unit = {
+        val stage =
+          java.nio.file.Files.createTempDirectory("svsc_pstage").toString
+        docs.filter(col("doc_id") % 3 === i)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(watch, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(base + i * 2000L)
+      }
+      val waveSecs = (0 until 3).map { i =>
+        addWave(i)
+        val stream = spark.readStream
+          .schema("doc_id BIGINT, text STRING")
+          .parquet(watch)
+        val (_, s) = secs {
+          PostingsStream.maintainPostings(stream, s"$root/index",
+            s"$root/ckpt", positions = true).awaitTermination()
+        }
+        s
+      }
+      def queriesAt(from: Int, len: Int) = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 251 === 7)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(trim(coalesce(col("text"), lit(""))),
+            "\\s+"), from, len), " ").as("query_text"))
+      val qBm = queriesAt(1, 4); val qPh = queriesAt(2, 3)
+      val nQueries = qBm.count()
+      def serveAll(): Map[String, Double] = Map(
+        "bm25" -> secs {
+          drain(PostingsStream.bm25Serve(spark, s"$root/index", qBm, 10))
+        }._2,
+        "phrase" -> secs {
+          drain(PostingsStream.phraseServe(spark, s"$root/index", qPh, 10))
+        }._2,
+        "proximity" -> secs {
+          drain(PostingsStream.proximityServe(spark, s"$root/index", qPh,
+            10, slop = 2))
+        }._2,
+        "near" -> secs {
+          drain(PostingsStream.nearServe(spark, s"$root/index", qPh,
+            10, slop = 2))
+        }._2)
+      val pre = serveAll()
+      val (rep, foldSecs) = secs {
+        PostingsStream.compactIndex(spark, s"$root/index", keepBatches = 1)
+      }
+      val post = serveAll()
+      def fmt(d: Double) =
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+      def m(mm: Map[String, Double]) =
+        mm.toSeq.sortBy(_._1)
+          .map { case (k2, v) => s""""$k2":${fmt(v)}""" }.mkString(",")
+      println(s"""{"sf":"$sfDir","mode":"positional","n_docs":$nDocs,""" +
+        s""""n_queries":$nQueries,""" +
+        s""""wave_secs":[${waveSecs.map(fmt).mkString(",")}],""" +
+        s""""fold_secs":${fmt(foldSecs)},"fold_base_rows":${rep.baseRows},""" +
+        s""""serve_pre":{${m(pre)}},"serve_post":{${m(post)}}}""")
       spark.stop()
       return
     }

@@ -1274,6 +1274,92 @@ object StreamGateQueries extends QueryModule {
        |FROM (${one(nr, 2)})""".stripMargin
   }
 
+  /** T25 — deletion through the LEDGER and the maintained SAMPLE, the
+    * two stores whose delete paths were previously spec-only: two
+    * admission waves build the duplicate-group ledger, every
+    * 11th-mod-5 doc is taken down ([[graft.streaming.DeltaLedger
+    * .delete]]), the latest-wins fold physically drops their label
+    * rows (required in-query), and the surviving labeling is read
+    * back; in parallel a 50-doc weighted sample is maintained over two
+    * waves and the same takedown runs through
+    * [[graft.streaming.SampleStream.deleteFromSample]] (the sample
+    * SHRINKS — the discarded (k+1)-th priority is not resurrectable,
+    * the documented semantics). The oracle replays the two-stage
+    * admission + recursive closure and the full-corpus priority
+    * ranking, both delete-blind, and filters the deleted ids at the
+    * END — survivors-only equivalence for both stores in one hash
+    * compare. (Deleted docs still participate in closure edges, and a
+    * surviving doc may keep a deleted doc's id as its CLUSTER LABEL —
+    * labels are opaque names, not living rows.) */
+  private def t25LedgerDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{BatchStore, DeltaLedger, SampleStream,
+      ViewMaintenance}
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val root = Dsl.tempDir("graft_t25_")
+    val watch = writeOrderedBatches(docs, "doc_id", 2)
+    val stream = s.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    DedupStream.admitDocuments(stream, s"$root/store", s"$root/verdicts",
+      s"$root/ckpt", bands = 8, rowsPerBand = 4, minAgreement = 0.5,
+      portable = true, labelsDir = Some(s"$root/labels"))
+      .awaitTermination()
+    val dels = docs.filter(col("doc_id") % 11 === 5).select("doc_id")
+    DeltaLedger.delete(s, s"$root/labels", dels)
+    DeltaLedger.compact(s, s"$root/labels", keepBatches = 1)
+    val leaked = s.read.parquet(s"$root/labels/graft_batch=-2")
+      .filter(col("doc_id") % 11 === 5).count()
+    require(leaked == 0,
+      s"compacted ledger base still holds $leaked deleted label rows")
+    val ledger = DeltaLedger.read(s, s"$root/labels")
+      .select(lit("ledger").as("leg"), col("doc_id"),
+        col("cluster_id").as("val"))
+    val sdocs = Tables.documents(s, dir).select("doc_id", "n_chars")
+    val sstream = s.readStream
+      .schema("doc_id LONG, n_chars LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(writeOrderedBatches(sdocs, "doc_id", 2))
+    SampleStream.maintainSample(sstream, s"$root/sample", s"$root/sckpt",
+        k = 50, salt = "ssam", idCol = "doc_id", weightCol = "n_chars")
+      .awaitTermination()
+    SampleStream.deleteFromSample(s, s"$root/sample", dels)
+    val sample = ViewMaintenance.readLatest(s, s"$root/sample").get
+      .select(lit("sample").as("leg"), col("sample_id").as("doc_id"),
+        col("weight").cast("long").as("val"))
+    ledger.unionByName(sample)
+  }
+
+  private val t25Sql =
+    s"""WITH RECURSIVE ${DedupQueries.minhashOracleCtes},
+       |${stageSql(0, "", 2)},
+       |${stageSql(1, "OR c.doc_id IN (SELECT doc_id FROM adm0)", 2)},
+       |ed0 AS (
+       |  SELECT new_id AS u, dup_of AS v FROM h0
+       |  UNION ALL SELECT new_id, dup_of FROM h1),
+       |e AS (SELECT u, v FROM ed0 UNION ALL SELECT v, u FROM ed0),
+       |reach AS (
+       |  SELECT u, v FROM e
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+       |ccl AS (
+       |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+       |  FROM reach GROUP BY u)
+       |SELECT 'ledger' AS leg, d.doc_id,
+       |  COALESCE(c.cluster_id, d.doc_id) AS val
+       |FROM documents d LEFT JOIN ccl c USING (doc_id)
+       |WHERE d.doc_id % 11 <> 5
+       |UNION ALL
+       |SELECT 'sample' AS leg, doc_id, CAST(n_chars AS BIGINT) AS val
+       |FROM (
+       |  SELECT doc_id, n_chars,
+       |    ROW_NUMBER() OVER (ORDER BY
+       |      CAST(${Dsl.hex60Sql("'ssam|' || doc_id::VARCHAR")} AS DOUBLE)
+       |        / CAST(n_chars AS DOUBLE) ASC,
+       |      doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= 50 AND doc_id % 11 <> 5""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_late_split"      -> t11LateSplit _,
     "t12_view_maintain"   -> t12ViewMaintain _,
@@ -1293,6 +1379,7 @@ object StreamGateQueries extends QueryModule {
     "t22_stream_delete" -> t22StreamDelete _,
     "t23_admission_delete" -> t23AdmissionDelete _,
     "t24_hybrid_refresh" -> t24HybridRefresh _,
+    "t25_ledger_delete" -> t25LedgerDelete _,
     "m8_proximity_analyzed" -> m8ProximityAnalyzed _)
 
   def oracles: Map[String, String] = Map(
@@ -1314,5 +1401,6 @@ object StreamGateQueries extends QueryModule {
     "t22_stream_delete" -> t22Sql,
     "t23_admission_delete" -> t23Sql,
     "t24_hybrid_refresh" -> t24Sql,
+    "t25_ledger_delete" -> t25Sql,
     "m8_proximity_analyzed" -> m8ProximityAnalyzedSql)
 }
