@@ -155,6 +155,24 @@ object ScaleGate {
       queries, k = 10, slop = 2)
   }
 
+  /** Unordered-NEAR stratum gate (round 16) — proximity's recipe
+    * through [[graft.ops.TextCorpus.nearSearch]]. Pure per-pair window
+    * counting with NO corpus-global stats, so like phrase/proximity the
+    * oracle replays with no pinning; the ×(n_terms+slop) window-vote
+    * fan-out is the one slop-scaling term the ordered gate doesn't
+    * exercise. */
+  private def nearStratum(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val queries = Tables.documents(s, dir)
+      .filter(col("doc_id") >= StratumBase &&
+        (col("doc_id") - StratumBase) % 17 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(coalesce(col("text"), lit(""))),
+          "\\s+"), 2, 3), " ").as("query_text"))
+    graft.ops.TextCorpus.nearSearch(docs, col("doc_id"), col("text"),
+      queries, k = 10, slop = 2)
+  }
+
   /** The full image's (n_docs, total_dl) under [[graft.ops.TextCorpus
     * .bm25TopK]]'s exact tokenization (docs with ≥1 token; token
     * count), pinned into the stratum oracle's stats CTE. */
@@ -311,6 +329,8 @@ object ScaleGate {
       dump("m8_phrase_search", phraseStratum(spark, imageDir))
     if (selected("m8_proximity_search"))
       dump("m8_proximity_search", proximityStratum(spark, imageDir))
+    if (selected("m8_near_search"))
+      dump("m8_near_search", nearStratum(spark, imageDir))
     // Each media gate probes ITS OWN payload table — plantStratum writes
     // images before audio, so a crash between the two leaves a half-
     // planted image where the image gate is still runnable and only the
@@ -383,11 +403,13 @@ object ScaleGate {
       "m8_phrase_search" -> graft.queries.TextQueries.phraseSqlFrom(
         "doc_id >= 1000000000 AND (doc_id - 1000000000) % 17 = 0"),
       "m8_proximity_search" -> graft.queries.TextQueries.proximitySqlFrom(
+        "doc_id >= 1000000000 AND (doc_id - 1000000000) % 17 = 0", 2),
+      "m8_near_search" -> graft.queries.TextQueries.nearSqlFrom(
         "doc_id >= 1000000000 AND (doc_id - 1000000000) % 17 = 0", 2)) ++
       mediaOverrides ++ bm25Override
     val names = (gated.map(_._1) ++
         Seq("m8_semantic_dedup", "m8_bm25_search", "m8_phrase_search",
-          "m8_proximity_search"))
+          "m8_proximity_search", "m8_near_search"))
       .filter(selected) ++ mediaOverrides.map(_._1)
     val json = names
       .map(n => s"${q(n)}: ${q(oracleOverrides.getOrElse(n, SparkEntry.oracleSql(n)))}")

@@ -198,6 +198,47 @@ class TextCorpusSpec extends SparkSpec {
     assert(got.count() == 0) // every pair occurs once: nothing to merge
   }
 
+  test("trainBpeLocal: identical rule tables to trainBpe (reference " +
+       "corpus, real docs at depth, fusion/early-stop edges)") {
+    def tbl(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2),
+        x.getString(3), x.getLong(4))).toSeq
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq(corpus.mkString(" ")).toDF("text")
+    assert(tbl(TextCorpus.trainBpeLocal(docs, col("text"), 6)) ===
+      tbl(TextCorpus.trainBpe(docs, col("text"), 6)))
+    // the REAL gated corpus, well past the gate's 6 merges: the two
+    // trainers are the same sequential-greedy algorithm, so the tables
+    // must agree rule for rule (counts, tie-breaks, fusion included)
+    val real = graft.Tables.documents(spark, sf).select("text")
+    assert(tbl(TextCorpus.trainBpeLocal(real, col("text"), 16)) ===
+      tbl(TextCorpus.trainBpe(real, col("text"), 16)))
+    // greedy left-to-right non-overlap ("aaaa" → [aa, aa])
+    val aa = Seq("aaaa aaaa aaaa").toDF("text")
+    assert(tbl(TextCorpus.trainBpeLocal(aa, col("text"), 2))
+      .map(t => (t._2, t._3, t._5)) === Seq(("a", "a", 9L), ("aa", "aa", 3L)))
+    // early stop when nothing repeats
+    assert(TextCorpus.trainBpeLocal(Seq("ab cd ef").toDF("text"),
+      col("text"), 10).count() === 0)
+  }
+
+  test("trainBpeLocal: maxVocab caps training to the most frequent " +
+       "words, equal to the full trainer over the capped sub-vocabulary") {
+    def tbl(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2),
+        x.getString(3), x.getLong(4))).toSeq
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq(corpus.mkString(" ")).toDF("text")
+    // top-3 by (cnt desc, word): newest×6, low×5, widest×3 — lower drops
+    val capped = Seq((Seq.fill(6)("newest") ++ Seq.fill(5)("low") ++
+      Seq.fill(3)("widest")).mkString(" ")).toDF("text")
+    assert(tbl(TextCorpus.trainBpeLocal(docs, col("text"), 6,
+        maxVocab = 3)) ===
+      tbl(TextCorpus.trainBpe(capped, col("text"), 6)))
+  }
+
   test("unigramSurprisal: hand-computed floor-log2 bits, empty doc zeroes") {
     // corpus tokens: a×5, b×1, c×1 -> N=7
     // bits(a)=floor(log2(7 div 5))=0, bits(b)=bits(c)=floor(log2(7))=2
