@@ -751,6 +751,48 @@ object TextCorpus {
       analyzer)
   }
 
+  /** A reusable, EXPLICITLY-SCOPED BM25 index over a fixed corpus — the
+    * cache-lifetime answer to [[bm25TopK]]'s documented
+    * callers-own-the-lifetime contract (round-15 verdict): bm25TopK
+    * persists its canonical tf frame and leaves it registered in the
+    * session's CacheManager, which the Verify/Bench harnesses clear
+    * between queries but a library user can forget. The handle pins the
+    * lifetime in the type instead: build once, serve any number of
+    * query batches and (k1, b) configurations against the one persisted
+    * tf frame (the `m8_bm25_sweep` shape), and release
+    * deterministically with [[Bm25Index.close]] (AutoCloseable, so
+    * `scala.util.Using` / try-with-resources compose). Serves issued
+    * before close() and materialized after it still compute correctly —
+    * unpersist only drops the cache, not the lineage. A STANDING corpus
+    * belongs in a [[graft.streaming.PostingsStream]] store instead;
+    * this is the session-scoped ad-hoc index. */
+  final class Bm25Index private[TextCorpus] (
+      tfFrame: DataFrame, analyzer: Option[Analyzer])
+      extends AutoCloseable {
+    private val dl = tfFrame.groupBy("doc_id").agg(sum("tf").as("dl"))
+    private val df = tfFrame.select(col("word"), lit(1L).as("df"))
+    /** Top-k under one (k1, b) configuration — [[bm25ScoreTopK]] over
+      * the index's shared frames; queries are analyzed through the
+      * index's analyzer, like a store serve. */
+    def topK(queries: DataFrame, k: Int, k1: Double = 1.2,
+             b: Double = 0.75,
+             broadcastQueriesUpTo: Long = Long.MaxValue): DataFrame =
+      bm25ScoreTopK(tfFrame, dl, df, queries, k, k1, b,
+        broadcastQueriesUpTo, analyzer)
+    /** Release the persisted tf frame (idempotent). */
+    def close(): Unit = { tfFrame.unpersist(); () }
+  }
+
+  /** Build a [[Bm25Index]]: one tokenize + tf aggregation, persisted
+    * for every serve until [[Bm25Index.close]]. */
+  def bm25Index(docs: DataFrame, id: Column, text: Column,
+                analyzer: Option[Analyzer] = None): Bm25Index = {
+    val words = tokenize(docs, id, text, analyzer)
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    new Bm25Index(tf, analyzer)
+  }
+
   /** Opt-in analyzer for the retrieval tokenizers — the text-hygiene
     * layer real corpora need before indexing ("The"/"the" must be one
     * term; stopwords must not dominate postings volume):

@@ -1031,8 +1031,11 @@ object StreamGateQueries extends QueryModule {
   /** T23 — streamed tombstones through the ADMISSION pipeline: the
     * screen itself must forget deleted content (a doc that left the
     * corpus must not veto new arrivals). Three mixed waves (doc_id % 3
-    * slices; waves 1-2 carry `del` rows for the doc_id % 11 = 6 docs (a residue chosen to intersect real stage-2 duplicate chains at both gated SFs), some
-    * deleting docs ADDED IN THE SAME WAVE — which keep their verdict
+    * slices; waves 1-2 carry `del` rows for the doc_id % 11 = 6 docs —
+    * a residue chosen to intersect real stage-2 duplicate chains, so
+    * the deletes flip actual verdicts (3 at sf0.01, 10 at sf0.1) versus
+    * a delete-blind replay — some deleting docs ADDED IN THE SAME WAVE,
+    * which keep their verdict
     * but leave the store tombstoned) drive
     * [[DedupStream.admitDocuments]] with `kindCol`; the output is every
     * verdict row PLUS the store's live (tombstone-masked) id set. The

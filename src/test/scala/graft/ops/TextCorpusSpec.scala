@@ -223,6 +223,45 @@ class TextCorpusSpec extends SparkSpec {
       col("text"), 10).count() === 0)
   }
 
+  test("Bm25Index: one build serves many query batches and configs " +
+       "equal to bm25TopK; close() releases the cache deterministically") {
+    val docs = Seq(
+      (1L, "spark joins shuffle data across executors"),
+      (2L, "spark caches hot frames in executor memory"),
+      (3L, "ducks swim on calm water near the reeds"),
+      (4L, "joins and aggregations shuffle data")).toDF("doc_id", "text")
+    val q1 = Seq((10L, "spark joins")).toDF("query_id", "query_text")
+    val q2 = Seq((11L, "ducks water")).toDF("query_id", "query_text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // expected answers via bm25TopK, whose own persisted tf is exactly
+    // the documented footgun — cleared before the handle is built so
+    // the cache assertions below see only the index's entry
+    def reference(q: org.apache.spark.sql.DataFrame, k1: Double,
+                  b: Double) =
+      rows(TextCorpus.bm25TopK(docs, col("doc_id"), col("text"), q, 3,
+        k1 = k1, b = b))
+    val (e1, e2, e3) =
+      (reference(q1, 1.2, 0.75), reference(q2, 1.2, 0.75),
+        reference(q1, 0.9, 0.4))
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val idx = TextCorpus.bm25Index(docs, col("doc_id"), col("text"))
+    assert(rows(idx.topK(q1, 3)) === e1)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "the index must hold its tf frame cached between serves")
+    assert(rows(idx.topK(q2, 3)) === e2)
+    assert(rows(idx.topK(q1, 3, k1 = 0.9, b = 0.4)) === e3)
+    // a plan built BEFORE close still computes AFTER it (lineage stays)
+    val late = idx.topK(q1, 3)
+    idx.close()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "close() must leave nothing registered in the cache")
+    assert(rows(late) === e1)
+    idx.close() // idempotent
+  }
+
   test("trainBpeLocal: maxVocab caps training to the most frequent " +
        "words, equal to the full trainer over the capped sub-vocabulary") {
     def tbl(df: org.apache.spark.sql.DataFrame) = df.collect()
