@@ -65,15 +65,31 @@ object SampleStream {
   /** Start maintaining the sample over streaming `docs` with (`idCol`,
     * `weightCol`) columns. AvailableNow by default; `continuous = true`
     * for a long-running loop. Weights must be positive — the fold
-    * inherits [[Sampling.weightedSample]]'s fail-loudly guard. */
+    * inherits [[Sampling.weightedSample]]'s fail-loudly guard.
+    *
+    * `kindCol`: STREAMED TOMBSTONES
+    * ([[PostingsStream.maintainPostings]] has the full contract) —
+    * `"add"` rows fold as usual, `"del"` rows carry only an id (weight
+    * never read) and run [[deleteFromSample]] AFTER the batch's fold,
+    * so a same-batch add+del leaves the id out of the sample and a
+    * cross-batch delete takes effect immediately. Replay converges:
+    * the refold is a no-op by the min-k merge identity, and the
+    * re-applied delete anti-joins ids that are already gone. The
+    * shrink-not-refill semantics of [[deleteFromSample]] apply per
+    * delete — later add batches refill naturally. */
   def maintainSample(docs: DataFrame, stateDir: String, checkpointDir: String,
                      k: Int, salt: String,
                      idCol: String = "doc_id", weightCol: String = "weight",
-                     continuous: Boolean = false): StreamingQuery = {
+                     continuous: Boolean = false,
+                     kindCol: Option[String] = None): StreamingQuery = {
     require(k > 0, s"k: $k")
     val writer = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val (adds, dels) = kindCol match {
+          case Some(kc) => BatchStore.splitMixed(batch, kc)
+          case None => (batch, batch.limit(0))
+        }
         // The shared snapshot-fold protocol carries the replay guard and
         // the staged publish ([[SnapshotStore]]).
         SnapshotStore.fold(spark, stateDir, batchId) { prior =>
@@ -83,7 +99,7 @@ object SampleStream {
           // weight in (0,1) to 0 and trip the non-positive guard);
           // priorities are re-derived each fold, so a double in the
           // state schema is just as mergeable
-          val delta = batch.select(
+          val delta = adds.select(
             col(idCol).cast("long").as("sample_id"),
             col(weightCol).cast("double").as("weight"))
           val pool = prior
@@ -93,6 +109,11 @@ object SampleStream {
           Sampling.weightedSample(pool, col("sample_id"), col("weight"),
             k, salt)
         }
+        // the batch's tombstones land AFTER its fold (delete wins over
+        // a same-batch add); the emptiness probe keeps delete-free
+        // batches from publishing a pointless admin snapshot each round
+        if (kindCol.nonEmpty && !dels.isEmpty)
+          deleteFromSample(spark, stateDir, dels.select(idCol))
         ()
       }
       .option("checkpointLocation", checkpointDir)

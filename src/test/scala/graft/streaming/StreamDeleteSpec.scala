@@ -167,6 +167,41 @@ class StreamDeleteSpec extends SparkSpec {
       s"live lists wrong: $served")
   }
 
+  test("maintained sample: in-stream deletes drop ids (same-batch and " +
+       "cross-batch); later add batches refill naturally") {
+    val root = Files.createTempDirectory("sdel_samp").toString
+    val watch = s"$root/in"; Files.createDirectories(Paths.get(watch))
+    def writeBatch(name: String, rows: Seq[(String, Long, Long)]): Unit = {
+      val stage = Files.createTempDirectory("sdel_sstage").toString
+      rows.toDF("kind", "doc_id", "weight").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(watch, name))
+    }
+    writeBatch("b0.parquet",
+      (1L to 5L).map(i => ("add", i, 10L)))
+    Thread.sleep(20)
+    // batch 1: adds 6-7, deletes 2 (cross-batch) and 6 (same-batch)
+    writeBatch("b1.parquet", Seq(
+      ("add", 6L, 10L), ("add", 7L, 10L),
+      ("del", 2L, 0L), ("del", 6L, 0L)))
+    Thread.sleep(20)
+    // batch 2: a pure add wave refills after the takedown
+    writeBatch("b2.parquet", Seq(("add", 8L, 10L)))
+    val stream = spark.readStream
+      .schema("kind STRING, doc_id LONG, weight LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    SampleStream.maintainSample(stream, s"$root/state", s"$root/ckpt",
+        k = 10, salt = "sdel", kindCol = Some("kind"))
+      .awaitTermination()
+    val ids = ViewMaintenance.readLatest(spark, s"$root/state").get
+      .select("sample_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 3L, 4L, 5L, 7L, 8L),
+      s"sample after in-stream deletes wrong: $ids")
+  }
+
   test("a kind value outside {add, del} fails the batch, not silently " +
        "ingests or drops") {
     val root = Files.createTempDirectory("sdel_bad").toString
