@@ -739,9 +739,88 @@ object SimilarityQueries extends QueryModule {
        |  CAST(rrf_fp AS DOUBLE) / 1000000000.0 AS rrf
        |FROM rfranked WHERE rank <= $K""".stripMargin
 
+  /** M8: the DENSE-side tuning sweep mirroring `m8_bm25_sweep` — ONE
+    * quantized index (train + int8 encode once, both frames persisted
+    * for the sweep; the harness owns the cache lifetime, like
+    * [[graft.ops.TextCorpus.bm25Index]] documents) served at nprobe ∈
+    * {1, 2, 4}, each run graded by
+    * [[graft.similarity.Similarity.rankEval]] against the exact
+    * brute-force truth: per-(config, query) hits, reciprocal rank and
+    * nDCG@5 with the inlined fixed-point discount weights. The "tune,
+    * then measure, on the gate" pattern (`chooseBands`/`pairEval`,
+    * `m8_bm25_sweep`) extended to the probe budget — the one knob an
+    * IVF operator actually turns in production. The oracle replays
+    * training, encoding, all three probed serves, the brute truth, and
+    * the integer-weight DCG arithmetic. */
+  private def annSweep(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.spread(Tables.embeddings(s, dir))
+    val queries = emb.filter(col("vec_id") < 8)
+    val (cent, lists0) = Similarity.ivfBuildQuantized(emb, nlist = 16,
+      lloydIters = IvfIters)
+    val lists = lists0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = Similarity.bruteForceTopK(queries, emb, K)
+      .select("query_id", "cand_id", "rank")
+      .localCheckpoint(true)
+    Seq(1, 2, 4).map { np =>
+      Similarity.rankEval(
+        Similarity.ivfServeQuantized(queries, cent, lists, emb, K,
+          nprobe = np, rescoreK = RescoreK),
+        truth, K)
+        .select(lit(np).as("nprobe"), col("query_id"), col("n_hits"),
+          col("rr"), col("ndcg"))
+    }.reduce(_ unionByName _)
+  }
+
+  private val annSweepSql = {
+    def weightCase(rankCol: String): String =
+      s"CASE $rankCol " + Similarity.ndcgWeights(K).zipWithIndex
+        .map { case (w, i) => s"WHEN ${i + 1} THEN ${w}" }
+        .mkString(" ") + " ELSE 0 END"
+    def one(np: Int): String =
+      s"""WITH ar0 AS (${ivfQServeSql(None, None, defaultECte,
+             "q.vec_id < 8", np)}),
+         |te AS ($defaultECte),
+         |er AS (
+         |  SELECT query_id, cand_id, CAST(rn AS BIGINT) AS t_rank FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id) AS rn
+         |    FROM te q CROSS JOIN te c
+         |    WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
+         |  WHERE rn <= $K),
+         |ar AS (SELECT query_id, cand_id, CAST(rank AS BIGINT) AS r_rank
+         |       FROM ar0 WHERE rank <= $K),
+         |eh AS (
+         |  SELECT ar.query_id, COUNT(*) AS n_hits,
+         |    SUM((${K + 1} - er.t_rank) * ${weightCase("ar.r_rank")}) AS dcg_fp
+         |  FROM ar JOIN er ON er.query_id = ar.query_id
+         |                 AND er.cand_id = ar.cand_id
+         |  GROUP BY 1),
+         |ei AS (
+         |  SELECT query_id,
+         |    SUM((${K + 1} - t_rank) * ${weightCase("t_rank")}) AS ideal_fp
+         |  FROM er GROUP BY 1),
+         |efirst AS (
+         |  SELECT ar.query_id, 1000000000 // ar.r_rank AS rr_fp
+         |  FROM ar JOIN er ON er.query_id = ar.query_id
+         |                 AND er.cand_id = ar.cand_id
+         |  WHERE er.t_rank = 1)
+         |SELECT CAST($np AS INT) AS nprobe, ei.query_id,
+         |  CAST(COALESCE(eh.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(efirst.rr_fp, 0) AS DOUBLE) / 1000000000.0 AS rr,
+         |  CAST(COALESCE(eh.dcg_fp, 0) AS DOUBLE)
+         |    / CAST(ei.ideal_fp AS DOUBLE) AS ndcg
+         |FROM ei LEFT JOIN eh USING (query_id)
+         |        LEFT JOIN efirst USING (query_id)""".stripMargin
+    Seq(1, 2, 4).map(np => s"SELECT * FROM (\n${one(np)}\n)")
+      .mkString("\nUNION ALL\n")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_rrf_fusion"          -> rrfFusion _,
     "m8_rank_eval"           -> rankEval _,
+    "m8_ann_sweep"           -> annSweep _,
     "m8_embedding_quantize"  -> quantize _,
     "m8_sim_topk_bruteforce" -> topkBrute _,
     "m8_sim_topk_lsh"        -> topkLsh _,
@@ -759,6 +838,7 @@ object SimilarityQueries extends QueryModule {
   def oracles: Map[String, String] = Map(
     "m8_rrf_fusion"          -> rrfFusionSql,
     "m8_rank_eval"           -> rankEvalSql,
+    "m8_ann_sweep"           -> annSweepSql,
     "m8_embedding_quantize"  -> quantizeSql,
     "m8_sim_topk_bruteforce" -> topkBruteSql,
     "m8_sim_topk_lsh"        -> topkLshSql,

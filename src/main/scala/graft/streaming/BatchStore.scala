@@ -250,7 +250,11 @@ object BatchStore {
     * a LIMIT-1 action on the (micro-batch-sized) frame. */
   private[streaming] def splitMixed(batch: DataFrame, kindCol: String)
       : (DataFrame, DataFrame) = {
-    val bad = batch.filter(!col(kindCol).isin("add", "del"))
+    // NULL-safe negation: a NULL kind fails `isin` with NULL, and a
+    // plain `!` filter would drop the row from adds, dels AND this
+    // validation — the silent-drop outcome the check exists to prevent
+    val bad = batch.filter(
+      !coalesce(col(kindCol).isin("add", "del"), lit(false)))
     if (!bad.isEmpty)
       throw new IllegalArgumentException(
         s"mixed stream column '$kindCol' carries values outside " +

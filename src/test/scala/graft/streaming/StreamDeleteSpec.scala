@@ -214,5 +214,17 @@ class StreamDeleteSpec extends SparkSpec {
     }
     assert(e.getCause.getMessage.contains("outside"),
       s"wrong failure: ${e.getCause.getMessage}")
+    // a NULL kind must fail too — a plain negated isin filter would
+    // silently drop the row from adds, dels and the validation alike
+    val root2 = Files.createTempDirectory("sdel_null").toString
+    val watch2 = s"$root2/in"; Files.createDirectories(Paths.get(watch2))
+    writeDocBatch(watch2, "b0.parquet", Seq(
+      ("add", 1L, "fine"), (null, 2L, "lost row")))
+    val e2 = intercept[StreamingQueryException] {
+      PostingsStream.maintainPostings(docStream(watch2), s"$root2/index",
+        s"$root2/ckpt", kindCol = Some("kind")).awaitTermination()
+    }
+    assert(e2.getCause.getMessage.contains("outside"),
+      s"NULL kind not refused: ${e2.getCause.getMessage}")
   }
 }
