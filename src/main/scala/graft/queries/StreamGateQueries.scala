@@ -1363,6 +1363,71 @@ object StreamGateQueries extends QueryModule {
        |  FROM documents)
        |WHERE rn <= 50 AND doc_id % 11 <> 5""".stripMargin
 
+  /** T26 — streamed tombstones through the maintained SAMPLE: three
+    * mixed add/delete waves (doc_id % 3 slices; waves 1-2 carry `del`
+    * rows for every 13th-mod-4 doc — cross-batch AND same-batch
+    * add+del pairs) drive [[graft.streaming.SampleStream
+    * .maintainSample]] with `kindCol`. Unlike every other store's
+    * survivors oracle, the maintained sample is NOT batch-blind under
+    * deletion — the shrink-not-refill contract means a delete discards
+    * sample slots that only LATER adds can refill — so the oracle
+    * replays the exact per-wave state machine: top-50 of wave 0, fold
+    * wave 1 and cut, drop the deleted, fold wave 2 over the SURVIVORS
+    * and cut, drop wave 2's deleted. Every step is the priority
+    * ranking both engines already agree on (`m8_stream_sample`), so
+    * the one hash compare certifies fold ∘ delete ∘ fold
+    * composition. */
+  private def t26StreamSampleDelete(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.streaming.{SampleStream, ViewMaintenance}
+    val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+    def adds(i: Int) = docs.filter(col("doc_id") % 3 === i)
+      .select(lit("add").as("kind"), col("doc_id"), col("n_chars"))
+    def dels(cond: Column) = docs.filter(cond)
+      .select(lit("del").as("kind"), col("doc_id"),
+        lit(null).cast("long").as("n_chars"))
+    val d = col("doc_id") % 13 === 4
+    val watch = writeWaves(Seq(
+      adds(0),
+      adds(1).unionByName(dels(d && col("doc_id") % 3 =!= 2)),
+      adds(2).unionByName(dels(d && col("doc_id") % 3 === 2))))
+    val root = Dsl.tempDir("graft_t26_")
+    val stream = s.readStream
+      .schema("kind STRING, doc_id LONG, n_chars LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    SampleStream.maintainSample(stream, s"$root/state", s"$root/ckpt",
+        k = 50, salt = "ssam", idCol = "doc_id", weightCol = "n_chars",
+        kindCol = Some("kind"))
+      .awaitTermination()
+    ViewMaintenance.readLatest(s, s"$root/state").get
+      .select(col("sample_id").as("doc_id"),
+        col("weight").cast("long").as("weight"))
+  }
+
+  private val t26Sql = {
+    val pr = s"CAST(${Dsl.hex60Sql("'ssam|' || doc_id::VARCHAR")} AS DOUBLE)" +
+      " / CAST(n_chars AS DOUBLE)"
+    def top50(from: String) =
+      s"""SELECT doc_id FROM (
+         |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY $pr ASC, doc_id)
+         |      AS rn
+         |    FROM documents WHERE $from) WHERE rn <= 50""".stripMargin
+    s"""WITH t0 AS (${top50("doc_id % 3 = 0")}),
+       |u1 AS (SELECT doc_id FROM t0
+       |       UNION ALL SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+       |t1 AS (${top50("doc_id IN (SELECT doc_id FROM u1)")}),
+       |t1s AS (SELECT doc_id FROM t1
+       |        WHERE NOT (doc_id % 13 = 4 AND doc_id % 3 <> 2)),
+       |u2 AS (SELECT doc_id FROM t1s
+       |       UNION ALL SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+       |t2 AS (${top50("doc_id IN (SELECT doc_id FROM u2)")})
+       |SELECT doc_id, CAST(n_chars AS BIGINT) AS weight
+       |FROM documents
+       |WHERE doc_id IN (SELECT doc_id FROM t2)
+       |  AND NOT (doc_id % 13 = 4 AND doc_id % 3 = 2)""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_late_split"      -> t11LateSplit _,
     "t12_view_maintain"   -> t12ViewMaintain _,
@@ -1383,6 +1448,7 @@ object StreamGateQueries extends QueryModule {
     "t23_admission_delete" -> t23AdmissionDelete _,
     "t24_hybrid_refresh" -> t24HybridRefresh _,
     "t25_ledger_delete" -> t25LedgerDelete _,
+    "t26_stream_sample_delete" -> t26StreamSampleDelete _,
     "m8_proximity_analyzed" -> m8ProximityAnalyzed _)
 
   def oracles: Map[String, String] = Map(
@@ -1405,5 +1471,6 @@ object StreamGateQueries extends QueryModule {
     "t23_admission_delete" -> t23Sql,
     "t24_hybrid_refresh" -> t24Sql,
     "t25_ledger_delete" -> t25Sql,
+    "t26_stream_sample_delete" -> t26Sql,
     "m8_proximity_analyzed" -> m8ProximityAnalyzedSql)
 }
