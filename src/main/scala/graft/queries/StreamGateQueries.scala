@@ -1033,16 +1033,16 @@ object StreamGateQueries extends QueryModule {
     * corpus must not veto new arrivals). Three mixed waves (doc_id % 3
     * slices; waves 1-2 carry `del` rows for the doc_id % 11 = 6 docs —
     * a residue chosen to intersect real stage-2 duplicate chains, so
-    * the deletes flip actual verdicts (3 at sf0.01, 10 at sf0.1) versus
-    * a delete-blind replay — some deleting docs ADDED IN THE SAME WAVE,
-    * which keep their verdict
-    * but leave the store tombstoned) drive
+    * the deletes flip actual verdicts versus a delete-blind replay —
+    * some deleting docs ADDED IN THE SAME WAVE, which keep their
+    * verdict but leave the store tombstoned) drive
     * [[DedupStream.admitDocuments]] with `kindCol`; the output is every
     * verdict row PLUS the store's live (tombstone-masked) id set. The
     * oracle unrolls the three admission stages with the delete timing
-    * made explicit — stage 2's prior-admitted candidates exclude docs
-    * deleted by wave 1 (deletes land at their batch's END, so they
-    * gate only LATER stages) — and derives the live set as
+    * made explicit — each stage's prior-admitted candidates exclude
+    * docs deleted by its OWN wave and every earlier one (the batch's
+    * dels pre-mask its screen: verdicts reflect post-takedown state,
+    * the replay-convergent semantics) — and derives the live set as
     * replay-admitted minus everything deleted. */
   private def t23AdmissionDelete(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.BatchStore
@@ -1084,13 +1084,16 @@ object StreamGateQueries extends QueryModule {
   }
 
   private val t23Sql = {
-    // deletes applied by wave 1 (at its end): the D docs of slices 0-1
+    // wave 1's dels: the D docs of slices 0-1 — they mask wave 1's OWN
+    // prior-corpus screen (the pre-mask semantics) and every later one;
+    // by wave 2 the cumulative delete set is all of doc_id % 11 = 6
     val del1 = "(c.doc_id % 11 = 6 AND c.doc_id % 3 <> 2)"
     s"""WITH ${DedupQueries.minhashOracleCtes},
        |${stageSql(0, "")},
-       |${stageSql(1, "OR c.doc_id IN (SELECT doc_id FROM adm0)")},
+       |${stageSql(1,
+            s"OR (c.doc_id IN (SELECT doc_id FROM adm0) AND NOT $del1)")},
        |${stageSql(2,
-            s"OR (c.doc_id IN (SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1) AND NOT $del1)")}
+            s"OR (c.doc_id IN (SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1) AND c.doc_id % 11 <> 6)")}
        |SELECT 'verdict' AS leg, doc_id, verdict, dup_of, best_agreement,
        |  n_dups, batch_id FROM
        |  (SELECT * FROM v0 UNION ALL SELECT * FROM v1

@@ -128,12 +128,17 @@ object AnnIndex {
     // the still-staged version dir (invisible until the pointer flip):
     // one extra assignment pass over the build corpus, paid only at
     // init/refresh — the per-batch monitor then compares against it
-    // for free
-    val trainRes = residualFp(Similarity.ivfAssignSim(
+    // for free. An EMPTY residual (empty training frame) stamps
+    // NOTHING — a 0 baseline would make `r > factor * 0` fire on every
+    // monitored batch with any positive residual (refresh-per-batch
+    // thrash), so versionResidual stays None and the trigger's
+    // strictly-positive-baseline guard keeps it inert, exactly like a
+    // pre-policy version dir.
+    residualFp(Similarity.ivfAssignSim(
       vecs.select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
-      spark.read.parquet(centDir(root, nv)))).getOrElse(0L)
-    StatePointer.publish(spark, vdir(root, nv), ResidualMeta,
-      trainRes.toString)
+      spark.read.parquet(centDir(root, nv))))
+      .foreach(trainRes => StatePointer.publish(spark, vdir(root, nv),
+        ResidualMeta, trainRes.toString))
     StatePointer.publish(spark, root, Pointer, nv.toString)
     // GC (idempotent; crash here leaves dead dirs the pointer ignores):
     // retire all but the new and immediately-previous versions
@@ -225,9 +230,16 @@ object AnnIndex {
         // batch's recomputed residual compares against the REFRESHED
         // baseline (trained on the drifted data), so it cannot
         // double-trigger
+        // the baseline must be STRICTLY positive: a 0 baseline (a corpus
+        // whose vectors sit exactly on its centroids) carries no usable
+        // drift scale — factor × 0 would fire on ANY positive residual,
+        // and the post-refresh baseline could stay 0, so the trigger
+        // would never self-limit; such a degenerate store behaves like
+        // the documented un-stamped case instead (monitor records, never
+        // triggers)
         for (p <- refreshPolicy; r <- batchRes;
              base <- versionResidual(sp, root, v)
-             if r > p.residualFactor * base)
+             if base > 0L && r > p.residualFactor * base)
           refresh(sp, root, p.corpus, p.nlist, p.lloydIters)
         ()
       }

@@ -75,13 +75,19 @@ object DedupStream {
     * streamed-tombstone contract): `"add"` rows run the admission
     * pipeline unchanged; `"del"` rows (doc_id only, text never read)
     * tombstone the signature store — and the ledger, when maintained —
-    * at the END of their batch, so the deletes take effect for every
-    * LATER batch's screen (a new doc duplicating only deleted content
-    * is admitted) while this batch's own verdicts stand as the audit
-    * trail of what was decided before the takedown landed. A doc added
-    * and deleted in ONE batch keeps its verdict row but leaves the
-    * store tombstoned — delete wins. Replays converge by tombstone set
-    * semantics. */
+    * at the END of their batch. The batch's own dels ALSO pre-mask the
+    * prior-corpus screen input, so verdicts reflect POST-takedown
+    * state: a new doc duplicating only content this same batch deletes
+    * is admitted (content leaving the corpus must not veto arrivals),
+    * and — the reason the mask is applied on FIRST RUN, not only
+    * observed on replay — a crash-replayed delete-carrying batch
+    * screens against exactly the same corpus as the original attempt
+    * (the store's tombstones then already contain the batch's dels; the
+    * pre-mask makes the union identical), so verdicts AND admitted
+    * signatures converge, not merely the tombstone set. The batch's own
+    * delta self-screen is untouched (its rows are deterministic batch
+    * content either way). A doc added and deleted in ONE batch keeps
+    * its verdict row but leaves the store tombstoned — delete wins. */
   def admitDocuments(docs: DataFrame, sigStoreDir: String,
                      verdictDir: String, checkpointDir: String,
                      bands: Int = 8, rowsPerBand: Int = 4,
@@ -146,10 +152,21 @@ object DedupStream {
               .select(col("id"), col("sig"))
             // tombstoned docs ([[deleteDocs]]) stop screening: a new doc
             // that duplicates ONLY deleted content must be admitted —
-            // the content is no longer in the corpus
-            if (!BatchStore.hasDeletes(spark, sigStoreDir)) live
-            else live.join(BatchStore.readDeletes(spark, sigStoreDir),
-              col("id") === col("del_id"), "left_anti")
+            // the content is no longer in the corpus. Under kindCol the
+            // batch's OWN dels join the mask (post-takedown verdicts +
+            // replay convergence — see the kindCol contract above); the
+            // kindCol-free plan stays byte-identical.
+            val storeDels =
+              if (BatchStore.hasDeletes(spark, sigStoreDir))
+                Some(BatchStore.readDeletes(spark, sigStoreDir))
+              else None
+            val ownDels = kindCol.map(_ =>
+              dels.select(col("doc_id").as("del_id")))
+            (storeDels.toSeq ++ ownDels.toSeq)
+              .reduceOption(_ unionByName _)
+              .map(d => live.join(d, col("id") === col("del_id"),
+                "left_anti"))
+              .getOrElse(live)
           } else
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

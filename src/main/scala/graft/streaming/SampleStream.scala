@@ -56,7 +56,7 @@ object SampleStream {
       val n = snap.split('/').last.stripPrefix("v").toLong
       val keys = docIds.select(
         col(docIds.columns.head).cast("long").as("sample_id")).distinct()
-      SnapshotStore.fold(spark, stateDir, n + 1000000L) { p =>
+      SnapshotStore.fold(spark, stateDir, n + 1000000L, admin = true) { p =>
         p.get.join(keys, Seq("sample_id"), "left_anti")
       }
     }
@@ -73,8 +73,12 @@ object SampleStream {
     * never read) and run [[deleteFromSample]] AFTER the batch's fold,
     * so a same-batch add+del leaves the id out of the sample and a
     * cross-batch delete takes effect immediately. Replay converges:
-    * the refold is a no-op by the min-k merge identity, and the
-    * re-applied delete anti-joins ids that are already gone. The
+    * the fold is SKIPPED outright — the [[SnapshotStore]] `_FOLDED`
+    * high-water mark recognizes the already-folded batch even behind
+    * the delete's admin snapshot, so a replay can never re-fold over
+    * the post-delete shrunken sample and backfill deleted slots with
+    * adds the first fold cut at rank > k — and the re-applied delete
+    * anti-joins ids that are already gone. The
     * shrink-not-refill semantics of [[deleteFromSample]] apply per
     * delete — later add batches refill naturally. */
   def maintainSample(docs: DataFrame, stateDir: String, checkpointDir: String,

@@ -21,15 +21,27 @@ import graft.ops.IncrementalAgg.Measure
   * window where the view doesn't exist; a half-written `v{b}` is
   * unreferenced garbage, cleaned by the next successful batch; and a
   * REPLAYED batch (crash after publish, before the stream checkpoint
-  * commit) detects its own already-published snapshot and skips, so
-  * the fold is idempotent in batchId. Readers resolve
+  * commit) detects its own already-published snapshot — or, when an
+  * interleaved admin publish has superseded it, the `_FOLDED`
+  * high-water mark ([[SnapshotStore]]) — and skips, so the fold is
+  * idempotent in batchId. Readers resolve
   * [[ViewMaintenance.readLatest]] and always see one complete
   * snapshot; the immediately-superseded snapshot is retained for one
   * extra batch so a reader that resolved it mid-publish can finish
   * its scan before the dir is retired. Floats never live in the store — readers finalize with
   * their own projection (e.g. avg = stored sum / stored count). With an
   * ordered file source the final state equals batch-mode aggregation
-  * over the same files, asserted in ViewMaintenanceSpec. */
+  * over the same files, asserted in ViewMaintenanceSpec.
+  *
+  * DELETION ([[deleteFromView]]): the monoid state cannot RETRACT — a
+  * deleted source row's contribution to `min`/`max` is unrecoverable
+  * from the partials alone — so the takedown path is KEYED
+  * RE-AGGREGATION: recompute ONLY the affected groups' partials from
+  * the SURVIVING source rows (a pruned, affected-key-sized scan — the
+  * `affectedSplit` precedent), splice them over the prior snapshot,
+  * and publish through the same staged-write → atomic-pointer
+  * protocol. The post-delete view equals `state(survivors)` exactly —
+  * the identity the `t27_view_delete` gate hashes at both SFs. */
 object ViewMaintenance {
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
@@ -42,15 +54,18 @@ object ViewMaintenance {
     * so recovery needs no operator intervention. None before the first
     * publish.
     *
-    * "Most recent" is the `_SUCCESS` file's modification time, version
-    * number only as tie-break — NOT the numeric version alone: version
-    * names are batch ids except for ADMIN publishes
-    * ([[SampleStream.deleteFromSample]]), whose ids ride far above the
-    * stream's so the replay guard can't mistake them for batches.
-    * Publishes are sequential (the store family's single-admin
-    * contract), so mtime order IS publish order; numeric-max would
-    * resolve back to a stale admin snapshot after the next stream batch
-    * and silently roll that batch's fold back. */
+    * "Most recent" is the snapshot's `_SEQ` publish sequence
+    * ([[SnapshotStore]] — monotonic by construction, so immune to
+    * coarse filesystem timestamps), then the `_SUCCESS` file's
+    * modification time, then the numeric version as final tie-break —
+    * NOT the numeric version alone: version names are batch ids except
+    * for ADMIN publishes ([[SampleStream.deleteFromSample]],
+    * [[deleteFromView]]), whose ids ride far above the stream's so the
+    * replay guard can't mistake them for batches. Publishes are
+    * sequential (the store family's single-admin contract), so seq
+    * order IS publish order; numeric-max would resolve back to a stale
+    * admin snapshot after the next stream batch and silently roll that
+    * batch's fold back. */
   def latestSnapshot(spark: SparkSession, stateDir: String): Option[String] = {
     val f = fs(spark, stateDir)
     val fromPtr = StatePointer.read(spark, stateDir, "LATEST")
@@ -63,11 +78,13 @@ object ViewMaintenance {
         .flatMap { s =>
           val succ = new Path(s.getPath, "_SUCCESS")
           if (!f.exists(succ)) None
-          else Some((f.getFileStatus(succ).getModificationTime,
+          else Some((
+            SnapshotStore.seqOf(spark, s.getPath.toString).getOrElse(-1L),
+            f.getFileStatus(succ).getModificationTime,
             s.getPath.getName.drop(1).toLong, s.getPath.toString))
         }
-        .sortBy(t => (t._1, t._2))
-        .lastOption.map(_._3)
+        .sortBy(t => (t._1, t._2, t._3))
+        .lastOption.map(_._4)
     }
   }
 
@@ -76,50 +93,52 @@ object ViewMaintenance {
   def readLatest(spark: SparkSession, stateDir: String): Option[DataFrame] =
     latestSnapshot(spark, stateDir).map(spark.read.parquet(_))
 
+  /** Takedown path for the maintained view: republish the state with
+    * `deletedRows`' contributions RETRACTED. `survivors` must be the
+    * full surviving source (everything folded so far MINUS the deleted
+    * rows — the same caller-supplies-the-corpus contract as
+    * [[AnnIndex.refresh]]); only the AFFECTED groups' rows are actually
+    * scanned: the recompute is `state(survivors ⋉ affected_keys)`, an
+    * affected-key-pruned aggregation spliced over the prior snapshot's
+    * untouched groups. A group whose every row was deleted disappears
+    * from the view. Run between drains (the store family's admin
+    * contract); the admin version id rides far above the stream's batch
+    * ids, and reruns converge (the recompute is deterministic in its
+    * inputs). */
+  def deleteFromView(spark: SparkSession, stateDir: String,
+                     keys: Seq[String], measures: Seq[Measure],
+                     deletedRows: DataFrame, survivors: DataFrame): Unit = {
+    val prior = latestSnapshot(spark, stateDir)
+    prior.foreach { snap =>
+      val n = snap.split('/').last.stripPrefix("v").toLong
+      val affected = deletedRows.select(keys.map(col): _*).distinct()
+        .localCheckpoint() // tiny by contract; read by two joins below
+      val fresh = IncrementalAgg.state(
+        survivors.join(affected, keys, "left_semi"),
+        keys.map(col), measures)
+      SnapshotStore.fold(spark, stateDir, n + 1000000L, admin = true) { p =>
+        p.get.join(affected, keys, "left_anti").unionByName(fresh)
+      }
+    }
+  }
+
   /** Start maintaining the view over streaming `rows`. AvailableNow by
     * default (drain-then-stop, the scheduled-refresh shape); pass
-    * `continuous = true` for a long-running loop. */
+    * `continuous = true` for a long-running loop. The per-batch fold,
+    * replay guard, publish, and retention all ride the shared
+    * [[SnapshotStore.fold]] protocol. */
   def maintain(rows: DataFrame, stateDir: String, checkpointDir: String,
                keys: Seq[String], measures: Seq[Measure],
                continuous: Boolean = false): StreamingQuery = {
     val writer = rows.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val f = fs(spark, stateDir)
-        val snap = s"$stateDir/v$batchId"
-        val prior = latestSnapshot(spark, stateDir)
-        // Idempotent replay: a crash AFTER publish but BEFORE the stream
-        // checkpoint commit re-delivers this batchId — its snapshot is
-        // already the published state, so folding it again would
-        // double-count (and the merge would read the very dir it
-        // overwrites). Skip straight to the checkpoint commit. Compare
-        // by version NAME: the _SUCCESS-scan fallback returns
-        // fully-qualified paths (file:/…), which a raw-path equality
-        // would miss in exactly the crash window the guard exists for.
-        val priorName = prior.map(_.split('/').last)
-        if (!priorName.contains(s"v$batchId")) {
+        SnapshotStore.fold(spark, stateDir, batchId) { prior =>
           val delta = IncrementalAgg.state(batch, keys.map(col), measures)
-          val merged = prior match {
-            case Some(dir) =>
-              IncrementalAgg.merge(Seq(spark.read.parquet(dir), delta),
-                keys, measures)
-            case None => delta
+          prior match {
+            case Some(p) => IncrementalAgg.merge(Seq(p, delta), keys, measures)
+            case None    => delta
           }
-          merged.write.mode("overwrite").parquet(snap)
-          // publish via the shared staged-rename protocol ([[StatePointer]])
-          StatePointer.publish(spark, stateDir, "LATEST", s"v$batchId")
-          // Retention: keep the immediately-superseded snapshot for one
-          // more batch (a reader that resolved it mid-publish can still
-          // finish its scan); retire everything OLDER than that.
-          val keep = Set(snap) ++ prior
-          if (f.exists(new Path(stateDir)))
-            f.listStatus(new Path(stateDir)).foreach { s0 =>
-              val p = s0.getPath
-              if (s0.isDirectory && p.getName.matches("v\\d+") &&
-                !keep.contains(p.toString) &&
-                !keep.exists(_.endsWith("/" + p.getName)))
-                f.delete(p, true)
-            }
         }
         ()
       }

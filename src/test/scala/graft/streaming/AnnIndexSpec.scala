@@ -180,6 +180,56 @@ class AnnIndexSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("a missing or non-positive residual baseline never triggers a " +
+       "refresh — zero must not read as 'any residual is drift'") {
+    import spark.implicits._
+    def vec(axis: Int, j: Int): Seq[Float] =
+      (0 until 8).map(d =>
+        (if (d == axis) 10f else 0f) + ((j * 7 + d * 3) % 5) * 0.1f)
+    val standing = (0L until 40L).map(i => (i, vec((i % 4).toInt, i.toInt)))
+      .toDF("vec_id", "embedding")
+    val delta = (100L until 112L).map(i => (i, vec(5, i.toInt)))
+      .toDF("vec_id", "embedding")
+    val corpus = standing.unionByName(delta)
+    def drain(root: String): Unit = {
+      val watch = tmp("annzero_w")
+      val stage = tmp("annzero_stage")
+      delta.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(watch, "b0.parquet").toPath)
+      val stream = spark.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1").parquet(watch)
+      AnnIndex.maintain(stream, root, tmp("annzero_ck"),
+          refreshPolicy = Some(AnnIndex.RefreshPolicy(2.0, corpus,
+            nlist = 8, lloydIters = 2)))
+        .awaitTermination()
+    }
+    // baseline forced to 0 (the degenerate vectors-on-centroids corpus):
+    // factor × 0 would fire on ANY positive residual — the strictly-
+    // positive guard must keep the store on version 1
+    val rootZero = tmp("annzero_z")
+    AnnIndex.init(spark, rootZero, standing, nlist = 8, lloydIters = 2)
+    StatePointer.publish(spark, s"$rootZero/v=1", "_RESIDUAL", "0")
+    drain(rootZero)
+    assert(AnnIndex.currentVersion(spark, rootZero) === Some(1L),
+      "a zero baseline must never trigger (it carries no drift scale)")
+    // baseline stamp missing entirely (pre-policy version dir): the
+    // monitor records but never triggers — documented inert behavior
+    val rootNone = tmp("annzero_n")
+    AnnIndex.init(spark, rootNone, standing, nlist = 8, lloydIters = 2)
+    val fs = new org.apache.hadoop.fs.Path(rootNone)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$rootNone/v=1/_RESIDUAL"),
+      false)
+    assert(AnnIndex.versionResidual(spark, rootNone, 1L).isEmpty)
+    drain(rootNone)
+    assert(AnnIndex.currentVersion(spark, rootNone) === Some(1L),
+      "an un-stamped version must never trigger")
+  }
+
   test("maintain + serve equal the fixed-quantizer batch build") {
     val e = emb
     val standing = e.filter(col("vec_id") % 4 =!= 0)

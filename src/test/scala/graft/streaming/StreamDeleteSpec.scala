@@ -202,6 +202,113 @@ class StreamDeleteSpec extends SparkSpec {
       s"sample after in-stream deletes wrong: $ids")
   }
 
+  test("admission pre-mask: a doc duplicating only content its OWN batch " +
+       "deletes is admitted, and a crash-replay of that batch converges " +
+       "verdict-for-verdict") {
+    val root = Files.createTempDirectory("sdel_premask").toString
+    val watch = s"$root/in"; Files.createDirectories(Paths.get(watch))
+    val dupText = "one sentence shared by the taken down doc and its twin"
+    writeDocBatch(watch, "b0.parquet", Seq(
+      ("add", 1L, dupText),
+      ("add", 2L, "completely unrelated filler material here")))
+    Thread.sleep(20)
+    // batch 1 deletes doc 1 AND adds doc 5 = doc 1's duplicate: the
+    // batch's own del pre-masks the screen, so doc 5 sees a corpus
+    // without doc 1 and must be ADMITTED (post-takedown verdicts)
+    writeDocBatch(watch, "b1.parquet", Seq(
+      ("del", 1L, null),
+      ("add", 5L, dupText)))
+    val ckpt = s"$root/ckpt"
+    def verdicts(): Map[Long, String] = spark.read
+      .parquet(s"$root/verdicts").select("doc_id", "verdict")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    DedupStream.admitDocuments(docStream(watch), s"$root/store",
+        s"$root/verdicts", ckpt, kindCol = Some("kind"))
+      .awaitTermination()
+    val first = verdicts()
+    assert(first === Map(1L -> "admit", 2L -> "admit", 5L -> "admit"),
+      s"doc 5 duplicates only content its own batch deletes: $first")
+    // crash-replay of the delete-carrying batch: the store's tombstones
+    // now already contain doc 1, and the pre-mask makes the replayed
+    // screen corpus identical — verdicts AND admitted signatures must
+    // converge, not only the tombstone set (the round-16 advice)
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val crc = new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    assert(commits.last.delete())
+    DedupStream.admitDocuments(docStream(watch), s"$root/store",
+        s"$root/verdicts", ckpt, kindCol = Some("kind"))
+      .awaitTermination()
+    assert(verdicts() === first, "replayed verdicts diverged")
+    val live = {
+      val ids = BatchStore.read(spark, s"$root/store").select("id")
+      ids.join(BatchStore.readDeletes(spark, s"$root/store"),
+          col("id") === col("del_id"), "left_anti")
+        .collect().map(_.getLong(0)).toSet
+    }
+    assert(live === Set(2L, 5L), s"replayed live store diverged: $live")
+  }
+
+  test("maintained sample: crash-replay of a delete-carrying batch must " +
+       "NOT re-fold over the shrunken sample (no rank>k backfill)") {
+    import graft.ops.Sampling
+    val root = Files.createTempDirectory("sdel_sreplay").toString
+    val watch = s"$root/in"; Files.createDirectories(Paths.get(watch))
+    def writeBatch(name: String, rows: Seq[(String, Long, Long)]): Unit = {
+      val stage = Files.createTempDirectory("sdel_srstage").toString
+      rows.toDF("kind", "doc_id", "weight").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(watch, name))
+    }
+    val w0 = (1L to 40L).map(i => (i, i % 7 + 1))
+    val w1 = (41L to 80L).map(i => (i, i % 11 + 1))
+    // pick two ids CERTAIN to sit in the post-fold sample (the batch
+    // identity the suite already certifies) so their deletes shrink it
+    val inSample = Sampling.weightedSample(
+        (w0 ++ w1).toDF("sample_id", "weight"),
+        col("sample_id"), col("weight"), 15, "srp")
+      .collect().map(_.getLong(0)).sorted.take(2)
+    writeBatch("b0.parquet", w0.map(t => ("add", t._1, t._2)))
+    Thread.sleep(20)
+    // the delete-carrying batch ALSO adds 40 docs — the fold cuts most
+    // of them at rank > k, exactly the rows an erroneous post-delete
+    // re-fold would backfill into the deleted slots
+    writeBatch("b1.parquet",
+      w1.map(t => ("add", t._1, t._2)) ++
+        inSample.map(d => ("del", d, 0L)))
+    def mkStream() = spark.readStream
+      .schema("kind STRING, doc_id LONG, weight LONG")
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+    val ckpt = s"$root/ckpt"
+    SampleStream.maintainSample(mkStream(), s"$root/state", ckpt,
+        k = 15, salt = "srp", kindCol = Some("kind"))
+      .awaitTermination()
+    def state(): Set[Long] =
+      ViewMaintenance.readLatest(spark, s"$root/state").get
+        .select("sample_id").collect().map(_.getLong(0)).toSet
+    val first = state()
+    assert(first.size === 13, s"two in-sample deletes must shrink 15 -> 13")
+    assert(inSample.forall(!first.contains(_)))
+    // crash BEFORE the checkpoint commit: the batch re-delivers with the
+    // delete's admin snapshot already published — the _FOLDED guard must
+    // skip the fold (a re-fold over the 13 survivors ∪ 40 adds would
+    // backfill the deleted slots back to 15) and the re-applied delete
+    // is a no-op
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val crc = new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    assert(commits.last.delete())
+    SampleStream.maintainSample(mkStream(), s"$root/state", ckpt,
+        k = 15, salt = "srp", kindCol = Some("kind"))
+      .awaitTermination()
+    assert(state() === first,
+      "replayed delete-carrying batch changed the sample (backfill)")
+  }
+
   test("a kind value outside {add, del} fails the batch, not silently " +
        "ingests or drops") {
     val root = Files.createTempDirectory("sdel_bad").toString

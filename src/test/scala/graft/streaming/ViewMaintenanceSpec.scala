@@ -87,6 +87,61 @@ class ViewMaintenanceSpec extends SparkSpec {
     assert(ViewMaintenance.readLatest(spark, s"$root/nope").isEmpty)
   }
 
+  test("deleteFromView retracts via keyed re-aggregation — min/max " +
+       "holders recompute from survivors, untouched groups keep their " +
+       "rows, and later folds merge onto the post-delete state") {
+    val root = Files.createTempDirectory("view_delete").toString
+    val watch = s"$root/in"; Files.createDirectories(Paths.get(watch))
+    val b0 = Seq("a" -> 1.5, "b" -> 2.0, "a" -> 9.0)
+    val b1 = Seq("a" -> 0.25, "c" -> -3.0, "b" -> 7.5)
+    writeBatch(watch, "b0.parquet", b0); Thread.sleep(20)
+    writeBatch(watch, "b1.parquet", b1)
+    def mkStream() = spark.readStream
+      .schema("k STRING, v DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    val ckpt = s"$root/ckpt"
+    ViewMaintenance.maintain(mkStream(), s"$root/state", ckpt,
+      Seq("k"), measures).awaitTermination()
+    // delete group a's MIN (0.25) and MAX (9.0) — the rows a lazy
+    // implementation (subtract-only retraction) cannot unwind — plus
+    // ALL of c: its group must vanish from the view entirely
+    val dels = Seq("a" -> 0.25, "a" -> 9.0, "c" -> -3.0).toDF("k", "v")
+    val survivors = (b0 ++ b1).toDF("k", "v")
+      .except(dels) // values are unique across the planted rows
+    ViewMaintenance.deleteFromView(spark, s"$root/state", Seq("k"),
+      measures, dels, survivors)
+    val want = IncrementalAgg.state(survivors, Seq(col("k")), measures)
+    assert(snap(ViewMaintenance.readLatest(spark, s"$root/state").get)
+      == snap(want), "post-delete view must equal state(survivors)")
+    // a LATER fold merges onto the post-delete state
+    val b2 = Seq("a" -> 0.5, "c" -> 11.0)
+    writeBatch(watch, "b2.parquet", b2)
+    ViewMaintenance.maintain(mkStream(), s"$root/state", ckpt,
+      Seq("k"), measures).awaitTermination()
+    val want2 = IncrementalAgg.state(
+      survivors.unionByName(b2.toDF("k", "v")), Seq(col("k")), measures)
+    assert(snap(ViewMaintenance.readLatest(spark, s"$root/state").get)
+      == snap(want2), "fold after delete must merge onto survivors state")
+    // crash-replay of the post-delete fold: drop its commit marker and
+    // re-drain — the _FOLDED guard (or prior-name match) must skip the
+    // re-fold, not double-count batch 2
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val crc = new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    assert(commits.last.delete())
+    ViewMaintenance.maintain(mkStream(), s"$root/state", ckpt,
+      Seq("k"), measures).awaitTermination()
+    assert(snap(ViewMaintenance.readLatest(spark, s"$root/state").get)
+      == snap(want2), "replayed fold double-counted batch 2")
+    // rerunning the SAME delete converges (admin idempotence)
+    ViewMaintenance.deleteFromView(spark, s"$root/state", Seq("k"),
+      measures, dels, survivors.unionByName(b2.toDF("k", "v")))
+    assert(snap(ViewMaintenance.readLatest(spark, s"$root/state").get)
+      == snap(want2), "re-applied delete changed the converged view")
+  }
+
   test("pointer-loss fallback follows publish order (mtime), not the " +
        "numeric version max — admin publishes must not shadow later " +
        "batch folds") {
