@@ -1431,6 +1431,181 @@ object StreamGateQueries extends QueryModule {
        |  AND NOT (doc_id % 13 = 4 AND doc_id % 3 = 2)""".stripMargin
   }
 
+  /** Append one more single-file wave to an existing watch dir, mtime
+    * stamped NOW — strictly after anything [[writeWaves]] /
+    * [[writeOrderedBatches]] stamped (their base rides an hour in the
+    * past), so a second drain over the same checkpoint picks it up as
+    * the next batch. */
+  private def appendWave(watch: String, df: DataFrame, name: String): Unit = {
+    val stage = Dsl.tempDir("graft_stream_stage_")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(watch, name)
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    dest.setLastModified(System.currentTimeMillis())
+    ()
+  }
+
+  /** T27 — DELETE/RETRACTION through the maintained VIEW, the one store
+    * family member whose takedown couldn't land before round 17 (the
+    * monoid state cannot retract a min/max contribution): two event
+    * waves fold through [[ViewMaintenance.maintain]], a MID-LIFECYCLE
+    * takedown removes every 7th-mod-1 wave-0/1 row PLUS — the planted
+    * trap — each event_type's MIN and MAX event_id among the folded
+    * rows, so any implementation that "retracts" lazily (subtracting
+    * sums without recomputing extrema from survivors) keeps a deleted
+    * row's min/max and fails the hash. [[ViewMaintenance.deleteFromView]]
+    * re-aggregates ONLY the affected groups from the surviving source
+    * rows; a third wave then folds ONTO the post-delete state through
+    * the same checkpoint (the mid-lifecycle part: retraction must
+    * compose with continued maintenance). The oracle is the flat
+    * aggregate over survivors + wave 2 — batch-blind, fold-blind,
+    * delete-blind. */
+  private def t27ViewDelete(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select("event_id", "user_id", "event_type")
+    val measures = Seq(
+      Measure("n", "count", lit(1)),
+      Measure("sum_uid", "sum", col("user_id")),
+      Measure("min_id", "min", col("event_id")),
+      Measure("max_id", "max", col("event_id")))
+    val w01 = ev.filter(col("event_id") % 3 =!= 2)
+    val watch = writeWaves(Seq(
+      ev.filter(col("event_id") % 3 === 0),
+      ev.filter(col("event_id") % 3 === 1)))
+    val root = Dsl.tempDir("graft_t27_")
+    def drain(): Unit =
+      ViewMaintenance.maintain(
+        s.readStream
+          .schema("event_id BIGINT, user_id BIGINT, event_type STRING")
+          .option("maxFilesPerTrigger", "1").parquet(watch),
+        s"$root/state", s"$root/ckpt",
+        keys = Seq("event_type"), measures = measures).awaitTermination()
+    drain()
+    // the takedown set: every 7th-mod-1 folded row plus each group's
+    // min/max holder among the folded rows — the extrema recompute trap
+    val mm = w01.groupBy("event_type")
+      .agg(min("event_id").as("mn"), max("event_id").as("mx"))
+    val dels = w01.join(mm, Seq("event_type"))
+      .filter(col("event_id") % 7 === 1 ||
+        col("event_id") === col("mn") || col("event_id") === col("mx"))
+      .select("event_id", "user_id", "event_type")
+    val survivors = w01.join(dels.select("event_id"),
+      Seq("event_id"), "left_anti")
+    ViewMaintenance.deleteFromView(s, s"$root/state",
+      Seq("event_type"), measures, dels, survivors)
+    // mid-lifecycle: wave 2 folds onto the post-delete state through
+    // the SAME checkpoint
+    appendWave(watch, ev.filter(col("event_id") % 3 === 2), "b2.parquet")
+    drain()
+    ViewMaintenance.readLatest(s, s"$root/state").get
+      .select("event_type", "n", "sum_uid", "min_id", "max_id")
+  }
+
+  private val t27Sql =
+    """WITH w01 AS (
+      |  SELECT event_id, user_id, event_type FROM events
+      |  WHERE event_id % 3 <> 2),
+      |mm AS (
+      |  SELECT event_type, MIN(event_id) AS mn, MAX(event_id) AS mx
+      |  FROM w01 GROUP BY 1),
+      |del AS (
+      |  SELECT w.event_id FROM w01 w JOIN mm USING (event_type)
+      |  WHERE w.event_id % 7 = 1 OR w.event_id = mm.mn
+      |     OR w.event_id = mm.mx),
+      |surv AS (
+      |  SELECT event_id, user_id, event_type FROM events
+      |  WHERE event_id NOT IN (SELECT event_id FROM del))
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM surv GROUP BY 1""".stripMargin
+
+  /** The SYNTHETIC clustered corpus for the drift-policy gate — exact
+    * integer components, so both engines see identical vectors with
+    * zero float-construction risk: standing ids (vec_id % 5 ≠ 4) sit in
+    * four tight clusters on axes 0-3 (component = 100 on the axis, plus
+    * a 0-4 jitter everywhere: `(vec_id*7 + d*3) % 5`), the delta
+    * (vec_id % 5 = 4) is a fifth cluster on axis 5 the stale quantizer
+    * never saw — per-batch residual ≈ 1 against a baseline of ~1e-3,
+    * the unmistakable distribution shift a drift monitor exists to
+    * catch (the [[plantedDrift]] spike on REAL test embeddings cannot
+    * discriminate: their residual hovers ~0.8 under ANY quantizer —
+    * AnnIndexSpec documents the same modeling choice). */
+  private def clusteredCorpus(s: SparkSession, dir: String): DataFrame = {
+    val axis = when(col("vec_id") % 5 === 4, lit(5L))
+      .otherwise(col("vec_id") % 4)
+    Tables.embeddings(s, dir).select(col("vec_id"), axis.as("axis"))
+      .select(col("vec_id"),
+        array((0 until 8).map { d =>
+          (when(col("axis") === d, lit(100L)).otherwise(lit(0L)) +
+            (col("vec_id") * 7 + lit(d * 3)) % 5).cast("float")
+        }: _*).as("embedding"))
+  }
+
+  private val clusteredCorpusSql =
+    """
+      |  SELECT vec_id,
+      |    list_transform(generate_series(0, 7), d ->
+      |      CAST((CASE WHEN d = axis THEN 100 ELSE 0 END)
+      |         + (vec_id * 7 + d * 3) % 5 AS DOUBLE)) AS v
+      |  FROM (SELECT vec_id,
+      |          CASE WHEN vec_id % 5 = 4 THEN 5 ELSE vec_id % 4 END AS axis
+      |        FROM embeddings)""".stripMargin
+
+  /** T28 — the drift-TRIGGERED refresh gated end to end (T24 refreshes
+    * manually; [[AnnIndex.RefreshPolicy]] was previously spec-only):
+    * the index initializes on the standing clusters, then drains three
+    * off-manifold delta waves with `refreshPolicy` set and NO manual
+    * refresh call. Wave 0's monitored encode crosses the planted
+    * residual threshold (≈1 vs a ~1e-3 training baseline, factor 2),
+    * so the stream itself retrains mid-drain — on standing + wave 0,
+    * the live corpus at that between-batches instant — swaps to
+    * version 2 (REQUIRED in-query: v≠2 means the trigger misfired or
+    * double-fired), and waves 1-2 encode against the new quantizer
+    * automatically (post-refresh baseline is trained on the drifted
+    * cluster, so they must NOT re-trigger). The oracle replays the end
+    * state with the trigger timing made explicit: a quantizer trained
+    * on standing ∪ wave 0, every vector encoded against it, served at
+    * nprobe 4 — so WHEN the policy fires is pinned by the same hash
+    * that pins WHAT the rebuild computes. */
+  private def t28PolicyRefresh(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.AnnIndex
+    val corpus = Tables.spread(clusteredCorpus(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val root = Dsl.tempDir("graft_t28_")
+    AnnIndex.init(s, root, corpus.filter(col("vec_id") % 5 =!= 4),
+      nlist = 16, lloydIters = 2)
+    val delta = corpus.filter(col("vec_id") % 5 === 4)
+    val stream = s.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(writeOrderedBatches(delta, "vec_id", 3))
+    AnnIndex.maintain(stream, root, Dsl.tempDir("graft_t28_ckpt_"),
+        refreshPolicy = Some(AnnIndex.RefreshPolicy(2.0, corpus,
+          nlist = 16, lloydIters = 2)))
+      .awaitTermination()
+    val v = AnnIndex.currentVersion(s, root)
+    require(v.contains(2L),
+      s"planted drift must trigger exactly one policy refresh, got $v")
+    val out = AnnIndex.serve(s, root, corpus.filter(col("vec_id") < 8),
+        corpus, k = 5, nprobe = 4)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("cosine"), 6).as("cosine"))
+    corpus.unpersist()
+    out
+  }
+
+  private val t28Sql = SimilarityQueries.ivfQServeSql(
+    // the trigger fires at wave 0's end: the retrain corpus is standing
+    // (% 5 ≠ 4) plus the first delta wave (% 3 = 0 of the % 5 = 4 ids)
+    trainPred = Some("vec_id % 5 <> 4 OR vec_id % 3 = 0"),
+    servePred = None,
+    eCte = clusteredCorpusSql,
+    queryPred = "q.vec_id < 8",
+    nprobe = 4)
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_late_split"      -> t11LateSplit _,
     "t12_view_maintain"   -> t12ViewMaintain _,
@@ -1452,6 +1627,8 @@ object StreamGateQueries extends QueryModule {
     "t24_hybrid_refresh" -> t24HybridRefresh _,
     "t25_ledger_delete" -> t25LedgerDelete _,
     "t26_stream_sample_delete" -> t26StreamSampleDelete _,
+    "t27_view_delete" -> t27ViewDelete _,
+    "t28_policy_refresh" -> t28PolicyRefresh _,
     "m8_proximity_analyzed" -> m8ProximityAnalyzed _)
 
   def oracles: Map[String, String] = Map(
@@ -1475,5 +1652,7 @@ object StreamGateQueries extends QueryModule {
     "t24_hybrid_refresh" -> t24Sql,
     "t25_ledger_delete" -> t25Sql,
     "t26_stream_sample_delete" -> t26Sql,
+    "t27_view_delete" -> t27Sql,
+    "t28_policy_refresh" -> t28Sql,
     "m8_proximity_analyzed" -> m8ProximityAnalyzedSql)
 }
