@@ -441,6 +441,84 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Incremental SEMANTIC admission: screen a DELTA of embedding
+    * vectors against an already-admitted CORPUS — [[minhashIncremental]]
+    * re-expressed for the embedding-cosine family ([[embeddingPairs]]),
+    * the screen a streaming SemDeDup loop runs per batch. Both inputs
+    * are `(id, v)` vector frames; a delta doc is rejected when its
+    * cosine against any corpus vector — or any EARLIER delta doc (id
+    * order, the one-pass "seen beats admitted" rule) — reaches
+    * `minCosine`. Candidates come from the same hyperplane-LSH bucket
+    * equi-join as [[embeddingPairs]], made asymmetric: only delta rows
+    * sit on the probe side, so corpus×corpus pairs are never generated,
+    * and the bucket join carries (id, bucket) only — vectors join back
+    * to the deduplicated candidate list and each pair is scored once.
+    *
+    * Returns one row per delta doc: verdict admit/reject, smallest
+    * matching id (`dup_of`), best cosine, match count. `planes` is a
+    * caller-owned store mode (every batch against one store must sign
+    * with the same count — the bands/rowsPerBand contract of
+    * [[minhashIncremental]]); size it once from the expected corpus via
+    * [[choosePlanes]].
+    *
+    * `broadcastDelta` / `broadcastPairsUpTo`: the micro-batch policy,
+    * verbatim from [[minhashIncremental]] — under the flag the delta's
+    * bucket rows broadcast so the stored corpus is only SCANNED, and
+    * the wide pair-side broadcast (pairs × a 64-float vector) is gated
+    * on the MEASURED candidate count, falling back to shuffle joins
+    * past the cap. */
+  def embeddingIncremental(corpusVecs: DataFrame, deltaVecs: DataFrame,
+                           planes: Int, minCosine: Double,
+                           portable: Boolean = false, dim: Int = 64,
+                           broadcastDelta: Boolean = false,
+                           broadcastPairsUpTo: Long = 2000000L): DataFrame = {
+    require(planes > 0, s"planes must be positive: $planes")
+    def bucketed(vecs: DataFrame): DataFrame = {
+      val b =
+        if (portable) VectorFns.hyperplane_bucket_portable(col("v"), planes, dim)
+        else VectorFns.hyperplane_bucket(col("v"), planes)
+      vecs.select(col("id"), b.as("bucket"))
+    }
+    val build = bucketed(corpusVecs).withColumn("is_corpus", lit(true))
+      .unionByName(bucketed(deltaVecs).withColumn("is_corpus", lit(false)))
+      .select(col("id").as("cand_id"), col("bucket"), col("is_corpus"))
+    val deltaBand = bucketed(deltaVecs)
+      .select(col("id").as("new_id"), col("bucket"))
+    val bandJoined =
+      if (broadcastDelta) build.join(broadcast(deltaBand), Seq("bucket"))
+      else deltaBand.join(build, Seq("bucket"))
+    val cand0 = bandJoined
+      .filter((col("is_corpus") && col("cand_id") =!= col("new_id")) ||
+        (!col("is_corpus") && col("cand_id") < col("new_id")))
+      .select("new_id", "cand_id")
+      .distinct()
+    val cand = if (broadcastDelta) cand0.localCheckpoint() else cand0
+    val broadcastPairs = broadcastDelta && cand.count() <= broadcastPairsUpTo
+    val allVecs = corpusVecs.unionByName(deltaVecs)
+    val withNew = cand
+      .join(deltaVecs.select(col("id").as("new_id"), col("v").as("v_n")),
+        Seq("new_id"))
+    val corpusSide = allVecs.select(col("id").as("cand_id"),
+      col("v").as("v_c"))
+    val paired =
+      if (broadcastPairs) corpusSide.join(broadcast(withNew), Seq("cand_id"))
+      else withNew.join(corpusSide, Seq("cand_id"))
+    val hits = paired
+      .withColumn("cosine", VectorFns.cosine(col("v_n"), col("v_c")))
+      .filter(col("cosine") >= minCosine)
+      .groupBy("new_id")
+      .agg(min("cand_id").as("dup_of"),
+        max("cosine").as("best_cosine"),
+        count(lit(1)).as("n_dups"))
+    deltaVecs.select(col("id").as("doc_id"))
+      .join(hits.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNull, lit("admit")).otherwise(lit("reject"))
+          .as("verdict"),
+        col("dup_of"), col("best_cosine"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+  }
+
   /** Pick the hyperplane count for [[embeddingPairs]] at corpus size
     * `n`: the expected bucket population is n / 2^planes, and the pairs
     * scored inside a bucket grow with its population squared — so a

@@ -1606,6 +1606,102 @@ object StreamGateQueries extends QueryModule {
     queryPred = "q.vec_id < 8",
     nprobe = 4)
 
+  /** M8 — streaming SEMANTIC admission ([[DedupStream.admitVectors]]):
+    * three embedding waves (vec_id % 3) screen against the growing
+    * store of admitted vectors via the hyperplane-LSH + cosine ≥ 0.4
+    * screen (portable planes, corpus-SIZED count — the oracle replays
+    * the [[graft.dedup.Dedup.choosePlanes]] derivation, the
+    * `m8_dedup_embedding` contract), the batch-mode `m8_semantic_dedup`
+    * composition run as an ingest loop. Output: every verdict row plus
+    * the store's live id set; the oracle unrolls the three stages —
+    * each screens against prior stages' ADMITTED vectors plus earlier
+    * same-batch vectors — exactly the [[graft.dedup.Dedup
+    * .embeddingIncremental]] contract. */
+  private def streamSemantic(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.BatchStore
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val planes = graft.dedup.Dedup.choosePlanes(math.max(1L, emb.count()))
+    val watch = writeOrderedBatches(
+      emb.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id", 3)
+    val root = Dsl.tempDir("graft_m8ssem_")
+    val stream = s.readStream
+      .schema("doc_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    DedupStream.admitVectors(stream, s"$root/store", s"$root/verdicts",
+        s"$root/ckpt", planes = planes, minCosine = 0.4, portable = true)
+      .awaitTermination()
+    val verdicts = s.read.parquet(s"$root/verdicts")
+      .select(lit("verdict").as("leg"), col("doc_id"), col("verdict"),
+        col("dup_of"), round(col("best_cosine"), 6).as("best_cosine"),
+        col("n_dups"), col("batch_id"))
+    val live = BatchStore.read(s, s"$root/store")
+      .select(lit("store").as("leg"), col("id").as("doc_id"),
+        lit(null).cast("string").as("verdict"),
+        lit(null).cast("long").as("dup_of"),
+        lit(null).cast("double").as("best_cosine"),
+        lit(null).cast("long").as("n_dups"),
+        lit(null).cast("long").as("batch_id"))
+    verdicts.unionByName(live)
+  }
+
+  private val streamSemanticSql = {
+    def cos(a: String, b: String) =
+      s"""list_inner_product($a, $b) /
+         |      (sqrt(list_inner_product($a, $a)) *
+         |       sqrt(list_inner_product($b, $b)))""".stripMargin
+    def stage(i: Int, admitted: String) =
+      s"""sc$i AS (
+         |  SELECT DISTINCT n.vec_id AS new_id, c.vec_id AS cand_id
+         |  FROM sb n JOIN sb c ON n.bucket = c.bucket
+         |  WHERE n.vec_id % 3 = $i AND (
+         |        (c.vec_id % 3 = $i AND c.vec_id < n.vec_id)
+         |        $admitted)),
+         |sa$i AS (
+         |  SELECT i.new_id, i.cand_id, ${cos("en.v", "ec.v")} AS cosine
+         |  FROM sc$i i
+         |  JOIN se en ON en.vec_id = i.new_id
+         |  JOIN se ec ON ec.vec_id = i.cand_id),
+         |sh$i AS (
+         |  SELECT new_id, MIN(cand_id) AS dup_of,
+         |    MAX(cosine) AS best_cosine, COUNT(*) AS n_dups
+         |  FROM sa$i WHERE cosine >= 0.4 GROUP BY 1),
+         |sadm$i AS (
+         |  SELECT vec_id FROM embeddings
+         |  WHERE vec_id % 3 = $i
+         |    AND vec_id NOT IN (SELECT new_id FROM sh$i)),
+         |sv$i AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    CASE WHEN h.new_id IS NULL THEN 'admit' ELSE 'reject' END
+         |      AS verdict,
+         |    h.dup_of, round(h.best_cosine, 6) AS best_cosine,
+         |    CAST(COALESCE(h.n_dups, 0) AS BIGINT) AS n_dups,
+         |    CAST($i AS BIGINT) AS batch_id
+         |  FROM (SELECT vec_id FROM embeddings WHERE vec_id % 3 = $i) e
+         |  LEFT JOIN sh$i h ON h.new_id = e.vec_id)""".stripMargin
+    s"""WITH ${DedupQueries.sizedPlanesCte},
+       |se AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |sb AS (SELECT vec_id, ${OracleVectors.sizedBucketSql(64)} AS bucket
+       |       FROM se CROSS JOIN p),
+       |${stage(0, "")},
+       |${stage(1, "OR c.vec_id IN (SELECT vec_id FROM sadm0)")},
+       |${stage(2, "OR c.vec_id IN (SELECT vec_id FROM sadm0 " +
+            "UNION ALL SELECT vec_id FROM sadm1)")}
+       |SELECT 'verdict' AS leg, doc_id, verdict, dup_of, best_cosine,
+       |  n_dups, batch_id
+       |FROM (SELECT * FROM sv0 UNION ALL SELECT * FROM sv1
+       |      UNION ALL SELECT * FROM sv2)
+       |UNION ALL
+       |SELECT 'store' AS leg, vec_id AS doc_id,
+       |  CAST(NULL AS VARCHAR) AS verdict, CAST(NULL AS BIGINT) AS dup_of,
+       |  CAST(NULL AS DOUBLE) AS best_cosine, CAST(NULL AS BIGINT) AS n_dups,
+       |  CAST(NULL AS BIGINT) AS batch_id
+       |FROM (SELECT vec_id FROM sadm0 UNION ALL SELECT vec_id FROM sadm1
+       |      UNION ALL SELECT vec_id FROM sadm2)""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_late_split"      -> t11LateSplit _,
     "t12_view_maintain"   -> t12ViewMaintain _,
@@ -1629,6 +1725,7 @@ object StreamGateQueries extends QueryModule {
     "t26_stream_sample_delete" -> t26StreamSampleDelete _,
     "t27_view_delete" -> t27ViewDelete _,
     "t28_policy_refresh" -> t28PolicyRefresh _,
+    "m8_stream_semantic" -> streamSemantic _,
     "m8_proximity_analyzed" -> m8ProximityAnalyzed _)
 
   def oracles: Map[String, String] = Map(
@@ -1654,5 +1751,6 @@ object StreamGateQueries extends QueryModule {
     "t26_stream_sample_delete" -> t26Sql,
     "t27_view_delete" -> t27Sql,
     "t28_policy_refresh" -> t28Sql,
+    "m8_stream_semantic" -> streamSemanticSql,
     "m8_proximity_analyzed" -> m8ProximityAnalyzedSql)
 }

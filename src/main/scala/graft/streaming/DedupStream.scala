@@ -44,6 +44,14 @@ object DedupStream {
     StructField("sig", ArrayType(LongType)),
     StructField("graft_batch", LongType)))
 
+  /** Vector-store schema for [[admitVectors]]: the admitted docs' float
+    * embeddings (the semantic screen's corpus side) + the per-batch
+    * partition column. */
+  private def vecSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("v", ArrayType(org.apache.spark.sql.types.FloatType)),
+    StructField("graft_batch", LongType)))
+
   /** Start the admission stream over a streaming `docs` frame with
     * (doc_id, text) columns. AvailableNow by default: drain what exists,
     * then stop — the scheduled-ingest shape; pass `continuous = true`
@@ -70,6 +78,89 @@ object DedupStream {
   def deleteDocs(spark: org.apache.spark.sql.SparkSession,
                  sigStoreDir: String, docIds: DataFrame): Unit =
     BatchStore.delete(spark, sigStoreDir, docIds)
+
+  /** Streaming SEMANTIC admission — [[admitDocuments]]' sibling for the
+    * embedding-cosine family: each micro-batch of `(doc_id, embedding)`
+    * rows is screened against the persistent store of ADMITTED vectors
+    * via [[Dedup.embeddingIncremental]] (hyperplane-LSH bucket probe,
+    * asymmetric: corpus×corpus pairs are never generated), verdicts
+    * append to the audit sink, and only the admitted docs' float
+    * vectors extend the store — the streaming loop of the batch-mode
+    * `m8_semantic_dedup` composition, for the corpus where "the same
+    * content, re-phrased" keeps arriving.
+    *
+    * `planes` is a store MODE (every batch must sign with the same
+    * count — the [[admitDocuments]] bands contract); size it once from
+    * the expected corpus via [[Dedup.choosePlanes]]. Crash-safety,
+    * per-batch subdir overwrite, the size-aware broadcast policy, the
+    * tombstone mask ([[deleteDocs]] on the vector store), and the
+    * compaction hook all mirror [[admitDocuments]] — per-batch cost is
+    * |batch| × bucket-collision rate, never |corpus|². Gated
+    * end-to-end by `m8_stream_semantic` (unrolled incremental replay in
+    * the oracle, both SFs); batch parity + crash replay in
+    * DedupStreamSpec. */
+  def admitVectors(vecs: DataFrame, vecStoreDir: String,
+                   verdictDir: String, checkpointDir: String,
+                   planes: Int, minCosine: Double = 0.95,
+                   portable: Boolean = false, dim: Int = 64,
+                   continuous: Boolean = false,
+                   compactWhenBatchesExceed: Option[Int] = None,
+                   broadcastDeltaUpTo: Long = 500000L): StreamingQuery = {
+    def runPolicy(): Unit = compactWhenBatchesExceed.foreach { threshold =>
+      val spark = vecs.sparkSession
+      val p = new Path(vecStoreDir)
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        BatchStore.compactIfOver(spark, vecStoreDir, threshold,
+          dropDeletedOn = Some("id"))
+    }
+    runPolicy()
+    val writer = vecs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (continuous) runPolicy()
+        val spark = batch.sparkSession
+        val delta = batch
+          .select(col("doc_id").as("id"), col("embedding").as("v"))
+          .persist()
+        val storePath = new Path(vecStoreDir)
+        val storeFs =
+          storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // existence checked explicitly — a missing store is "first
+        // batch"; a genuine read failure must fail the batch, never
+        // silently admit everything (the admitDocuments contract)
+        val corpus =
+          if (storeFs.exists(storePath)) {
+            val live = BatchStore.read(spark, vecStoreDir, Some(vecSchema))
+              .filter(col("graft_batch") =!= lit(batchId))
+              .select(col("id"), col("v"))
+            if (!BatchStore.hasDeletes(spark, vecStoreDir)) live
+            else live.join(BatchStore.readDeletes(spark, vecStoreDir),
+              col("id") === col("del_id"), "left_anti")
+          } else
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(vecSchema.dropRight(1)))
+        val useBroadcast =
+          broadcastDeltaUpTo > 0 && delta.count() <= broadcastDeltaUpTo
+        val verdicts = Dedup.embeddingIncremental(corpus, delta,
+          planes, minCosine, portable, dim,
+          broadcastDelta = useBroadcast).persist()
+        verdicts.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .parquet(s"$verdictDir/graft_batch=$batchId")
+        delta.join(
+            verdicts.filter(col("verdict") === "admit")
+              .select(col("doc_id").as("id")),
+            Seq("id"), "left_semi")
+          .write.mode("overwrite")
+          .parquet(s"$vecStoreDir/graft_batch=$batchId")
+        verdicts.unpersist()
+        delta.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+    (if (continuous) writer else writer.trigger(Trigger.AvailableNow()))
+      .start()
+  }
 
   /** `kindCol` ([[PostingsStream.maintainPostings]] has the full
     * streamed-tombstone contract): `"add"` rows run the admission

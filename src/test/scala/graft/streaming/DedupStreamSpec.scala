@@ -723,4 +723,71 @@ class DedupStreamSpec extends SparkSpec {
       assert(dirs <= 3, s"trial $trial left $dirs dirs after final fold")
     }
   }
+
+  test("streaming SEMANTIC admission matches the unrolled batch-mode " +
+       "embeddingIncremental replay, and a crash-replayed batch converges") {
+    val dim = 8
+    def axis(a: Int): Seq[Float] =
+      (0 until dim).map(d => if (d == a) 1f else 0f)
+    val b0 = Seq(1L -> axis(0), 2L -> axis(1))
+    val b1 = Seq(3L -> axis(0), 4L -> axis(2))            // 3 dups 1
+    val b2 = Seq(5L -> axis(2), 6L -> axis(3), 7L -> axis(3)) // 5→4, 7→6
+    val root = Files.createTempDirectory("sem_stream").toString
+    val watch = s"$root/in"; Files.createDirectories(Paths.get(watch))
+    def writeVecBatch(name: String, rows: Seq[(Long, Seq[Float])]): Unit = {
+      val stage = Files.createTempDirectory("sem_stage").toString
+      rows.toDF("doc_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(watch, name))
+    }
+    writeVecBatch("b0.parquet", b0); Thread.sleep(20)
+    writeVecBatch("b1.parquet", b1); Thread.sleep(20)
+    writeVecBatch("b2.parquet", b2)
+    def mkStream() = spark.readStream
+      .schema("doc_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+    val ckpt = s"$root/ckpt"
+    def drain(): Unit = DedupStream.admitVectors(mkStream(), s"$root/store",
+        s"$root/verdicts", ckpt, planes = 4, minCosine = 0.95,
+        portable = true, dim = dim)
+      .awaitTermination()
+    drain()
+    def got(): Map[Long, (String, Long)] = spark.read
+      .parquet(s"$root/verdicts").select("doc_id", "verdict", "dup_of")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    val first = got()
+    assert(first === Map(1L -> ("admit", -1L), 2L -> ("admit", -1L),
+      3L -> ("reject", 1L), 4L -> ("admit", -1L), 5L -> ("reject", 4L),
+      6L -> ("admit", -1L), 7L -> ("reject", 6L)), s"verdicts: $first")
+    def storedIds(): Set[Long] = BatchStore.read(spark, s"$root/store")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(storedIds() === Set(1L, 2L, 4L, 6L))
+    // batch parity: the same waves through embeddingIncremental unrolled
+    var corpus = Seq.empty[(Long, Seq[Float])].toDF("id", "v")
+    val replayed = Seq(b0, b1, b2).flatMap { batch =>
+      val delta = batch.toDF("id", "v")
+      val v = Dedup.embeddingIncremental(corpus, delta, planes = 4,
+          minCosine = 0.95, portable = true, dim = dim)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      val admitted = v.filter(_._2._1 == "admit").map(_._1).toSet
+      corpus = corpus.unionByName(
+        batch.filter(t => admitted(t._1)).toDF("id", "v"))
+      v
+    }.toMap
+    assert(replayed === first, "stream diverged from batch-mode replay")
+    // crash-replay: drop the last commit, re-drain — verdicts and store
+    // must converge (the replayed batch excludes its own first attempt)
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val crc = new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    assert(commits.last.delete())
+    drain()
+    assert(got() === first, "replayed semantic verdicts diverged")
+    assert(storedIds() === Set(1L, 2L, 4L, 6L))
+  }
 }
