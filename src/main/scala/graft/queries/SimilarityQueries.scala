@@ -817,10 +817,173 @@ object SimilarityQueries extends QueryModule {
       .mkString("\nUNION ALL\n")
   }
 
+  /** The predicted-coverage target [[Similarity.chooseNprobe]] derives
+    * the probe budget from (35% of indexed vectors reachable by the
+    * probe set), and the recall floor the tuned serve must clear
+    * in-query (25% of the exact hits — comfortably under the measured
+    * tuned recall at both SFs, so the gate's teeth bite on a derivation
+    * regression, not on data noise). */
+  private val TunedCoverageBp = 3500L
+  private val TunedRecallFloorBp = 2500L
+
+  /** M8: CLOSE the dense tuning loop — `m8_ann_sweep` measures nprobe's
+    * recall curve; this gate DERIVES the budget from the trained
+    * index's own assignment histogram ([[Similarity.chooseNprobe]]:
+    * smallest nprobe whose top-lists cover ≥ 35% of indexed vectors,
+    * all-integer comparison) and serves at it. Output: the derivation
+    * table (per-probe-rank cumulative coverage with the chosen flag —
+    * emitting the flag pins the driver-side derivation against the SQL
+    * replica, the `m8_dedup_minhash_tuned` pattern) plus the tuned
+    * serve's rankEval rows against brute-force truth; in-query the
+    * tuned budget must clear the recall floor. The oracle re-derives
+    * the histogram, the budget (a scalar subquery feeding the probe
+    * cut), the serve, the truth, and the integer-weight DCG. */
+  private def annProbeTuned(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.spread(Tables.embeddings(s, dir))
+    val queries = emb.filter(col("vec_id") < 8)
+    val (cent, lists0) = Similarity.ivfBuildQuantized(emb, nlist = 16,
+      lloydIters = IvfIters)
+    val lists = lists0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val np = Similarity.chooseNprobe(lists, targetBp = TunedCoverageBp)
+    val truth = Similarity.bruteForceTopK(queries, emb, K)
+      .select("query_id", "cand_id", "rank").localCheckpoint(true)
+    val eval = Similarity.rankEval(
+        Similarity.ivfServeQuantized(queries, cent, lists, emb, K,
+          nprobe = np, rescoreK = RescoreK),
+        truth, K)
+      .localCheckpoint(true)
+    // teeth: the tuned budget must clear the recall floor (total hits
+    // over total exact, in basis points — integer arithmetic)
+    val Array(hits, exact) = {
+      val r = eval.agg(sum("n_hits")).collect()(0).getLong(0)
+      Array(r, truth.count())
+    }
+    require(hits * 10000L >= TunedRecallFloorBp * exact,
+      s"tuned nprobe=$np recall floor missed: $hits/$exact hits")
+    val w = Window.orderBy(col("n").desc, col("cent_id"))
+    val derive = lists.groupBy("cent_id").agg(count(lit(1)).as("n"))
+      .withColumn("probe_rank", row_number().over(w))
+      .withColumn("cum", sum("n").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(lit("derive").as("leg"),
+        col("probe_rank").cast("long").as("id"),
+        col("cum").cast("long").as("n"),
+        (col("probe_rank") === np).as("chosen"),
+        lit(null).cast("double").as("rr"),
+        lit(null).cast("double").as("ndcg"))
+    val evalLeg = eval.select(lit("eval").as("leg"),
+      col("query_id").as("id"), col("n_hits").as("n"),
+      lit(null).cast("boolean").as("chosen"), col("rr"), col("ndcg"))
+    derive.unionByName(evalLeg)
+  }
+
+  private val annProbeTunedSql = {
+    def weightCase(rankCol: String): String =
+      s"CASE $rankCol " + Similarity.ndcgWeights(K).zipWithIndex
+        .map { case (w, i) => s"WHEN ${i + 1} THEN ${w}" }
+        .mkString(" ") + " ELSE 0 END"
+    val (train, cent) = ivfTrainCtes(nlist = 16, iters = IvfIters)
+    s"""WITH e AS ($defaultECte),
+       |$train,
+       |assigned AS (
+       |  SELECT vec_id, v, cent_id FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.v", "c.cvec")} DESC, c.cent_id) AS rn
+       |    FROM e CROSS JOIN $cent c) WHERE rn = 1),
+       |codes AS (
+       |  SELECT vec_id, cent_id,
+       |    CASE WHEN scale = 0
+       |         THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+       |         ELSE list_transform(v,
+       |           x -> CAST(CAST(floor(x / scale * 127 + 0.5) AS INT) AS DOUBLE))
+       |    END AS qc
+       |  FROM (SELECT vec_id, cent_id, v,
+       |          list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+       |        FROM assigned)),
+       |hist AS (SELECT cent_id, COUNT(*) AS n FROM assigned GROUP BY 1),
+       |horder AS (
+       |  SELECT cent_id, n,
+       |    ROW_NUMBER() OVER (ORDER BY n DESC, cent_id) AS probe_rank,
+       |    SUM(n) OVER (ORDER BY n DESC, cent_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM hist),
+       |tot AS (SELECT SUM(n) AS total FROM hist),
+       |chosen AS (
+       |  SELECT MIN(probe_rank) AS np FROM horder, tot
+       |  WHERE cum * 10000 >= $TunedCoverageBp * total),
+       |probes AS (
+       |  SELECT query_id, qv, cent_id FROM (
+       |    SELECT q.vec_id AS query_id, q.v AS qv, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.v", "c.cvec")} DESC, c.cent_id) AS rn
+       |    FROM e q CROSS JOIN $cent c WHERE q.vec_id < 8)
+       |  WHERE rn <= (SELECT np FROM chosen)),
+       |approx AS (
+       |  SELECT p.query_id, p.qv, c.vec_id AS cand_id,
+       |    ${cosSql("p.qv", "c.qc")} AS qcos
+       |  FROM codes c JOIN probes p ON c.cent_id = p.cent_id
+       |  WHERE c.vec_id <> p.query_id),
+       |short AS (
+       |  SELECT query_id, qv, cand_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY qcos DESC, cand_id) AS rn FROM approx)
+       |  WHERE rn <= $RescoreK),
+       |rescored AS (
+       |  SELECT s.query_id, s.cand_id, ${cosSql("s.qv", "e.v")} AS cosine
+       |  FROM short s JOIN e ON e.vec_id = s.cand_id),
+       |ar AS (
+       |  SELECT query_id, cand_id, CAST(rank AS BIGINT) AS r_rank FROM (
+       |    SELECT query_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY cosine DESC, cand_id) AS rank
+       |    FROM rescored) WHERE rank <= $K),
+       |er AS (
+       |  SELECT query_id, cand_id, CAST(rn AS BIGINT) AS t_rank FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id) AS rn
+       |    FROM e q CROSS JOIN e c
+       |    WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
+       |  WHERE rn <= $K),
+       |eh AS (
+       |  SELECT ar.query_id, COUNT(*) AS n_hits,
+       |    SUM((${K + 1} - er.t_rank) * ${weightCase("ar.r_rank")}) AS dcg_fp
+       |  FROM ar JOIN er ON er.query_id = ar.query_id
+       |                 AND er.cand_id = ar.cand_id
+       |  GROUP BY 1),
+       |ei AS (
+       |  SELECT query_id,
+       |    SUM((${K + 1} - t_rank) * ${weightCase("t_rank")}) AS ideal_fp
+       |  FROM er GROUP BY 1),
+       |efirst AS (
+       |  SELECT ar.query_id, 1000000000 // ar.r_rank AS rr_fp
+       |  FROM ar JOIN er ON er.query_id = ar.query_id
+       |                 AND er.cand_id = ar.cand_id
+       |  WHERE er.t_rank = 1)
+       |SELECT 'derive' AS leg, CAST(probe_rank AS BIGINT) AS id,
+       |  CAST(cum AS BIGINT) AS n,
+       |  probe_rank = (SELECT np FROM chosen) AS chosen,
+       |  CAST(NULL AS DOUBLE) AS rr, CAST(NULL AS DOUBLE) AS ndcg
+       |FROM horder
+       |UNION ALL
+       |SELECT 'eval' AS leg, ei.query_id AS id,
+       |  CAST(COALESCE(eh.n_hits, 0) AS BIGINT) AS n,
+       |  CAST(NULL AS BOOLEAN) AS chosen,
+       |  CAST(COALESCE(efirst.rr_fp, 0) AS DOUBLE) / 1000000000.0 AS rr,
+       |  CAST(COALESCE(eh.dcg_fp, 0) AS DOUBLE)
+       |    / CAST(ei.ideal_fp AS DOUBLE) AS ndcg
+       |FROM ei LEFT JOIN eh USING (query_id)
+       |        LEFT JOIN efirst USING (query_id)""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_rrf_fusion"          -> rrfFusion _,
     "m8_rank_eval"           -> rankEval _,
     "m8_ann_sweep"           -> annSweep _,
+    "m8_ann_probe_tuned"     -> annProbeTuned _,
     "m8_embedding_quantize"  -> quantize _,
     "m8_sim_topk_bruteforce" -> topkBrute _,
     "m8_sim_topk_lsh"        -> topkLsh _,
@@ -839,6 +1002,7 @@ object SimilarityQueries extends QueryModule {
     "m8_rrf_fusion"          -> rrfFusionSql,
     "m8_rank_eval"           -> rankEvalSql,
     "m8_ann_sweep"           -> annSweepSql,
+    "m8_ann_probe_tuned"     -> annProbeTunedSql,
     "m8_embedding_quantize"  -> quantizeSql,
     "m8_sim_topk_bruteforce" -> topkBruteSql,
     "m8_sim_topk_lsh"        -> topkLshSql,

@@ -312,6 +312,39 @@ object Similarity {
     (cent, lists)
   }
 
+  /** Pick the probe budget from the TRAINED index itself — the
+    * derivation half of the nprobe knob that `m8_ann_sweep` only
+    * measures (the `chooseBands`/`choosePlanes` precedent applied to
+    * serving): the smallest nprobe whose PREDICTED coverage — the share
+    * of indexed vectors living in the nprobe most-populated inverted
+    * lists, the upper bound on what any single query's probe set can
+    * reach — meets `targetBp` basis points of the corpus. A skewed
+    * assignment histogram (most mass in few lists) thus derives a small
+    * budget; an even one derives proportionally more probes — the knob
+    * tracks the quantizer's actual shape instead of a folklore
+    * constant.
+    *
+    * All-integer comparison (`cum × 10000 ≥ targetBp × total`) with
+    * (size desc, cent_id) tie order, so an independent engine
+    * re-derives the identical budget — the `m8_ann_probe_tuned` gate
+    * replays this in SQL. The histogram is nlist-sized (tens of rows),
+    * so the collect is a config computation, not a data path. Clamped
+    * to [1, maxProbe]. */
+  def chooseNprobe(lists: DataFrame, targetBp: Long = 3500L,
+                   maxProbe: Int = 16): Int = {
+    require(targetBp > 0 && targetBp <= 10000, s"targetBp: $targetBp")
+    require(maxProbe > 0, s"maxProbe: $maxProbe")
+    val ordered = lists.groupBy("cent_id").agg(count(lit(1)).as("n"))
+      .select(col("cent_id").cast("long"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (cid, n) => (-n, cid) }
+    val total = ordered.map(_._2).sum
+    require(total > 0, "chooseNprobe: empty index")
+    val cums = ordered.map(_._2).scanLeft(0L)(_ + _).drop(1)
+    val p = cums.indexWhere(c => c * 10000L >= targetBp * total) + 1
+    math.min(math.max(p, 1), maxProbe)
+  }
+
   /** The SERVE stage over a (possibly stored-and-reloaded) quantized
     * index: probe `nprobe` lists per query, score codes, exact-rescore
     * a `rescoreK`-deep shortlist against the float `corpus`. Identical
