@@ -483,49 +483,88 @@ object TextCorpus {
           scala.collection.mutable.Set.empty[Int]) += i
       }
     }
+    // LAZY-DELETION MAX-HEAP argmax (round-17, replacing the per-round
+    // full pair-table scan — Sennrich-reference shape but O(pairs) per
+    // merge, which a 32k-merge production run feels): the heap orders
+    // by trainBpe's exact tie-break (count desc, then (l, r) asc —
+    // encoded by REVERSING the string legs so the max-heap's top is the
+    // smallest pair among count ties); every count change pushes a
+    // fresh entry, and pop discards entries whose count no longer
+    // matches the live table — the standard lazy-deletion discipline.
+    // Every live pair always has one entry carrying its current count
+    // (pushed at its last change), entries matching a stale count can
+    // never surface (the table comparison rejects them), so the first
+    // accepted pop IS the current argmax — O(log n) per update instead
+    // of a full scan per round. BpeSpec pins table equality with
+    // trainBpe at 16 merges and runs a 1k-merge training end to end.
+    val heapOrd = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val a = y._2.compareTo(x._2)
+          if (a != 0) a else y._3.compareTo(x._3)
+        }
+      }
+    }
+    val heap = scala.collection.mutable.PriorityQueue
+      .empty[(Long, String, String)](heapOrd)
+    pairCounts.foreach { case ((l, rr), c) =>
+      if (c >= 2L) heap.enqueue((c, l, rr))
+    }
+    def popTop(): Option[((String, String), Long)] = {
+      while (heap.nonEmpty) {
+        val (c, l, rr) = heap.dequeue()
+        if (c >= 2L && pairCounts.getOrElse((l, rr), 0L) == c)
+          return Some(((l, rr), c))
+      }
+      None
+    }
     val rules = scala.collection.mutable.ArrayBuffer[Row]()
     var r = 0
     var done = false
     while (r < numMerges && !done) {
-      // argmax with trainBpe's exact tie-break (count desc, then
-      // (l, r)): a full scan of the in-memory pair-count table per
-      // round — the reference trainer's own shape (Sennrich's
-      // learn_bpe argmaxes its stats dict every merge); the point of
-      // this variant is that the scan is driver-memory-speed over
-      // Zipf-bounded state, not a Spark job
-      val live = pairCounts.iterator.filter(_._2 >= 2L).toVector
-      if (live.isEmpty) done = true
-      else {
-        val ((l, rr), n) = live.minBy { case ((a, b), c) => (-c, a, b) }
-        val merged = l + rr
-        rules += Row(r, l, rr, merged, n)
-        // delta update: only words CONTAINING the pair are touched —
-        // remove their old pair contributions, fuse greedily
-        // left-to-right (trainBpe's aggregate-lambda semantics), add
-        // the new contributions back
-        val affected = pairWords.getOrElse((l, rr), Set.empty[Int]).toSeq
-        affected.foreach { i =>
-          val (sym, cnt) = words(i)
-          pairsOf(sym).foreach { p =>
-            pairCounts(p) -= cnt
-            if (pairCounts(p) <= 0L) pairCounts.remove(p)
-            pairWords.get(p).foreach(_ -= i)
+      popTop() match {
+        case None => done = true
+        case Some(((l, rr), n)) =>
+          val merged = l + rr
+          rules += Row(r, l, rr, merged, n)
+          // delta update: only words CONTAINING the pair are touched —
+          // remove their old pair contributions, fuse greedily
+          // left-to-right (trainBpe's aggregate-lambda semantics), add
+          // the new contributions back; every touched pair re-enters
+          // the heap with its post-round count
+          val touched =
+            scala.collection.mutable.Set.empty[(String, String)]
+          val affected = pairWords.getOrElse((l, rr), Set.empty[Int]).toSeq
+          affected.foreach { i =>
+            val (sym, cnt) = words(i)
+            pairsOf(sym).foreach { p =>
+              pairCounts(p) -= cnt
+              if (pairCounts(p) <= 0L) pairCounts.remove(p)
+              pairWords.get(p).foreach(_ -= i)
+              touched += p
+            }
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < sym.length) {
+              if (j + 1 < sym.length && sym(j) == l && sym(j + 1) == rr) {
+                out += merged; j += 2
+              } else { out += sym(j); j += 1 }
+            }
+            sym.clear(); sym ++= out
+            pairsOf(sym).foreach { p =>
+              pairCounts(p) += cnt
+              pairWords.getOrElseUpdate(p,
+                scala.collection.mutable.Set.empty[Int]) += i
+              touched += p
+            }
           }
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          var j = 0
-          while (j < sym.length) {
-            if (j + 1 < sym.length && sym(j) == l && sym(j + 1) == rr) {
-              out += merged; j += 2
-            } else { out += sym(j); j += 1 }
+          touched.foreach { case (tl, tr) =>
+            val c = pairCounts.getOrElse((tl, tr), 0L)
+            if (c >= 2L) heap.enqueue((c, tl, tr))
           }
-          sym.clear(); sym ++= out
-          pairsOf(sym).foreach { p =>
-            pairCounts(p) += cnt
-            pairWords.getOrElseUpdate(p,
-              scala.collection.mutable.Set.empty[Int]) += i
-          }
-        }
-        r += 1
+          r += 1
       }
     }
     val outSchema = StructType(Seq(
@@ -965,27 +1004,81 @@ object TextCorpus {
     * [[phraseSearch]] (slop = 0 degenerates to the exact-phrase
     * semantics, up to the occurrence-counting difference below).
     *
-    * RELATIONAL SLOPPY MATCH: a posting occurrence (doc, pos, word)
-    * matching a phrase offset (query, off, word) votes for every
-    * anchor `start ∈ [pos - off - slop, pos - off]` (term `off` may
-    * run up to `slop` positions late relative to the anchor); an
-    * anchor is a match iff ALL DISTINCT offsets voted for it
-    * (`count(distinct off) == phrase_len` — distinct, because with
-    * slop two occurrences of the same word can vote the same (anchor,
-    * offset) pair). `n_windows` counts matching anchors, so
-    * overlapping matches count once per anchor — deterministic and
-    * oracle-replayable. All-integer arithmetic; anchors may be
-    * negative (a shifted frame, not an error) and cancel out of the
-    * count identically on both engines.
+    * SEMANTICS (unchanged since the operator landed; the oracle
+    * replays them via the explicit anchor-vote formulation): a posting
+    * occurrence (doc, pos, word) matching a phrase offset (query, off,
+    * word) supports every anchor `start ∈ [pos − off − slop, pos − off]`
+    * (term `off` may run up to `slop` positions late relative to the
+    * anchor); an anchor matches iff ALL DISTINCT offsets support it,
+    * and `n_windows` counts matching anchors — so overlapping matches
+    * count once per anchor, deterministic on both engines. All-integer;
+    * anchors may be negative (a shifted frame, not an error).
     *
-    * SCALE SHAPE: [[phraseSearch]]'s exactly — broadcast offset table
-    * (or the size-aware fallback), corpus postings never shuffled by
-    * query, vote rows fan out ×(slop+1) before the one matched-rows
-    * aggregation, two-phase TopKPerKey cut. */
+    * EXECUTION (round-17 reshape — the measured ×(slop+1) anchor-vote
+    * explode was the most expensive serve surface at the 100× decade):
+    * instead of exploding each occurrence into slop+1 vote rows and
+    * paying a two-phase COUNT(DISTINCT) over the fanned-out anchors,
+    * the per-offset support set S_off = ∪ [adj − slop, adj] (adj =
+    * pos − off) is materialized as INTERVAL ISLANDS — one hash
+    * aggregation collects each (query, doc, off)'s sorted adj list
+    * (doc-bounded arrays), adjacent intervals (gap ≤ slop + 1) merge
+    * inside a per-row HOF, and each island emits two sweep events
+    * (+1 at lo, −1 at hi + 1). A second doc-keyed aggregation flattens
+    * the events, and `n_windows = |∩_off S_off|` falls out of one
+    * in-row sorted sweep: Σ of segment lengths where the running
+    * cover equals phrase_len — the classic interval-intersection
+    * identity, exact integer arithmetic, no anchor ever materialized.
+    * A doc missing ANY offset short-circuits on the island count
+    * before the sweep runs.
+    *
+    * SCALE SHAPE: broadcast offset table (or the size-aware fallback),
+    * corpus postings never shuffled by query, and the matched rows
+    * cross the network ONCE each per stage — two hash aggregations of
+    * ~1× and ≤2× matched-occurrence rows versus the old ×(slop+1)
+    * fan-out into a distinct-aggregate pair (measured ≥35% off the
+    * 100× NEAR wall, BASELINE.md round-17); two-phase TopKPerKey cut
+    * unchanged. */
   def proximitySearch(docs: DataFrame, id: Column, text: Column,
                       queries: DataFrame, k: Int, slop: Int): DataFrame =
     proximityMatchTopK(positional(docs, id, text, "doc_id", "pos"),
       queries, k, slop)
+
+  /** Sweep-event construction for the slop serves: `adjs` is a sorted
+    * integer array; intervals `[a − reach, a]` per element, islands
+    * merged where the inter-element gap ≤ reach + 1, two events per
+    * island. Returns an array<struct<at: long, d: long>>. The boundary
+    * `element_at` probes are short-circuited by the CaseWhen/Or guards
+    * (never evaluated out of bounds, ANSI-safe). */
+  private def islandEvents(adjs: Column, reach: Column): Column = {
+    val gap = reach + lit(1L)
+    concat(
+      filter(transform(adjs, (x, i) =>
+        when(i === 0 || x - element_at(adjs, i) > gap,
+          struct((x - reach).as("at"), lit(1L).as("d")))),
+        e => e.isNotNull),
+      filter(transform(adjs, (x, i) =>
+        when(i === size(adjs) - 1 || element_at(adjs, i + 2) - x > gap,
+          struct((x + lit(1L)).as("at"), lit(-1L).as("d")))),
+        e => e.isNotNull))
+  }
+
+  /** The sorted-event sweep: Σ segment lengths where the running cover
+    * equals `quorum` — `|∩ S|` over the island events, one sequential
+    * in-row fold (events are doc-bounded). Cover is compared BEFORE
+    * applying the event, so each segment [last_at, at) charges the
+    * cover that held across it; same-position ties contribute
+    * zero-length segments whatever their sort order. */
+  private def sweepCount(events: Column, quorum: Column): Column =
+    aggregate(array_sort(events),
+      struct(lit(0L).as("cover"), lit(0L).as("last_at"), lit(0L).as("acc")),
+      (st, e) => struct(
+        (st.getField("cover") + e.getField("d")).as("cover"),
+        e.getField("at").as("last_at"),
+        (st.getField("acc") +
+          when(st.getField("cover") === quorum,
+            e.getField("at") - st.getField("last_at"))
+            .otherwise(lit(0L))).as("acc")),
+      st => st.getField("acc"))
 
   /** [[proximitySearch]]'s match core over a prebuilt positional
     * postings frame (doc_id, pos, word) — store-serve ready, like
@@ -1002,16 +1095,27 @@ object TextCorpus {
     val qoff = positional(queries, col("query_id"), col("query_text"),
       "query_id", "off", analyzer)
     val qlen = qoff.groupBy("query_id").agg(count(lit(1)).as("phrase_len"))
-    val votes = pos.join(side(qoff), Seq("word"))
-      .select(col("query_id"), col("doc_id"), col("pos"), col("off"))
-      .withColumn("lag", explode(sequence(lit(0), lit(slop))))
+    val hits = pos.join(side(qoff), Seq("word"))
       .select(col("query_id"), col("doc_id"), col("off"),
-        (col("pos") - col("off") - col("lag")).as("start"))
-    val occ = votes.groupBy("query_id", "doc_id", "start")
-      .agg(countDistinct("off").as("n_off"))
-    val perDoc = occ.join(side(qlen), Seq("query_id"))
+        (col("pos") - col("off")).cast("long").as("adj"))
+    // one row per (query, doc, offset): the offset's sorted adjusted
+    // positions — group size ≤ one word's occurrences in one doc
+    val perOff = hits.groupBy("query_id", "doc_id", "off")
+      .agg(sort_array(collect_list(col("adj"))).as("adjs"))
+    val perDocEvents = perOff
+      .select(col("query_id"), col("doc_id"),
+        islandEvents(col("adjs"), lit(slop.toLong)).as("evs"))
+      .groupBy("query_id", "doc_id")
+      .agg(flatten(collect_list(col("evs"))).as("evs"),
+        count(lit(1)).as("n_off"))
+    val perDoc = perDocEvents.join(side(qlen), Seq("query_id"))
+      // a doc missing any offset can never reach quorum — skip its sweep
       .where(col("n_off") === col("phrase_len"))
-      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("n_windows"))
+      .select(col("query_id"), col("doc_id"),
+        sweepCount(col("evs"), col("phrase_len")).as("n_windows"))
+      // zero matching anchors = no result row (the vote formulation
+      // never grouped such docs at all)
+      .where(col("n_windows") > 0)
     val cut = graft.plans.GraftOps.topKPerKey(perDoc,
       keys = Seq(col("query_id")),
       order = Seq(col("n_windows").desc, col("doc_id").asc), k = k)
@@ -1029,16 +1133,22 @@ object TextCorpus {
     * query "fast spark" at slop ≥ 1; the ordered operators never
     * would.
     *
-    * RELATIONAL WINDOW MATCH: with window width `W = n_terms + slop`,
-    * each matching occurrence (doc, pos, term) votes for every anchor
-    * `start ∈ [pos − W + 1, pos]`; an anchor matches iff all
-    * `n_terms` DISTINCT terms voted for it. `n_windows` counts
-    * matching anchors. All-integer; W is per-query (term counts
-    * differ), so the vote fan-out rides a per-row `sequence`
-    * generator, never a join. SCALE SHAPE: [[phraseMatchTopK]]'s —
-    * broadcast (or size-capped) query terms, corpus postings never
-    * shuffled by query, one matched-rows aggregation, two-phase
-    * TopKPerKey cut. */
+    * SEMANTICS (unchanged; the oracle replays the vote formulation):
+    * with window width `W = n_terms + slop`, each matching occurrence
+    * (doc, pos, term) supports every anchor `start ∈ [pos − W + 1,
+    * pos]`; an anchor matches iff all `n_terms` DISTINCT terms support
+    * it, and `n_windows` counts matching anchors. All-integer; W is
+    * per-query (term counts differ).
+    *
+    * EXECUTION: the round-17 island/sweep reshape
+    * ([[proximityMatchTopK]] has the full story) applied per
+    * (query, doc, WORD) with reach `W − 1` — NEAR's old vote fan-out
+    * was the widest of the family (×(n_terms + slop) window votes,
+    * the 100×-decade wall BASELINE.md round-16 flagged); here each
+    * matched occurrence crosses the network once per stage and the
+    * anchor set is never materialized. W rides in from the per-query
+    * term count as a column — the islands and the sweep are per-row
+    * HOFs, so the per-query width costs nothing extra. */
   def nearSearch(docs: DataFrame, id: Column, text: Column,
                  queries: DataFrame, k: Int, slop: Int): DataFrame =
     nearMatchTopK(positional(docs, id, text, "doc_id", "pos"),
@@ -1063,18 +1173,28 @@ object TextCorpus {
       .where(col("word") =!= "" && !stopworded(col("word"), analyzer))
       .distinct()
     val qlen = qterms.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
-    val votes = pos.join(side(qterms), Seq("word"))
-      .join(side(qlen), Seq("query_id"))
-      .select(col("query_id"), col("doc_id"), col("word"), col("pos"),
-        explode(sequence(lit(0L),
-          col("n_terms") + lit(slop.toLong) - lit(1L))).as("back"))
+    val hits = pos.join(side(qterms), Seq("word"))
       .select(col("query_id"), col("doc_id"), col("word"),
-        (col("pos") - col("back")).as("start"))
-    val occ = votes.groupBy("query_id", "doc_id", "start")
-      .agg(countDistinct("word").as("n_hit"))
-    val perDoc = occ.join(side(qlen), Seq("query_id"))
-      .where(col("n_hit") === col("n_terms"))
-      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("n_windows"))
+        col("pos").cast("long").as("p"))
+    // one row per (query, doc, term): the term's sorted positions
+    val perWord = hits.groupBy("query_id", "doc_id", "word")
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .join(side(qlen), Seq("query_id"))
+    // interval [p − W + 1, p] per occurrence → reach = W − 1; the
+    // per-query width is a column, free inside the per-row HOF
+    val reach = col("n_terms") + lit(slop.toLong) - lit(1L)
+    val perDocEvents = perWord
+      .select(col("query_id"), col("doc_id"),
+        islandEvents(col("ps"), reach).as("evs"))
+      .groupBy("query_id", "doc_id")
+      .agg(flatten(collect_list(col("evs"))).as("evs"),
+        count(lit(1)).as("n_words"))
+    val perDoc = perDocEvents.join(side(qlen), Seq("query_id"))
+      // a doc missing any query term can never reach quorum
+      .where(col("n_words") === col("n_terms"))
+      .select(col("query_id"), col("doc_id"),
+        sweepCount(col("evs"), col("n_terms")).as("n_windows"))
+      .where(col("n_windows") > 0)
     val cut = graft.plans.GraftOps.topKPerKey(perDoc,
       keys = Seq(col("query_id")),
       order = Seq(col("n_windows").desc, col("doc_id").asc), k = k)

@@ -282,6 +282,33 @@ class TextCorpusSpec extends SparkSpec {
       tbl(TextCorpus.trainBpe(capped, col("text"), 6)))
   }
 
+  test("trainBpeLocal: a 1k-merge training runs end to end (heap argmax), " +
+       "max merge count is non-increasing, ranks are dense") {
+    // a synthetic vocabulary rich enough for 1,000 genuine merges:
+    // 3,000 seeded-random 10-char words (java.util.Random's LCG is
+    // specified, so the corpus is deterministic), each twice so every
+    // in-word pair clears the count-2 floor — the shape that would
+    // take a full pair-table scan per round on the old argmax and
+    // runs in seconds on the lazy-deletion heap
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val rnd = new java.util.Random(42L)
+    val words = (0 until 3000).map { _ =>
+      (0 until 10).map(_ => alpha(rnd.nextInt(26))).mkString
+    }
+    val docs = Seq((words ++ words).mkString(" ")).toDF("text")
+    val rules = TextCorpus.trainBpeLocal(docs, col("text"), 1000)
+      .collect().map(x => (x.getInt(0), x.getLong(4)))
+    assert(rules.length === 1000, s"expected 1000 merges, got ${rules.length}")
+    assert(rules.map(_._1).toSeq === (0 until 1000),
+      "ranks must be dense and ordered")
+    // the chosen max can never rise: new pairs created by a merge are
+    // bounded by the merged pair's own count, and every other count
+    // only decays — a heap bug (stale entry accepted) shows up here
+    rules.map(_._2).sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"merge counts rose: $a -> $b")
+    }
+  }
+
   test("unigramSurprisal: hand-computed floor-log2 bits, empty doc zeroes") {
     // corpus tokens: a×5, b×1, c×1 -> N=7
     // bits(a)=floor(log2(7 div 5))=0, bits(b)=bits(c)=floor(log2(7))=2

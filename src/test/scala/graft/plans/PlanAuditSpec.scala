@@ -130,15 +130,18 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     ("m8_rrf_fusion", 13, 2),
     ("m8_rank_eval", 13, 1),
     ("m8_phrase_search", 5, 0),
-    // proximity: phrase's skeleton plus ONE exchange — the slop fan-out
-    // is a generator (no exchange), but the distinct-offset quorum's
-    // countDistinct plans as a two-phase distinct aggregate
-    ("m8_proximity_search", 6, 0),
-    // near: proximity's shape plus the query-TERM-set derivation —
-    // qterms distinct (2-phase) and the per-query n_terms aggregate
-    // both key on dimension-sized frames; every corpus-sized exchange
-    // is still the single matched-rows aggregation
-    ("m8_near_search", 10, 0))
+    // proximity (round-17 island/sweep shape): phrase's skeleton — the
+    // old ×(slop+1) vote explode + two-phase COUNT(DISTINCT) quorum
+    // (6 exchanges) became two plain hash aggregations over ~1× matched
+    // rows (per-offset islands keyed (q,d,off); per-doc event flatten
+    // keyed (q,d)), the sweep itself is a per-row fold with no exchange
+    ("m8_proximity_search", 5, 0),
+    // near: proximity's island/sweep shape plus the query-TERM-set
+    // derivation — qterms distinct (2-phase) and the per-query n_terms
+    // aggregate key on dimension-sized frames; the corpus-sized
+    // exchanges are the two matched-rows aggregations (was 10 with the
+    // ×(n_terms+slop) vote explode's distinct-aggregate pair)
+    ("m8_near_search", 9, 0))
 
   expected.foreach { case (name, wantShuffles, wantBnlj) =>
     test(s"$name: no cartesian, exactly $wantShuffles shuffles, $wantBnlj BNLJ") {
