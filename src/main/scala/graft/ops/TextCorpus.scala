@@ -1018,49 +1018,70 @@ object TextCorpus {
     * explode was the most expensive serve surface at the 100× decade):
     * instead of exploding each occurrence into slop+1 vote rows and
     * paying a two-phase COUNT(DISTINCT) over the fanned-out anchors,
-    * the per-offset support set S_off = ∪ [adj − slop, adj] (adj =
-    * pos − off) is materialized as INTERVAL ISLANDS — one hash
-    * aggregation collects each (query, doc, off)'s sorted adj list
-    * (doc-bounded arrays), adjacent intervals (gap ≤ slop + 1) merge
-    * inside a per-row HOF, and each island emits two sweep events
-    * (+1 at lo, −1 at hi + 1). A second doc-keyed aggregation flattens
-    * the events, and `n_windows = |∩_off S_off|` falls out of one
-    * in-row sorted sweep: Σ of segment lengths where the running
-    * cover equals phrase_len — the classic interval-intersection
-    * identity, exact integer arithmetic, no anchor ever materialized.
-    * A doc missing ANY offset short-circuits on the island count
-    * before the sweep runs.
+    * ONE doc-keyed hash aggregation collects each document's matched
+    * (offset, adjusted-position) pairs sorted — exactly phrase's
+    * single corpus-sized shuffle — and everything else happens in-row
+    * over the doc-bounded array: the per-offset support set
+    * S_off = ∪ [adj − slop, adj] (adj = pos − off) materializes as
+    * INTERVAL ISLANDS (adjacent intervals, gap ≤ slop + 1, merge; a
+    * group boundary starts a new island), each island emits two sweep
+    * events (+1 at lo, −1 at hi + 1), and
+    * `n_windows = |∩_off S_off|` falls out of one sorted event sweep:
+    * Σ of segment lengths where the running cover equals phrase_len —
+    * the classic interval-intersection identity, exact integer
+    * arithmetic, no anchor ever materialized. A doc missing ANY
+    * offset short-circuits on the group count before the sweep runs.
     *
     * SCALE SHAPE: broadcast offset table (or the size-aware fallback),
-    * corpus postings never shuffled by query, and the matched rows
-    * cross the network ONCE each per stage — two hash aggregations of
-    * ~1× and ≤2× matched-occurrence rows versus the old ×(slop+1)
-    * fan-out into a distinct-aggregate pair (measured ≥35% off the
-    * 100× NEAR wall, BASELINE.md round-17); two-phase TopKPerKey cut
+    * corpus postings never shuffled by query, matched rows cross the
+    * network ONCE — one hash aggregation versus the old ×(slop+1)
+    * fan-out into a distinct-aggregate pair (NEAR wall −70% at the
+    * 100× decade, BASELINE.md round-17); two-phase TopKPerKey cut
     * unchanged. */
   def proximitySearch(docs: DataFrame, id: Column, text: Column,
                       queries: DataFrame, k: Int, slop: Int): DataFrame =
     proximityMatchTopK(positional(docs, id, text, "doc_id", "pos"),
       queries, k, slop)
 
-  /** Sweep-event construction for the slop serves: `adjs` is a sorted
-    * integer array; intervals `[a − reach, a]` per element, islands
-    * merged where the inter-element gap ≤ reach + 1, two events per
-    * island. Returns an array<struct<at: long, d: long>>. The boundary
-    * `element_at` probes are short-circuited by the CaseWhen/Or guards
-    * (never evaluated out of bounds, ANSI-safe). */
-  private def islandEvents(adjs: Column, reach: Column): Column = {
+  /** Sweep-event construction for the slop serves over ONE sorted
+    * array of (group, position) structs per document — `oa` is sorted
+    * by (`grp` asc, `v` asc), a group being the query OFFSET
+    * (proximity) or the query TERM (NEAR). Each element carries the
+    * interval `[v − reach, v]`; within a group, islands merge where
+    * the inter-element gap ≤ reach + 1 (contiguous support), and each
+    * island emits two sweep events (+1 at lo, −1 at hi + 1) — a group
+    * boundary always starts a new island. Returns an
+    * array<struct<at: long, d: long>>. The boundary `element_at`
+    * probes are short-circuited by the CaseWhen/Or guards (never
+    * evaluated out of bounds, ANSI-safe); everything is indexed
+    * random access, so per-document cost is O(n log n) in matched
+    * occurrences — no quadratic array rebuilding. */
+  private def islandEvents(oa: Column, reach: Column): Column = {
     val gap = reach + lit(1L)
+    def grp(e: Column) = e.getField("grp")
+    def v(e: Column) = e.getField("v")
     concat(
-      filter(transform(adjs, (x, i) =>
-        when(i === 0 || x - element_at(adjs, i) > gap,
-          struct((x - reach).as("at"), lit(1L).as("d")))),
+      filter(transform(oa, (x, i) =>
+        when(i === 0 || grp(element_at(oa, i)) =!= grp(x) ||
+            v(x) - v(element_at(oa, i)) > gap,
+          struct((v(x) - reach).as("at"), lit(1L).as("d")))),
         e => e.isNotNull),
-      filter(transform(adjs, (x, i) =>
-        when(i === size(adjs) - 1 || element_at(adjs, i + 2) - x > gap,
-          struct((x + lit(1L)).as("at"), lit(-1L).as("d")))),
+      filter(transform(oa, (x, i) =>
+        when(i === size(oa) - 1 || grp(element_at(oa, i + 2)) =!= grp(x) ||
+            v(element_at(oa, i + 2)) - v(x) > gap,
+          struct((v(x) + lit(1L)).as("at"), lit(-1L).as("d")))),
         e => e.isNotNull))
   }
+
+  /** The number of DISTINCT groups in a (grp, v)-sorted struct array —
+    * the quorum precheck (all query offsets/terms present) counted as
+    * group boundaries, same indexed-transform shape as
+    * [[islandEvents]]. */
+  private def groupCount(oa: Column): Column =
+    size(filter(transform(oa, (x, i) =>
+      when(i === 0 ||
+          element_at(oa, i).getField("grp") =!= x.getField("grp"), x)),
+      e => e.isNotNull)).cast("long")
 
   /** The sorted-event sweep: Σ segment lengths where the running cover
     * equals `quorum` — `|∩ S|` over the island events, one sequential
@@ -1096,23 +1117,21 @@ object TextCorpus {
       "query_id", "off", analyzer)
     val qlen = qoff.groupBy("query_id").agg(count(lit(1)).as("phrase_len"))
     val hits = pos.join(side(qoff), Seq("word"))
-      .select(col("query_id"), col("doc_id"), col("off"),
-        (col("pos") - col("off")).cast("long").as("adj"))
-    // one row per (query, doc, offset): the offset's sorted adjusted
-    // positions — group size ≤ one word's occurrences in one doc
-    val perOff = hits.groupBy("query_id", "doc_id", "off")
-      .agg(sort_array(collect_list(col("adj"))).as("adjs"))
-    val perDocEvents = perOff
       .select(col("query_id"), col("doc_id"),
-        islandEvents(col("adjs"), lit(slop.toLong)).as("evs"))
-      .groupBy("query_id", "doc_id")
-      .agg(flatten(collect_list(col("evs"))).as("evs"),
-        count(lit(1)).as("n_off"))
-    val perDoc = perDocEvents.join(side(qlen), Seq("query_id"))
+        struct(col("off").cast("long").as("grp"),
+          (col("pos") - col("off")).cast("long").as("v")).as("oa"))
+    // ONE corpus-sized shuffle (phrase's own count): each doc's matched
+    // (offset, adjusted-position) pairs collect sorted; islands, the
+    // quorum precheck, and the sweep are all in-row indexed HOFs over
+    // the doc-bounded array
+    val perDoc = hits.groupBy("query_id", "doc_id")
+      .agg(sort_array(collect_list(col("oa"))).as("oa"))
+      .join(side(qlen), Seq("query_id"))
       // a doc missing any offset can never reach quorum — skip its sweep
-      .where(col("n_off") === col("phrase_len"))
+      .where(groupCount(col("oa")) === col("phrase_len"))
       .select(col("query_id"), col("doc_id"),
-        sweepCount(col("evs"), col("phrase_len")).as("n_windows"))
+        sweepCount(islandEvents(col("oa"), lit(slop.toLong)),
+          col("phrase_len")).as("n_windows"))
       // zero matching anchors = no result row (the vote formulation
       // never grouped such docs at all)
       .where(col("n_windows") > 0)
@@ -1174,26 +1193,23 @@ object TextCorpus {
       .distinct()
     val qlen = qterms.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
     val hits = pos.join(side(qterms), Seq("word"))
-      .select(col("query_id"), col("doc_id"), col("word"),
-        col("pos").cast("long").as("p"))
-    // one row per (query, doc, term): the term's sorted positions
-    val perWord = hits.groupBy("query_id", "doc_id", "word")
-      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .select(col("query_id"), col("doc_id"),
+        struct(col("word").as("grp"),
+          col("pos").cast("long").as("v")).as("oa"))
+    // ONE corpus-sized shuffle: each doc's matched (term, position)
+    // pairs collect sorted (term then position); the quorum precheck,
+    // the per-term islands, and the sweep are in-row HOFs. The
+    // interval is [p − W + 1, p] → reach = W − 1, a per-QUERY column
+    // (term counts differ), free inside the per-row expressions.
+    val perDoc = hits.groupBy("query_id", "doc_id")
+      .agg(sort_array(collect_list(col("oa"))).as("oa"))
       .join(side(qlen), Seq("query_id"))
-    // interval [p − W + 1, p] per occurrence → reach = W − 1; the
-    // per-query width is a column, free inside the per-row HOF
-    val reach = col("n_terms") + lit(slop.toLong) - lit(1L)
-    val perDocEvents = perWord
-      .select(col("query_id"), col("doc_id"),
-        islandEvents(col("ps"), reach).as("evs"))
-      .groupBy("query_id", "doc_id")
-      .agg(flatten(collect_list(col("evs"))).as("evs"),
-        count(lit(1)).as("n_words"))
-    val perDoc = perDocEvents.join(side(qlen), Seq("query_id"))
       // a doc missing any query term can never reach quorum
-      .where(col("n_words") === col("n_terms"))
+      .where(groupCount(col("oa")) === col("n_terms"))
       .select(col("query_id"), col("doc_id"),
-        sweepCount(col("evs"), col("n_terms")).as("n_windows"))
+        sweepCount(islandEvents(col("oa"),
+            col("n_terms") + lit(slop.toLong) - lit(1L)),
+          col("n_terms")).as("n_windows"))
       .where(col("n_windows") > 0)
     val cut = graft.plans.GraftOps.topKPerKey(perDoc,
       keys = Seq(col("query_id")),

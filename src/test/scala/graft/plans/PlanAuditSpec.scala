@@ -130,18 +130,19 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     ("m8_rrf_fusion", 13, 2),
     ("m8_rank_eval", 13, 1),
     ("m8_phrase_search", 5, 0),
-    // proximity (round-17 island/sweep shape): phrase's skeleton — the
-    // old ×(slop+1) vote explode + two-phase COUNT(DISTINCT) quorum
-    // (6 exchanges) became two plain hash aggregations over ~1× matched
-    // rows (per-offset islands keyed (q,d,off); per-doc event flatten
-    // keyed (q,d)), the sweep itself is a per-row fold with no exchange
-    ("m8_proximity_search", 5, 0),
-    // near: proximity's island/sweep shape plus the query-TERM-set
-    // derivation — qterms distinct (2-phase) and the per-query n_terms
-    // aggregate key on dimension-sized frames; the corpus-sized
-    // exchanges are the two matched-rows aggregations (was 10 with the
-    // ×(n_terms+slop) vote explode's distinct-aggregate pair)
-    ("m8_near_search", 9, 0))
+    // proximity (round-17 island/sweep shape): ONE doc-keyed hash
+    // aggregation collects each doc's sorted (offset, adj) pairs —
+    // phrase's own corpus-shuffle count — and islands + quorum + the
+    // anchor-count sweep are in-row HOFs with no exchange; the old
+    // ×(slop+1) vote explode + two-phase COUNT(DISTINCT) quorum
+    // planned 6 exchanges
+    ("m8_proximity_search", 4, 0),
+    // near: proximity's single-aggregation island/sweep shape plus the
+    // query-TERM-set derivation (qterms distinct, 2-phase, on a
+    // dimension-sized frame); the one corpus-sized exchange is the
+    // matched-(term, position) collection — was 10 with the
+    // ×(n_terms+slop) vote explode's distinct-aggregate pair
+    ("m8_near_search", 6, 0))
 
   expected.foreach { case (name, wantShuffles, wantBnlj) =>
     test(s"$name: no cartesian, exactly $wantShuffles shuffles, $wantBnlj BNLJ") {
