@@ -1522,6 +1522,62 @@ object StreamGateQueries extends QueryModule {
       |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
       |FROM surv GROUP BY 1""".stripMargin
 
+  /** T29 — STREAMED tombstones through the maintained VIEW
+    * ([[ViewMaintenance.maintain]] with `kindCol`): three mixed waves
+    * where deletes arrive cross-batch (targets folded by earlier
+    * waves), same-batch (delete wins over its own add), and BEFORE
+    * their add (wave 1 deletes ids only wave 2 adds — the standing
+    * tombstone must suppress the late add), plus the global smallest
+    * event_ids (certain min-holders of their groups, the lazy-
+    * retraction trap). The folded-id ledger keeps every retraction's
+    * survivor set to exactly the rows folded so far, so the final view
+    * is `state(all adds − all dels)` — batch-blind — and the oracle is
+    * the flat aggregate over never-deleted rows, blind to waves,
+    * arrival order, tombstones, ledger, and the retraction splices. */
+  private def t29StreamViewDelete(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select("event_id", "user_id", "event_type")
+    val measures = Seq(
+      Measure("n", "count", lit(1)),
+      Measure("sum_uid", "sum", col("user_id")),
+      Measure("min_id", "min", col("event_id")),
+      Measure("max_id", "max", col("event_id")))
+    def adds(i: Int) = ev.filter(col("event_id") % 3 === i)
+      .select(lit("add").as("kind"), col("event_id"), col("user_id"),
+        col("event_type"))
+    def dels(cond: Column) = ev.filter(cond)
+      .select(lit("del").as("kind"), col("event_id"),
+        lit(null).cast("long").as("user_id"),
+        lit(null).cast("string").as("event_type"))
+    val dMain = col("event_id") % 13 === 2 || col("event_id") < 3
+    val watch = writeWaves(Seq(
+      adds(0),
+      adds(1).unionByName(dels(dMain && col("event_id") % 3 =!= 1)),
+      adds(2).unionByName(dels((dMain && col("event_id") % 3 === 1) ||
+        (col("event_id") % 13 === 7 && col("event_id") % 3 === 2)))))
+    val root = Dsl.tempDir("graft_t29_")
+    val stream = s.readStream
+      .schema("kind STRING, event_id BIGINT, user_id BIGINT, " +
+        "event_type STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    ViewMaintenance.maintain(stream, s"$root/state", s"$root/ckpt",
+        keys = Seq("event_type"), measures = measures,
+        kindCol = Some("kind"), idCol = "event_id", corpus = Some(ev))
+      .awaitTermination()
+    ViewMaintenance.readLatest(s, s"$root/state").get
+      .select("event_type", "n", "sum_uid", "min_id", "max_id")
+  }
+
+  private val t29Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM events
+      |WHERE NOT (event_id % 13 = 2 OR event_id < 3
+      |           OR (event_id % 13 = 7 AND event_id % 3 = 2))
+      |GROUP BY 1""".stripMargin
+
   /** The SYNTHETIC clustered corpus for the drift-policy gate — exact
     * integer components, so both engines see identical vectors with
     * zero float-construction risk: standing ids (vec_id % 5 ≠ 4) sit in
@@ -1725,6 +1781,7 @@ object StreamGateQueries extends QueryModule {
     "t26_stream_sample_delete" -> t26StreamSampleDelete _,
     "t27_view_delete" -> t27ViewDelete _,
     "t28_policy_refresh" -> t28PolicyRefresh _,
+    "t29_stream_view_delete" -> t29StreamViewDelete _,
     "m8_stream_semantic" -> streamSemantic _,
     "m8_proximity_analyzed" -> m8ProximityAnalyzed _)
 
@@ -1751,6 +1808,7 @@ object StreamGateQueries extends QueryModule {
     "t26_stream_sample_delete" -> t26Sql,
     "t27_view_delete" -> t27Sql,
     "t28_policy_refresh" -> t28Sql,
+    "t29_stream_view_delete" -> t29Sql,
     "m8_stream_semantic" -> streamSemanticSql,
     "m8_proximity_analyzed" -> m8ProximityAnalyzedSql)
 }

@@ -93,26 +93,18 @@ object ViewMaintenance {
   def readLatest(spark: SparkSession, stateDir: String): Option[DataFrame] =
     latestSnapshot(spark, stateDir).map(spark.read.parquet(_))
 
-  /** Takedown path for the maintained view: republish the state with
-    * `deletedRows`' contributions RETRACTED. `survivors` must be the
-    * full surviving source (everything folded so far MINUS the deleted
-    * rows — the same caller-supplies-the-corpus contract as
-    * [[AnnIndex.refresh]]); only the AFFECTED groups' rows are actually
-    * scanned: the recompute is `state(survivors ⋉ affected_keys)`, an
-    * affected-key-pruned aggregation spliced over the prior snapshot's
-    * untouched groups. A group whose every row was deleted disappears
-    * from the view. Run between drains (the store family's admin
-    * contract); the admin version id rides far above the stream's batch
-    * ids, and reruns converge (the recompute is deterministic in its
-    * inputs). */
-  def deleteFromView(spark: SparkSession, stateDir: String,
-                     keys: Seq[String], measures: Seq[Measure],
-                     deletedRows: DataFrame, survivors: DataFrame): Unit = {
+  /** The affected-group splice shared by every retraction path: the
+    * `affected` keys' partials recompute as
+    * `state(survivors ⋉ affected)` (an affected-key-pruned scan) and
+    * replace those groups in the prior snapshot through an admin
+    * publish. A group whose every row was deleted disappears. */
+  private def retractKeys(spark: SparkSession, stateDir: String,
+                          keys: Seq[String], measures: Seq[Measure],
+                          affected0: DataFrame, survivors: DataFrame): Unit = {
     val prior = latestSnapshot(spark, stateDir)
     prior.foreach { snap =>
       val n = snap.split('/').last.stripPrefix("v").toLong
-      val affected = deletedRows.select(keys.map(col): _*).distinct()
-        .localCheckpoint() // tiny by contract; read by two joins below
+      val affected = affected0.localCheckpoint() // tiny; read twice below
       val fresh = IncrementalAgg.state(
         survivors.join(affected, keys, "left_semi"),
         keys.map(col), measures)
@@ -122,23 +114,103 @@ object ViewMaintenance {
     }
   }
 
+  /** Takedown path for the maintained view: republish the state with
+    * `deletedRows`' contributions RETRACTED. `survivors` must be the
+    * full surviving source (everything folded so far MINUS the deleted
+    * rows — the same caller-supplies-the-corpus contract as
+    * [[AnnIndex.refresh]]); only the AFFECTED groups' rows are actually
+    * scanned — `deletedRows` must carry the key columns. Run between
+    * drains (the store family's admin contract); the admin version id
+    * rides far above the stream's batch ids, and reruns converge (the
+    * recompute is deterministic in its inputs). */
+  def deleteFromView(spark: SparkSession, stateDir: String,
+                     keys: Seq[String], measures: Seq[Measure],
+                     deletedRows: DataFrame, survivors: DataFrame): Unit =
+    retractKeys(spark, stateDir, keys, measures,
+      deletedRows.select(keys.map(col): _*).distinct(), survivors)
+
   /** Start maintaining the view over streaming `rows`. AvailableNow by
     * default (drain-then-stop, the scheduled-refresh shape); pass
     * `continuous = true` for a long-running loop. The per-batch fold,
     * replay guard, publish, and retention all ride the shared
-    * [[SnapshotStore.fold]] protocol. */
+    * [[SnapshotStore.fold]] protocol.
+    *
+    * `kindCol`: STREAMED TOMBSTONES ([[PostingsStream.maintainPostings]]
+    * has the family contract) — `"add"` rows fold as usual, `"del"`
+    * rows carry only `idCol` (a unique long row id) and RETRACT at
+    * their batch's end. Because the monoid state cannot subtract, the
+    * retraction is the keyed re-aggregation of [[deleteFromView]],
+    * driven by two pieces of store-kept truth: a per-batch FOLDED-ID
+    * ledger (`_ids/graft_batch=<b>`, overwrite-idempotent — so the
+    * recompute's survivor set is exactly the rows folded so far, never
+    * rows a later batch will add) and the standing tombstone set
+    * (`_deletes`, [[BatchStore.delete]] — so a delete arriving BEFORE
+    * its add still wins: later adds are masked against it at fold
+    * time, the family's re-ingest suppression). `corpus` must supply
+    * the source row of EVERY id the stream will ever fold (the
+    * [[AnnIndex.RefreshPolicy]] corpus contract): survivors =
+    * corpus ⋉ folded-ids ∖ deleted-ids, affected groups =
+    * corpus ⋉ the batch's del ids. The maintained view therefore
+    * equals `state(all adds − all dels)` — batch-blind, whatever order
+    * adds and deletes arrived in — the identity the
+    * `t29_stream_view_delete` oracle hashes. Replay converges: the
+    * fold is skipped by the `_FOLDED` guard, the id-ledger overwrite
+    * and re-applied tombstones are idempotent, and the re-run
+    * retraction recomputes the identical splice. */
   def maintain(rows: DataFrame, stateDir: String, checkpointDir: String,
                keys: Seq[String], measures: Seq[Measure],
-               continuous: Boolean = false): StreamingQuery = {
+               continuous: Boolean = false,
+               kindCol: Option[String] = None,
+               idCol: String = "event_id",
+               corpus: Option[DataFrame] = None): StreamingQuery = {
+    require(kindCol.isEmpty || corpus.nonEmpty,
+      "streamed tombstones need the source corpus — retraction " +
+        "re-aggregates affected groups from surviving source rows")
     val writer = rows.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val (adds0, dels) = kindCol match {
+          case Some(kc) => BatchStore.splitMixed(batch, kc)
+          case None => (batch, batch.limit(0))
+        }
+        // standing-tombstone mask: an add of an already-taken-down id
+        // must not resurrect it (delete wins across any arrival order)
+        val adds =
+          if (kindCol.isEmpty || !BatchStore.hasDeletes(spark, stateDir))
+            adds0
+          else adds0.join(BatchStore.readDeletes(spark, stateDir),
+            col(idCol) === col("del_id"), "left_anti")
+        // folded-id ledger BEFORE the fold: overwrite-idempotent, and a
+        // crash between the two leaves an id entry whose fold the
+        // replay simply re-runs (the guard hasn't published)
+        if (kindCol.nonEmpty)
+          adds.select(col(idCol))
+            .write.mode("overwrite")
+            .parquet(s"$stateDir/_ids/${BatchStore.BatchCol}=$batchId")
         SnapshotStore.fold(spark, stateDir, batchId) { prior =>
-          val delta = IncrementalAgg.state(batch, keys.map(col), measures)
+          val delta = IncrementalAgg.state(adds, keys.map(col), measures)
           prior match {
             case Some(p) => IncrementalAgg.merge(Seq(p, delta), keys, measures)
             case None    => delta
           }
+        }
+        // the batch's tombstones land AFTER its fold (same-batch
+        // add+del: delete wins), then the affected groups recompute
+        // from the folded survivors
+        if (kindCol.nonEmpty && !dels.isEmpty) {
+          BatchStore.delete(spark, stateDir, dels.select(idCol))
+          val c = corpus.get
+          val folded = spark.read.parquet(s"$stateDir/_ids")
+            .select(col(idCol))
+          val allDels = BatchStore.readDeletes(spark, stateDir)
+          val survivors = c
+            .join(folded, Seq(idCol), "left_semi")
+            .join(allDels, col(idCol) === col("del_id"), "left_anti")
+          val affected = c
+            .join(dels.select(col(idCol).cast("long").as("del_id")),
+              col(idCol) === col("del_id"), "left_semi")
+            .select(keys.map(col): _*).distinct()
+          retractKeys(spark, stateDir, keys, measures, affected, survivors)
         }
         ()
       }

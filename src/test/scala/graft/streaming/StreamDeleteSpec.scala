@@ -309,6 +309,77 @@ class StreamDeleteSpec extends SparkSpec {
       "replayed delete-carrying batch changed the sample (backfill)")
   }
 
+  test("maintained view: in-stream deletes retract min/max holders, a " +
+       "delete arriving BEFORE its add suppresses the late add, a " +
+       "same-batch add+del deletes, and a crash-replay converges") {
+    import graft.ops.IncrementalAgg
+    import graft.ops.IncrementalAgg.Measure
+    val root = Files.createTempDirectory("sdel_view").toString
+    val watch = s"$root/in"; Files.createDirectories(Paths.get(watch))
+    def writeBatch(name: String,
+                   rows: Seq[(String, Long, String, java.lang.Long)]): Unit = {
+      val stage = Files.createTempDirectory("sdel_vstage2").toString
+      rows.toDF("kind", "id", "k", "v").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(watch, name))
+    }
+    // corpus: the add-side source of every id the stream will fold
+    val corpus = Seq((1L, "a", 10L), (2L, "a", 99L), (3L, "b", 5L),
+      (4L, "b", 7L), (5L, "a", 50L), (6L, "a", 77L)).toDF("id", "k", "v")
+    writeBatch("b0.parquet", Seq(
+      ("add", 1L, "a", 10L), ("add", 2L, "a", 99L), ("add", 3L, "b", 5L)))
+    Thread.sleep(20)
+    // wave 1: del 2 (group a's MAX — the lazy-retraction trap) and
+    // del 6 — an id only wave 2 adds (late-add suppression)
+    writeBatch("b1.parquet", Seq(
+      ("add", 4L, "b", 7L),
+      ("del", 2L, null, null), ("del", 6L, null, null)))
+    Thread.sleep(20)
+    // wave 2: adds 5 and 6 (6 must stay suppressed), del 4
+    // (cross-batch) and del 5 (same-batch add+del: delete wins)
+    writeBatch("b2.parquet", Seq(
+      ("add", 5L, "a", 50L), ("add", 6L, "a", 77L),
+      ("del", 4L, null, null), ("del", 5L, null, null)))
+    val measures = Seq(
+      Measure("n", "count", lit(1)),
+      Measure("sum_v", "sum", col("v")),
+      Measure("min_id", "min", col("id")),
+      Measure("max_id", "max", col("id")))
+    def mkStream() = spark.readStream
+      .schema("kind STRING, id LONG, k STRING, v LONG")
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+    val ckpt = s"$root/ckpt"
+    def drain(): Unit = ViewMaintenance.maintain(mkStream(), s"$root/state",
+        ckpt, keys = Seq("k"), measures = measures,
+        kindCol = Some("kind"), idCol = "id", corpus = Some(corpus))
+      .awaitTermination()
+    drain()
+    def state(): Set[(String, Long, Long, Long, Long)] =
+      ViewMaintenance.readLatest(spark, s"$root/state").get
+        .select("k", "n", "sum_v", "min_id", "max_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    // survivors: 1 (a, 10) and 3 (b, 5) — everything else deleted
+    val want = Set(("a", 1L, 10L, 1L, 1L), ("b", 1L, 5L, 3L, 3L))
+    assert(state() === want, s"view after in-stream deletes: ${state()}")
+    // crash-replay of the last delete-carrying batch
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val crc = new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    assert(commits.last.delete())
+    drain()
+    assert(state() === want, "replayed view batch diverged")
+    // the final view equals the batch-blind flat state over survivors
+    val flat = IncrementalAgg.state(
+        corpus.filter(col("id").isin(1L, 3L)), Seq(col("k")), measures)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(state() === flat)
+  }
+
   test("a kind value outside {add, del} fails the batch, not silently " +
        "ingests or drops") {
     val root = Files.createTempDirectory("sdel_bad").toString
