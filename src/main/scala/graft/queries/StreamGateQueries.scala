@@ -1701,7 +1701,12 @@ object StreamGateQueries extends QueryModule {
     verdicts.unionByName(live)
   }
 
-  private val streamSemanticSql = {
+  /** The three-stage semantic-admission replay, parameterized by the
+    * later stages' prior-admitted candidate extras (where the
+    * streamed-tombstone variant injects its cumulative delete
+    * exclusions — the pre-mask timing) and the live-set filter. */
+  private def streamSemanticSqlFrom(adm1Extra: String, adm2Extra: String,
+                                    liveWhere: String): String = {
     def cos(a: String, b: String) =
       s"""list_inner_product($a, $b) /
          |      (sqrt(list_inner_product($a, $a)) *
@@ -1742,9 +1747,8 @@ object StreamGateQueries extends QueryModule {
        |sb AS (SELECT vec_id, ${OracleVectors.sizedBucketSql(64)} AS bucket
        |       FROM se CROSS JOIN p),
        |${stage(0, "")},
-       |${stage(1, "OR c.vec_id IN (SELECT vec_id FROM sadm0)")},
-       |${stage(2, "OR c.vec_id IN (SELECT vec_id FROM sadm0 " +
-            "UNION ALL SELECT vec_id FROM sadm1)")}
+       |${stage(1, adm1Extra)},
+       |${stage(2, adm2Extra)}
        |SELECT 'verdict' AS leg, doc_id, verdict, dup_of, best_cosine,
        |  n_dups, batch_id
        |FROM (SELECT * FROM sv0 UNION ALL SELECT * FROM sv1
@@ -1755,7 +1759,75 @@ object StreamGateQueries extends QueryModule {
        |  CAST(NULL AS DOUBLE) AS best_cosine, CAST(NULL AS BIGINT) AS n_dups,
        |  CAST(NULL AS BIGINT) AS batch_id
        |FROM (SELECT vec_id FROM sadm0 UNION ALL SELECT vec_id FROM sadm1
-       |      UNION ALL SELECT vec_id FROM sadm2)""".stripMargin
+       |      UNION ALL SELECT vec_id FROM sadm2)
+       |$liveWhere""".stripMargin
+  }
+
+  private val streamSemanticSql = streamSemanticSqlFrom(
+    "OR c.vec_id IN (SELECT vec_id FROM sadm0)",
+    "OR c.vec_id IN (SELECT vec_id FROM sadm0 " +
+      "UNION ALL SELECT vec_id FROM sadm1)",
+    liveWhere = "")
+
+  /** T30 — streamed tombstones through the SEMANTIC admission pipeline
+    * (t23's construction on the embedding family): three mixed waves
+    * (vec_id % 3 slices; waves 1-2 carry `del` rows for the
+    * vec_id % 11 = 6 vectors — cross-batch takedowns of screened
+    * content plus same-wave add+del pairs) drive
+    * [[DedupStream.admitVectors]] with `kindCol`. The batch's own dels
+    * pre-mask its screen (post-takedown verdicts, convergent replay),
+    * so the oracle's stage i excludes prior-admitted candidates
+    * deleted by waves ≤ i, and the live store is replay-admitted minus
+    * everything deleted. */
+  private def t30SemanticDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.BatchStore
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val planes = graft.dedup.Dedup.choosePlanes(math.max(1L, emb.count()))
+    def adds(i: Int) = emb.filter(col("vec_id") % 3 === i)
+      .select(lit("add").as("kind"), col("vec_id").as("doc_id"),
+        col("embedding"))
+    def dels(cond: Column) = emb.filter(cond)
+      .select(lit("del").as("kind"), col("vec_id").as("doc_id"),
+        lit(null).cast("array<float>").as("embedding"))
+    val d = col("vec_id") % 11 === 6
+    val watch = writeWaves(Seq(
+      adds(0),
+      adds(1).unionByName(dels(d && col("vec_id") % 3 =!= 2)),
+      adds(2).unionByName(dels(d && col("vec_id") % 3 === 2))))
+    val root = Dsl.tempDir("graft_t30_")
+    val stream = s.readStream
+      .schema("kind STRING, doc_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    DedupStream.admitVectors(stream, s"$root/store", s"$root/verdicts",
+        s"$root/ckpt", planes = planes, minCosine = 0.4, portable = true,
+        kindCol = Some("kind"))
+      .awaitTermination()
+    val verdicts = s.read.parquet(s"$root/verdicts")
+      .select(lit("verdict").as("leg"), col("doc_id"), col("verdict"),
+        col("dup_of"), round(col("best_cosine"), 6).as("best_cosine"),
+        col("n_dups"), col("batch_id"))
+    val ids = BatchStore.read(s, s"$root/store").select("id")
+    val live =
+      (if (!BatchStore.hasDeletes(s, s"$root/store")) ids
+       else ids.join(BatchStore.readDeletes(s, s"$root/store"),
+         col("id") === col("del_id"), "left_anti"))
+        .select(lit("store").as("leg"), col("id").as("doc_id"),
+          lit(null).cast("string").as("verdict"),
+          lit(null).cast("long").as("dup_of"),
+          lit(null).cast("double").as("best_cosine"),
+          lit(null).cast("long").as("n_dups"),
+          lit(null).cast("long").as("batch_id"))
+    verdicts.unionByName(live)
+  }
+
+  private val t30Sql = {
+    val del1 = "(c.vec_id % 11 = 6 AND c.vec_id % 3 <> 2)"
+    streamSemanticSqlFrom(
+      s"OR (c.vec_id IN (SELECT vec_id FROM sadm0) AND NOT $del1)",
+      "OR (c.vec_id IN (SELECT vec_id FROM sadm0 " +
+        "UNION ALL SELECT vec_id FROM sadm1) AND c.vec_id % 11 <> 6)",
+      liveWhere = "WHERE vec_id % 11 <> 6")
   }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1782,6 +1854,7 @@ object StreamGateQueries extends QueryModule {
     "t27_view_delete" -> t27ViewDelete _,
     "t28_policy_refresh" -> t28PolicyRefresh _,
     "t29_stream_view_delete" -> t29StreamViewDelete _,
+    "t30_semantic_delete" -> t30SemanticDelete _,
     "m8_stream_semantic" -> streamSemantic _,
     "m8_proximity_analyzed" -> m8ProximityAnalyzed _)
 
@@ -1809,6 +1882,7 @@ object StreamGateQueries extends QueryModule {
     "t27_view_delete" -> t27Sql,
     "t28_policy_refresh" -> t28Sql,
     "t29_stream_view_delete" -> t29Sql,
+    "t30_semantic_delete" -> t30Sql,
     "m8_stream_semantic" -> streamSemanticSql,
     "m8_proximity_analyzed" -> m8ProximityAnalyzedSql)
 }

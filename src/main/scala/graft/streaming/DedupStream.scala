@@ -98,14 +98,23 @@ object DedupStream {
     * |batch| × bucket-collision rate, never |corpus|². Gated
     * end-to-end by `m8_stream_semantic` (unrolled incremental replay in
     * the oracle, both SFs); batch parity + crash replay in
-    * DedupStreamSpec. */
+    * DedupStreamSpec.
+    *
+    * `kindCol`: STREAMED TOMBSTONES with [[admitDocuments]]' exact
+    * semantics — `"del"` rows (doc_id only, embedding never read)
+    * tombstone the vector store at their batch's END, and the batch's
+    * own dels PRE-MASK the screen corpus, so verdicts reflect
+    * post-takedown state (a vector duplicating only content this batch
+    * deletes is admitted) and a crash-replay converges
+    * verdict-for-verdict. Gated by `t30_semantic_delete`. */
   def admitVectors(vecs: DataFrame, vecStoreDir: String,
                    verdictDir: String, checkpointDir: String,
                    planes: Int, minCosine: Double = 0.95,
                    portable: Boolean = false, dim: Int = 64,
                    continuous: Boolean = false,
                    compactWhenBatchesExceed: Option[Int] = None,
-                   broadcastDeltaUpTo: Long = 500000L): StreamingQuery = {
+                   broadcastDeltaUpTo: Long = 500000L,
+                   kindCol: Option[String] = None): StreamingQuery = {
     def runPolicy(): Unit = compactWhenBatchesExceed.foreach { threshold =>
       val spark = vecs.sparkSession
       val p = new Path(vecStoreDir)
@@ -118,7 +127,11 @@ object DedupStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (continuous) runPolicy()
         val spark = batch.sparkSession
-        val delta = batch
+        val (addRows, dels) = kindCol match {
+          case Some(kc) => BatchStore.splitMixed(batch, kc)
+          case None => (batch, batch.limit(0))
+        }
+        val delta = addRows
           .select(col("doc_id").as("id"), col("embedding").as("v"))
           .persist()
         val storePath = new Path(vecStoreDir)
@@ -132,9 +145,21 @@ object DedupStream {
             val live = BatchStore.read(spark, vecStoreDir, Some(vecSchema))
               .filter(col("graft_batch") =!= lit(batchId))
               .select(col("id"), col("v"))
-            if (!BatchStore.hasDeletes(spark, vecStoreDir)) live
-            else live.join(BatchStore.readDeletes(spark, vecStoreDir),
-              col("id") === col("del_id"), "left_anti")
+            // stored tombstones AND the batch's own dels pre-mask the
+            // screen (post-takedown verdicts + convergent replay — the
+            // admitDocuments contract); the kindCol-free plan is
+            // byte-identical to before the mode existed
+            val storeDels =
+              if (BatchStore.hasDeletes(spark, vecStoreDir))
+                Some(BatchStore.readDeletes(spark, vecStoreDir))
+              else None
+            val ownDels = kindCol.map(_ =>
+              dels.select(col("doc_id").as("del_id")))
+            (storeDels.toSeq ++ ownDels.toSeq)
+              .reduceOption(_ unionByName _)
+              .map(d => live.join(d, col("id") === col("del_id"),
+                "left_anti"))
+              .getOrElse(live)
           } else
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -153,6 +178,11 @@ object DedupStream {
             Seq("id"), "left_semi")
           .write.mode("overwrite")
           .parquet(s"$vecStoreDir/graft_batch=$batchId")
+        // the batch's tombstones land LAST: the takedown covers a
+        // vector this same batch admitted, and later batches' screens
+        // read through the mask
+        if (kindCol.nonEmpty)
+          BatchStore.delete(spark, vecStoreDir, dels.select("doc_id"))
         verdicts.unpersist()
         delta.unpersist()
         ()

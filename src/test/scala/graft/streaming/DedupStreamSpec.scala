@@ -790,4 +790,60 @@ class DedupStreamSpec extends SparkSpec {
     assert(got() === first, "replayed semantic verdicts diverged")
     assert(storedIds() === Set(1L, 2L, 4L, 6L))
   }
+
+  test("semantic admission kindCol: a vector duplicating only content " +
+       "its own batch deletes is admitted; the store tombstones; " +
+       "crash-replay converges") {
+    val dim = 8
+    def axis(a: Int): Seq[Float] =
+      (0 until dim).map(d => if (d == a) 1f else 0f)
+    val root = Files.createTempDirectory("sem_sdel").toString
+    val watch = s"$root/in"; Files.createDirectories(Paths.get(watch))
+    def writeVecBatch(name: String,
+                      rows: Seq[(String, Long, Option[Seq[Float]])]): Unit = {
+      val stage = Files.createTempDirectory("sem_sdel_stage").toString
+      rows.toDF("kind", "doc_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(watch, name))
+    }
+    writeVecBatch("b0.parquet", Seq(
+      ("add", 1L, Some(axis(0))), ("add", 2L, Some(axis(1)))))
+    Thread.sleep(20)
+    // wave 1 deletes vector 1 AND adds its duplicate 7 — the pre-mask
+    // must admit 7 (post-takedown verdicts)
+    writeVecBatch("b1.parquet", Seq(
+      ("del", 1L, None), ("add", 7L, Some(axis(0)))))
+    def mkStream() = spark.readStream
+      .schema("kind STRING, doc_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1").parquet(watch)
+    val ckpt = s"$root/ckpt"
+    def drain(): Unit = DedupStream.admitVectors(mkStream(), s"$root/store",
+        s"$root/verdicts", ckpt, planes = 4, minCosine = 0.95,
+        portable = true, dim = dim, kindCol = Some("kind"))
+      .awaitTermination()
+    drain()
+    def verdicts(): Map[Long, String] = spark.read
+      .parquet(s"$root/verdicts").select("doc_id", "verdict")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def live(): Set[Long] = {
+      val ids = BatchStore.read(spark, s"$root/store").select("id")
+      ids.join(BatchStore.readDeletes(spark, s"$root/store"),
+          col("id") === col("del_id"), "left_anti")
+        .collect().map(_.getLong(0)).toSet
+    }
+    val first = verdicts()
+    assert(first === Map(1L -> "admit", 2L -> "admit", 7L -> "admit"),
+      s"vector 7 duplicates only deleted content: $first")
+    assert(live() === Set(2L, 7L))
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val crc = new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    assert(commits.last.delete())
+    drain()
+    assert(verdicts() === first, "replayed semantic-delete verdicts diverged")
+    assert(live() === Set(2L, 7L))
+  }
 }
