@@ -108,9 +108,13 @@ object Explain {
         bm25.contains("BroadcastHashJoin") &&
         "TopKPerKey \\[".r.findAllIn(bm25).length >= 2))
     val prox = plan("m8_proximity_search")
-    println("m8_proximity_search slop fan-out is a Generate (never a join " +
-      "or exchange), offset table broadcast, 2-phase TopKPerKey: " +
-      (prox.contains("Generate") && prox.contains("BroadcastHashJoin") &&
+    // round-17 island/sweep shape: the ×(slop+1) vote Generate over the
+    // corpus is GONE — matched rows take one doc-keyed hash aggregation
+    // (islands/quorum/sweep are in-row HOFs); the only Generate left is
+    // the query-side posexplode (offset table, dimension-sized)
+    println("m8_proximity_search island/sweep: one doc-keyed aggregation, " +
+      "no distinct Expand, offset table broadcast, 2-phase TopKPerKey: " +
+      (!prox.contains("Expand") && prox.contains("BroadcastHashJoin") &&
         !prox.contains("CartesianProduct") &&
         "TopKPerKey \\[".r.findAllIn(prox).length >= 2))
   }

@@ -156,7 +156,14 @@ object ViewMaintenance {
     * `t29_stream_view_delete` oracle hashes. Replay converges: the
     * fold is skipped by the `_FOLDED` guard, the id-ledger overwrite
     * and re-applied tombstones are idempotent, and the re-run
-    * retraction recomputes the identical splice. */
+    * retraction recomputes the identical splice.
+    *
+    * Ledger growth: `_ids` holds one tiny dir per batch (ids only) and
+    * is read ONLY when a takedown batch arrives — for the scheduled-
+    * drain view shape that is lifetime-batch-count dirs of id longs, a
+    * listing cost the rare delete path pays, not the fold; a
+    * long-horizon deployment folds them exactly like
+    * [[BatchStore.compact]] folds batch dirs (union is order-free). */
   def maintain(rows: DataFrame, stateDir: String, checkpointDir: String,
                keys: Seq[String], measures: Seq[Measure],
                continuous: Boolean = false,
