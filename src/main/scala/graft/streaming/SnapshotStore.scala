@@ -80,8 +80,6 @@ private[streaming] object SnapshotStore {
       val seq = prior.flatMap(p => seqOf(spark, p)).getOrElse(0L) + 1L
       StatePointer.publish(spark, snap, SeqPtr, seq.toString)
       StatePointer.publish(spark, stateDir, "LATEST", s"v$batchId")
-      if (!admin && !maxFolded(spark, stateDir).exists(batchId <= _))
-        StatePointer.publish(spark, stateDir, FoldedPtr, batchId.toString)
       val fs = new Path(stateDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val keep = Set(snap) ++ prior
@@ -94,5 +92,12 @@ private[streaming] object SnapshotStore {
             fs.delete(p, true)
         }
     }
+    // advance the high-water mark even on the SKIP path: a crash
+    // between the first attempt's LATEST publish and its _FOLDED
+    // publish leaves a replay that skips by prior-name — if that replay
+    // didn't advance _FOLDED either, a post-delete second crash would
+    // re-open exactly the re-fold window the mark exists to close
+    if (!admin && !maxFolded(spark, stateDir).exists(batchId <= _))
+      StatePointer.publish(spark, stateDir, FoldedPtr, batchId.toString)
   }
 }

@@ -194,4 +194,32 @@ class DeleteSpec extends SparkSpec {
       .select("sample_id").collect().map(_.getLong(0)).toSet
     assert(got === Set(1L, 3L))
   }
+
+  test("snapshot fold: a replay that skips by prior-name RE-ADVANCES " +
+       "_FOLDED, so a post-delete second replay still cannot re-fold") {
+    import spark.implicits._
+    val stateDir = tmp("foldmark") + "/state"
+    def full = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("sample_id", "weight")
+    SnapshotStore.fold(spark, stateDir, 0L)(_ => full)
+    // simulate the crash window between the LATEST publish and the
+    // _FOLDED publish of the FIRST attempt
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stateDir,
+      SnapshotStore.FoldedPtr), false)
+    assert(SnapshotStore.maxFolded(spark, stateDir).isEmpty)
+    // replay: skipped by the prior-name match — and the mark must be
+    // re-published on the skip path
+    SnapshotStore.fold(spark, stateDir, 0L)(_ => full)
+    assert(SnapshotStore.maxFolded(spark, stateDir) === Some(0L))
+    // an admin delete, then a SECOND replay of batch 0: without the
+    // skip-path re-advance this re-fold would resurrect id 2
+    SampleStream.deleteFromSample(spark, stateDir, Seq(2L).toDF("doc_id"))
+    SnapshotStore.fold(spark, stateDir, 0L)(_ => full)
+    val got = ViewMaintenance.readLatest(spark, stateDir).get
+      .select("sample_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L),
+      s"double-crash replay resurrected a deleted id: $got")
+  }
 }
