@@ -211,9 +211,16 @@ object Dedup {
           lit(0.0), (acc, v) => acc + v) / numHashes).as("sig_agreement"))
       .filter(col("sig_agreement") >= minAgreement)
       .groupBy("new_id")
+      // countDistinct, not count: an id RE-SENT in the delta while
+      // already admitted appears twice in allSigs (once per side of the
+      // union), so each candidate pair joins two signature rows; the
+      // distinct count makes n_dups "distinct matching partners" either
+      // way, and dup_of/best_agreement (min/max) are insensitive to the
+      // duplicate row. With unique ids (the steady-state contract)
+      // countDistinct == count, so the oracles are unchanged.
       .agg(min("cand_id").as("dup_of"),
         max("sig_agreement").as("best_agreement"),
-        count(lit(1)).as("n_dups"))
+        countDistinct("cand_id").as("n_dups"))
     deltaSigs.select(col("id").as("doc_id"))
       .join(hits.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -507,9 +514,16 @@ object Dedup {
       .withColumn("cosine", VectorFns.cosine(col("v_n"), col("v_c")))
       .filter(col("cosine") >= minCosine)
       .groupBy("new_id")
+      // countDistinct for the same reason as [[minhashIncremental]]: a
+      // delta id already present in the corpus puts two vector rows in
+      // allVecs, and each candidate pair would otherwise score (and
+      // count) twice. Distinct partners is the honest n_dups under
+      // either contract; best_cosine keeps the max over both versions
+      // (any version matching ⇒ reject — fail-closed), and with unique
+      // ids the plans and values are identical to count(1).
       .agg(min("cand_id").as("dup_of"),
         max("cosine").as("best_cosine"),
-        count(lit(1)).as("n_dups"))
+        countDistinct("cand_id").as("n_dups"))
     deltaVecs.select(col("id").as("doc_id"))
       .join(hits.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),

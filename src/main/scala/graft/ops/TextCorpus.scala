@@ -1051,10 +1051,13 @@ object TextCorpus {
     * the inter-element gap ≤ reach + 1 (contiguous support), and each
     * island emits two sweep events (+1 at lo, −1 at hi + 1) — a group
     * boundary always starts a new island. Returns an
-    * array<struct<at: long, d: long>>. The boundary `element_at`
-    * probes are short-circuited by the CaseWhen/Or guards (never
-    * evaluated out of bounds, ANSI-safe); everything is indexed
-    * random access, so per-document cost is O(n log n) in matched
+    * array<struct<at: long, d: long>>. The neighbor probes use the
+    * 0-based `get`, which returns NULL out of range by construction
+    * (never throws, ANSI-safe without leaning on Or/CaseWhen
+    * short-circuit order — a null neighbor only occurs exactly where
+    * the boundary disjunct already fires, and a null comparison is
+    * falsy in the remaining disjuncts); everything is indexed random
+    * access, so per-document cost is O(n log n) in matched
     * occurrences — no quadratic array rebuilding. */
   private def islandEvents(oa: Column, reach: Column): Column = {
     val gap = reach + lit(1L)
@@ -1062,13 +1065,13 @@ object TextCorpus {
     def v(e: Column) = e.getField("v")
     concat(
       filter(transform(oa, (x, i) =>
-        when(i === 0 || grp(element_at(oa, i)) =!= grp(x) ||
-            v(x) - v(element_at(oa, i)) > gap,
+        when(i === 0 || grp(get(oa, i - 1)) =!= grp(x) ||
+            v(x) - v(get(oa, i - 1)) > gap,
           struct((v(x) - reach).as("at"), lit(1L).as("d")))),
         e => e.isNotNull),
       filter(transform(oa, (x, i) =>
-        when(i === size(oa) - 1 || grp(element_at(oa, i + 2)) =!= grp(x) ||
-            v(element_at(oa, i + 2)) - v(x) > gap,
+        when(i === size(oa) - 1 || grp(get(oa, i + 1)) =!= grp(x) ||
+            v(get(oa, i + 1)) - v(x) > gap,
           struct((v(x) + lit(1L)).as("at"), lit(-1L).as("d")))),
         e => e.isNotNull))
   }
@@ -1080,7 +1083,7 @@ object TextCorpus {
   private def groupCount(oa: Column): Column =
     size(filter(transform(oa, (x, i) =>
       when(i === 0 ||
-          element_at(oa, i).getField("grp") =!= x.getField("grp"), x)),
+          get(oa, i - 1).getField("grp") =!= x.getField("grp"), x)),
       e => e.isNotNull)).cast("long")
 
   /** The sorted-event sweep: Σ segment lengths where the running cover

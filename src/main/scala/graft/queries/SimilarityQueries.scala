@@ -825,6 +825,12 @@ object SimilarityQueries extends QueryModule {
     * regression, not on data noise). */
   private val TunedCoverageBp = 3500L
   private val TunedRecallFloorBp = 2500L
+  /** Probe-budget ceiling shared by [[Similarity.chooseNprobe]] and the
+    * oracle's clamp — the SQL replica must clamp the derived MIN rank to
+    * the same [1, TunedMaxProbe] interval the serve actually uses, or a
+    * flat histogram (derived rank > ceiling) would diverge gate from
+    * serve. */
+  private val TunedMaxProbe = 16
 
   /** M8: CLOSE the dense tuning loop — `m8_ann_sweep` measures nprobe's
     * recall curve; this gate DERIVES the budget from the trained
@@ -846,7 +852,8 @@ object SimilarityQueries extends QueryModule {
       lloydIters = IvfIters)
     val lists = lists0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val np = Similarity.chooseNprobe(lists, targetBp = TunedCoverageBp)
+    val np = Similarity.chooseNprobe(lists, targetBp = TunedCoverageBp,
+      maxProbe = TunedMaxProbe)
     val truth = Similarity.bruteForceTopK(queries, emb, K)
       .select("query_id", "cand_id", "rank").localCheckpoint(true)
     val eval = Similarity.rankEval(
@@ -912,7 +919,8 @@ object SimilarityQueries extends QueryModule {
        |  FROM hist),
        |tot AS (SELECT SUM(n) AS total FROM hist),
        |chosen AS (
-       |  SELECT MIN(probe_rank) AS np FROM horder, tot
+       |  SELECT LEAST(GREATEST(MIN(probe_rank), 1), $TunedMaxProbe) AS np
+       |  FROM horder, tot
        |  WHERE cum * 10000 >= $TunedCoverageBp * total),
        |probes AS (
        |  SELECT query_id, qv, cent_id FROM (

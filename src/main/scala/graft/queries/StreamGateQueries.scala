@@ -1533,7 +1533,10 @@ object StreamGateQueries extends QueryModule {
     * survivor set to exactly the rows folded so far, so the final view
     * is `state(all adds − all dels)` — batch-blind — and the oracle is
     * the flat aggregate over never-deleted rows, blind to waves,
-    * arrival order, tombstones, ledger, and the retraction splices. */
+    * arrival order, tombstones, ledger, the retraction splices, AND
+    * the in-stream ledger compaction (`compactIdsOver = 1` folds the
+    * earlier waves' `_ids` dirs into a base generation mid-lifecycle —
+    * the lifecycle bound on the rare-delete path's listing cost). */
   private def t29StreamViewDelete(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select("event_id", "user_id", "event_type")
@@ -1561,9 +1564,15 @@ object StreamGateQueries extends QueryModule {
         "event_type STRING")
       .option("maxFilesPerTrigger", "1")
       .parquet(watch)
+    // compactIdsOver = 1: the third wave folds the first two ledger
+    // dirs into a base generation BEFORE its own takedowns run — the
+    // gate's hash certifies that ledger compaction cannot change a
+    // retraction's answer (union is order-free, the survivor join is
+    // set-semantics)
     ViewMaintenance.maintain(stream, s"$root/state", s"$root/ckpt",
         keys = Seq("event_type"), measures = measures,
-        kindCol = Some("kind"), idCol = "event_id", corpus = Some(ev))
+        kindCol = Some("kind"), idCol = "event_id", corpus = Some(ev),
+        compactIdsOver = Some(1))
       .awaitTermination()
     ViewMaintenance.readLatest(s, s"$root/state").get
       .select("event_type", "n", "sum_uid", "min_id", "max_id")

@@ -93,6 +93,38 @@ object ViewMaintenance {
   def readLatest(spark: SparkSession, stateDir: String): Option[DataFrame] =
     latestSnapshot(spark, stateDir).map(spark.read.parquet(_))
 
+  /** The folded-id ledger's live id set — [[BatchStore.read]]'s pointer
+    * filter over the `_ids` space, so compacted-away ledger dirs (and a
+    * replayed overwrite of one at or below the folded mark) never
+    * double-read. Consumers semi-join, so residual duplicates across a
+    * base generation and a crash-window batch dir are harmless anyway. */
+  private def readIdLedger(spark: SparkSession, stateDir: String,
+                           idCol: String): DataFrame =
+    BatchStore.read(spark, s"$stateDir/_ids").select(col(idCol))
+
+  /** Fold the view's per-batch folded-id ledger dirs into a compacted
+    * base generation when more than `threshold` live dirs have
+    * accumulated — the lifecycle bound on `_ids` growth (one dir per
+    * lifetime batch otherwise, each a listing unit every takedown
+    * pays). Rides [[BatchStore.compactIfOver]] verbatim: staged
+    * generation → `_HWM` meta → atomic pointer → GC, idempotent and
+    * crash-safe at every step, `keepBatches = 1` preserving the
+    * replayed batch's live overwrite target. The fold dedups (ids are
+    * a set; the ledger's contract is one fold per id) — and because
+    * the takedown's survivor join is a semi-join, a pre-compaction and
+    * post-compaction takedown are splice-identical (ViewMaintenanceSpec
+    * pins it). Safe between drains, or per batch from [[maintain]]'s
+    * `compactIdsOver` policy (the foreachBatch is the single admin). */
+  def compactIdLedger(spark: SparkSession, stateDir: String,
+                      threshold: Int): Option[BatchStore.Compaction] = {
+    val space = s"$stateDir/_ids"
+    if (!fs(spark, stateDir).exists(new Path(space))) None
+    else BatchStore.compactIfOver(spark, space, threshold, keepBatches = 1,
+      // drop the batch column BEFORE dedup — the same id re-delivered
+      // into two dirs differs on graft_batch and would survive twice
+      merge = Some(_.drop(BatchStore.BatchCol).dropDuplicates()))
+  }
+
   /** The affected-group splice shared by every retraction path: the
     * `affected` keys' partials recompute as
     * `state(survivors ⋉ affected)` (an affected-key-pruned scan) and
@@ -161,15 +193,27 @@ object ViewMaintenance {
     * Ledger growth: `_ids` holds one tiny dir per batch (ids only) and
     * is read ONLY when a takedown batch arrives — for the scheduled-
     * drain view shape that is lifetime-batch-count dirs of id longs, a
-    * listing cost the rare delete path pays, not the fold; a
-    * long-horizon deployment folds them exactly like
-    * [[BatchStore.compact]] folds batch dirs (union is order-free). */
+    * listing cost the rare delete path pays, not the fold. The ledger
+    * IS a [[BatchStore]] layout (`_ids/graft_batch=<b>` overwrite
+    * targets), so long-horizon deployments bound it with the store
+    * family's own compaction: `compactIdsOver = Some(n)` runs
+    * [[BatchStore.compactIfOver]] on the `_ids` space at each batch
+    * start (single-admin safe — the foreachBatch IS the only writer),
+    * folding all but the newest ledger dirs into a pointer-protected
+    * base generation. Union is order-free and the takedown's survivor
+    * semi-join is set-semantics, so compaction can never change a
+    * takedown's answer ([[compactIdLedger]] + ViewMaintenanceSpec pin
+    * pre == post); reads go through [[BatchStore.read]]'s pointer
+    * filter, so they are exact at every instant of a compaction and a
+    * replayed batch dir at or below the folded mark is dead on arrival
+    * by arithmetic. */
   def maintain(rows: DataFrame, stateDir: String, checkpointDir: String,
                keys: Seq[String], measures: Seq[Measure],
                continuous: Boolean = false,
                kindCol: Option[String] = None,
                idCol: String = "event_id",
-               corpus: Option[DataFrame] = None): StreamingQuery = {
+               corpus: Option[DataFrame] = None,
+               compactIdsOver: Option[Int] = None): StreamingQuery = {
     require(kindCol.isEmpty || corpus.nonEmpty,
       "streamed tombstones need the source corpus — retraction " +
         "re-aggregates affected groups from surviving source rows")
@@ -187,6 +231,11 @@ object ViewMaintenance {
             adds0
           else adds0.join(BatchStore.readDeletes(spark, stateDir),
             col(idCol) === col("del_id"), "left_anti")
+        // ledger housekeeping first (single-admin: this foreachBatch is
+        // the only `_ids` writer, so "between drains" holds per batch);
+        // a no-op below the threshold, one listing
+        if (kindCol.nonEmpty)
+          compactIdsOver.foreach(t => compactIdLedger(spark, stateDir, t))
         // folded-id ledger BEFORE the fold: overwrite-idempotent, and a
         // crash between the two leaves an id entry whose fold the
         // replay simply re-runs (the guard hasn't published)
@@ -207,8 +256,7 @@ object ViewMaintenance {
         if (kindCol.nonEmpty && !dels.isEmpty) {
           BatchStore.delete(spark, stateDir, dels.select(idCol))
           val c = corpus.get
-          val folded = spark.read.parquet(s"$stateDir/_ids")
-            .select(col(idCol))
+          val folded = readIdLedger(spark, stateDir, idCol)
           val allDels = BatchStore.readDeletes(spark, stateDir)
           val survivors = c
             .join(folded, Seq(idCol), "left_semi")

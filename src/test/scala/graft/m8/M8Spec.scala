@@ -97,6 +97,35 @@ class M8Spec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("incremental admission: an id re-sent in the delta while already " +
+       "admitted scores each partner once — n_dups is distinct partners " +
+       "under both signature and embedding screens") {
+    // corpus holds doc 1; the delta RE-SENDS doc 1 (same id, same
+    // content) alongside the near-dup 10 — the union of corpus and
+    // delta then carries id 1's signature twice, and an unguarded
+    // count would tally the (10, 1) pair once per copy
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(1L -> a, 10L -> a.replace("today", "tomorrow"))
+      .toDF("id", "text")
+    val sigs = Dedup.minhashSignatures(docs, col("id"), col("text"), 32)
+    val mOut = Dedup.minhashIncremental(
+        sigs.filter(col("id") === 1), sigs,
+        bands = 8, rowsPerBand = 4, minAgreement = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(4)))
+      .toMap
+    assert(mOut(10L) == ("reject", 1L),
+      s"re-sent partner must count once, got ${mOut(10L)}")
+    val vecs = Seq((1L, Seq(1f, 0f, 0f, 0f)),
+      (10L, Seq(0.99f, 0.01f, 0f, 0f))).toDF("id", "v")
+    val eOut = Dedup.embeddingIncremental(
+        vecs.filter(col("id") === 1), vecs, planes = 2, minCosine = 0.9,
+        dim = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(4)))
+      .toMap
+    assert(eOut(10L) == ("reject", 1L),
+      s"re-sent partner must count once, got ${eOut(10L)}")
+  }
+
   test("simhash: near-dups within small hamming distance, distinct docs far") {
     val a = "the quick brown fox jumps over the lazy dog again and again today"
     val b = a.replace("today", "tomorrow")

@@ -142,6 +142,87 @@ class ViewMaintenanceSpec extends SparkSpec {
       == snap(want2), "re-applied delete changed the converged view")
   }
 
+  test("_ids ledger compaction: a takedown against the compacted ledger " +
+       "equals the never-compacted takedown, the dir count is bounded, " +
+       "and replay converges") {
+    val adds = (0L until 12L).map(i => (i, if (i % 2 == 0) "a" else "b",
+      i * 1.5))
+    val waves = adds.grouped(4).toSeq // 3 add waves
+    val delIds = Seq(0L, 5L, 8L) // group minima among the folded rows
+    def writeWave(watch: String, name: String,
+                  addRows: Seq[(Long, String, Double)],
+                  dels: Seq[Long]): Unit = {
+      val stage = Files.createTempDirectory("view_ids_stage").toString
+      val df = addRows.map { case (id, k, v) =>
+          ("add", id, k: String, Double.box(v)) }
+        .++(dels.map(id => ("del", id, null: String, null: java.lang.Double)))
+        .toDF("kind", "event_id", "k", "v")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(watch, name))
+    }
+    val corpus = adds.toDF("event_id", "k", "v")
+    def run(compactOver: Option[Int]): String = {
+      val root = Files.createTempDirectory("view_ids").toString
+      val watch = s"$root/in"; Files.createDirectories(Paths.get(watch))
+      waves.zipWithIndex.foreach { case (w, i) =>
+        writeWave(watch, s"b$i.parquet", w, Nil); Thread.sleep(20)
+      }
+      writeWave(watch, "b3.parquet", Nil, delIds)
+      val stream = spark.readStream
+        .schema("kind STRING, event_id BIGINT, k STRING, v DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(watch)
+      ViewMaintenance.maintain(stream, s"$root/state", s"$root/ckpt",
+        Seq("k"), measures, kindCol = Some("kind"), idCol = "event_id",
+        corpus = Some(corpus), compactIdsOver = compactOver)
+        .awaitTermination()
+      root
+    }
+    val plain = run(None)
+    val compacted = run(Some(1))
+    val want = IncrementalAgg.state(
+      corpus.filter(!col("event_id").isin(delIds: _*)),
+      Seq(col("k")), measures)
+    assert(snap(ViewMaintenance.readLatest(spark, s"$plain/state").get)
+      == snap(want))
+    assert(snap(ViewMaintenance.readLatest(spark, s"$compacted/state").get)
+      == snap(want),
+      "takedown against the compacted ledger diverged from the " +
+        "never-compacted one")
+    // the lifecycle bound: a base generation exists and the live
+    // per-batch dir count stayed at keepBatches + the batches since
+    // the last fold, not lifetime batch count
+    def idDirs(root: String) = new java.io.File(s"$root/state/_ids")
+      .listFiles().filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith(BatchStore.BatchCol + "="))
+    assert(idDirs(plain).count(!_.contains("=-")) == 4)
+    assert(idDirs(compacted).exists(_.contains("=-")),
+      "no compacted base generation was published")
+    assert(idDirs(compacted).count(!_.contains("=-")) <= 2,
+      s"ledger dirs unbounded: ${idDirs(compacted).mkString(", ")}")
+    // crash-replay of the takedown batch: re-applied tombstones, the
+    // ledger overwrite, a re-run compaction, and the recomputed splice
+    // must all converge
+    val ckpt = s"$compacted/ckpt"
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val crc = new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    assert(commits.last.delete())
+    val stream2 = spark.readStream
+      .schema("kind STRING, event_id BIGINT, k STRING, v DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$compacted/in")
+    ViewMaintenance.maintain(stream2, s"$compacted/state", ckpt,
+      Seq("k"), measures, kindCol = Some("kind"), idCol = "event_id",
+      corpus = Some(corpus), compactIdsOver = Some(1))
+      .awaitTermination()
+    assert(snap(ViewMaintenance.readLatest(spark, s"$compacted/state").get)
+      == snap(want), "replayed takedown batch diverged post-compaction")
+  }
+
   test("pointer-loss fallback follows publish order (mtime), not the " +
        "numeric version max — admin publishes must not shadow later " +
        "batch folds") {
