@@ -107,7 +107,7 @@ object ServeScale {
         s2
       }
       val drainUnmon = drainAt(None)
-      val drainMon = drainAt(Some(AnnIndex.RefreshPolicy(1e9, emb)))
+      val drainMon = drainAt(Some(AnnIndex.RefreshPolicy(1e9, AnnIndex.PinnedCorpus(emb))))
       def fmt(d: Double) =
         String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
       println(s"""{"sf":"$sfDir","mode":"ann","n_vecs":$n,""" +

@@ -1630,13 +1630,17 @@ object StreamGateQueries extends QueryModule {
     * version 2 (REQUIRED in-query: v≠2 means the trigger misfired or
     * double-fired), and waves 1-2 encode against the new quantizer
     * automatically (post-refresh baseline is trained on the drifted
-    * cluster, so they must NOT re-trigger). The oracle replays the end
+    * cluster, so they must NOT re-trigger). The retrain corpus is
+    * STORE-DERIVED ([[AnnIndex.StoreCorpus]]): the trigger reads the
+    * live float vectors out of an admitVectors-shaped [[BatchStore]]
+    * at refresh time — the production source — rather than a snapshot
+    * pinned when the policy was wired. The oracle replays the end
     * state with the trigger timing made explicit: a quantizer trained
     * on standing ∪ wave 0, every vector encoded against it, served at
     * nprobe 4 — so WHEN the policy fires is pinned by the same hash
     * that pins WHAT the rebuild computes. */
   private def t28PolicyRefresh(s: SparkSession, dir: String): DataFrame = {
-    import graft.streaming.AnnIndex
+    import graft.streaming.{AnnIndex, BatchStore}
     val corpus = Tables.spread(clusteredCorpus(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val root = Dsl.tempDir("graft_t28_")
@@ -1647,9 +1651,19 @@ object StreamGateQueries extends QueryModule {
       .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
       .option("maxFilesPerTrigger", "1")
       .parquet(writeOrderedBatches(delta, "vec_id", 3))
+    // production corpus source: the float vectors sit in an
+    // admitVectors-shaped BatchStore the trigger reads AT REFRESH TIME
+    // (pointer filter + tombstone mask + pinned schema) — the pinned-
+    // snapshot mode is the test/replay shape; refresh()'s semi-join to
+    // the live list ids keeps the rebuild exact under a superset store,
+    // so the oracle (trigger timing + rebuild arithmetic) is unchanged
+    val vecStore = Dsl.tempDir("graft_t28_vecs_")
+    corpus.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .write.mode("overwrite")
+      .parquet(s"$vecStore/${BatchStore.BatchCol}=-1")
     AnnIndex.maintain(stream, root, Dsl.tempDir("graft_t28_ckpt_"),
-        refreshPolicy = Some(AnnIndex.RefreshPolicy(2.0, corpus,
-          nlist = 16, lloydIters = 2)))
+        refreshPolicy = Some(AnnIndex.RefreshPolicy(2.0,
+          AnnIndex.StoreCorpus(vecStore), nlist = 16, lloydIters = 2)))
       .awaitTermination()
     val v = AnnIndex.currentVersion(s, root)
     require(v.contains(2L),

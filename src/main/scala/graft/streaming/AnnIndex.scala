@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
 import graft.similarity.Similarity
 
 /** VERSIONED quantized ANN index with a retrain → re-encode → atomic-swap
@@ -61,18 +62,61 @@ object AnnIndex {
     * same drift cannot re-trigger — a planted drift stream refreshes
     * exactly once (AnnIndexSpec).
     *
-    * `corpus` must satisfy [[refresh]]'s contract at every batch end:
-    * the float vector of EVERY live id, including ids this very stream
-    * has admitted. The residual statistic is a float mean (a monitoring
+    * The corpus `source` must satisfy [[refresh]]'s contract at every
+    * batch end: the float vector of EVERY live id, including ids this
+    * very stream has admitted (a superset is fine — [[refresh]]
+    * semi-joins to the live list ids and fails closed on partial
+    * coverage). The residual statistic is a float mean (a monitoring
     * trigger with wide margins, not a gated value — shuffle-order ulps
     * cannot flip a ≥ factor-sized threshold crossing). A pre-policy
     * version dir carries no training residual; monitored batches over
     * it record their statistic but never trigger (the baseline appears
     * at the next init/refresh publish). */
-  case class RefreshPolicy(residualFactor: Double, corpus: DataFrame,
+  case class RefreshPolicy(residualFactor: Double, source: RefreshCorpus,
                            nlist: Int = 16, lloydIters: Int = 2) {
     require(residualFactor > 0.0,
       s"residualFactor must be positive: $residualFactor")
+  }
+
+  /** Where a triggered [[refresh]] finds the live float vectors (the
+    * lists store holds only int8 codes — re-encoding needs sources). */
+  sealed trait RefreshCorpus
+
+  /** Caller-pinned snapshot — the test/replay shape: the rebuild trains
+    * on exactly the frame the caller captured when wiring the policy.
+    * Production streams prefer [[StoreCorpus]]: a pinned frame taken at
+    * wire time goes stale the moment the stream admits or tombstones a
+    * vector behind it. */
+  case class PinnedCorpus(vecs: DataFrame) extends RefreshCorpus
+
+  /** The maintained float-vector store itself, read AT TRIGGER TIME —
+    * the production shape: `dir` is an [[DedupStream.admitVectors]]-
+    * layout [[BatchStore]] of `(id LONG, v ARRAY<FLOAT>)` rows, read
+    * through the pointer filter with a PINNED schema (fail-closed on
+    * drift, the vecSchema contract) and anti-joined against the store's
+    * standing tombstones — so the rebuild trains on precisely the live
+    * corpus at the between-batches trigger instant, with takedowns
+    * excluded, and no caller has to keep a snapshot fresh by hand.
+    * [[refresh]]'s full-coverage require still holds underneath: a
+    * store that has drifted out of sync with the index's live ids fails
+    * the rebuild rather than silently shrinking it. */
+  case class StoreCorpus(dir: String) extends RefreshCorpus
+
+  /** Pinned-schema tombstone-masked live read of a [[StoreCorpus]] dir,
+    * renamed to [[refresh]]'s (vec_id, embedding) contract. */
+  private def readStoreCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", ArrayType(FloatType)),
+      StructField(BatchStore.BatchCol, LongType)))
+    val live = BatchStore.read(spark, dir, Some(schema))
+      .select(col("id"), col("v"))
+    val masked =
+      if (BatchStore.hasDeletes(spark, dir))
+        live.join(BatchStore.readDeletes(spark, dir),
+          col("id") === col("del_id"), "left_anti")
+      else live
+    masked.select(col("id").as("vec_id"), col("v").as("embedding"))
   }
 
   /** The training-time mean residual (fixed-point, ×1e6) stamped into
@@ -240,7 +284,12 @@ object AnnIndex {
         for (p <- refreshPolicy; r <- batchRes;
              base <- versionResidual(sp, root, v)
              if base > 0L && r > p.residualFactor * base)
-          refresh(sp, root, p.corpus, p.nlist, p.lloydIters)
+          refresh(sp, root,
+            p.source match {
+              case PinnedCorpus(vecs) => vecs
+              case StoreCorpus(dir) => readStoreCorpus(sp, dir)
+            },
+            p.nlist, p.lloydIters)
         ()
       }
       .option("checkpointLocation", checkpointDir)

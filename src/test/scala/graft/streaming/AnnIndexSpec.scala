@@ -147,7 +147,7 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.versionResidual(spark, root, 1L).nonEmpty,
       "init must stamp the training-residual baseline")
     AnnIndex.maintain(stream(mkWatch()), root, tmp("anndrift_ck"),
-        refreshPolicy = Some(AnnIndex.RefreshPolicy(2.0, corpus,
+        refreshPolicy = Some(AnnIndex.RefreshPolicy(2.0, AnnIndex.PinnedCorpus(corpus),
           nlist = 8, lloydIters = 2)))
       .awaitTermination()
     assert(AnnIndex.currentVersion(spark, root) === Some(2L),
@@ -172,7 +172,7 @@ class AnnIndexSpec extends SparkSpec {
     val root3 = tmp("anndrift_c")
     AnnIndex.init(spark, root3, standing, nlist = 8, lloydIters = 2)
     AnnIndex.maintain(stream(mkWatch()), root3, tmp("anndrift_ck3"),
-        refreshPolicy = Some(AnnIndex.RefreshPolicy(1e6, corpus,
+        refreshPolicy = Some(AnnIndex.RefreshPolicy(1e6, AnnIndex.PinnedCorpus(corpus),
           nlist = 8, lloydIters = 2)))
       .awaitTermination()
     assert(AnnIndex.currentVersion(spark, root3) === Some(1L),
@@ -203,7 +203,7 @@ class AnnIndexSpec extends SparkSpec {
         .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
         .option("maxFilesPerTrigger", "1").parquet(watch)
       AnnIndex.maintain(stream, root, tmp("annzero_ck"),
-          refreshPolicy = Some(AnnIndex.RefreshPolicy(2.0, corpus,
+          refreshPolicy = Some(AnnIndex.RefreshPolicy(2.0, AnnIndex.PinnedCorpus(corpus),
             nlist = 8, lloydIters = 2)))
         .awaitTermination()
     }
@@ -228,6 +228,87 @@ class AnnIndexSpec extends SparkSpec {
     drain(rootNone)
     assert(AnnIndex.currentVersion(spark, rootNone) === Some(1L),
       "an un-stamped version must never trigger")
+  }
+
+  test("StoreCorpus: the trigger retrains from the maintained vector " +
+       "store read at refresh time — agrees with the pinned snapshot " +
+       "when they match, and a tombstoned live id fails the rebuild " +
+       "closed") {
+    import spark.implicits._
+    // same planted-drift corpus as the policy test: four standing
+    // clusters, a fifth off-manifold delta cluster
+    def vec(axis: Int, j: Int): Seq[Float] =
+      (0 until 8).map(d =>
+        (if (d == axis) 10f else 0f) + ((j * 7 + d * 3) % 5) * 0.1f)
+    val standing = (0L until 40L).map(i => (i, vec((i % 4).toInt, i.toInt)))
+      .toDF("vec_id", "embedding")
+    val delta = (100L until 124L).map(i => (i, vec(5, i.toInt)))
+      .toDF("vec_id", "embedding")
+    val corpus = standing.unionByName(delta)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def mkWatch(): String = {
+      val w = tmp("annsc_w")
+      (0 until 3).foreach { i =>
+        val stage = tmp("annsc_stage")
+        delta.filter(col("vec_id") % 3 === i).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(w, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(
+          System.currentTimeMillis() - 3600000L + i * 2000L)
+      }
+      w
+    }
+    def stream(w: String) = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1").parquet(w)
+    def mkStore(): String = {
+      val store = tmp("annsc_store")
+      corpus.select(col("vec_id").as("id"), col("embedding").as("v"))
+        .write.mode("overwrite")
+        .parquet(s"$store/${BatchStore.BatchCol}=-1")
+      store
+    }
+    // pinned run and store run must land in the identical end state
+    // when the caller's snapshot matches the store
+    val rootP = tmp("annsc_p")
+    AnnIndex.init(spark, rootP, standing, nlist = 8, lloydIters = 2)
+    AnnIndex.maintain(stream(mkWatch()), rootP, tmp("annsc_ckp"),
+        refreshPolicy = Some(AnnIndex.RefreshPolicy(2.0,
+          AnnIndex.PinnedCorpus(corpus), nlist = 8, lloydIters = 2)))
+      .awaitTermination()
+    val rootS = tmp("annsc_s")
+    AnnIndex.init(spark, rootS, standing, nlist = 8, lloydIters = 2)
+    AnnIndex.maintain(stream(mkWatch()), rootS, tmp("annsc_cks"),
+        refreshPolicy = Some(AnnIndex.RefreshPolicy(2.0,
+          AnnIndex.StoreCorpus(mkStore()), nlist = 8, lloydIters = 2)))
+      .awaitTermination()
+    assert(AnnIndex.currentVersion(spark, rootS) === Some(2L),
+      "store-corpus mode must trigger exactly like pinned mode")
+    val q = corpus.filter(col("vec_id") < 6)
+    assert(serveSet(rootP, q, corpus) === serveSet(rootS, q, corpus),
+      "store-derived retrain diverged from the pinned snapshot")
+    // fail-closed: tombstoning a LIVE id out of the store makes the
+    // masked read partial — the triggered rebuild must throw (refresh's
+    // coverage require), never silently shrink the index
+    val store2 = mkStore()
+    BatchStore.delete(spark, store2, Seq(0L).toDF("id"))
+    val rootT = tmp("annsc_t")
+    AnnIndex.init(spark, rootT, standing, nlist = 8, lloydIters = 2)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      AnnIndex.maintain(stream(mkWatch()), rootT, tmp("annsc_ckt"),
+          refreshPolicy = Some(AnnIndex.RefreshPolicy(2.0,
+            AnnIndex.StoreCorpus(store2), nlist = 8, lloydIters = 2)))
+        .awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("refusing to rebuild a")),
+      s"expected the coverage require, got: ${messages(ex).mkString(" | ")}")
+    corpus.unpersist()
   }
 
   test("maintain + serve equal the fixed-quantizer batch build") {
