@@ -68,9 +68,22 @@ object ScaleUp {
       (if (row.isNullAt(0)) 0L else row.getLong(0)) + 1
     }
 
-    /** Union `copies` key-shifted images of `df`. */
-    def scaled(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until copies).map(i => shift(df, i)).reduce(_ unionByName _)
+    /** Write the scaled image in bounded-width chunks: a single
+      * left-deep union of `copies` branches grows the analyzer's
+      * recursion depth and one job's task count linearly in the copy
+      * count (the 1000× build is the first where that bites — a
+      * 1000-branch plan is deep enough to risk the analyzer's stack
+      * and puts ~1000 scan tasks plus 1000 distinct translate/array
+      * expression trees in ONE optimization pass). Chunking caps both
+      * at 50 per job; overwrite-then-append produces the identical row
+      * set (file layout differs, which nothing downstream reads). */
+    def writeScaled(df: DataFrame, path: String)
+                   (shift: (DataFrame, Int) => DataFrame): Unit =
+      (0 until copies).grouped(50).zipWithIndex.foreach { case (is, gi) =>
+        is.map(i => shift(df, i)).reduce(_ unionByName _)
+          .write.mode(if (gi == 0) SaveMode.Overwrite else SaveMode.Append)
+          .parquet(path)
+      }
 
     // Per-copy alphabet PERMUTATION so cross-copy shingles diverge. A
     // plain Caesar rotation has only 26 distinct states, so a >26-copy
@@ -99,27 +112,25 @@ object ScaleUp {
 
     val orders = spark.read.parquet(s"$src/orders.parquet")
     val oShift = shiftOf(orders, "o_orderkey")
-    scaled(orders)((d, i) => d.withColumn("o_orderkey", col("o_orderkey") + lit(i * oShift)))
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
+    writeScaled(orders, s"$out/orders.parquet")((d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * oShift)))
 
     val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
-    scaled(lineitem)((d, i) => d.withColumn("l_orderkey", col("l_orderkey") + lit(i * oShift)))
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
+    writeScaled(lineitem, s"$out/lineitem.parquet")((d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * oShift)))
 
     val events = Tables.events(spark, src)
     val eShift = shiftOf(events, "event_id")
     val uShift = shiftOf(events, "user_id")
-    scaled(events)((d, i) => d
+    writeScaled(events, s"$out/events.parquet")((d, i) => d
         .withColumn("event_id", col("event_id") + lit(i * eShift))
         .withColumn("user_id", col("user_id") + lit(i * uShift)))
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val dShift = shiftOf(docs, "doc_id")
-    scaled(docs)((d, i) => d
+    writeScaled(docs, s"$out/documents.parquet")((d, i) => d
         .withColumn("doc_id", col("doc_id") + lit(i * dShift))
         .withColumn("text", rot(col("text"), i)))
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
 
     // Per-copy SIGNED COMPONENT PERMUTATION of the embedding vectors:
     // norms and within-copy cosines are preserved exactly, cross-copy
@@ -151,10 +162,9 @@ object ScaleUp {
     }
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val vShift = shiftOf(emb, "vec_id")
-    scaled(emb)((d, i) => d
+    writeScaled(emb, s"$out/embeddings.parquet")((d, i) => d
         .withColumn("vec_id", col("vec_id") + lit(i * vShift))
         .withColumn("embedding", scramble(col("embedding"), i)))
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
 
     if (plant) plantStratum(spark, out, copies)
 

@@ -1853,6 +1853,56 @@ object StreamGateQueries extends QueryModule {
       liveWhere = "WHERE vec_id % 11 <> 6")
   }
 
+  /** M8: streaming DECONTAMINATION at admission time — the batch
+    * `m8_decontaminate` screen moved into the ingest loop. Docs with
+    * `doc_id % 97 == 0` form the static held-out eval set (the batch
+    * gate's convention); the remaining docs arrive as three waves
+    * through [[graft.streaming.DecontaminateStream.screen]] (w = 5),
+    * clean rows landing in the admitted sink and contaminated rows
+    * PARKED with a V3-style provenance token. Output: one row per
+    * arrival from the durable sinks — verdict, distinct-overlap count,
+    * and the parked token. The verdict is batch-blind (static
+    * benchmark), so the oracle is the BATCH screen over the union of
+    * waves with `batch_id = doc_id % 3` — agreement proves the
+    * streamed screen admits/parks exactly the batch operator's split,
+    * wave boundaries notwithstanding. */
+  private def streamDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val watch = writeOrderedBatches(
+      docs.filter(col("doc_id") % 97 =!= 0), "doc_id", 3)
+    val root = Dsl.tempDir("graft_m8decon_")
+    val stream = s.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+    graft.streaming.DecontaminateStream.screen(stream, bench,
+      s"$root/admitted", s"$root/flagged", s"$root/ckpt", w = 5)
+      .awaitTermination()
+    val flagged = s.read.parquet(s"$root/flagged")
+      .select(col("doc_id"), col("batch_id"), col("n_hits"),
+        lit(true).as("contaminated"), col("source"))
+    val admitted = s.read.parquet(s"$root/admitted")
+      .select(col("doc_id"), col("batch_id"), lit(0L).as("n_hits"),
+        lit(false).as("contaminated"), lit(null).cast("string").as("source"))
+    flagged.unionByName(admitted)
+  }
+
+  private val streamDecontaminateSql =
+    s"""WITH ${Dsl.shinglesCteW(5)},
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+       |hits AS (
+       |  SELECT s.doc_id, COUNT(*) AS n_hits
+       |  FROM sh s JOIN bench b USING (shingle)
+       |  WHERE s.doc_id % 97 <> 0 GROUP BY 1)
+       |SELECT d.doc_id, CAST(d.doc_id % 3 AS BIGINT) AS batch_id,
+       |  COALESCE(h.n_hits, 0) AS n_hits,
+       |  COALESCE(h.n_hits, 0) > 0 AS contaminated,
+       |  CASE WHEN COALESCE(h.n_hits, 0) > 0
+       |       THEN 'decontam:{n_hits=' || h.n_hits || ', w=5}' END AS source
+       |FROM documents d LEFT JOIN hits h USING (doc_id)
+       |WHERE d.doc_id % 97 <> 0""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_late_split"      -> t11LateSplit _,
     "t12_view_maintain"   -> t12ViewMaintain _,
@@ -1879,6 +1929,7 @@ object StreamGateQueries extends QueryModule {
     "t29_stream_view_delete" -> t29StreamViewDelete _,
     "t30_semantic_delete" -> t30SemanticDelete _,
     "m8_stream_semantic" -> streamSemantic _,
+    "m8_stream_decontaminate" -> streamDecontaminate _,
     "m8_proximity_analyzed" -> m8ProximityAnalyzed _)
 
   def oracles: Map[String, String] = Map(
@@ -1907,5 +1958,6 @@ object StreamGateQueries extends QueryModule {
     "t29_stream_view_delete" -> t29Sql,
     "t30_semantic_delete" -> t30Sql,
     "m8_stream_semantic" -> streamSemanticSql,
+    "m8_stream_decontaminate" -> streamDecontaminateSql,
     "m8_proximity_analyzed" -> m8ProximityAnalyzedSql)
 }
