@@ -1043,67 +1043,6 @@ object TextCorpus {
     proximityMatchTopK(positional(docs, id, text, "doc_id", "pos"),
       queries, k, slop)
 
-  /** Sweep-event construction for the slop serves over ONE sorted
-    * array of (group, position) structs per document — `oa` is sorted
-    * by (`grp` asc, `v` asc), a group being the query OFFSET
-    * (proximity) or the query TERM (NEAR). Each element carries the
-    * interval `[v − reach, v]`; within a group, islands merge where
-    * the inter-element gap ≤ reach + 1 (contiguous support), and each
-    * island emits two sweep events (+1 at lo, −1 at hi + 1) — a group
-    * boundary always starts a new island. Returns an
-    * array<struct<at: long, d: long>>. The neighbor probes use the
-    * 0-based `get`, which returns NULL out of range by construction
-    * (never throws, ANSI-safe without leaning on Or/CaseWhen
-    * short-circuit order — a null neighbor only occurs exactly where
-    * the boundary disjunct already fires, and a null comparison is
-    * falsy in the remaining disjuncts); everything is indexed random
-    * access, so per-document cost is O(n log n) in matched
-    * occurrences — no quadratic array rebuilding. */
-  private def islandEvents(oa: Column, reach: Column): Column = {
-    val gap = reach + lit(1L)
-    def grp(e: Column) = e.getField("grp")
-    def v(e: Column) = e.getField("v")
-    concat(
-      filter(transform(oa, (x, i) =>
-        when(i === 0 || grp(get(oa, i - 1)) =!= grp(x) ||
-            v(x) - v(get(oa, i - 1)) > gap,
-          struct((v(x) - reach).as("at"), lit(1L).as("d")))),
-        e => e.isNotNull),
-      filter(transform(oa, (x, i) =>
-        when(i === size(oa) - 1 || grp(get(oa, i + 1)) =!= grp(x) ||
-            v(get(oa, i + 1)) - v(x) > gap,
-          struct((v(x) + lit(1L)).as("at"), lit(-1L).as("d")))),
-        e => e.isNotNull))
-  }
-
-  /** The number of DISTINCT groups in a (grp, v)-sorted struct array —
-    * the quorum precheck (all query offsets/terms present) counted as
-    * group boundaries, same indexed-transform shape as
-    * [[islandEvents]]. */
-  private def groupCount(oa: Column): Column =
-    size(filter(transform(oa, (x, i) =>
-      when(i === 0 ||
-          get(oa, i - 1).getField("grp") =!= x.getField("grp"), x)),
-      e => e.isNotNull)).cast("long")
-
-  /** The sorted-event sweep: Σ segment lengths where the running cover
-    * equals `quorum` — `|∩ S|` over the island events, one sequential
-    * in-row fold (events are doc-bounded). Cover is compared BEFORE
-    * applying the event, so each segment [last_at, at) charges the
-    * cover that held across it; same-position ties contribute
-    * zero-length segments whatever their sort order. */
-  private def sweepCount(events: Column, quorum: Column): Column =
-    aggregate(array_sort(events),
-      struct(lit(0L).as("cover"), lit(0L).as("last_at"), lit(0L).as("acc")),
-      (st, e) => struct(
-        (st.getField("cover") + e.getField("d")).as("cover"),
-        e.getField("at").as("last_at"),
-        (st.getField("acc") +
-          when(st.getField("cover") === quorum,
-            e.getField("at") - st.getField("last_at"))
-            .otherwise(lit(0L))).as("acc")),
-      st => st.getField("acc"))
-
   /** [[proximitySearch]]'s match core over a prebuilt positional
     * postings frame (doc_id, pos, word) — store-serve ready, like
     * [[phraseMatchTopK]]. */
@@ -1124,17 +1063,18 @@ object TextCorpus {
         struct(col("off").cast("long").as("grp"),
           (col("pos") - col("off")).cast("long").as("v")).as("oa"))
     // ONE corpus-sized shuffle (phrase's own count): each doc's matched
-    // (offset, adjusted-position) pairs collect sorted; islands, the
-    // quorum precheck, and the sweep are all in-row indexed HOFs over
-    // the doc-bounded array
+    // (offset, adjusted-position) pairs collect sorted; the islands,
+    // the quorum precheck, and the sweep are ONE fused codegen'd kernel
+    // over the doc-bounded array ([[graft.expressions.SlopWindows]] —
+    // the round-18 replacement for the interpreted HOF chain). The
+    // kernel returns 0 for a doc missing any offset, so the quorum
+    // precheck rides the n_windows > 0 filter.
     val perDoc = hits.groupBy("query_id", "doc_id")
       .agg(sort_array(collect_list(col("oa"))).as("oa"))
       .join(side(qlen), Seq("query_id"))
-      // a doc missing any offset can never reach quorum — skip its sweep
-      .where(groupCount(col("oa")) === col("phrase_len"))
       .select(col("query_id"), col("doc_id"),
-        sweepCount(islandEvents(col("oa"), lit(slop.toLong)),
-          col("phrase_len")).as("n_windows"))
+        graft.expressions.SlopWindows.slop_windows(col("oa"),
+          lit(slop.toLong), col("phrase_len")).as("n_windows"))
       // zero matching anchors = no result row (the vote formulation
       // never grouped such docs at all)
       .where(col("n_windows") > 0)
@@ -1169,8 +1109,9 @@ object TextCorpus {
     * the 100×-decade wall BASELINE.md round-16 flagged); here each
     * matched occurrence crosses the network once per stage and the
     * anchor set is never materialized. W rides in from the per-query
-    * term count as a column — the islands and the sweep are per-row
-    * HOFs, so the per-query width costs nothing extra. */
+    * term count as a column into the per-row fused kernel
+    * ([[graft.expressions.SlopWindows]]), so the per-query width costs
+    * nothing extra. */
   def nearSearch(docs: DataFrame, id: Column, text: Column,
                  queries: DataFrame, k: Int, slop: Int): DataFrame =
     nearMatchTopK(positional(docs, id, text, "doc_id", "pos"),
@@ -1201,17 +1142,17 @@ object TextCorpus {
           col("pos").cast("long").as("v")).as("oa"))
     // ONE corpus-sized shuffle: each doc's matched (term, position)
     // pairs collect sorted (term then position); the quorum precheck,
-    // the per-term islands, and the sweep are in-row HOFs. The
-    // interval is [p − W + 1, p] → reach = W − 1, a per-QUERY column
-    // (term counts differ), free inside the per-row expressions.
+    // the per-term islands, and the sweep are ONE fused codegen'd
+    // kernel ([[graft.expressions.SlopWindows]]). The interval is
+    // [p − W + 1, p] → reach = W − 1, a per-QUERY column (term counts
+    // differ), free inside the per-row kernel; a doc missing any query
+    // term counts 0 and rides the n_windows > 0 filter.
     val perDoc = hits.groupBy("query_id", "doc_id")
       .agg(sort_array(collect_list(col("oa"))).as("oa"))
       .join(side(qlen), Seq("query_id"))
-      // a doc missing any query term can never reach quorum
-      .where(groupCount(col("oa")) === col("n_terms"))
       .select(col("query_id"), col("doc_id"),
-        sweepCount(islandEvents(col("oa"),
-            col("n_terms") + lit(slop.toLong) - lit(1L)),
+        graft.expressions.SlopWindows.slop_windows(col("oa"),
+          col("n_terms") + lit(slop.toLong) - lit(1L),
           col("n_terms")).as("n_windows"))
       .where(col("n_windows") > 0)
     val cut = graft.plans.GraftOps.topKPerKey(perDoc,
