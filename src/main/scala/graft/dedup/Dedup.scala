@@ -110,9 +110,10 @@ object Dedup {
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, lit(1.0)).otherwise(lit(0.0))),
-          lit(0.0), (acc, v) => acc + v) / numHashes).as("sig_agreement"))
+        // fused codegen kernel — same 0/1 left fold as the zip_with
+        // formulation it replaces (VectorKernelsSpec pins bit-parity)
+        (graft.expressions.VectorKernels.sig_agreement(
+          col("sig_a"), col("sig_b")) / numHashes).as("sig_agreement"))
       .filter(col("sig_agreement") >= minAgreement)
   }
 
@@ -206,9 +207,10 @@ object Dedup {
       else withNew.join(corpusSide, Seq("cand_id"))
     val hits = paired
       .select(col("new_id"), col("cand_id"),
-        (aggregate(zip_with(col("sig_n"), col("sig_c"),
-          (x, y) => when(x === y, lit(1.0)).otherwise(lit(0.0))),
-          lit(0.0), (acc, v) => acc + v) / numHashes).as("sig_agreement"))
+        // fused codegen kernel — same 0/1 left fold as the zip_with
+        // formulation it replaces (VectorKernelsSpec pins bit-parity)
+        (graft.expressions.VectorKernels.sig_agreement(
+          col("sig_n"), col("sig_c")) / numHashes).as("sig_agreement"))
       .filter(col("sig_agreement") >= minAgreement)
       .groupBy("new_id")
       // countDistinct, not count: an id RE-SENT in the delta while

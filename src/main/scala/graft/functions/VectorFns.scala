@@ -2,18 +2,31 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.expressions.VectorKernels
 
 /** Embedding-vector column functions over `array<float>` (north-star
   * similarity-search scope, SURVEY.md §7.1 M8).
   *
-  * Pure higher-order-function expressions: `zip_with` + `aggregate` keep
-  * the math in Tungsten with no UDF/serialization boundary. Accumulation
-  * is in double for stability regardless of input element type.
+  * Round 18: the public entry points now build the FUSED codegen
+  * kernels ([[graft.expressions.VectorKernels]]) instead of the
+  * `zip_with` + `aggregate` higher-order-function trees — Spark's array
+  * HOFs are CodegenFallback, so the old formulations evaluated an
+  * interpreted lambda tree per ELEMENT in every similarity serve, IVF
+  * build, PQ step and semantic screen. The kernels run the same
+  * left-to-right double folds over the same casts, so results are
+  * bit-identical (VectorKernelsSpec pins fused == HOF value-for-value,
+  * including null/length corners; the `*Hof` privates below are kept
+  * as the executable specification). Accumulation is in double for
+  * stability regardless of input element type, as before.
   */
 object VectorFns {
 
   /** Dot product of two equal-length float vectors. */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = VectorKernels.vec_dot(a, b)
+
+  /** The HOF formulation [[dot]] fused — kept as the executable spec
+    * (VectorKernelsSpec asserts bit-parity on randomized inputs). */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -21,10 +34,14 @@ object VectorFns {
   def l2_norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; 0.0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val na = l2_norm(a)
-    val nb = l2_norm(b)
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+  def cosine(a: Column, b: Column): Column = VectorKernels.vec_cosine(a, b)
+
+  /** The HOF formulation [[cosine]] fused — executable spec. */
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
+    def d(x: Column, y: Column) = dotHof(x, y)
+    val na = sqrt(d(a, a))
+    val nb = sqrt(d(b, b))
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d(a, b) / (na * nb))
   }
 
   /** Symmetric int8 scalar quantization: q_i = ⌊x_i/scale·127 + ½⌋ with
@@ -34,22 +51,27 @@ object VectorFns {
     * engine-portable: floor is IEEE-deterministic where banker's/half-up
     * tie rules differ between engines. Zero vectors quantize to zeros.
     *
-    * Pass the scale as a PRECOMPUTED column (e.g. a
-    * `withColumn("scale", quantize_scale(v))` projection): codegen does
-    * not hoist subexpressions out of lambda bodies, so an inline
-    * aggregate here would re-fold the whole vector once per lane —
-    * O(dim²) per row. */
+    * The scale is a PRECOMPUTED column (e.g. a
+    * `withColumn("scale", quantize_scale(v))` projection) — one fold
+    * per row, not one per lane. */
   def quantize_i8(v: Column, scale: Column): Column =
+    VectorKernels.quantize_i8_fused(v, scale)
+
+  /** The HOF formulation [[quantize_i8]] fused — executable spec. */
+  private[graft] def quantizeI8Hof(v: Column, scale: Column): Column =
     when(scale === 0.0, transform(v, _ => lit(0)))
       .otherwise(transform(v,
         x => floor(x.cast("double") / scale * 127.0 + 0.5).cast("int")))
 
-  /** Convenience form for one-off/test use; see the scale-column caveat
-    * above before putting this in a hot path. */
+  /** Convenience form for one-off/test use. */
   def quantize_i8(v: Column): Column = quantize_i8(v, quantize_scale(v))
 
   /** The quantization scale (max |x|) the de-quantizer needs. */
   def quantize_scale(v: Column): Column =
+    VectorKernels.quantize_scale_fused(v)
+
+  /** The HOF formulation [[quantize_scale]] fused — executable spec. */
+  private[graft] def quantizeScaleHof(v: Column): Column =
     aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
 
   /** Squared euclidean distance. */
@@ -63,7 +85,11 @@ object VectorFns {
     * element index and plane seed (deterministic, data-independent).
     * Vectors in the same bucket are cosine-similar candidates — the
     * 100 TB path that replaces the all-pairs cross join. */
-  def hyperplane_bucket(vec: Column, planes: Int = 8): Column = {
+  def hyperplane_bucket(vec: Column, planes: Int = 8): Column =
+    VectorKernels.hyperplane_bucket_xx(vec, planes)
+
+  /** The HOF formulation [[hyperplane_bucket]] fused — executable spec. */
+  private[graft] def hyperplaneBucketHof(vec: Column, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       // pseudo-random ±1 weights per (plane, dimension), summed via
       // position-aware transform; sign of the projection is the bit.
@@ -82,7 +108,7 @@ object VectorFns {
     * 15 hex chars of md5("p,i") — i.e. the low bit of
     * [[graft.functions.TextFns.portable_hash60]] over the same string,
     * which is just the low bit of hex digit 15. Computed driver-side so
-    * the weights become plan literals; the oracle recomputes the same
+    * the weights become plan constants; the oracle recomputes the same
     * bit in SQL. */
   private[graft] def portableWeight(p: Int, i: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -94,12 +120,18 @@ object VectorFns {
   /** Engine-portable variant of [[hyperplane_bucket]]: the ±1 weights
     * derive from md5 of "plane,dim" (see [[portableWeight]]), so any
     * engine with md5 — the correctness oracle — rebuilds identical
-    * hyperplanes. Weights are plan-time literal arrays (`dim` must be the
-    * actual vector length); per row this is the same zip_with/aggregate
-    * fold as the xxhash64 path, with the same left-to-right double
-    * accumulation the oracle's list_sum uses. */
+    * hyperplanes. Weights are plan-time constants (`dim` must be the
+    * actual vector length); per row the fused kernel runs the same
+    * left-to-right double accumulation the oracle's list_sum uses. */
   def hyperplane_bucket_portable(vec: Column, planes: Int = 8,
-                                 dim: Int = 64): Column = {
+                                 dim: Int = 64): Column =
+    VectorKernels.hyperplane_bucket_fused(vec,
+      Array.tabulate(planes, dim)((p, i) => portableWeight(p, i)))
+
+  /** The HOF formulation [[hyperplane_bucket_portable]] fused —
+    * executable spec. */
+  private[graft] def hyperplaneBucketPortableHof(vec: Column, planes: Int,
+                                                 dim: Int): Column = {
     val bits = (0 until planes).map { p =>
       val weights = array((0 until dim).map(i => lit(portableWeight(p, i))): _*)
       val proj = aggregate(

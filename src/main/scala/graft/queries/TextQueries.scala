@@ -779,12 +779,23 @@ object TextQueries extends QueryModule {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val df = tf.select(col("word"), lit(1L).as("df"))
-    // the graded truth: the reference configuration's own ranking
+    // the graded truth: the reference configuration's own ranking.
+    // localCheckpoint (the annSweep precedent): truth is k×queries rows
+    // but its LINEAGE is a full scoring run, and every union branch's
+    // rankEval references it several times — un-truncated, the sweep's
+    // physical plan carried ~400 Exchange nodes (6 embedded copies of
+    // the scoring subtree per branch) and Catalyst paid optimizer time
+    // proportional to all of them. Checkpointing truth and each run
+    // collapses the plan to the three scoring runs that actually
+    // execute; the computed rows are untouched (same plan, same fold,
+    // materialized eagerly once).
     val truth = TextCorpus.bm25ScoreTopK(tf, dl, df, queries, k, 1.2, 0.75)
       .select(col("query_id"), col("doc_id").as("cand_id"), col("rank"))
+      .localCheckpoint(true)
     bm25SweepConfigs.map { case (k1, b) =>
       val run = TextCorpus.bm25ScoreTopK(tf, dl, df, queries, k, k1, b)
         .withColumnRenamed("doc_id", "cand_id")
+        .localCheckpoint(true)
       Similarity.rankEval(run, truth, k)
         .select(lit(math.round(k1 * 100)).as("k1_pct"),
           lit(math.round(b * 100)).as("b_pct"),
