@@ -248,8 +248,9 @@ object AnnIndex {
               s"centroid store missing at ${centDir(root, v)} — refusing " +
                 "to encode against an empty quantizer")
             val assigned = Similarity.ivfAssignSim(
-                adds.select(col("vec_id").as("cand_id"),
-                  col("embedding").as("cv")),
+                BatchStore.spreadBatch(adds)
+                  .select(col("vec_id").as("cand_id"),
+                    col("embedding").as("cv")),
                 sp.read.parquet(centDir(root, v)))
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             assigned

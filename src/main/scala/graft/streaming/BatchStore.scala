@@ -65,6 +65,25 @@ object BatchStore {
   private def fsFor(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Spread a micro-batch across the session's cores before CPU-heavy
+    * per-row work (MinHash signing, tokenization, centroid assignment).
+    *
+    * A `maxFilesPerTrigger`-paced file-stream batch arrives as ONE scan
+    * partition per file — a single-row-group parquet file is
+    * unsplittable — and every maintainer's expensive stage is map-side
+    * (the aggregation's partial step runs before its exchange), so
+    * without this the whole per-row cost of a batch serializes on one
+    * core REGARDLESS of cluster size (measured round 18: a ~1.5 s
+    * single-task scan→generate→partial-agg stage per admission batch at
+    * sf0.1 while 31 cores idled). The repartition moves batch-sized
+    * bytes — the cheapest term in the loop — and `defaultParallelism`
+    * scales with the session, not a local constant. Round-robin
+    * repartition is retry-deterministic (sortBeforeRepartition, on by
+    * default) and every downstream consumer is an aggregation/join, so
+    * results are partitioning-independent. */
+  private[streaming] def spreadBatch(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   private val PtrRe = """gen=(\d+);hwm=(-?\d+)""".r
 
   /** The published (generation, folded-high-water-mark), if any. */

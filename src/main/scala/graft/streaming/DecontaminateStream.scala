@@ -60,7 +60,9 @@ object DecontaminateStream {
       .localCheckpoint()
     val writer = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val delta = batch.persist()
+        // spread the one-file batch before the shingle explode — see
+        // [[BatchStore.spreadBatch]]
+        val delta = BatchStore.spreadBatch(batch).persist()
         // word_shingles dedups within the doc, so count(*) after the
         // join is the DISTINCT overlap count — exactly the batch
         // operator's statistic.

@@ -131,7 +131,10 @@ object DedupStream {
           case Some(kc) => BatchStore.splitMixed(batch, kc)
           case None => (batch, batch.limit(0))
         }
-        val delta = addRows
+        // spread the one-file batch before the screen's per-row work
+        // (hyperplane bucketing + candidate cosines) — see
+        // [[BatchStore.spreadBatch]]
+        val delta = BatchStore.spreadBatch(addRows)
           .select(col("doc_id").as("id"), col("embedding").as("v"))
           .persist()
         val storePath = new Path(vecStoreDir)
@@ -252,7 +255,10 @@ object DedupStream {
           case Some(kc) => BatchStore.splitMixed(batch, kc)
           case None => (batch, batch.limit(0))
         }
-        val delta = Dedup.minhashSignatures(adds, col("doc_id"), col("text"),
+        // spread the one-file batch before the signing pass (md5 per
+        // shingle) — see [[BatchStore.spreadBatch]]
+        val delta = Dedup.minhashSignatures(BatchStore.spreadBatch(adds),
+          col("doc_id"), col("text"),
           numHashes = bands * rowsPerBand, portable = portable).persist()
         // Screen against everything PRIOR batches admitted. Existence is
         // checked explicitly — a missing store means "first batch, empty

@@ -81,7 +81,9 @@ object IndexStream {
       s"centroid store missing at $centroidDir — refusing to encode " +
         "against an empty quantizer")
     val cent = spark.read.parquet(centroidDir)
-    val c = batch.select(col("vec_id").as("cand_id"),
+    // spread the one-file batch before the per-row assignment cosines —
+    // see [[BatchStore.spreadBatch]]
+    val c = BatchStore.spreadBatch(batch).select(col("vec_id").as("cand_id"),
       col("embedding").as("cv"))
     Similarity.ivfAssign(c, cent)
       .withColumn("scale", VectorFns.quantize_scale(col("cv")))

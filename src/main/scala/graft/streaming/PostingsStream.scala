@@ -242,6 +242,12 @@ object PostingsStream {
           case Some(kc) => BatchStore.splitMixed(batch, kc)
           case None => (batch, batch.limit(0))
         }
+        // NOT spread ([[BatchStore.spreadBatch]]): measured round 18 —
+        // tokenize is regex-split cheap, and the positional `tp` rows
+        // reach this write without any intervening exchange, so a
+        // spread batch writes one file per core and every downstream
+        // serve pays the file-count + lost per-file (kind, word)
+        // clustering (t15/t17/t20/t22 regressed 10-40% under spread)
         batchPartial(adds.select("doc_id", "text"), positions, analyzer)
           .sortWithinPartitions("kind", "word")
           .write.mode("overwrite")
