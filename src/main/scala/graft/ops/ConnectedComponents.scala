@@ -42,11 +42,14 @@ object ConnectedComponents {
     // init fuses the first propagation round: label = min(self, neighbors).
     // Each round's plan references the previous labels TWICE (neighbor
     // join + merge join), so without lineage truncation the logical plan
-    // doubles per round — exponential analysis cost by round ~15. Eager
-    // localCheckpoint keeps the per-round plan flat and the data cached.
+    // doubles per round — exponential analysis cost by round ~15. The
+    // localCheckpoint keeps the per-round plan flat and the data cached;
+    // LAZY, so the round's convergence checksum materializes it — an
+    // eager checkpoint would spend a second whole job (and its driver
+    // scheduling roundtrip) per round on the same computation.
     var labels = adj.groupBy("src").agg(min("dst").as("nmin"))
       .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // order-independent label-assignment fingerprint: (count, xor of
     // (id,label) hashes) — the same overflow-safe checksum runStars uses.
     // A raw sum(label) would overflow with 64-bit ids at corpus scale
@@ -71,7 +74,7 @@ object ConnectedComponents {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false) // materialized by this round's checksum
       val s = checksum(next)
       labels = next
       done = s == prev // labels only decrease; flat assignment == fixpoint
@@ -145,8 +148,11 @@ object ConnectedComponents {
     val lid = col(labels.columns(0))
     val lcl = col(labels.columns(1))
     val l = labels.select(lid.as("doc_id"), lcl.as("cluster_id"))
+    // LAZY checkpoints throughout the split: the fold's first action
+    // materializes the whole delta-sized chain in one job instead of
+    // one eager-checkpoint job (plus driver roundtrip) per frame
     val e = newEdges.select(col(newEdges.columns(0)).as("u"),
-      col(newEdges.columns(1)).as("v")).localCheckpoint()
+      col(newEdges.columns(1)).as("v")).localCheckpoint(false)
     val endpoints = e.select(col("u").as("doc_id"))
       .unionByName(e.select(col("v").as("doc_id"))).distinct()
     // clusters holding a delta endpoint — delta-sized, so the two joins
@@ -165,7 +171,7 @@ object ConnectedComponents {
         l.join(endpoints.select(col("doc_id").as("cluster_id")),
             Seq("cluster_id"), "left_semi")
           .select(col("cluster_id")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     val affected = l.join(touched, Seq("cluster_id"), "left_semi")
       .select(col("doc_id"), col("cluster_id"))
     val untouched = l.join(touched, Seq("cluster_id"), "left_anti")
@@ -194,7 +200,7 @@ object ConnectedComponents {
       .select(greatest(col("a"), col("b")).as("hi"),
         least(col("a"), col("b")).as("lo"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false) // materialized by the first checksum
     // order-independent edge-set fingerprint: (count, xor of edge hashes)
     // — xor can't overflow under ANSI arithmetic, and the count guards
     // the (already astronomical) xor-collision case
@@ -235,7 +241,7 @@ object ConnectedComponents {
       if (iter >= maxIter)
         throw new IllegalStateException(
           s"large/small-star did not converge in $maxIter rounds")
-      e = smallStar(largeStar(e)).localCheckpoint()
+      e = smallStar(largeStar(e)).localCheckpoint(false)
       val s = checksum(e)
       stable = if (s == prev) stable + 1 else 0
       prev = s

@@ -22,18 +22,27 @@ import graft.ops.IncrementalAgg.Measure
   * earlier same-batch docs, exactly the `minhashIncremental` contract). */
 object StreamGateQueries extends QueryModule {
 
-  /** Write `df` as `k` single-file batches (slice i = rows with
-    * `splitCol % k == i`) into a fresh watch dir, modification times
-    * 2 s apart so the file stream processes them oldest-first in slice
-    * order. Returns the watch dir. */
-  private def writeOrderedBatches(df: DataFrame, splitCol: String,
-                                  k: Int): String = {
+  /** Stage each wave frame as one parquet file CONCURRENTLY (guide
+    * §2.6 — the k writes are independent jobs; run sequentially each
+    * pays its own full planning + single-task-write latency while 31
+    * cores idle), then move+stamp the files into the watch dir in wave
+    * order. Result is identical to the sequential loop: ordering comes
+    * from the stamped mtimes, not from write completion order. */
+  private def stageWaves(waves: Seq[DataFrame]): String = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val watch = Dsl.tempDir("graft_stream_watch_")
     val base = System.currentTimeMillis() - 3600L * 1000
-    (0 until k).foreach { i =>
-      val stage = Dsl.tempDir("graft_stream_stage_")
-      df.filter(col(splitCol) % k === i)
-        .coalesce(1).write.mode("overwrite").parquet(stage)
+    val staged = waves.map { df =>
+      Future {
+        val stage = Dsl.tempDir("graft_stream_stage_")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        stage
+      }
+    }
+    staged.zipWithIndex.foreach { case (f, i) =>
+      val stage = Await.result(f, Duration.Inf)
       val part = new java.io.File(stage).listFiles()
         .find(_.getName.endsWith(".parquet")).get
       val dest = new java.io.File(watch, s"b$i.parquet")
@@ -43,25 +52,20 @@ object StreamGateQueries extends QueryModule {
     watch
   }
 
+  /** Write `df` as `k` single-file batches (slice i = rows with
+    * `splitCol % k == i`) into a fresh watch dir, modification times
+    * 2 s apart so the file stream processes them oldest-first in slice
+    * order. Returns the watch dir. */
+  private def writeOrderedBatches(df: DataFrame, splitCol: String,
+                                  k: Int): String =
+    stageWaves((0 until k).map(i => df.filter(col(splitCol) % k === i)))
+
   /** Write explicit wave frames as single-file batches (wave i = one
     * file, modification times 2 s apart so the file stream processes
     * them in wave order) — the mixed add/delete feeds the streamed-
     * tombstone gates stage, where a wave's rows are not a simple
     * `splitCol % k` slice. Returns the watch dir. */
-  private def writeWaves(waves: Seq[DataFrame]): String = {
-    val watch = Dsl.tempDir("graft_stream_watch_")
-    val base = System.currentTimeMillis() - 3600L * 1000
-    waves.zipWithIndex.foreach { case (df, i) =>
-      val stage = Dsl.tempDir("graft_stream_stage_")
-      df.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(watch, s"b$i.parquet")
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      dest.setLastModified(base + i * 2000L)
-    }
-    watch
-  }
+  private def writeWaves(waves: Seq[DataFrame]): String = stageWaves(waves)
 
   /** T11: late-data accounting. Three event batches stream through
     * [[LateData.splitLate]] (delay 3600 s); each batch's rows land in the
@@ -478,6 +482,18 @@ object StreamGateQueries extends QueryModule {
     import graft.streaming.{BatchStore, IndexStream, PostingsStream}
     val k = 5
     val root = Dsl.tempDir("graft_t16_")
+    // The two legs build DISJOINT stores from disjoint sources, so
+    // their drains run CONCURRENTLY (guide §2.6 — each drain is ~40%
+    // driver-gap at micro-batch pacing, which the other leg's tasks
+    // back-fill): start the sparse drain first, build + drain the
+    // dense leg while it runs, await both before the serves.
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val dstream = s.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(writeOrderedBatches(docs, "doc_id", 3))
+    val sparseDrain = PostingsStream.maintainPostings(dstream,
+      root + "/postings", Dsl.tempDir("graft_t16_pckpt_"))
     // dense leg: the T13 store shape — batch-built quantized lists plus
     // three streamed refresh waves against the FIXED stored quantizer
     val emb = Tables.embeddings(s, dir)
@@ -494,19 +510,12 @@ object StreamGateQueries extends QueryModule {
       .parquet(writeOrderedBatches(delta, "vec_id", 3))
     IndexStream.maintainIndex(vstream, root + "/centroids", root + "/lists",
       Dsl.tempDir("graft_t16_ickpt_")).awaitTermination()
+    sparseDrain.awaitTermination()
     val dense = Similarity.ivfServeQuantized(emb.filter(col("vec_id") < 8),
       s.read.parquet(root + "/centroids"),
       IndexStream.readLists(s, root + "/lists"),
       emb, k, nprobe = 4, rescoreK = 15)
       .select("query_id", "cand_id", "rank")
-    // sparse leg: the T14 postings store, drained from the documents
-    val docs = Tables.documents(s, dir).select("doc_id", "text")
-    val dstream = s.readStream
-      .schema("doc_id BIGINT, text STRING")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(writeOrderedBatches(docs, "doc_id", 3))
-    PostingsStream.maintainPostings(dstream, root + "/postings",
-      Dsl.tempDir("graft_t16_pckpt_")).awaitTermination()
     val queries = Tables.documents(s, dir)
       .filter(col("doc_id") < 8)
       .select(col("doc_id").as("query_id"),
@@ -943,32 +952,12 @@ object StreamGateQueries extends QueryModule {
       .schema("kind STRING, doc_id BIGINT, text STRING")
       .option("maxFilesPerTrigger", "1")
       .parquet(dWatch)
-    PostingsStream.maintainPostings(dstream, root + "/index", root + "/ckpt",
-      positions = true, kindCol = Some("kind")).awaitTermination()
-    def firstTokens(from: Int, len: Int) = Tables.documents(s, dir)
-      .filter(col("doc_id") % 251 === 7)
-      .select(col("doc_id").as("query_id"),
-        array_join(slice(split(trim(coalesce(col("text"), lit(""))),
-          "\\s+"), from, len), " ").as("query_text"))
-    def leg(name: String, df: DataFrame, score: Column) =
-      df.select(lit(name).as("leg"), col("query_id"), col("rank"),
-        col("doc_id").as("cand_id"), score.cast("double").as("score"))
-    // pre-compaction serve materialized NOW (the fold below rewrites
-    // the store state this plan reads — the t17 time-travel guard)
-    val pre = leg("bm25_pre",
-      PostingsStream.bm25Serve(s, root + "/index", firstTokens(1, 4), 10),
-      col("score")).localCheckpoint(true)
-    PostingsStream.compactIndex(s, root + "/index", keepBatches = 1)
-    val leaked = s.read.parquet(s"$root/index/graft_batch=-2")
-      .filter(col("doc_id") % 7 === 3).count()
-    require(leaked == 0,
-      s"compacted base still holds $leaked rows of stream-deleted docs")
-    val post = leg("bm25_post",
-      PostingsStream.bm25Serve(s, root + "/index", firstTokens(1, 4), 10),
-      col("score"))
-    val phrase = leg("phrase_post",
-      PostingsStream.phraseServe(s, root + "/index", firstTokens(2, 3), 10),
-      col("n_occ"))
+    // the postings and ANN-lists stores are disjoint: drain both
+    // CONCURRENTLY (guide §2.6) and do each leg's admin/serve steps
+    // after ITS drain lands
+    val postingsDrain = PostingsStream.maintainPostings(dstream,
+      root + "/index", root + "/ckpt",
+      positions = true, kindCol = Some("kind"))
     // ANN leg: batch-built standing lists + three mixed delta waves;
     // del rows (vec_id only, NULL embedding) tombstone every 9th vector
     val emb = Tables.embeddings(s, dir)
@@ -995,9 +984,35 @@ object StreamGateQueries extends QueryModule {
       .schema("kind STRING, vec_id BIGINT, embedding ARRAY<FLOAT>")
       .option("maxFilesPerTrigger", "1")
       .parquet(vWatch)
-    IndexStream.maintainIndex(vstream, root + "/centroids", root + "/lists",
+    val annDrain = IndexStream.maintainIndex(vstream,
+      root + "/centroids", root + "/lists",
       Dsl.tempDir("graft_t22_ickpt_"), kindCol = Some("kind"))
-      .awaitTermination()
+    postingsDrain.awaitTermination()
+    def firstTokens(from: Int, len: Int) = Tables.documents(s, dir)
+      .filter(col("doc_id") % 251 === 7)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(coalesce(col("text"), lit(""))),
+          "\\s+"), from, len), " ").as("query_text"))
+    def leg(name: String, df: DataFrame, score: Column) =
+      df.select(lit(name).as("leg"), col("query_id"), col("rank"),
+        col("doc_id").as("cand_id"), score.cast("double").as("score"))
+    // pre-compaction serve materialized NOW (the fold below rewrites
+    // the store state this plan reads — the t17 time-travel guard)
+    val pre = leg("bm25_pre",
+      PostingsStream.bm25Serve(s, root + "/index", firstTokens(1, 4), 10),
+      col("score")).localCheckpoint(true)
+    PostingsStream.compactIndex(s, root + "/index", keepBatches = 1)
+    val leaked = s.read.parquet(s"$root/index/graft_batch=-2")
+      .filter(col("doc_id") % 7 === 3).count()
+    require(leaked == 0,
+      s"compacted base still holds $leaked rows of stream-deleted docs")
+    val post = leg("bm25_post",
+      PostingsStream.bm25Serve(s, root + "/index", firstTokens(1, 4), 10),
+      col("score"))
+    val phrase = leg("phrase_post",
+      PostingsStream.phraseServe(s, root + "/index", firstTokens(2, 3), 10),
+      col("n_occ"))
+    annDrain.awaitTermination()
     val ann = Similarity.ivfServeQuantized(emb.filter(col("vec_id") < 8),
         s.read.parquet(root + "/centroids"),
         IndexStream.readLists(s, root + "/lists"),
@@ -1127,6 +1142,16 @@ object StreamGateQueries extends QueryModule {
     import graft.streaming.{AnnIndex, PostingsStream}
     val k = 5
     val root = Dsl.tempDir("graft_t24_")
+    // the sparse postings store is disjoint from the ANN lifecycle:
+    // start its drain FIRST so the whole init→drain→refresh dense leg
+    // overlaps it (guide §2.6)
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val dstream = s.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(writeOrderedBatches(docs, "doc_id", 3))
+    val sparseDrain = PostingsStream.maintainPostings(dstream,
+      root + "/postings", Dsl.tempDir("graft_t24_pckpt_"))
     val corpus = Tables.spread(plantedDrift(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     AnnIndex.init(s, root + "/ann", corpus.filter(col("vec_id") % 5 =!= 4),
@@ -1144,13 +1169,7 @@ object StreamGateQueries extends QueryModule {
     val dense = AnnIndex.serve(s, root + "/ann",
         corpus.filter(col("vec_id") < 8), corpus, k, nprobe = 4)
       .select("query_id", "cand_id", "rank")
-    val docs = Tables.documents(s, dir).select("doc_id", "text")
-    val dstream = s.readStream
-      .schema("doc_id BIGINT, text STRING")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(writeOrderedBatches(docs, "doc_id", 3))
-    PostingsStream.maintainPostings(dstream, root + "/postings",
-      Dsl.tempDir("graft_t24_pckpt_")).awaitTermination()
+    sparseDrain.awaitTermination()
     val queries = Tables.documents(s, dir)
       .filter(col("doc_id") < 8)
       .select(col("doc_id").as("query_id"),
@@ -1240,14 +1259,22 @@ object StreamGateQueries extends QueryModule {
     def leg(name: String, df: DataFrame) =
       df.select(lit(name).as("leg"), col("query_id"), col("rank"),
         col("doc_id"), col("n_windows"))
+    // ONE positional-store scan shared by all four serve legs (guide
+    // §6): read + tombstone-mask once, materialize (the count — four
+    // concurrently-scheduled union branches would otherwise race the
+    // lazy cache fill and each re-scan), serve from the cached frame.
+    val pos = PostingsStream.readPositional(s, root + "/index")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pos.count()
+    val analyzer = PostingsStream.storeAnalyzer(s, root + "/index")
     leg("prox_s1",
-        PostingsStream.proximityServe(s, root + "/index", queries, 10, 1))
+        PostingsStream.proximityServeFrom(pos, analyzer, queries, 10, 1))
       .unionByName(leg("prox_s2",
-        PostingsStream.proximityServe(s, root + "/index", queries, 10, 2)))
+        PostingsStream.proximityServeFrom(pos, analyzer, queries, 10, 2)))
       .unionByName(leg("near_s1",
-        PostingsStream.nearServe(s, root + "/index", queries, 10, 1)))
+        PostingsStream.nearServeFrom(pos, analyzer, queries, 10, 1)))
       .unionByName(leg("near_s2",
-        PostingsStream.nearServe(s, root + "/index", queries, 10, 2)))
+        PostingsStream.nearServeFrom(pos, analyzer, queries, 10, 2)))
   }
 
   private val m8ProximityAnalyzedSql = {
@@ -1307,10 +1334,22 @@ object StreamGateQueries extends QueryModule {
       .schema("doc_id LONG, text STRING")
       .option("maxFilesPerTrigger", "1")
       .parquet(watch)
-    DedupStream.admitDocuments(stream, s"$root/store", s"$root/verdicts",
-      s"$root/ckpt", bands = 8, rowsPerBand = 4, minAgreement = 0.5,
+    // the ledger and sample stores are disjoint: drain both
+    // CONCURRENTLY (guide §2.6), then run each store's takedown after
+    // ITS drain lands
+    val admitDrain = DedupStream.admitDocuments(stream, s"$root/store",
+      s"$root/verdicts", s"$root/ckpt",
+      bands = 8, rowsPerBand = 4, minAgreement = 0.5,
       portable = true, labelsDir = Some(s"$root/labels"))
-      .awaitTermination()
+    val sdocs = Tables.documents(s, dir).select("doc_id", "n_chars")
+    val sstream = s.readStream
+      .schema("doc_id LONG, n_chars LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(writeOrderedBatches(sdocs, "doc_id", 2))
+    val sampleDrain = SampleStream.maintainSample(sstream, s"$root/sample",
+      s"$root/sckpt", k = 50, salt = "ssam",
+      idCol = "doc_id", weightCol = "n_chars")
+    admitDrain.awaitTermination()
     val dels = docs.filter(col("doc_id") % 11 === 5).select("doc_id")
     DeltaLedger.delete(s, s"$root/labels", dels)
     DeltaLedger.compact(s, s"$root/labels", keepBatches = 1)
@@ -1321,14 +1360,7 @@ object StreamGateQueries extends QueryModule {
     val ledger = DeltaLedger.read(s, s"$root/labels")
       .select(lit("ledger").as("leg"), col("doc_id"),
         col("cluster_id").as("val"))
-    val sdocs = Tables.documents(s, dir).select("doc_id", "n_chars")
-    val sstream = s.readStream
-      .schema("doc_id LONG, n_chars LONG")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(writeOrderedBatches(sdocs, "doc_id", 2))
-    SampleStream.maintainSample(sstream, s"$root/sample", s"$root/sckpt",
-        k = 50, salt = "ssam", idCol = "doc_id", weightCol = "n_chars")
-      .awaitTermination()
+    sampleDrain.awaitTermination()
     SampleStream.deleteFromSample(s, s"$root/sample", dels)
     val sample = ViewMaintenance.readLatest(s, s"$root/sample").get
       .select(lit("sample").as("leg"), col("sample_id").as("doc_id"),

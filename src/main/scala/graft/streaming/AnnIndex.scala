@@ -225,9 +225,9 @@ object AnnIndex {
         if (continuous) runPolicy()
         val sp = batch.sparkSession
         val v = liveVersion(sp, root)
-        val (adds, dels) = kindCol match {
+        val (adds, dels, _, nDels) = kindCol match {
           case Some(kc) => BatchStore.splitMixed(batch, kc)
-          case None => (batch, batch.limit(0))
+          case None => (batch, batch.limit(0), -1L, 0L)
         }
         val target = s"${listsDir(root, v)}/${BatchStore.BatchCol}=$batchId"
         // monitored encode keeps the assignment similarity so the drift
@@ -266,8 +266,9 @@ object AnnIndex {
         }
         // deletes land BEFORE a triggered refresh, so the rebuild
         // excludes them and carries the tombstone set forward
-        if (kindCol.nonEmpty)
-          BatchStore.delete(sp, listsDir(root, v), dels.select("vec_id"))
+        if (kindCol.nonEmpty && nDels > 0)
+          BatchStore.deleteNonEmpty(sp, listsDir(root, v),
+            dels.select("vec_id"))
         // trigger check at batch END — a between-batches instant: the
         // next batch resolves the new version, and a crash-replay of
         // THIS batch is fenced by the rebuild's pinned hwm (its re-write

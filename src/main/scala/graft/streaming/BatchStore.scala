@@ -84,6 +84,21 @@ object BatchStore {
   private[streaming] def spreadBatch(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  // NOTE (round 19, measured NEGATIVE — do not re-try blindly): scoping
+  // `spark.sql.adaptive.enabled=false` (+ shuffle partitions pinned to
+  // defaultParallelism) over every foreachBatch body was hypothesized
+  // (round-18 verdict item 1) to kill the per-batch driver-gap term. It
+  // does cut Spark JOB count (m8_stream_clusters 186 → 115 jobs,
+  // gap share 50% → 35%) but the ABSOLUTE driver gap stays ~10 s — the
+  // gap is per-action planning/FS overhead, not AQE stage roundtrips —
+  // while losing AQE's runtime SMJ→BHJ conversion and partition
+  // coalescing storms 32 tiny tasks per stage: wall time regressed
+  // 40-45% on all four lifecycle gates (e.g. m8_stream_clusters
+  // 20.9 → 29.2 s, t25 13.8 → 19.4 s at sf0.1/local[32]). AQE stays ON
+  // inside foreachBatch; the driver-gap work that DID land is fewer
+  // per-batch actions (one-aggregate splitMixed, probe-free deletes,
+  // lazy localCheckpoints fused into their first action).
+
   private val PtrRe = """gen=(\d+);hwm=(-?\d+)""".r
 
   /** The published (generation, folded-high-water-mark), if any. */
@@ -262,25 +277,34 @@ object BatchStore {
 
   /** Split one MIXED add/delete micro-batch for the streaming
     * maintainers' `kindCol` mode: returns (add rows with the kind
-    * column dropped, delete rows). Fails the batch on any kind value
-    * outside {add, del} — a mis-tagged row silently ingested as an add
-    * or silently dropped are both wrong answers, and a streaming
-    * takedown feed must be strict about which. The validation probe is
-    * a LIMIT-1 action on the (micro-batch-sized) frame. */
+    * column dropped, delete rows, add count, delete count). Fails the
+    * batch on any kind value outside {add, del} — a mis-tagged row
+    * silently ingested as an add or silently dropped are both wrong
+    * answers, and a streaming takedown feed must be strict about which.
+    *
+    * ONE aggregate job serves the validation probe AND the counts the
+    * callers' downstream branches need (skip the delete publish on a
+    * delete-free batch, size-gate a broadcast) — previously each was
+    * its own per-batch action, pure driver-roundtrip overhead on
+    * micro-batch frames. */
   private[streaming] def splitMixed(batch: DataFrame, kindCol: String)
-      : (DataFrame, DataFrame) = {
-    // NULL-safe negation: a NULL kind fails `isin` with NULL, and a
-    // plain `!` filter would drop the row from adds, dels AND this
-    // validation — the silent-drop outcome the check exists to prevent
-    val bad = batch.filter(
-      !coalesce(col(kindCol).isin("add", "del"), lit(false)))
-    if (!bad.isEmpty)
+      : (DataFrame, DataFrame, Long, Long) = {
+    // NULL-safe bad-kind predicate: a NULL kind fails `isin` with NULL,
+    // and a plain `!` filter would class the row as neither add, del
+    // NOR bad — the silent-drop outcome the check exists to prevent
+    val badKind = !coalesce(col(kindCol).isin("add", "del"), lit(false))
+    val r = batch.agg(
+      count(when(badKind, lit(1))).as("n_bad"),
+      max(when(badKind, coalesce(col(kindCol), lit("NULL")))).as("bad_eg"),
+      count(when(col(kindCol) === "add", lit(1))).as("n_add"),
+      count(when(col(kindCol) === "del", lit(1))).as("n_del")).head()
+    if (r.getLong(0) > 0)
       throw new IllegalArgumentException(
         s"mixed stream column '$kindCol' carries values outside " +
-          "{add, del} — refusing the batch (e.g. " +
-          bad.select(kindCol).head().get(0) + ")")
+          s"{add, del} — refusing the batch (e.g. ${r.getString(1)})")
     (batch.filter(col(kindCol) === "add").drop(kindCol),
-     batch.filter(col(kindCol) === "del"))
+     batch.filter(col(kindCol) === "del"),
+     r.getLong(2), r.getLong(3))
   }
 
   /** Tombstone the keys in `ids` (its FIRST column, cast to long).
@@ -293,6 +317,15 @@ object BatchStore {
     // hasDeletes and tax every future serve with anti-joins against
     // nothing, forever (the probe is a LIMIT-1 action, not a count)
     if (ids.isEmpty) return
+    deleteNonEmpty(spark, dir, ids)
+  }
+
+  /** [[delete]] minus the emptiness probe, for callers that already
+    * KNOW the id set is non-empty (the [[splitMixed]] counts) — the
+    * probe is one more per-batch driver roundtrip the streaming
+    * maintainers would otherwise pay on every delete-carrying batch. */
+  private[streaming] def deleteNonEmpty(spark: SparkSession, dir: String,
+                                        ids: DataFrame): Unit = {
     val fs = fsFor(spark, dir)
     val space = new Path(s"$dir/$DeleteSpace")
     fs.mkdirs(space)

@@ -127,9 +127,9 @@ object DedupStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (continuous) runPolicy()
         val spark = batch.sparkSession
-        val (addRows, dels) = kindCol match {
+        val (addRows, dels, nAdds, nDels) = kindCol match {
           case Some(kc) => BatchStore.splitMixed(batch, kc)
-          case None => (batch, batch.limit(0))
+          case None => (batch, batch.limit(0), -1L, 0L)
         }
         // spread the one-file batch before the screen's per-row work
         // (hyperplane bucketing + candidate cosines) — see
@@ -167,8 +167,11 @@ object DedupStream {
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               StructType(vecSchema.dropRight(1)))
-        val useBroadcast =
-          broadcastDeltaUpTo > 0 && delta.count() <= broadcastDeltaUpTo
+        // the size decision reuses splitMixed's add count where one ran
+        // (delta is 1:1 with add rows here) — a kindCol-free batch pays
+        // the one cached-frame count it always did
+        val useBroadcast = broadcastDeltaUpTo > 0 &&
+          (if (nAdds >= 0) nAdds else delta.count()) <= broadcastDeltaUpTo
         val verdicts = Dedup.embeddingIncremental(corpus, delta,
           planes, minCosine, portable, dim,
           broadcastDelta = useBroadcast).persist()
@@ -184,8 +187,8 @@ object DedupStream {
         // the batch's tombstones land LAST: the takedown covers a
         // vector this same batch admitted, and later batches' screens
         // read through the mask
-        if (kindCol.nonEmpty)
-          BatchStore.delete(spark, vecStoreDir, dels.select("doc_id"))
+        if (kindCol.nonEmpty && nDels > 0)
+          BatchStore.deleteNonEmpty(spark, vecStoreDir, dels.select("doc_id"))
         verdicts.unpersist()
         delta.unpersist()
         ()
@@ -251,9 +254,9 @@ object DedupStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (continuous) runPolicy()
         val spark = batch.sparkSession
-        val (adds, dels) = kindCol match {
+        val (adds, dels, nAdds, nDels) = kindCol match {
           case Some(kc) => BatchStore.splitMixed(batch, kc)
-          case None => (batch, batch.limit(0))
+          case None => (batch, batch.limit(0), -1L, 0L)
         }
         // spread the one-file batch before the signing pass (md5 per
         // shingle) — see [[BatchStore.spreadBatch]]
@@ -307,8 +310,14 @@ object DedupStream {
         // maxFilesPerTrigger bound) exceeds the cap and takes the
         // shuffle path — a forced broadcast must never be a memory
         // hazard. broadcastDeltaUpTo = 0 disables broadcasting.
-        val useBroadcast =
-          broadcastDeltaUpTo > 0 && delta.count() <= broadcastDeltaUpTo
+        // splitMixed's add count is an upper bound on delta rows (an
+        // empty-text doc signs nothing), so reusing it can only make
+        // the decision more conservative at the cap boundary — and the
+        // broadcast is a join-strategy hint, never a value change; a
+        // kindCol-free batch pays the one cached-frame count it always
+        // did
+        val useBroadcast = broadcastDeltaUpTo > 0 &&
+          (if (nAdds >= 0) nAdds else delta.count()) <= broadcastDeltaUpTo
         val verdicts = Dedup.minhashIncremental(corpus, delta,
           bands, rowsPerBand, minAgreement, portable,
           broadcastDelta = useBroadcast).persist()
@@ -409,10 +418,13 @@ object DedupStream {
           // incremental() API can't do this itself because its labels
           // input may be corpus-sized (the batch-mode gate), where
           // re-reading parquet is cheaper than materializing.
+          // LAZY checkpoint: the first fold action materializes it —
+          // an eager one would spend a whole extra per-batch job (and
+          // its driver roundtrip) on the same work
           val labelsIn = members.unionByName(standingBatch)
             .unionByName(freshSingles)
             .dropDuplicates("doc_id")
-            .localCheckpoint()
+            .localCheckpoint(false)
           DeltaLedger.write(
             graft.ops.ConnectedComponents.incremental(labelsIn, edges),
             ld, batchId)
@@ -424,10 +436,10 @@ object DedupStream {
         // doc this same batch admitted, the next batch's screen and
         // ledger reads exclude it (both read through the tombstone
         // mask), and the next compaction drops its rows physically
-        if (kindCol.nonEmpty) {
-          BatchStore.delete(spark, sigStoreDir, dels.select("doc_id"))
+        if (kindCol.nonEmpty && nDels > 0) {
+          BatchStore.deleteNonEmpty(spark, sigStoreDir, dels.select("doc_id"))
           labelsDir.foreach(ld =>
-            DeltaLedger.delete(spark, ld, dels.select("doc_id")))
+            DeltaLedger.deleteNonEmpty(spark, ld, dels.select("doc_id")))
         }
         verdicts.unpersist()
         delta.unpersist()

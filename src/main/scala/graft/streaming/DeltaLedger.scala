@@ -157,6 +157,13 @@ object DeltaLedger {
   def delete(spark: SparkSession, dir: String, docIds: DataFrame): Unit =
     BatchStore.delete(spark, dir, docIds)
 
+  /** [[delete]] minus the emptiness probe ([[BatchStore.deleteNonEmpty]])
+    * — for the per-batch streamed-tombstone path, whose split already
+    * counted the dels. */
+  private[streaming] def deleteNonEmpty(spark: SparkSession, dir: String,
+                                        docIds: DataFrame): Unit =
+    BatchStore.deleteNonEmpty(spark, dir, docIds)
+
   /** Latest-wins fold of old batch dirs into a base generation of one
     * row per doc (the [[BatchStore.compact]] merge hook); tombstoned
     * docs' rows are physically dropped. */

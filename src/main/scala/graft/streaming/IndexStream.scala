@@ -136,14 +136,14 @@ object IndexStream {
     val writer = vecs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (continuous) runPolicy()
-        val (adds, dels) = kindCol match {
+        val (adds, dels, _, nDels) = kindCol match {
           case Some(kc) => BatchStore.splitMixed(batch, kc)
-          case None => (batch, batch.limit(0))
+          case None => (batch, batch.limit(0), -1L, 0L)
         }
         encodeAgainst(adds, centroidDir).write.mode("overwrite")
           .parquet(s"$listsDir/graft_batch=$batchId")
-        if (kindCol.nonEmpty)
-          BatchStore.delete(batch.sparkSession, listsDir,
+        if (kindCol.nonEmpty && nDels > 0)
+          BatchStore.deleteNonEmpty(batch.sparkSession, listsDir,
             dels.select("vec_id"))
         ()
       }

@@ -102,7 +102,10 @@ object LateData {
           .write.mode("overwrite").parquet(s"$mainDir/graft_batch=$batchId")
         val late = b.filter(isLate).withColumn("late_by_sec", lateBy)
         val lateSub = s"$lateDir/graft_batch=$batchId"
-        if (!late.isEmpty)
+        // ONE aggregate serves both the late-emptiness decision and the
+        // high-water mark — previously two separate per-batch actions
+        val probe = b.agg(max(tsSec), count(when(isLate, lit(1)))).head()
+        if (probe.getLong(1) > 0)
           late.write.mode("overwrite").parquet(lateSub)
         else {
           // A replay can reclassify rows late→main (mark re-derived lower
@@ -113,13 +116,12 @@ object LateData {
           val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (fs.exists(p)) fs.delete(p, true)
         }
-        val newMax = b.agg(max(tsSec)).head()
         val advanced =
-          if (newMax.isNullAt(0)) mark else math.max(mark, newMax.getLong(0))
+          if (probe.isNullAt(0)) mark else math.max(mark, probe.getLong(0))
         // publish when the batch advanced the mark OR when the mark was
         // recovered the expensive way — otherwise an all-null run after
         // a lost pointer re-scans both sinks on every batch forever
-        if (advanced != Long.MinValue && (!newMax.isNullAt(0) || !fromPointer))
+        if (advanced != Long.MinValue && (!probe.isNullAt(0) || !fromPointer))
           StatePointer.publish(spark, stateDir, "MAX_TS", advanced.toString)
         b.unpersist()
         ()

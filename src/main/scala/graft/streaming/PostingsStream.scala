@@ -238,9 +238,9 @@ object PostingsStream {
         // leaves a marker-only empty store (healable — see above), never
         // positional data the marker check would refuse to resume
         ensureMarker()
-        val (adds, dels) = kindCol match {
+        val (adds, dels, _, nDels) = kindCol match {
           case Some(kc) => BatchStore.splitMixed(batch, kc)
-          case None => (batch, batch.limit(0))
+          case None => (batch, batch.limit(0), -1L, 0L)
         }
         // NOT spread ([[BatchStore.spreadBatch]]): measured round 18 —
         // tokenize is regex-split cheap, and the positional `tp` rows
@@ -255,8 +255,8 @@ object PostingsStream {
         // the batch's tombstones publish AFTER its adds: a same-batch
         // add+del leaves the doc deleted, and a replayed batch re-lands
         // its delete as one more duplicate-tolerant dir (set semantics)
-        if (kindCol.nonEmpty)
-          BatchStore.delete(batch.sparkSession, storeDir,
+        if (kindCol.nonEmpty && nDels > 0)
+          BatchStore.deleteNonEmpty(batch.sparkSession, storeDir,
             dels.select("doc_id"))
         ()
       }
@@ -378,6 +378,25 @@ object PostingsStream {
       storeAnalyzer(spark, storeDir))
   }
 
+  /** The store's live positional rows `(doc_id, pos, word)` — pointer-
+    * filtered and tombstone-masked, fail-closed on a position-less
+    * store. A caller running SEVERAL positional serves against one
+    * store state should read this ONCE, persist it, and hand the frame
+    * to the frame-based serve overloads below: each serve otherwise
+    * re-scans the whole store (guide §6 — read once, share the frame;
+    * measured round 18 as 4 store scans under one query). */
+  def readPositional(spark: SparkSession, storeDir: String): DataFrame = {
+    require(hasPositions(spark, storeDir),
+      s"$storeDir carries no positional postings (maintainPostings " +
+        "positions = true) — refusing to position-match against nothing")
+    val pos0 = BatchStore.read(spark, storeDir)
+      .filter(col("kind") === "tp")
+      .select(col("doc_id"), col("n").as("pos"), col("word"))
+    if (!BatchStore.hasDeletes(spark, storeDir)) pos0
+    else pos0.join(BatchStore.readDeletes(spark, storeDir),
+      col("doc_id") === col("del_id"), "left_anti")
+  }
+
   /** Proximity (NEAR/k) top-k off a POSITIONAL store —
     * [[TextCorpus.proximityMatchTopK]] over the pointer-filtered,
     * tombstone-masked `tp` rows, query side analyzed through the
@@ -386,20 +405,21 @@ object PostingsStream {
   def proximityServe(spark: SparkSession, storeDir: String,
                      queries: DataFrame, k: Int, slop: Int,
                      broadcastQueriesUpTo: Long = Long.MaxValue)
-      : DataFrame = {
-    require(hasPositions(spark, storeDir),
-      s"$storeDir carries no positional postings (maintainPostings " +
-        "positions = true) — refusing to proximity-match against nothing")
-    val pos0 = BatchStore.read(spark, storeDir)
-      .filter(col("kind") === "tp")
-      .select(col("doc_id"), col("n").as("pos"), col("word"))
-    val pos =
-      if (!BatchStore.hasDeletes(spark, storeDir)) pos0
-      else pos0.join(BatchStore.readDeletes(spark, storeDir),
-        col("doc_id") === col("del_id"), "left_anti")
+      : DataFrame =
+    proximityServeFrom(readPositional(spark, storeDir),
+      storeAnalyzer(spark, storeDir), queries, k, slop,
+      broadcastQueriesUpTo)
+
+  /** [[proximityServe]] over an already-read (possibly persisted)
+    * positional frame + its store's analyzer — the multi-serve shape:
+    * one store scan shared by every leg. */
+  def proximityServeFrom(pos: DataFrame,
+                         analyzer: Option[TextCorpus.Analyzer],
+                         queries: DataFrame, k: Int, slop: Int,
+                         broadcastQueriesUpTo: Long = Long.MaxValue)
+      : DataFrame =
     TextCorpus.proximityMatchTopK(pos, queries, k, slop,
-      broadcastQueriesUpTo, storeAnalyzer(spark, storeDir))
-  }
+      broadcastQueriesUpTo, analyzer)
 
   /** Unordered NEAR/w top-k off a POSITIONAL store —
     * [[TextCorpus.nearMatchTopK]] with the same pointer-filter /
@@ -407,18 +427,16 @@ object PostingsStream {
     * serves. */
   def nearServe(spark: SparkSession, storeDir: String,
                 queries: DataFrame, k: Int, slop: Int,
-                broadcastQueriesUpTo: Long = Long.MaxValue): DataFrame = {
-    require(hasPositions(spark, storeDir),
-      s"$storeDir carries no positional postings (maintainPostings " +
-        "positions = true) — refusing to NEAR-match against nothing")
-    val pos0 = BatchStore.read(spark, storeDir)
-      .filter(col("kind") === "tp")
-      .select(col("doc_id"), col("n").as("pos"), col("word"))
-    val pos =
-      if (!BatchStore.hasDeletes(spark, storeDir)) pos0
-      else pos0.join(BatchStore.readDeletes(spark, storeDir),
-        col("doc_id") === col("del_id"), "left_anti")
+                broadcastQueriesUpTo: Long = Long.MaxValue): DataFrame =
+    nearServeFrom(readPositional(spark, storeDir),
+      storeAnalyzer(spark, storeDir), queries, k, slop,
+      broadcastQueriesUpTo)
+
+  /** [[nearServe]] over an already-read positional frame + analyzer —
+    * see [[proximityServeFrom]]. */
+  def nearServeFrom(pos: DataFrame, analyzer: Option[TextCorpus.Analyzer],
+                    queries: DataFrame, k: Int, slop: Int,
+                    broadcastQueriesUpTo: Long = Long.MaxValue): DataFrame =
     TextCorpus.nearMatchTopK(pos, queries, k, slop,
-      broadcastQueriesUpTo, storeAnalyzer(spark, storeDir))
-  }
+      broadcastQueriesUpTo, analyzer)
 }

@@ -90,9 +90,9 @@ object SampleStream {
     val writer = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val (adds, dels) = kindCol match {
+        val (adds, dels, _, nDels) = kindCol match {
           case Some(kc) => BatchStore.splitMixed(batch, kc)
-          case None => (batch, batch.limit(0))
+          case None => (batch, batch.limit(0), -1L, 0L)
         }
         // The shared snapshot-fold protocol carries the replay guard and
         // the staged publish ([[SnapshotStore]]).
@@ -114,9 +114,9 @@ object SampleStream {
             k, salt)
         }
         // the batch's tombstones land AFTER its fold (delete wins over
-        // a same-batch add); the emptiness probe keeps delete-free
+        // a same-batch add); the split's del count keeps delete-free
         // batches from publishing a pointless admin snapshot each round
-        if (kindCol.nonEmpty && !dels.isEmpty)
+        if (kindCol.nonEmpty && nDels > 0)
           deleteFromSample(spark, stateDir, dels.select(idCol))
         ()
       }

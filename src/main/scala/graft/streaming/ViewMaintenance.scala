@@ -136,7 +136,9 @@ object ViewMaintenance {
     val prior = latestSnapshot(spark, stateDir)
     prior.foreach { snap =>
       val n = snap.split('/').last.stripPrefix("v").toLong
-      val affected = affected0.localCheckpoint() // tiny; read twice below
+      // tiny; read twice below — LAZY so the first read materializes it
+      // instead of a dedicated per-takedown job
+      val affected = affected0.localCheckpoint(false)
       val fresh = IncrementalAgg.state(
         survivors.join(affected, keys, "left_semi"),
         keys.map(col), measures)
@@ -220,9 +222,9 @@ object ViewMaintenance {
     val writer = rows.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val (adds0, dels) = kindCol match {
+        val (adds0, dels, _, nDels) = kindCol match {
           case Some(kc) => BatchStore.splitMixed(batch, kc)
-          case None => (batch, batch.limit(0))
+          case None => (batch, batch.limit(0), -1L, 0L)
         }
         // standing-tombstone mask: an add of an already-taken-down id
         // must not resurrect it (delete wins across any arrival order)
@@ -253,8 +255,8 @@ object ViewMaintenance {
         // the batch's tombstones land AFTER its fold (same-batch
         // add+del: delete wins), then the affected groups recompute
         // from the folded survivors
-        if (kindCol.nonEmpty && !dels.isEmpty) {
-          BatchStore.delete(spark, stateDir, dels.select(idCol))
+        if (kindCol.nonEmpty && nDels > 0) {
+          BatchStore.deleteNonEmpty(spark, stateDir, dels.select(idCol))
           val c = corpus.get
           val folded = readIdLedger(spark, stateDir, idCol)
           val allDels = BatchStore.readDeletes(spark, stateDir)
