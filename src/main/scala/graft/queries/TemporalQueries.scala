@@ -277,14 +277,16 @@ object TemporalQueries extends QueryModule {
   /** RFM segmentation — the classic customer-value cube: per user,
     * Recency (days since last purchase, vs the corpus max date),
     * Frequency (purchase count) and Monetary (exact decimal purchase
-    * value), each cut into quartiles by `ntile(4)` with the user id as
-    * the deterministic tie-break, rolled up to segment counts. All
-    * metrics are exact (decimal money, integer days); the three ntile
-    * windows are global by design — the frame is one row PER USER
-    * (already aggregated), which is the cardinality class where a
-    * single-partition window is the correct tool, not a scale hazard. */
+    * value), each cut into quartiles by exact ntile(4) with the user id
+    * as the deterministic tie-break, rolled up to segment counts. All
+    * metrics are exact (decimal money, integer days). The per-user
+    * frame grows with the corpus (billions of rows at the 100 TB design
+    * point), so the quartiles run through
+    * [[graft.plans.GraftOps.ntileDistributed]] — bit-identical to the
+    * global `ntile(4)` window, with range-partitioned ranking instead
+    * of three single-partition WindowExecs (round-18 verdict item 5). */
   private def rfmSegments(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.plans.GraftOps
     val p = Tables.events(s, dir).filter(col("event_type") === "purchase")
     val maxd = p.agg(max(to_date(col("ts"))).as("dmax"))
     val perUser = p.crossJoin(broadcast(maxd))
@@ -292,13 +294,12 @@ object TemporalQueries extends QueryModule {
       .agg(min(expr("datediff(dmax, CAST(ts AS DATE))")).as("recency_days"),
         count(lit(1)).as("frequency"),
         Dsl.dsum2d(col("value")).as("monetary"))
-    val seg = perUser
-      .withColumn("r", ntile(4).over(
-        Window.orderBy(col("recency_days").asc, col("user_id"))))
-      .withColumn("f", ntile(4).over(
-        Window.orderBy(col("frequency").desc, col("user_id"))))
-      .withColumn("m", ntile(4).over(
-        Window.orderBy(col("monetary").desc, col("user_id"))))
+    val seg = GraftOps.ntileDistributed(
+      GraftOps.ntileDistributed(
+        GraftOps.ntileDistributed(perUser, 4,
+          Seq(col("recency_days").asc, col("user_id")), "r"),
+        4, Seq(col("frequency").desc, col("user_id")), "f"),
+      4, Seq(col("monetary").desc, col("user_id")), "m")
     seg.groupBy("r", "f", "m")
       .agg(count(lit(1)).as("n_users"),
         Dsl.dsum2d(col("monetary")).as("segment_value"))
