@@ -230,6 +230,135 @@ object VectorKernels {
     bucket(v, xxWeights(planes, v.numElements()), tag)
   }
 
+  // ------------------------------------------------ nearest centroid
+  //
+  // The k-means E-step / encoder argbest FUSED over a packed centroid
+  // array — replaces `crossJoin(broadcast(cent)) → score → TopKPerKey
+  // top-1`, which materialized |rows| × |centroids| fanout tuples and
+  // paid a row-per-input exchange for the final top-1 cut. Packed as
+  // one `array<struct<cent_id, cvec>>` sorted ascending by cent_id, the
+  // scan keeps the FIRST strict winner, which reproduces the
+  // TopKPerKey order `(score desc|asc, cent_id asc)` exactly; SortOrder
+  // null placement is replayed per metric (desc → nulls LAST, asc →
+  // nulls FIRST — Spark's defaults, which the fanout formulation
+  // inherited). Scores are the exact kernels above, so the winning
+  // (cent_id, score) pair is bit-identical to the fanout's.
+
+  /** argmax over cosine (`csim desc, cent_id asc`, nulls last). `v` may
+    * be null (every score nulls, first cent_id wins — the fanout kept
+    * such rows too). Returns null only for a null/EMPTY centroid set,
+    * where the fanout join produced no row at all — callers guard. */
+  def nearestCos(v: ArrayData, cset: ArrayData, tv: Int,
+                 tc: Int): InternalRow = {
+    if (cset == null || cset.numElements() == 0) return null
+    // hoist dot(v,v): per-centroid recomputation folds the same
+    // elements in the same order, so hoisting cannot change the value
+    var aa = 0.0
+    var aaNull = v == null
+    if (v != null) {
+      val n = v.numElements()
+      var i = 0
+      while (i < n && !aaNull) {
+        if (v.isNullAt(i)) aaNull = true
+        else { val x = elem(v, i, tv); aa += x * x }
+        i += 1
+      }
+    }
+    val naV = if (aaNull) Double.NaN else math.sqrt(aa)
+    val k = cset.numElements()
+    var bestId = 0L
+    var bestScore: java.lang.Double = null
+    var c = 0
+    while (c < k) {
+      val s = cset.getStruct(c, 2)
+      val cv = if (s.isNullAt(1)) null else s.getArray(1)
+      val score: java.lang.Double =
+        if (v == null || cv == null) null
+        else {
+          // replays cosineBoxed with aa hoisted
+          val nb = cv.numElements()
+          var bb = 0.0
+          var bbNull = false
+          var i = 0
+          while (i < nb && !bbNull) {
+            if (cv.isNullAt(i)) bbNull = true
+            else { val x = elem(cv, i, tc); bb += x * x }
+            i += 1
+          }
+          var ab = 0.0
+          var abNull = v.numElements() != nb
+          val n = math.min(v.numElements(), nb)
+          i = 0
+          while (i < n && !abNull) {
+            if (v.isNullAt(i) || cv.isNullAt(i)) abNull = true
+            else ab += elem(v, i, tv) * elem(cv, i, tc)
+            i += 1
+          }
+          val nbV = if (bbNull) Double.NaN else math.sqrt(bb)
+          val condTrue = (!aaNull && naV == 0.0) || (!bbNull && nbV == 0.0)
+          val condNull = !condTrue && (aaNull || bbNull)
+          if (condTrue) java.lang.Double.valueOf(0.0)
+          else if (condNull || abNull) null
+          else java.lang.Double.valueOf(ab / (naV * nbV))
+        }
+      // desc + nulls last: a candidate beats iff non-null and strictly
+      // greater (or the incumbent is null); the ascending-id scan keeps
+      // the smaller cent_id on ties
+      if (c == 0 ||
+          (score != null && (bestScore == null ||
+            score.doubleValue() > bestScore.doubleValue()))) {
+        bestId = s.getLong(0)
+        bestScore = score
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestId, bestScore))
+  }
+
+  /** argmin over portable squared L2 `(⟨a,a⟩ − 2⟨a,b⟩) + ⟨b,b⟩`
+    * (`d2 asc, cent_id asc`, nulls FIRST — ascending SortOrder's
+    * default, which the fanout formulation inherited: a null distance
+    * outranks every real one). Same packing/guard contract as
+    * [[nearestCos]]. */
+  def nearestL2(v: ArrayData, cset: ArrayData, tv: Int,
+                tc: Int): InternalRow = {
+    if (cset == null || cset.numElements() == 0) return null
+    val aaBoxed: java.lang.Double =
+      if (v == null) null else dotBoxed(v, v, tv, tv)
+    val k = cset.numElements()
+    var bestId = 0L
+    var bestScore: java.lang.Double = null
+    var c = 0
+    while (c < k) {
+      val s = cset.getStruct(c, 2)
+      val cv = if (s.isNullAt(1)) null else s.getArray(1)
+      val score: java.lang.Double =
+        if (v == null || cv == null || aaBoxed == null) null
+        else {
+          val ab = dotBoxed(v, cv, tv, tc)
+          val bb = dotBoxed(cv, cv, tc, tc)
+          if (ab == null || bb == null) null
+          else java.lang.Double.valueOf(
+            (aaBoxed.doubleValue() - 2.0 * ab.doubleValue()) +
+              bb.doubleValue())
+        }
+      // asc + nulls first: null beats non-null; among non-nulls a
+      // strictly smaller distance wins; ascending-id scan keeps the
+      // smaller cent_id on ties
+      if (c == 0 ||
+          (score == null && bestScore != null) ||
+          (score != null && bestScore != null &&
+            score.doubleValue() < bestScore.doubleValue())) {
+        bestId = s.getLong(0)
+        bestScore = score
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestId, bestScore))
+  }
+
   /** max |xᵢ| with `greatest`'s null-skipping and NaN-greatest
     * semantics, from the 0.0 seed. */
   def quantScale(v: ArrayData, tag: Int): Double = {
@@ -288,6 +417,14 @@ object VectorKernels {
 
   def quantize_i8_fused(v: Column, scale: Column): Column =
     Bridge.column(QuantCodesExpr(Bridge.expression(v), Bridge.expression(scale)))
+
+  def nearest_centroid_cos(v: Column, cset: Column): Column =
+    Bridge.column(NearestCentroidExpr(Bridge.expression(v),
+      Bridge.expression(cset), cosine = true))
+
+  def nearest_centroid_l2(v: Column, cset: Column): Column =
+    Bridge.column(NearestCentroidExpr(Bridge.expression(v),
+      Bridge.expression(cset), cosine = false))
 }
 
 private[expressions] trait VecBinaryBase extends BinaryExpression {
@@ -475,6 +612,80 @@ case class QuantScaleExpr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): QuantScaleExpr = copy(child = newChild)
+}
+
+/** Fused k-means E-step / encoder argbest over a packed centroid array
+  * — see [[VectorKernels.nearestCos]]/[[VectorKernels.nearestL2]] for
+  * the exact TopKPerKey-parity contract. `left` is the vector, `right`
+  * the `array<struct<cent_id: long, cvec: array<numeric>>>` packed set
+  * (sorted ascending by cent_id at pack time). Returns
+  * `struct(cent_id, score)`; null only when the SET itself is
+  * null/empty (the fanout-join-produced-no-row case — callers filter),
+  * while a null VECTOR still wins a centroid under the original null
+  * ordering, so eval handles the null left child itself. */
+case class NearestCentroidExpr(left: Expression, right: Expression,
+                               cosine: Boolean)
+    extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("cent_id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = true)))
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    if (cosine) "nearest_centroid_cos" else "nearest_centroid_l2"
+
+  @transient private lazy val tagV: Int = left.dataType match {
+    case ArrayType(et, _) => VectorKernels.typeTag(et)
+    case other => throw new IllegalArgumentException(
+      s"$prettyName expects array<numeric> vector, got $other")
+  }
+  @transient private lazy val tagC: Int = right.dataType match {
+    case ArrayType(StructType(fields), _)
+        if fields.length == 2 && fields(0).dataType == LongType =>
+      fields(1).dataType match {
+        case ArrayType(et, _) => VectorKernels.typeTag(et)
+        case other => throw new IllegalArgumentException(
+          s"$prettyName centroid vector must be array<numeric>, got $other")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$prettyName expects array<struct<long, array<numeric>>>, got $other")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val cs = right.eval(input)
+    if (cs == null) null
+    else {
+      val v = left.eval(input)
+      if (cosine)
+        VectorKernels.nearestCos(
+          if (v == null) null else v.asInstanceOf[ArrayData],
+          cs.asInstanceOf[ArrayData], tagV, tagC)
+      else
+        VectorKernels.nearestL2(
+          if (v == null) null else v.asInstanceOf[ArrayData],
+          cs.asInstanceOf[ArrayData], tagV, tagC)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val fn = if (cosine) "nearestCos" else "nearestL2"
+    val out = ctx.freshName("graftNearest")
+    ev.copy(code = code"""
+      |${l.code}
+      |${r.code}
+      |org.apache.spark.sql.catalyst.InternalRow $out = ${r.isNull} ? null :
+      |  graft.expressions.VectorKernels.$fn(
+      |    ${l.isNull} ? null : ${l.value}, ${r.value}, $tagV, $tagC);
+      |boolean ${ev.isNull} = $out == null;
+      |org.apache.spark.sql.catalyst.InternalRow ${ev.value} = $out;
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroidExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** int8 codes under a precomputed scale column. */

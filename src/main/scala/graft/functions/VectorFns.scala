@@ -24,6 +24,21 @@ object VectorFns {
   /** Dot product of two equal-length float vectors. */
   def dot(a: Column, b: Column): Column = VectorKernels.vec_dot(a, b)
 
+  /** Fused k-means E-step argmax-cosine over a packed
+    * `array<struct<cent_id, cvec>>` centroid set (sorted ascending by
+    * cent_id): `struct(cent_id, score)` of the winner under
+    * `(cosine desc, cent_id asc)` with SortOrder null placement — the
+    * exact top-1 the fanout+TopKPerKey formulation produced, minus the
+    * |rows|×|centroids| tuple materialization and the final-cut
+    * exchange. Null only for a null/empty set. */
+  def nearest_centroid_cos(v: Column, cset: Column): Column =
+    VectorKernels.nearest_centroid_cos(v, cset)
+
+  /** [[nearest_centroid_cos]]'s portable-L2 sibling: winner under
+    * `((⟨a,a⟩−2⟨a,b⟩)+⟨b,b⟩ asc, cent_id asc)`, nulls first. */
+  def nearest_centroid_l2(v: Column, cset: Column): Column =
+    VectorKernels.nearest_centroid_l2(v, cset)
+
   /** The HOF formulation [[dot]] fused — kept as the executable spec
     * (VectorKernelsSpec asserts bit-parity on randomized inputs). */
   private[graft] def dotHof(a: Column, b: Column): Column =

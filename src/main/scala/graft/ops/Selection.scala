@@ -214,6 +214,46 @@ object Selection {
           .cast("long").as("drift_bits"))
   }
 
+  /** [[distributionDrift]] when both snapshots are FILTERS of ONE
+    * corpus — the monitoring loop's usual shape (today's corpus vs
+    * yesterday's is a predicate over one store, and the populations
+    * overlap heavily): ONE tokenize+gram+hash pass over
+    * `beforeCond OR afterCond` with per-row membership flags, counted
+    * conditionally per bucket, instead of two full gram pipelines
+    * (guide §1.2 — the gram construction dominates this operator,
+    * measured round 19: m8_corpus_drift spent ~2× the gram cost for
+    * ~53% shared rows). Output is row-for-row identical to
+    * `distributionDrift(corpus.filter(beforeCond),
+    * corpus.filter(afterCond), …)`: same bucket set (buckets seen in
+    * either snapshot), same conditional counts, same totals, same
+    * bit-score arithmetic. */
+  def distributionDriftSliced(corpus: DataFrame,
+                              beforeCond: Column, afterCond: Column,
+                              id: Column, text: Column,
+                              buckets: Int = 512,
+                              portable: Boolean = false): DataFrame = {
+    require(buckets > 0, s"buckets: $buckets")
+    val g = corpus.filter(beforeCond || afterCond)
+      .select(beforeCond.as("in_b"), afterCond.as("in_a"),
+        explode(concat(TextFns.word_grams(text, 1),
+          TextFns.word_grams(text, 2))).as("gram"))
+      .select(col("in_b"), col("in_a"),
+        pmod(if (portable) TextFns.portable_hash60(col("gram"))
+             else xxhash64(col("gram")), lit(buckets.toLong)).as("b"))
+    def bits(total: String, c: String): String =
+      s"length(bin(($total + ${buckets.toLong}) div (coalesce($c, 0L) + 1L))) - 1"
+    val both = g.groupBy("b").agg(
+      count(when(col("in_b"), lit(1))).as("c_before"),
+      count(when(col("in_a"), lit(1))).as("c_after"))
+    val totals = both.agg(
+      coalesce(sum("c_before"), lit(0L)).as("nb"),
+      coalesce(sum("c_after"), lit(0L)).as("na"))
+    both.crossJoin(broadcast(totals))
+      .select(col("b"), col("c_before"), col("c_after"),
+        (expr(bits("nb", "c_before")) - expr(bits("na", "c_after")))
+          .cast("long").as("drift_bits"))
+  }
+
   /** Top-`keepNum/keepDen` resample of the raw corpus by importance
     * weight, ties broken by the smaller doc_id — the deterministic
     * variant of DSIR's Gumbel-top-k draw. `k = ceil(n * keepNum /

@@ -74,7 +74,10 @@ object SelectionQueries extends QueryModule {
     Tables.spread(Tables.documents(s, dir))
 
   private def target(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).filter(col("lang") === "en")
+    // spread like docs(): the target side feeds the same gram-explode
+    // pipeline, and an unspread single-file scan serializes it on one
+    // core (Tables.spread doc)
+    Tables.spread(Tables.documents(s, dir).filter(col("lang") === "en"))
 
   private def importanceWeights(s: SparkSession, dir: String): DataFrame =
     Selection.importanceWeights(docs(s, dir), target(s, dir),
@@ -231,10 +234,13 @@ object SelectionQueries extends QueryModule {
     * mixes, so both count columns and the bit-score move. Output is the
     * fixed-size per-bucket scorecard (≤512 rows at any corpus size). */
   private def corpusDrift(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    Selection.distributionDrift(
-      d.filter(col("doc_id") % 3 =!= 0),
-      d.filter(col("doc_id") % 5 =!= 0),
+    val d = Tables.spread(Tables.documents(s, dir))
+    // both snapshots are predicates over ONE corpus and overlap on
+    // ~8/15 of it: the sliced variant grams each shared doc once
+    // instead of twice — identical output (Selection doc) at ~half the
+    // gram cost, the term that dominates this operator
+    Selection.distributionDriftSliced(d,
+      col("doc_id") % 3 =!= 0, col("doc_id") % 5 =!= 0,
       col("doc_id"), col("text"), Buckets, portable = true)
   }
 

@@ -523,11 +523,24 @@ object StarQueries extends QueryModule {
     * which puts the sketch's error contract itself on the hash gate: an
     * out-of-bound estimate flips the boolean and the compare fails. */
   private def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    // Mixing countDistinct with the HLL sketch in ONE aggregate plans
+    // the two-phase distinct shape whose FIRST exchange carries the
+    // partial HLL buffer — 410 longs — per distinct (flag, orderkey)
+    // pair (~3 KB/row × every order, measured round 19 as the whole
+    // query's cost; guide §2.3 shuffle-fewer-bytes). HLL registers are
+    // duplicate-insensitive (max over hashes), so BOTH aggregates
+    // compute identically over the distinct pairs: dedup the narrow
+    // pair first, then one plain aggregate — the exchange carries
+    // 2 columns per pair plus 3 final HLL buffers. count(l_orderkey)
+    // over the distinct pairs IS countDistinct, null-for-null (a
+    // group of only-null keys still surfaces with 0, as before).
     Tables.spread(Tables.lineitem(s, dir))
+      .select(col("l_returnflag"), col("l_orderkey"))
+      .distinct()
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders"))
+        count(col("l_orderkey")).as("exact_orders"))
       .withColumn("within_bound",
         abs(col("approx_orders") - col("exact_orders")).cast("double") /
           col("exact_orders") < 0.05)

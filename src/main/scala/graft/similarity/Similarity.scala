@@ -165,17 +165,38 @@ object Similarity {
           col("n_exact").cast("double")).as("recall"))
   }
 
+  /** One-row packed centroid set `array<struct<cent_id, cvec>>`,
+    * sorted ascending by cent_id — the broadcast shape the fused
+    * nearest-centroid kernels scan ([[VectorFns.nearest_centroid_cos]]).
+    * `array_sort` over the (cent_id, cvec) structs orders by the first
+    * field (ids are unique), so collect_list's arrival order cannot
+    * leak into the deterministic tie-break. */
+  private def packCentroids(cent: DataFrame): DataFrame =
+    cent.agg(array_sort(collect_list(struct(
+      col("cent_id").cast("long").as("cent_id"), col("cvec")))).as("cset"))
+
   /** Nearest-centroid assignment (the k-means E-step): each candidate row
     * `(cand_id, cv)` paired with its single best centroid from the
-    * broadcast `cent` frame `(cent_id, cvec)`. Ties break on the smaller
-    * cent_id, so assignment is deterministic and oracle-reproducible.
-    * The exchange carries one (vector, list) row per candidate. */
+    * packed broadcast centroid set. Ties break on the smaller cent_id,
+    * so assignment is deterministic and oracle-reproducible.
+    *
+    * PURE MAP (round 19): previously `crossJoin(broadcast(cent)) →
+    * cosine → TopKPerKey top-1`, which materialized one tuple per
+    * (vector, centroid) AND exchanged one row per candidate for the
+    * final cut — a corpus-sized shuffle per E-step/encode that no
+    * downstream consumer's partitioning ever reused (guide §2.4). The
+    * fused kernel picks the identical winner (same doubles, same null
+    * ordering, same cent_id tie-break — NearestCentroidSpec pins it
+    * against the fanout formulation) with zero fanout and zero
+    * exchange. The size guard replays the old empty-centroid-set
+    * behavior (a crossJoin against an empty broadcast produced no
+    * rows). */
   def ivfAssign(c: DataFrame, cent: DataFrame): DataFrame =
-    GraftOps.topKPerKey(
-      c.crossJoin(broadcast(cent))
-        .withColumn("csim", VectorFns.cosine(col("cv"), col("cvec"))),
-      Seq(col("cand_id")), Seq(col("csim").desc, col("cent_id")), 1)
-      .select("cand_id", "cv", "cent_id")
+    c.crossJoin(broadcast(packCentroids(cent)))
+      .filter(size(col("cset")) > 0)
+      .select(col("cand_id"), col("cv"),
+        VectorFns.nearest_centroid_cos(col("cv"), col("cset"))
+          .getField("cent_id").as("cent_id"))
 
   /** [[ivfAssign]] KEEPING the winning assignment similarity (`csim`) —
     * the drift monitor's input: `mean(1 − csim)` over a batch is the
@@ -185,11 +206,13 @@ object Similarity {
     * path's plan — and every audited shape built on it — stays
     * byte-identical when no one is monitoring. */
   private[graft] def ivfAssignSim(c: DataFrame, cent: DataFrame): DataFrame =
-    GraftOps.topKPerKey(
-      c.crossJoin(broadcast(cent))
-        .withColumn("csim", VectorFns.cosine(col("cv"), col("cvec"))),
-      Seq(col("cand_id")), Seq(col("csim").desc, col("cent_id")), 1)
-      .select("cand_id", "cv", "cent_id", "csim")
+    c.crossJoin(broadcast(packCentroids(cent)))
+      .filter(size(col("cset")) > 0)
+      .withColumn("__best",
+        VectorFns.nearest_centroid_cos(col("cv"), col("cset")))
+      .select(col("cand_id"), col("cv"),
+        col("__best").getField("cent_id").as("cent_id"),
+        col("__best").getField("score").as("csim"))
 
   /** Re-assemble [[groupCentroids]]' per-dimension rows into centroid
     * arrays `(cent_id, cvec)`. `array_sort` over the (pos, centroid)
@@ -395,16 +418,28 @@ object Similarity {
       .select(col("id"), col("pos").as("sub"), col("col").as("sv"))
   }
 
+  /** One packed codebook row PER SUBSPACE `(sub, cset)` — the broadcast
+    * shape [[pqAssign]]'s fused argmin scans; same deterministic
+    * packing as [[packCentroids]]. */
+  private def packCodebooks(cb: DataFrame): DataFrame =
+    cb.groupBy(col("sub"))
+      .agg(array_sort(collect_list(struct(
+        col("cent_id").cast("long").as("cent_id"), col("cvec")))).as("cset"))
+
   /** Nearest-codebook-entry assignment per (vector, subspace): min
     * portable-L2, ties on the smaller cent_id — the PQ E-step and the
-    * encoder. Codebooks (`m × ksub` rows) broadcast; the partial top-1
-    * cut keeps the exchange at one row per (vector, subspace). */
+    * encoder. PURE MAP over the subvector rows (round 19, same
+    * rewrite as [[ivfAssign]]): the packed per-sub codebooks broadcast
+    * into an equi-join on `sub` (m rows — no fanout ×ksub) and the
+    * fused argmin replaces the TopKPerKey pair, deleting the
+    * one-row-per-(vector, subspace) exchange the final cut paid. A sub
+    * with no codebook entries drops its rows exactly as the old inner
+    * fanout join did. */
   private def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame =
-    GraftOps.topKPerKey(
-      sv.join(broadcast(cb), Seq("sub"))
-        .withColumn("d2", l2sqPortable(col("sv"), col("cvec"))),
-      Seq(col("id"), col("sub")), Seq(col("d2").asc, col("cent_id")), 1)
-      .select("id", "sub", "sv", "cent_id")
+    sv.join(broadcast(packCodebooks(cb)), Seq("sub"))
+      .select(col("id"), col("sub"), col("sv"),
+        VectorFns.nearest_centroid_l2(col("sv"), col("cset"))
+          .getField("cent_id").as("cent_id"))
 
   /** Product-quantization codebooks: `ksub` centroids per subspace,
     * seeded from the `ksub` corpus vectors with the smallest
@@ -441,17 +476,37 @@ object Similarity {
 
   /** PQ encoder: each corpus vector reduced to `m` codebook ids,
     * ordered by subspace — `dim × 4` bytes down to `m × 8` (and `m`
-    * bytes once ids are dictionary-compressed at rest). */
+    * bytes once ids are dictionary-compressed at rest).
+    *
+    * PURE MAP (round 19, verdict item 3): previously subvector-exploded
+    * ×m, fanout-joined ×ksub, top-1 cut (one exchange of m rows per
+    * vector) and re-assembled with a groupBy+collect_list (a SECOND
+    * m×N exchange). Now the m per-sub codebooks ride ONE broadcast row
+    * as a sub→cset map and the codes array is built in place: per
+    * vector, m fused argmins over the same slices the explode produced
+    * — identical winners (NearestCentroidSpec), zero exchanges, row
+    * volume ÷m. A sub missing from a (degenerate, empty) codebook
+    * yields a null code element where the old shape dropped the row —
+    * unreachable while every subspace keeps ≥1 centroid, which Lloyd
+    * guarantees from non-empty seeds; the empty-codebook guard below
+    * replays the old no-rows behavior exactly. */
   def pqEncode(candidates: DataFrame, cb: DataFrame,
-               m: Int, dim: Int): DataFrame =
-    pqAssign(subvectors(
-      candidates.select(col("vec_id"), col("embedding")),
-      col("vec_id"), col("embedding"), m, dim), cb)
-      .groupBy("id")
-      .agg(array_sort(collect_list(struct(col("sub"), col("cent_id"))))
-        .as("sc"))
-      .select(col("id").as("cand_id"),
-        transform(col("sc"), s => s.getField("cent_id")).as("codes"))
+               m: Int, dim: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val w = dim / m
+    val packed = packCodebooks(cb)
+      .agg(map_from_entries(collect_list(struct(
+        col("sub").cast("int").as("sub"), col("cset")))).as("csets"))
+    candidates.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(packed))
+      .filter(size(col("csets")) > 0)
+      .select(col("vec_id").as("cand_id"),
+        array((0 until m).map(j =>
+          VectorFns.nearest_centroid_l2(
+            slice(col("embedding"), j * w + 1, w),
+            element_at(col("csets"), lit(j)))
+            .getField("cent_id")): _*).as("codes"))
+  }
 
   /** LUT key space: `sub * 2^32 + cent_id`. Injective while centroid
     * ids stay below 2^32 — they are corpus vec_ids here; a corpus with

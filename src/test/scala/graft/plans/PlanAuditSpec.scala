@@ -106,14 +106,27 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     ("m8_substring_rewrite", 5, 0),
     ("m8_lm_surprisal", 7, 1),
     ("m8_quality_rules", 1, 0),
-    ("m8_importance_weights", 12, 2),
+    // round 19: +2 — the lang='en' TARGET side now spreads like the raw
+    // side before its gram explode (one repartition exchange per
+    // consumer branch of the target in the printed lineage); the gram
+    // pipelines themselves are unchanged
+    ("m8_importance_weights", 14, 2),
     ("m8_importance_resample", 0, 0),
-    ("m8_sim_topk_pq", 9, 1),
+    // round 19: 1→2 BNLJ — pqEncode is a pure map over one broadcast
+    // packed-codebook row (+1 one-row broadcast cross join). Shuffle
+    // COUNT stays 9 but the shuffled BYTES changed class: the
+    // per-(vector, subspace) assignment-cut and collect_list exchanges
+    // (m×N rows) became m×ksub-row codebook packs
+    ("m8_sim_topk_pq", 9, 2),
     ("m8_diversity_sample", 3, 1),
     ("m8_ann_index_store", 5, 1),
     ("m8_image_phash_dedup", 1, 0),
     ("m8_selection_export", 2, 0),
-    ("m8_corpus_drift", 6, 2),
+    // round 19: sliced drift — ONE gram pass with membership flags
+    // (spread before the explode: +1 repartition), one conditional-
+    // count aggregate + totals, ONE totals broadcast cross join (was
+    // two per-snapshot pipelines + two totals joins)
+    ("m8_corpus_drift", 5, 1),
     ("m8_weighted_sample", 2, 0),
     ("m8_dedup_minhash_tuned", 15, 0),
     ("m8_curriculum_pack", 19, 5),
