@@ -76,8 +76,15 @@ object TextFns {
   }
 
   /** Word w-shingles (default 3-word) as an array column — the unit for
-    * n-gram Jaccard and MinHash dedup. */
-  def word_shingles(text: Column, w: Int = 3): Column = {
+    * n-gram Jaccard and MinHash dedup. Fused kernel
+    * ([[graft.expressions.TextShingles]]): the HOF formulation below is
+    * the executable spec (TextShinglesSpec pins bit-parity). */
+  def word_shingles(text: Column, w: Int = 3): Column =
+    graft.expressions.TextShingles.word_shingles_fused(text, w)
+
+  /** The HOF formulation [[word_shingles]] fused — kept as the
+    * executable spec. */
+  private[graft] def wordShinglesHof(text: Column, w: Int = 3): Column = {
     val tokens = split(trim(coalesce(text, lit(""))), "\\s+")
     val n = size(tokens)
     when(n < w, array_distinct(array(trim(coalesce(text, lit(""))))))
@@ -89,8 +96,12 @@ object TextFns {
   /** Word n-grams WITH multiplicity (unlike [[word_shingles]], which
     * dedups) — the unit for within-document repetition analysis, where
     * how often a gram repeats is the signal. Empty array when the text
-    * has fewer than `w` tokens. */
-  def word_grams(text: Column, w: Int): Column = {
+    * has fewer than `w` tokens. Fused kernel; HOF spec below. */
+  def word_grams(text: Column, w: Int): Column =
+    graft.expressions.TextShingles.word_grams_fused(text, w)
+
+  /** The HOF formulation [[word_grams]] fused — the executable spec. */
+  private[graft] def wordGramsHof(text: Column, w: Int): Column = {
     val tokens = split(trim(coalesce(text, lit(""))), "\\s+")
     val n = size(tokens)
     when(trim(coalesce(text, lit(""))) === "" || n < w,
@@ -102,8 +113,14 @@ object TextFns {
 
   /** Rolling-hash document fingerprint (winnowing-style): the minimum md5
     * over all k-char grams of the normalized text. md5 keeps the value
-    * engine-reproducible. */
-  def doc_fingerprint(text: Column, k: Int = 8): Column = {
+    * engine-reproducible. Fused kernel (no candidate-array
+    * materialization); HOF spec below. */
+  def doc_fingerprint(text: Column, k: Int = 8): Column =
+    graft.expressions.TextShingles.doc_fingerprint_fused(text, k)
+
+  /** The HOF formulation [[doc_fingerprint]] fused — the executable
+    * spec. */
+  private[graft] def docFingerprintHof(text: Column, k: Int = 8): Column = {
     val norm = lower(regexp_replace(trim(coalesce(text, lit(""))), "\\s+", " "))
     val n = length(norm)
     when(n === 0, lit(""))
